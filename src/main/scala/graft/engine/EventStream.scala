@@ -1,0 +1,408 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/**
+ * Core abstraction: an ordered event stream encoded as a DataFrame.
+ *
+ * The reference engine (erdewit/eventkit, `/root/reference/eventkit/event.py:12`)
+ * models an event as an unbounded ordered stream of tuples pushed through
+ * listener callbacks. Here a stream is a DataFrame with:
+ *
+ *   - `keys`   : zero or more partition columns. A keyed stream is N
+ *                independent sub-streams that parallelize across the
+ *                cluster — this is the 100 TB scale story: every windowed
+ *                op below is `Window.partitionBy(keys)`, so state never
+ *                concentrates on one executor. An un-keyed stream
+ *                (keys = Nil) reproduces the reference's single global
+ *                order but executes on a single partition — use only for
+ *                small control streams.
+ *   - `seqCol` : BIGINT emit order within a key (reference: implicit
+ *                asyncio emit order, `event.py:194`).
+ *   - `tsCol`  : TIMESTAMP event time (reference: wall-clock
+ *                `time.time()`, `ops/transform.py:58`). All timing ops
+ *                are recast from wall-clock to event-time.
+ *   - payload  : any remaining columns.
+ *
+ * Every operator is a pure `DataFrame => DataFrame` so Catalyst sees one
+ * declarative plan: filters push to parquet, projections prune columns,
+ * and adjacent window ops over the same (partition, order) collapse into
+ * a single Window node.
+ */
+final case class EventStream(
+    df: DataFrame,
+    keys: Seq[String] = Nil,
+    seqCol: String = "seq",
+    tsCol: String = "ts") {
+
+  private def keyCols: Seq[Column] = keys.map(col)
+
+  /** Base window: one sorted pass per key. */
+  def w: WindowSpec = Window.partitionBy(keyCols: _*).orderBy(col(seqCol))
+
+  /** Running frame: unbounded-preceding .. current (prefix scan). */
+  def wRun: WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Sliding frame of the last `n` rows (incl. current). */
+  def wSlide(n: Int): WindowSpec =
+    if (n <= 0) wRun else w.rowsBetween(-(n - 1), 0)
+
+  /** Event-time ordered window (ties broken by seq for determinism). */
+  def wTime: WindowSpec =
+    Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
+
+  def derive(d: DataFrame): EventStream = copy(df = d)
+
+  /** Ordinal of each row within its key, starting at 1. */
+  def withRowNumber(as: String): EventStream =
+    derive(df.withColumn(as, row_number().over(w)))
+
+  // ===================== §2.2 selection — ops/select.py =====================
+
+  /** Filter (`ops/select.py:5-14`). */
+  def where(cond: Column): EventStream = derive(df.filter(cond))
+
+  /** Skip first `n` rows per key (`ops/select.py:17-29`). */
+  def skip(n: Int): EventStream =
+    derive(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > n).drop("__rn"))
+
+  /** Take first `n` rows per key (`ops/select.py:32-46`). */
+  def take(n: Int): EventStream =
+    derive(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
+
+  /** Pass while `pred` holds; end at first violation (`ops/select.py:49-61`). */
+  def takeWhile(pred: Column): EventStream =
+    derive(df.withColumn("__nbad", count(when(!pred, 1)).over(wRun))
+      .filter(col("__nbad") === 0).drop("__nbad"))
+
+  /** Drop while `pred` holds; pass from first violation on (`ops/select.py:64-76`). */
+  def dropWhile(pred: Column): EventStream =
+    derive(df.withColumn("__nbad", count(when(!pred, 1)).over(wRun))
+      .filter(col("__nbad") > 0).drop("__nbad"))
+
+  /**
+   * Pass until `notifier` first emits (`ops/select.py:79-99`). Batch
+   * encoding: keep rows strictly before the notifier's first event time.
+   * The notifier aggregate is tiny (one row per key) → broadcast-joined.
+   */
+  def takeUntil(notifier: EventStream): EventStream = {
+    val firstTs = notifier.df
+      .groupBy(notifier.keys.map(col): _*)
+      .agg(min(col(notifier.tsCol)).as("__cut"))
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(firstTs))
+      else df.join(broadcast(firstTs), keys, "left")
+    derive(joined
+      .filter(col("__cut").isNull || col(tsCol) < col("__cut"))
+      .drop("__cut"))
+  }
+
+  /** Emit only rows whose `cols` differ from the previous row (`ops/select.py:102-112`).
+    * `<=>` is null-safe, so the first row (lag = NULL) always passes. */
+  def changes(cols: Seq[String]): EventStream = {
+    val changed = cols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    derive(df.withColumn("__chg", changed).filter(col("__chg")).drop("__chg"))
+  }
+
+  /** First occurrence per distinct `by` values (`ops/select.py:115-130`). */
+  def unique(by: Seq[String]): EventStream = {
+    val wu = Window.partitionBy((keys ++ by).map(col): _*).orderBy(col(seqCol))
+    derive(df.withColumn("__rn", row_number().over(wu))
+      .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** Only the final row per key (`ops/select.py:133-145`). */
+  def last(): EventStream = {
+    val all = struct(df.columns.map(col): _*)
+    val agged = df.groupBy(keyCols: _*).agg(max_by(all, col(seqCol)).as("__row"))
+    derive(agged.select(df.columns.map(c => col(s"__row.$c")): _*))
+  }
+
+  // =================== §2.3 transformation — ops/transform.py ===============
+
+  /** Map = projection; keep stream columns, replace payload (`ops/transform.py:214`). */
+  def mapPayload(exprs: (String, Column)*): EventStream = {
+    val base = (keys :+ seqCol :+ tsCol).distinct.map(col)
+    derive(df.select(base ++ exprs.map { case (n, e) => e.as(n) }: _*))
+  }
+
+  /** Prepend running index `start + step*i` (`ops/transform.py:38-50`). */
+  def enumerate(as: String, start: Long = 0, step: Long = 1): EventStream =
+    derive(df.withColumn(as, lit(start) + lit(step) * (row_number().over(w) - 1)))
+
+  /** Value from `n` rows back; first `n` rows dropped (`ops/transform.py:130-141`). */
+  def previous(c: String, as: String, n: Int = 1): EventStream =
+    derive(df.withColumn(as, lag(col(c), n).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > n).drop("__rn"))
+
+  /** (prev, cur) pairs starting at the 2nd row (`ops/aggregate.py:114-127`). */
+  def pairwise(c: String, prevAs: String): EventStream =
+    derive(df.withColumn(prevAs, lag(col(c), 1).over(w))
+      .filter(col(prevAs).isNotNull))
+
+  /** Group every `size` rows into an array (`ops/transform.py:158-176`). */
+  def chunk(c: String, size: Int, idxAs: String, listAs: String): EventStream = {
+    val chunked = df
+      .withColumn(idxAs, floor((row_number().over(w) - 1) / size))
+      .groupBy((keyCols :+ col(idxAs)): _*)
+      .agg(
+        sort_array(collect_list(struct(col(seqCol), col(c)))).as("__p"),
+        count(lit(1)).as("n"))
+      .withColumn(listAs, col("__p").getField(c))
+      .drop("__p")
+    derive(chunked)
+  }
+
+  // ============= §2.4 running aggregates — ops/aggregate.py ================
+  // Reference semantics: emit the updated aggregate on EVERY row
+  // (`tests/aggregate_test.py:18-21`) — a prefix scan, hence window
+  // aggregates over wRun, never groupBy().agg().
+
+  /** Running count `start + i*step` (`ops/aggregate.py:10-15`). */
+  def rcount(as: String, start: Long = 0, step: Long = 1): EventStream =
+    derive(df.withColumn(as, lit(start) + lit(step) * (row_number().over(w) - 1)))
+
+  def rsum(c: Column, as: String): EventStream =
+    derive(df.withColumn(as, sum(c).over(wRun)))
+
+  def rmin(c: Column, as: String): EventStream =
+    derive(df.withColumn(as, min(c).over(wRun)))
+
+  def rmax(c: Column, as: String): EventStream =
+    derive(df.withColumn(as, max(c).over(wRun)))
+
+  /** Running mean kept exact: integer sum / count, one deterministic division. */
+  def rmeanExact(cents: Column, as: String): EventStream =
+    derive(df.withColumn(as,
+      sum(cents).over(wRun).cast("double") / count(lit(1)).over(wRun)))
+
+  def rany(pred: Column, as: String): EventStream =
+    derive(df.withColumn(as, max(when(pred, 1).otherwise(0)).over(wRun) === 1))
+
+  def rall(pred: Column, as: String): EventStream =
+    derive(df.withColumn(as, min(when(pred, 1).otherwise(0)).over(wRun) === 1))
+
+  /** Sliding-window list of the last `n` values (`ops/aggregate.py:146-159`, `ops/array.py:9-70`). */
+  def deque(c: Column, n: Int, as: String): EventStream =
+    derive(df.withColumn(as, collect_list(c).over(wSlide(n))))
+
+  /** Buffer everything, one array per key on done (`ops/aggregate.py:130-143`). */
+  def list(c: String, as: String): EventStream = {
+    val agged = df.groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(struct(col(seqCol), col(c)))).as("__p"))
+      .withColumn(as, col("__p").getField(c)).drop("__p")
+    derive(agged)
+  }
+
+  // ===================== §2.7 timing — ops/timing.py ========================
+
+  /** Shift event time (`ops/timing.py:8-28`). */
+  def delay(interval: String): EventStream =
+    derive(df.withColumn(tsCol, col(tsCol) + expr(s"INTERVAL $interval")))
+
+  /**
+   * Debounce (`ops/timing.py:67-101`): burst = rows separated by < `gapSec`.
+   * onFirst=true → first row of each burst; else last row, re-stamped
+   * at burst_end + gap (the reference emits after the quiet period).
+   */
+  def debounce(gapSec: Double, onFirst: Boolean = false): EventStream = {
+    val gapUs = math.round(gapSec * 1e6)
+    val prevTs = lag(col(tsCol), 1).over(wTime)
+    val isFirst = prevTs.isNull ||
+      (unix_micros(col(tsCol)) - unix_micros(prevTs)) >= gapUs
+    if (onFirst) {
+      derive(df.withColumn("__f", isFirst).filter(col("__f")).drop("__f"))
+    } else {
+      val nextTs = lead(col(tsCol), 1).over(wTime)
+      val isLast = nextTs.isNull ||
+        (unix_micros(nextTs) - unix_micros(col(tsCol))) >= gapUs
+      derive(df.withColumn("__l", isLast).filter(col("__l")).drop("__l")
+        .withColumn(tsCol, timestamp_micros(unix_micros(col(tsCol)) + gapUs)))
+    }
+  }
+
+  /**
+   * Timeout (`ops/timing.py:31-64`): pass rows until the first silent gap
+   * > `gapSec`, then end. (The reference also emits a NO_VALUE marker —
+   * surfaced via `timeoutMarkers`.)
+   */
+  def timeout(gapSec: Double): EventStream = {
+    val gapUs = math.round(gapSec * 1e6)
+    val prevTs = lag(col(tsCol), 1).over(wTime)
+    val isBreak = when(prevTs.isNotNull &&
+      (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapUs, 1).otherwise(0)
+    derive(df.withColumn("__nb", sum(isBreak).over(
+        Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(seqCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__nb") === 0).drop("__nb"))
+  }
+
+  /**
+   * The NO_VALUE marker the reference's Timeout emits on firing
+   * (`ops/timing.py:58-61`): one row per key that timed out, stamped at
+   * last_event_ts + gap. Columns: keys + marker ts.
+   */
+  def timeoutMarkers(gapSec: Double): DataFrame = {
+    val gapUs = math.round(gapSec * 1e6)
+    val prevTs = lag(col(tsCol), 1).over(wTime)
+    df.withColumn("__prev_us", unix_micros(prevTs))
+      .withColumn("__gap", unix_micros(col(tsCol)) - col("__prev_us"))
+      .filter(col("__gap") > gapUs)
+      .groupBy(keyCols: _*)
+      .agg(timestamp_micros(min(col("__prev_us")) + gapUs).as(tsCol))
+  }
+
+  /**
+   * Sample (`ops/timing.py:187-211`): at each row of `timer`, the latest
+   * source value at-or-before that time. Encoded as union + running
+   * last(ignoreNulls) over event time — one sorted pass per key, no join.
+   */
+  def sample(timer: EventStream, valueCols: Seq[String]): EventStream = {
+    val srcTagged = df.withColumn("__t", lit(0))
+    val timerTagged = timer.df
+      .select((timer.keys.map(col) :+ col(timer.tsCol).as(tsCol) :+ col(timer.seqCol).as(seqCol)): _*)
+      .withColumn("__t", lit(1))
+    val unioned = srcTagged.unionByName(timerTagged, allowMissingColumns = true)
+    val wt = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol), col("__t"), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last_value(col(c), lit(true)).over(wt))
+    }
+    derive(filled.filter(col("__t") === 1 && valueCols.map(col(_).isNotNull).reduce(_ && _))
+      .drop("__t"))
+  }
+
+  // ================== §2.3 higher-order (emap family) =======================
+  // Each parent row spawns a child array of structs; `explode` flattens.
+  // The joiner fixes output order / filtering (`ops/transform.py:291-346`).
+
+  /** children: expression yielding ARRAY<STRUCT<...incl. child ts/idx...>> */
+  private def exploded(children: Column): DataFrame =
+    df.withColumn("__child", explode(children))
+
+  /** Mergemap: interleave children by child event time (`ops/transform.py:321-325`). */
+  def mergemap(children: Column, childTs: String): EventStream = {
+    val d = exploded(children)
+      .withColumn("__cts", col(s"__child.$childTs"))
+    derive(d, orderCols = Seq(col("__cts")))
+  }
+
+  /** Chainmap: drain child i fully before i+1 (`ops/transform.py:328-332`). */
+  def chainmap(children: Column, childIdx: String): EventStream = {
+    val d = exploded(children)
+    derive(d, orderCols = Seq(col(seqCol), col(s"__child.$childIdx")))
+  }
+
+  private def derive(d: DataFrame, orderCols: Seq[Column]): EventStream = {
+    val wOut = Window.partitionBy(keyCols: _*).orderBy(orderCols :+ col(seqCol): _*)
+    derive(d.withColumn("__outseq", row_number().over(wOut)))
+  }
+}
+
+object EventStream {
+
+  /** Tag and union streams; `srcAs` identifies the origin. */
+  private def tagged(ss: Seq[EventStream], srcAs: String): DataFrame =
+    ss.zipWithIndex.map { case (s, i) =>
+      s.df.withColumn(srcAs, lit(i))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /**
+   * Merge (`ops/combine.py:97-102`): interleave by event time.
+   * Output order column `outSeq` makes the interleaving observable.
+   */
+  def merge(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
+    val h = ss.head
+    val u = tagged(ss, srcAs)
+    val wOut = Window.partitionBy(h.keys.map(col): _*)
+      .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
+    h.derive(u.withColumn(outSeqAs, row_number().over(wOut)))
+  }
+
+  /**
+   * Chain (`ops/combine.py:177-216`): all of source i (buffered) before
+   * i+1 — order by (source, seq).
+   */
+  def chain(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
+    val h = ss.head
+    val u = tagged(ss, srcAs)
+    val wOut = Window.partitionBy(h.keys.map(col): _*)
+      .orderBy(col(srcAs), col(h.seqCol))
+    h.derive(u.withColumn(outSeqAs, row_number().over(wOut)))
+  }
+
+  /**
+   * Concat (`ops/combine.py:142-174`): source i+1's LIVE emissions only —
+   * rows emitted before source i finished are dropped. Batch encoding:
+   * activation(i) = running max of end-times of sources < i; a row
+   * passes iff ts > activation(src). The per-(key,src) boundary table is
+   * tiny → broadcast.
+   */
+  def concat(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
+    val h = ss.head
+    val u = tagged(ss, srcAs)
+    val bounds = u.groupBy((h.keys :+ srcAs).map(col): _*)
+      .agg(max(col(h.tsCol)).as("__end"))
+      .withColumn("__act", max(col("__end")).over(
+        Window.partitionBy(h.keys.map(col): _*).orderBy(col(srcAs))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .drop("__end")
+    val joined = u.join(broadcast(bounds), h.keys :+ srcAs)
+      .filter(col("__act").isNull || col(h.tsCol) > col("__act"))
+      .drop("__act")
+    val wOut = Window.partitionBy(h.keys.map(col): _*)
+      .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
+    h.derive(joined.withColumn(outSeqAs, row_number().over(wOut)))
+  }
+
+  /**
+   * Zip (`ops/combine.py:219-261`): positional pairing — equi-join on the
+   * per-key occurrence index; inner join ends at the shortest source.
+   */
+  def zip(a: EventStream, b: EventStream, idxAs: String): EventStream = {
+    val ad = a.df.withColumn(idxAs, row_number().over(a.w))
+    val bd = b.df.withColumn(idxAs, row_number().over(b.w))
+    val joinCols = a.keys :+ idxAs
+    val bCols = bd.columns.diff(joinCols)
+    val bRenamed = bCols.foldLeft(bd)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    a.derive(ad.join(bRenamed, joinCols, "inner"))
+  }
+
+  /**
+   * Ziplatest (`ops/combine.py:264-302`): on any source's emit, the
+   * latest value of every source. Union + running last(ignoreNulls) —
+   * single sorted pass per key. `partial=false` drops un-primed rows.
+   */
+  def ziplatest(
+      ss: Seq[EventStream], valueCol: String,
+      outCols: Seq[String], partial: Boolean,
+      srcAs: String): EventStream = {
+    val h = ss.head
+    val parts = ss.zipWithIndex.map { case (s, i) =>
+      s.df.select(
+        (s.keys.map(col) :+ col(s.tsCol).as(h.tsCol) :+ col(s.seqCol).as(h.seqCol)) :+
+          col(valueCol).as(outCols(i)): _*)
+        .withColumn(srcAs, lit(i))
+    }
+    val u = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val wt = Window.partitionBy(h.keys.map(col): _*)
+      .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = outCols.foldLeft(u) { (d, c) =>
+      d.withColumn(c, last_value(col(c), lit(true)).over(wt))
+    }
+    val primed =
+      if (partial) filled
+      else filled.filter(outCols.map(col(_).isNotNull).reduce(_ && _))
+    h.derive(primed)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Custom sequential-scan aggregates the built-in function library lacks.
+ *
+ * All of these are used as WINDOW functions over a running frame
+ * (unboundedPreceding..currentRow). Spark's WindowExec feeds rows to the
+ * aggregate buffer in frame order and re-evaluates incrementally for
+ * expanding frames, so each is an O(n) per-key scan — the exact Spark
+ * analogue of the reference's per-event mutable state
+ * (`/root/reference/eventkit/ops/aggregate.py`).
+ *
+ * `merge` is required by the Aggregator contract but never called in
+ * window evaluation (no partial aggregation across a sorted frame); the
+ * scans are order-sensitive by design, matching the reference.
+ */
+object Aggregators {
+
+  /** EMA state: (current value, primed?). First row passes through raw
+    * (`ops/aggregate.py:95-111`: prev==NO_VALUE → value = args). */
+  case class EmaBuf(v: Double, primed: Boolean)
+
+  class EmaAgg(alpha: Double) extends Aggregator[Double, EmaBuf, Double] {
+    private val f1 = alpha
+    private val f2 = 1.0 - alpha
+    def zero: EmaBuf = EmaBuf(0.0, primed = false)
+    def reduce(b: EmaBuf, x: Double): EmaBuf =
+      if (!b.primed) EmaBuf(x, primed = true)
+      else EmaBuf(b.v * f2 + x * f1, primed = true)
+    def merge(a: EmaBuf, b: EmaBuf): EmaBuf =
+      throw new UnsupportedOperationException("order-sensitive scan")
+    def finish(b: EmaBuf): Double = b.v
+    def bufferEncoder: Encoder[EmaBuf] = Encoders.product[EmaBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** `ema(col, n).over(wRun)` — weight 2/(n+1) like the reference. */
+  def ema(c: Column, weight: Double): Column = udaf(new EmaAgg(weight)).apply(c)
+
+  /** Generic Reduce (`ops/aggregate.py:18-36`) demo instance: running
+    * string fold `acc || x` (initializer = ""). */
+  class ConcatAgg extends Aggregator[String, String, String] {
+    def zero: String = ""
+    def reduce(b: String, x: String): String = b + x
+    def merge(a: String, b: String): String = a + b
+    def finish(b: String): String = b
+    def bufferEncoder: Encoder[String] = Encoders.STRING
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+  def runningConcat(c: Column): Column = udaf(new ConcatAgg).apply(c)
+
+  /** Running product (`ops/aggregate.py:60-64`) — exact left fold, no
+    * log-sum trick (handles zeros/negatives). */
+  case class ProdBuf(v: Double)
+  class ProductAgg(start: Double) extends Aggregator[Double, ProdBuf, Double] {
+    def zero: ProdBuf = ProdBuf(start)
+    def reduce(b: ProdBuf, x: Double): ProdBuf = ProdBuf(b.v * x)
+    def merge(a: ProdBuf, b: ProdBuf): ProdBuf = ProdBuf(a.v * b.v)
+    def finish(b: ProdBuf): Double = b.v
+    def bufferEncoder: Encoder[ProdBuf] = Encoders.product[ProdBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+  def runningProduct(c: Column, start: Double = 1.0): Column =
+    udaf(new ProductAgg(start)).apply(c)
+
+  /**
+   * Throttle as admitted-time rewrite (`ops/timing.py:104-184`): at most
+   * `maximum` emits per sliding `intervalUs`; values are never dropped,
+   * their timestamps move to when the rate limiter admits them:
+   * admit(i) = max(ts(i), admit(i-maximum) + intervalUs).
+   * Buffer keeps only the last `maximum` admit times.
+   */
+  case class ThrottleBuf(admits: Seq[Long])
+  class ThrottleAgg(maximum: Int, intervalUs: Long)
+      extends Aggregator[Long, ThrottleBuf, Long] {
+    def zero: ThrottleBuf = ThrottleBuf(Vector.empty)
+    def reduce(b: ThrottleBuf, tsUs: Long): ThrottleBuf = {
+      val admit =
+        if (b.admits.size < maximum) tsUs
+        else math.max(tsUs, b.admits.head + intervalUs)
+      val kept = (b.admits :+ admit).takeRight(maximum)
+      ThrottleBuf(kept)
+    }
+    def merge(a: ThrottleBuf, b: ThrottleBuf): ThrottleBuf =
+      throw new UnsupportedOperationException("order-sensitive scan")
+    def finish(b: ThrottleBuf): Long = b.admits.last
+    def bufferEncoder: Encoder[ThrottleBuf] = Encoders.product[ThrottleBuf]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+  def throttleAdmit(tsUs: Column, maximum: Int, intervalUs: Long): Column =
+    udaf(new ThrottleAgg(maximum, intervalUs)).apply(tsUs)
+
+  /**
+   * Switch (`ops/combine.py:104-139`): rows arrive in event-time order
+   * tagged with a source id. A row from a non-removed source steals
+   * activity; the previously-active source is removed permanently.
+   * Emits whether the CURRENT row passes.
+   */
+  case class SwitchBuf(active: Int, removed: Seq[Int], pass: Boolean)
+  class SwitchAgg extends Aggregator[Int, SwitchBuf, Boolean] {
+    def zero: SwitchBuf = SwitchBuf(-1, Vector.empty, pass = false)
+    def reduce(b: SwitchBuf, src: Int): SwitchBuf =
+      if (b.removed.contains(src)) b.copy(pass = false)
+      else if (src == b.active) b.copy(pass = true)
+      else {
+        val removed = if (b.active >= 0) b.removed :+ b.active else b.removed
+        SwitchBuf(src, removed, pass = true)
+      }
+    def merge(a: SwitchBuf, b: SwitchBuf): SwitchBuf =
+      throw new UnsupportedOperationException("order-sensitive scan")
+    def finish(b: SwitchBuf): Boolean = b.pass
+    def bufferEncoder: Encoder[SwitchBuf] = Encoders.product[SwitchBuf]
+    def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+  }
+  def switchPass(src: Column): Column = udaf(new SwitchAgg).apply(src)
+}
