@@ -281,30 +281,72 @@ final case class EventStream(
       .drop("__t"))
   }
 
-  // ================== §2.3 higher-order (emap family) =======================
-  // Each parent row spawns a child array of structs; `explode` flattens.
-  // The joiner fixes output order / filtering (`ops/transform.py:291-346`).
+  /**
+   * Throttle (`ops/timing.py:104-184`) as a timestamp rewrite: values are
+   * never dropped; event times move to when the sliding-window rate
+   * limiter (`maximum` per `intervalSec`) admits them. Order-sensitive
+   * scan via [[graft.functions.Aggregators.throttleAdmit]].
+   */
+  def throttle(maximum: Int, intervalSec: Double): EventStream = {
+    val wtRun = wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admit = graft.functions.Aggregators
+      .throttleAdmit(unix_micros(col(tsCol)), maximum, math.round(intervalSec * 1e6))
+    derive(df
+      .withColumn("__admit_us", admit.over(wtRun))
+      .withColumn(tsCol, timestamp_micros(col("__admit_us")))
+      .drop("__admit_us"))
+  }
 
-  /** children: expression yielding ARRAY<STRUCT<...incl. child ts/idx...>> */
-  private def exploded(children: Column): DataFrame =
-    df.withColumn("__child", explode(children))
+  // ================== §2.3 higher-order (emap family) =======================
+  // Each parent row spawns a child array of structs (the sub-event); the
+  // joiner fixes output order / filtering (`ops/transform.py:291-346`).
+  // `childTsField` names the child-struct field holding its event time.
+  // Output rows carry the child struct in `__child` plus `__outseq`.
 
   /** Mergemap: interleave children by child event time (`ops/transform.py:321-325`). */
-  def mergemap(children: Column, childTs: String): EventStream = {
-    val d = exploded(children)
-      .withColumn("__cts", col(s"__child.$childTs"))
-    derive(d, orderCols = Seq(col("__cts")))
+  def emapMerge(children: Column, childTsField: String): EventStream = {
+    val d = df.withColumn("__child", explode(children))
+    derive(d, orderCols = Seq(col(s"__child.$childTsField")))
   }
 
   /** Chainmap: drain child i fully before i+1 (`ops/transform.py:328-332`). */
-  def chainmap(children: Column, childIdx: String): EventStream = {
-    val d = exploded(children)
-    derive(d, orderCols = Seq(col(seqCol), col(s"__child.$childIdx")))
+  def emapChain(children: Column, childIdxField: String): EventStream = {
+    val d = df.withColumn("__child", explode(children))
+    derive(d, orderCols = Seq(col(seqCol), col(s"__child.$childIdxField")))
+  }
+
+  /**
+   * Concatmap (`ops/transform.py:335-339`): child k passes only its LIVE
+   * emissions — those after every earlier child finished. `childEnd` is
+   * the child's end time as an expression over the parent row;
+   * activation(k) = running max of earlier ends.
+   */
+  def emapConcat(children: Column, childTsField: String, childEnd: Column): EventStream = {
+    val act = max(childEnd).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val d = df.withColumn("__act", act)
+      .withColumn("__child", explode(children))
+      .filter(col("__act").isNull || col(s"__child.$childTsField") > col("__act"))
+      .drop("__act")
+    derive(d, orderCols = Seq(col(s"__child.$childTsField")))
+  }
+
+  /**
+   * Switchmap (`ops/transform.py:342-346`): the newest child preempts —
+   * child k's rows pass only while strictly before the next child's
+   * first emission (= next parent event time here).
+   */
+  def emapSwitch(children: Column, childTsField: String): EventStream = {
+    val nxt = lead(col(tsCol), 1).over(w)
+    val d = df.withColumn("__nxt", nxt)
+      .withColumn("__child", explode(children))
+      .filter(col("__nxt").isNull || col(s"__child.$childTsField") < col("__nxt"))
+      .drop("__nxt")
+    derive(d, orderCols = Seq(col(s"__child.$childTsField")))
   }
 
   private def derive(d: DataFrame, orderCols: Seq[Column]): EventStream = {
     val wOut = Window.partitionBy(keyCols: _*).orderBy(orderCols :+ col(seqCol): _*)
-    derive(d.withColumn("__outseq", row_number().over(wOut)))
+    derive(d.withColumn("__outseq", row_number().over(wOut).cast("long")))
   }
 }
 
@@ -325,7 +367,7 @@ object EventStream {
     val u = tagged(ss, srcAs)
     val wOut = Window.partitionBy(h.keys.map(col): _*)
       .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
-    h.derive(u.withColumn(outSeqAs, row_number().over(wOut)))
+    h.derive(u.withColumn(outSeqAs, row_number().over(wOut).cast("long")))
   }
 
   /**
@@ -337,7 +379,7 @@ object EventStream {
     val u = tagged(ss, srcAs)
     val wOut = Window.partitionBy(h.keys.map(col): _*)
       .orderBy(col(srcAs), col(h.seqCol))
-    h.derive(u.withColumn(outSeqAs, row_number().over(wOut)))
+    h.derive(u.withColumn(outSeqAs, row_number().over(wOut).cast("long")))
   }
 
   /**
@@ -361,7 +403,7 @@ object EventStream {
       .drop("__act")
     val wOut = Window.partitionBy(h.keys.map(col): _*)
       .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
-    h.derive(joined.withColumn(outSeqAs, row_number().over(wOut)))
+    h.derive(joined.withColumn(outSeqAs, row_number().over(wOut).cast("long")))
   }
 
   /**
@@ -369,12 +411,29 @@ object EventStream {
    * per-key occurrence index; inner join ends at the shortest source.
    */
   def zip(a: EventStream, b: EventStream, idxAs: String): EventStream = {
-    val ad = a.df.withColumn(idxAs, row_number().over(a.w))
-    val bd = b.df.withColumn(idxAs, row_number().over(b.w))
+    val ad = a.df.withColumn(idxAs, row_number().over(a.w).cast("long"))
+    val bd = b.df.withColumn(idxAs, row_number().over(b.w).cast("long"))
     val joinCols = a.keys :+ idxAs
     val bCols = bd.columns.diff(joinCols)
     val bRenamed = bCols.foldLeft(bd)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
     a.derive(ad.join(bRenamed, joinCols, "inner"))
+  }
+
+  /**
+   * Switch (`ops/combine.py:105-139`): every row passes when it steals or
+   * holds activity; a source that loses activity is removed permanently.
+   * Order-sensitive scan via [[graft.functions.Aggregators.switchPass]]
+   * over the event-time-ordered union — one sorted pass per key.
+   */
+  def switch(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
+    val h = ss.head
+    val u = tagged(ss, srcAs)
+    val wt = Window.partitionBy(h.keys.map(col): _*)
+      .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
+    val pass = graft.functions.Aggregators.switchPass(col(srcAs).cast("int"))
+      .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h.derive(u.withColumn("__pass", pass).filter(col("__pass")).drop("__pass")
+      .withColumn(outSeqAs, row_number().over(wt).cast("long")))
   }
 
   /**

@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.engine.EventStream
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-contract queries for SURVEY.md §2.6 combination, §2.7 timing,
+ * §2.3 higher-order (emap family), §2.8 error ops and §2.1 creation ops.
+ *
+ * Sub-streams are carved from the `events` fixture per user: source 0 =
+ * clicks, source 1 = purchases — two genuinely interleaved event-time
+ * streams per key.
+ */
+object CombineQueries {
+  import EventQueries.{EV, QFn, ev}
+
+  /** click / purchase sub-streams, minimal payload. */
+  private def sub(s: SparkSession, d: String, typ: String): EventStream = {
+    val base = ev(s, d)
+    base.derive(base.df.filter(col("event_type") === lit(typ))
+      .select("seq", "ts", "user_id", "cents"))
+  }
+
+  /** Oracle-side tagged union of the two sub-streams. */
+  private val U =
+    s"$EV, u AS (SELECT seq, ts, user_id, cents, 0 AS src FROM ev WHERE event_type='click' " +
+      "UNION ALL SELECT seq, ts, user_id, cents, 1 AS src FROM ev WHERE event_type='purchase')"
+
+  private val WT = "PARTITION BY user_id ORDER BY ts, src, seq"
+
+  private case class Q(name: String, fn: QFn, sql: String)
+
+  private def qs: Seq[Q] = Seq(
+    // ---------------- §2.6 combination ----------------
+    Q("q_merge",
+      (s, d) => EventStream
+        .merge(Seq(sub(s, d, "click"), sub(s, d, "purchase")), "src", "out_seq")
+        .df.select("seq", "user_id", "cents", "src", "out_seq").orderBy("seq"),
+      s"$U SELECT seq, user_id, cents, src, " +
+        s"row_number() OVER ($WT) AS out_seq FROM u ORDER BY seq"),
+
+    Q("q_chain",
+      (s, d) => EventStream
+        .chain(Seq(sub(s, d, "click"), sub(s, d, "purchase")), "src", "out_seq")
+        .df.select("seq", "user_id", "cents", "src", "out_seq").orderBy("seq"),
+      s"$U SELECT seq, user_id, cents, src, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY src, seq) AS out_seq " +
+        "FROM u ORDER BY seq"),
+
+    Q("q_concat",
+      // Source 1 contributes only emissions after source 0's last event.
+      (s, d) => EventStream
+        .concat(Seq(sub(s, d, "click"), sub(s, d, "purchase")), "src", "out_seq")
+        .df.select("seq", "user_id", "cents", "src", "out_seq").orderBy("seq"),
+      s"$U, bounds AS (SELECT user_id, src, max(ts) AS e FROM u GROUP BY user_id, src), " +
+        "act AS (SELECT user_id, src, max(e) OVER (PARTITION BY user_id ORDER BY src " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS act FROM bounds) " +
+        "SELECT seq, user_id, cents, src, " +
+        s"row_number() OVER ($WT) AS out_seq " +
+        "FROM u JOIN act USING (user_id, src) WHERE act.act IS NULL OR u.ts > act.act " +
+        "ORDER BY seq"),
+
+    Q("q_switch",
+      // 2-source switch: the first-emitting source passes rows until the
+      // other source first emits, which steals activity permanently.
+      (s, d) => EventStream
+        .switch(Seq(sub(s, d, "click"), sub(s, d, "purchase")), "src", "out_seq")
+        .df.select("seq", "user_id", "cents", "src", "out_seq").orderBy("seq"),
+      s"$U, firsts AS (SELECT user_id, " +
+        "min(CASE WHEN src=0 THEN ts END) AS f0, min(CASE WHEN src=1 THEN ts END) AS f1 " +
+        "FROM u GROUP BY user_id), " +
+        "passed AS (SELECT u.* FROM u JOIN firsts USING (user_id) WHERE " +
+        "CASE WHEN f0 IS NULL OR f1 IS NULL THEN TRUE " +
+        "WHEN f0 <= f1 THEN (src = 1 OR ts < f1) ELSE (src = 0 OR ts < f0) END) " +
+        s"SELECT seq, user_id, cents, src, row_number() OVER ($WT) AS out_seq " +
+        "FROM passed ORDER BY seq"),
+
+    Q("q_zip",
+      (s, d) => EventStream.zip(sub(s, d, "click"), sub(s, d, "purchase"), "i")
+        .df.select(col("user_id"), col("i"), col("cents").as("c_cents"),
+          col("cents_r").as("p_cents"))
+        .orderBy("user_id", "i"),
+      s"$EV SELECT a.user_id, a.i, a.cents AS c_cents, b.cents AS p_cents FROM " +
+        "(SELECT user_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY seq) AS i " +
+        "FROM ev WHERE event_type='click') a JOIN " +
+        "(SELECT user_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY seq) AS i " +
+        "FROM ev WHERE event_type='purchase') b USING (user_id, i) " +
+        "ORDER BY user_id, i"),
+
+    Q("q_ziplatest",
+      // On every click/purchase, the latest known value of both.
+      (s, d) => EventStream.ziplatest(
+          Seq(sub(s, d, "click"), sub(s, d, "purchase")),
+          valueCol = "cents", outCols = Seq("c_latest", "p_latest"),
+          partial = true, srcAs = "src")
+        .df.select("seq", "user_id", "src", "c_latest", "p_latest").orderBy("seq"),
+      s"$U SELECT seq, user_id, src, " +
+        s"last_value(CASE WHEN src=0 THEN cents END IGNORE NULLS) OVER ($WT ROWS UNBOUNDED PRECEDING) AS c_latest, " +
+        s"last_value(CASE WHEN src=1 THEN cents END IGNORE NULLS) OVER ($WT ROWS UNBOUNDED PRECEDING) AS p_latest " +
+        "FROM u ORDER BY seq"),
+
+    Q("q_ziplatest_strict",
+      // partial=false: suppressed until every source has emitted.
+      (s, d) => EventStream.ziplatest(
+          Seq(sub(s, d, "click"), sub(s, d, "purchase")),
+          valueCol = "cents", outCols = Seq("c_latest", "p_latest"),
+          partial = false, srcAs = "src")
+        .df.select("seq", "user_id", "src", "c_latest", "p_latest").orderBy("seq"),
+      s"$U SELECT * FROM (SELECT seq, user_id, src, " +
+        s"last_value(CASE WHEN src=0 THEN cents END IGNORE NULLS) OVER ($WT ROWS UNBOUNDED PRECEDING) AS c_latest, " +
+        s"last_value(CASE WHEN src=1 THEN cents END IGNORE NULLS) OVER ($WT ROWS UNBOUNDED PRECEDING) AS p_latest " +
+        "FROM u) WHERE c_latest IS NOT NULL AND p_latest IS NOT NULL ORDER BY seq"),
+
+    // ---------------- §2.7 timing ----------------
+    Q("q_delay",
+      (s, d) => ev(s, d).delay("90 SECONDS")
+        .df.select(col("seq"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("seq"),
+      s"$EV SELECT seq, user_id, epoch_us(ts + INTERVAL 90 SECOND) AS ts_us " +
+        "FROM ev ORDER BY seq"),
+
+    Q("q_debounce",
+      // Last event of each burst (gap >= 30 min), re-stamped at +gap.
+      (s, d) => ev(s, d).debounce(1800.0, onFirst = false)
+        .df.select(col("seq"), col("user_id"), col("cents"),
+          unix_micros(col("ts")).as("emit_us"))
+        .orderBy("seq"),
+      s"$EV SELECT seq, user_id, cents, epoch_us(ts) + 1800000000 AS emit_us FROM " +
+        "(SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, seq) AS nxt FROM ev) " +
+        "WHERE nxt IS NULL OR epoch_us(nxt) - epoch_us(ts) >= 1800000000 ORDER BY seq"),
+
+    Q("q_debounce_first",
+      (s, d) => ev(s, d).debounce(1800.0, onFirst = true)
+        .df.select("seq", "user_id", "cents").orderBy("seq"),
+      s"$EV SELECT seq, user_id, cents FROM " +
+        "(SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, seq) AS prv FROM ev) " +
+        "WHERE prv IS NULL OR epoch_us(ts) - epoch_us(prv) >= 1800000000 ORDER BY seq"),
+
+    Q("q_timeout",
+      // Pass rows until the first silent gap > 6 h per user.
+      (s, d) => ev(s, d).timeout(21600.0)
+        .df.select("seq", "user_id", "cents").orderBy("seq"),
+      s"$EV SELECT seq, user_id, cents FROM (SELECT *, CASE WHEN " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, seq)) " +
+        "> 21600000000 THEN 1 ELSE 0 END AS brk FROM ev) " +
+        "QUALIFY sum(brk) OVER (PARTITION BY user_id ORDER BY ts, seq " +
+        "ROWS UNBOUNDED PRECEDING) = 0 ORDER BY seq"),
+
+    Q("q_throttle",
+      // Rate-limit to 1 emit per hour: admitted-time rewrite.
+      (s, d) => ev(s, d).throttle(1, 3600.0)
+        .df.select(col("seq"), col("user_id"), unix_micros(col("ts")).as("admit_us"))
+        .orderBy("seq"),
+      s"$EV SELECT seq, user_id, list_reduce(" +
+        "list(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, seq ROWS UNBOUNDED PRECEDING), " +
+        "(a, x) -> greatest(x, a + 3600000000)) AS admit_us FROM ev ORDER BY seq"),
+
+    Q("q_sample",
+      // At each daily tick (grid derived from the data), the latest event
+      // value per user at-or-before the tick.
+      (s, d) => {
+        val base = ev(s, d)
+        val mm = base.df.agg(
+          date_trunc("day", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        val ticks = base.df.select(col("user_id")).distinct()
+          .crossJoin(broadcast(mm))
+          .select(col("user_id"),
+            explode(expr("sequence(t0 + INTERVAL 1 DAY, t1, INTERVAL 1 DAY)")).as("ts"))
+          .withColumn("seq", lit(Long.MaxValue))
+        val timer = EventStream(ticks, keys = Seq("user_id"))
+        base.sample(timer, Seq("cents"))
+          .df.select(col("user_id"), unix_micros(col("ts")).as("tick_us"), col("cents"))
+          .orderBy("user_id", "tick_us")
+      },
+      s"$EV, mm AS (SELECT date_trunc('day', min(ts)) AS t0, max(ts) AS t1 FROM ev), " +
+        "ticks AS (SELECT u.user_id, g.tick FROM (SELECT DISTINCT user_id FROM ev) u " +
+        "CROSS JOIN (SELECT unnest(generate_series(t0 + INTERVAL 1 DAY, t1, INTERVAL 1 DAY)) AS tick FROM mm) g) " +
+        "SELECT t.user_id, epoch_us(t.tick) AS tick_us, e.cents " +
+        "FROM ticks t ASOF JOIN ev e ON t.user_id = e.user_id AND t.tick >= e.ts " +
+        "ORDER BY t.user_id, tick_us"),
+
+    // ---------------- §2.3 higher-order ----------------
+    Q("q_mergemap",
+      (s, d) => {
+        val st = ev(s, d)
+        val children = expr(
+          "transform(sequence(0, 2), j -> named_struct(" +
+            "'j', j, 'cts', ts + j * INTERVAL 7 MINUTE, 'cval', cents + j))")
+        st.emapMerge(children, "cts")
+          .df.select(col("seq"), col("user_id"), col("__child.j").cast("long").as("j"),
+            col("__child.cval").as("cval"), col("__outseq").as("out_seq"))
+          .orderBy("seq", "j")
+      },
+      s"$EV, ch AS (SELECT seq, user_id, ts + j.j * INTERVAL 7 MINUTE AS cts, j.j AS j, " +
+        "cents + j.j AS cval FROM ev CROSS JOIN (SELECT unnest(range(3)) AS j) j) " +
+        "SELECT seq, user_id, j, cval, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY cts, seq) AS out_seq FROM ch ORDER BY seq, j"),
+
+    Q("q_chainmap",
+      (s, d) => {
+        val st = ev(s, d)
+        val children = expr(
+          "transform(sequence(0, 2), j -> named_struct(" +
+            "'j', j, 'cts', ts + j * INTERVAL 7 MINUTE, 'cval', cents + j))")
+        st.emapChain(children, "j")
+          .df.select(col("seq"), col("user_id"), col("__child.j").cast("long").as("j"),
+            col("__child.cval").as("cval"), col("__outseq").as("out_seq"))
+          .orderBy("seq", "j")
+      },
+      s"$EV, ch AS (SELECT seq, user_id, j.j AS j, cents + j.j AS cval " +
+        "FROM ev CROSS JOIN (SELECT unnest(range(3)) AS j) j) " +
+        "SELECT seq, user_id, j, cval, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY seq, j) AS out_seq FROM ch ORDER BY seq, j"),
+
+    Q("q_concatmap",
+      // Children end at parent ts + 14 min; only live child emissions pass.
+      (s, d) => {
+        val st = ev(s, d)
+        val children = expr(
+          "transform(sequence(0, 2), j -> named_struct(" +
+            "'j', j, 'cts', ts + j * INTERVAL 7 MINUTE, 'cval', cents + j))")
+        st.emapConcat(children, "cts", col("ts") + expr("INTERVAL 14 MINUTE"))
+          .df.select(col("seq"), col("user_id"), col("__child.j").cast("long").as("j"),
+            col("__child.cval").as("cval"), col("__outseq").as("out_seq"))
+          .orderBy("seq", "j")
+      },
+      s"$EV, par AS (SELECT *, max(ts + INTERVAL 14 MINUTE) OVER " +
+        "(PARTITION BY user_id ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS act FROM ev), " +
+        "ch AS (SELECT seq, user_id, ts + j.j * INTERVAL 7 MINUTE AS cts, j.j AS j, " +
+        "cents + j.j AS cval, act FROM par CROSS JOIN (SELECT unnest(range(3)) AS j) j) " +
+        "SELECT seq, user_id, j, cval, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY cts, seq) AS out_seq FROM ch " +
+        "WHERE act IS NULL OR cts > act ORDER BY seq, j"),
+
+    Q("q_switchmap",
+      // The next parent event preempts: children truncate at lead(ts).
+      (s, d) => {
+        val st = ev(s, d)
+        val children = expr(
+          "transform(sequence(0, 2), j -> named_struct(" +
+            "'j', j, 'cts', ts + j * INTERVAL 7 MINUTE, 'cval', cents + j))")
+        st.emapSwitch(children, "cts")
+          .df.select(col("seq"), col("user_id"), col("__child.j").cast("long").as("j"),
+            col("__child.cval").as("cval"), col("__outseq").as("out_seq"))
+          .orderBy("seq", "j")
+      },
+      s"$EV, par AS (SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY seq) AS nxt FROM ev), " +
+        "ch AS (SELECT seq, user_id, ts + j.j * INTERVAL 7 MINUTE AS cts, j.j AS j, " +
+        "cents + j.j AS cval, nxt FROM par CROSS JOIN (SELECT unnest(range(3)) AS j) j) " +
+        "SELECT seq, user_id, j, cval, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY cts, seq) AS out_seq FROM ch " +
+        "WHERE nxt IS NULL OR cts < nxt ORDER BY seq, j"),
+
+    // ---------------- §2.8 error ops ----------------
+    Q("q_errors",
+      // Dead-letter encoding: the error side-channel as a stream.
+      (s, d) => ev(s, d).where(col("event_type") === "error")
+        .df.select("seq", "user_id", "cents").orderBy("seq"),
+      s"$EV SELECT seq, user_id, cents FROM ev WHERE event_type='error' ORDER BY seq"),
+
+    Q("q_endonerror",
+      (s, d) => ev(s, d).takeWhile(col("event_type") =!= "error")
+        .df.select("seq", "user_id", "cents").orderBy("seq"),
+      s"$EV SELECT seq, user_id, cents FROM ev QUALIFY " +
+        "count(CASE WHEN event_type='error' THEN 1 END) OVER " +
+        "(PARTITION BY user_id ORDER BY seq ROWS UNBOUNDED PRECEDING) = 0 ORDER BY seq"),
+
+    // ---------------- §2.1 creation ----------------
+    Q("q_range",
+      (s, _) => Sources.range(s, 0, 5000, 3).orderBy("id"),
+      "SELECT range AS id FROM range(0, 5000, 3) ORDER BY id"),
+
+    Q("q_timerange",
+      (s, _) => Sources.timerange(s, "2024-01-01 00:00:00", "2024-03-01 00:00:00", "6 HOUR")
+        .select(unix_micros(col("ts")).as("ts_us")).orderBy("ts_us"),
+      "SELECT epoch_us(unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', " +
+        "TIMESTAMP '2024-03-01 00:00:00', INTERVAL 6 HOUR))) AS ts_us ORDER BY ts_us"),
+
+    Q("q_repeat",
+      (s, _) => Sources.repeat(s, "x", 1000, 0.5)
+        .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("seq"),
+      "SELECT range AS seq, 1704067200000000 + range * 500000 AS ts_us, 'x' AS value " +
+        "FROM range(1000) ORDER BY seq"),
+
+    Q("q_marble",
+      (s, _) => Sources.marble(s, "a-b--cd---e-f--|-g")
+        .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("seq"),
+      "WITH m AS (SELECT 'a-b--cd---e-f--|-g' AS s), " +
+        "chars AS (SELECT unnest(string_split(s, '')) AS c, " +
+        "generate_subscripts(string_split(s, ''), 1) AS i, strpos(s, '|') AS stop FROM m) " +
+        "SELECT row_number() OVER (ORDER BY i) - 1 AS seq, " +
+        "1704067200000000 + (i - 1) * 1000000 AS ts_us, c AS value " +
+        "FROM chars WHERE c NOT IN ('-', ' ') AND (stop = 0 OR i < stop) ORDER BY seq")
+  )
+
+  lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap
+  lazy val oracle: Map[String, String] = qs.map(q => q.name -> q.sql).toMap
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Creation operators (SURVEY.md §2.1, reference `ops/create.py`).
+ * Each returns a stream-shaped DataFrame `(seq BIGINT, ts TIMESTAMP, ...)`
+ * built from declarative Spark primitives (`spark.range`, `sequence` +
+ * `explode`), so even synthetic sources scale out.
+ */
+object Sources {
+
+  val EPOCH = "2024-01-01 00:00:00"
+
+  /** Sequence (`ops/create.py:60-76`): emit given values, paced by
+    * `intervalSec` starting at the epoch. Emit order via explicit index
+    * (NOT monotonically_increasing_id, which is not contiguous). */
+  def fromSeq[T](spark: SparkSession, values: Seq[T], intervalSec: Double = 1.0)(
+      implicit enc: org.apache.spark.sql.Encoder[(Long, T)]): DataFrame =
+    spark.createDataset(values.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("seq", "value")
+      .select(col("seq"),
+        timestamp_micros(lit(epochUs) + col("seq") * math.round(intervalSec * 1e6)).as("ts"),
+        col("value"))
+
+  private val epochUs: Long = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  /** Range (`ops/create.py:86-90`): `spark.range` is already distributed. */
+  def range(spark: SparkSession, start: Long, end: Long, step: Long): DataFrame =
+    spark.range(start, end, step).select(col("id"))
+
+  /** Repeat (`ops/create.py:79-83`, documented semantics — the reference
+    * body has an arg-order bug we do not replicate). */
+  def repeat(spark: SparkSession, value: String, count: Int, intervalSec: Double): DataFrame =
+    spark.range(count).select(
+      col("id").as("seq"),
+      timestamp_micros(lit(epochUs) + col("id") * math.round(intervalSec * 1e6)).as("ts"),
+      lit(value).as("value"))
+
+  /** Timer (`ops/create.py:100-112`): emit i*interval at those times. */
+  def timer(spark: SparkSession, intervalSec: Double, count: Int): DataFrame =
+    spark.range(count).select(
+      col("id").as("seq"),
+      timestamp_micros(lit(epochUs) + col("id") * math.round(intervalSec * 1e6)).as("ts"),
+      (col("id") * intervalSec).as("value"))
+
+  /** Timerange (`ops/create.py:93-97`): datetimes start..end paced by step. */
+  def timerange(spark: SparkSession, start: String, end: String, stepExpr: String): DataFrame =
+    spark.range(1)
+      .select(explode(expr(
+        s"sequence(TIMESTAMP '$start', TIMESTAMP '$end', INTERVAL $stepExpr)")).as("ts"))
+      .select(col("ts"))
+
+  /**
+   * Marble-diagram source (`ops/create.py:115-123`): each non-`-`/space
+   * char of `s` is an event whose time is its position (seconds after
+   * the epoch); `|` ends the stream; `_` is stripped first.
+   * The reference's Rx-style test DSL, as data.
+   */
+  def marbleRows(s: String): Seq[(Long, Long, String)] = {
+    val cleaned = s.replace("_", "")
+    val upTo = cleaned.indexOf('|') match {
+      case -1 => cleaned.length
+      case i  => i
+    }
+    cleaned.take(upTo).zipWithIndex.collect {
+      case (c, i) if c != '-' && c != ' ' =>
+        (i.toLong, epochUs + i * 1000000L, c.toString)
+    }.zipWithIndex.map { case ((_, tsUs, c), n) => (n.toLong, tsUs, c) }
+  }
+
+  def marble(spark: SparkSession, s: String): DataFrame = {
+    import spark.implicits._
+    marbleRows(s).toDF("seq", "ts_us", "value")
+      .select(col("seq"), timestamp_micros(col("ts_us")).as("ts"), col("value"))
+  }
+}
