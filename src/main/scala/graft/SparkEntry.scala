@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ graft.queries.CombineQueries.queries
+    EventQueries.queries ++ graft.queries.CombineQueries.queries ++
+      graft.queries.NorthStarQueries.queries ++ graft.queries.RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventQueries.oracle ++ graft.queries.CombineQueries.oracle
+    EventQueries.oracle ++ graft.queries.CombineQueries.oracle ++
+      graft.queries.NorthStarQueries.oracle ++ graft.queries.RelationalQueries.oracle
 }

@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.Tables
+import graft.ml.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators over the `documents` / `embeddings`
+ * fixtures: dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+ * embedding cosine), similarity search (brute-force and LSH top-k),
+ * and text analysis (language ID, quality score, token stats,
+ * fingerprint). Every query has an exact DuckDB oracle: the SQL is
+ * generated from the same constants as the Spark pipeline.
+ */
+object NorthStarQueries {
+  import EventQueries.QFn
+
+  // ---- shared pipeline constants (Spark and oracle both derive from these)
+  private val K = 3            // shingle width
+  private val H = 12           // minhash signature length
+  private val BANDS = 4
+  private val R = 3            // rows per band
+  private val NBITS = 16       // simhash bits
+  private val PLANES = 8       // LSH hyperplanes
+  private val DIMS = 64        // embedding dims
+
+  // ---- oracle SQL fragments
+  private val TOKS =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private val DOC_TOKS = s"tok AS (SELECT doc_id, $TOKS AS toks FROM documents)"
+  private val SHINGLES =
+    "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN " +
+      "list_transform(range(1, len(toks) - 1), i -> " +
+      "array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')) " +
+      "ELSE [] END) AS shingle FROM tok), " +
+      "edges AS (SELECT DISTINCT doc_id, shingle FROM sh)"
+  private val UNIGRAMS =
+    "ug AS (SELECT doc_id, unnest(toks) AS shingle FROM tok), " +
+      "edges AS (SELECT DISTINCT doc_id, shingle FROM ug)"
+  private val VOCAB =
+    "vocab AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid " +
+      "FROM (SELECT DISTINCT shingle FROM edges)), " +
+      "wi AS (SELECT doc_id, sid FROM edges JOIN vocab USING (shingle))"
+
+  /** Sequential-fold dot product in DuckDB — same op order as Similarity.dot. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  private case class Q(name: String, fn: QFn, sql: String)
+
+  private def qs: Seq[Q] = Seq(
+    // ---------------- text analysis ----------------
+    Q("q_token_stats",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n_re"),
+        length(col("text")).cast("long").as("n_chars2")).orderBy("doc_id"),
+      s"WITH $DOC_TOKS SELECT doc_id, len(toks) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re, " +
+        "length(text) AS n_chars2 FROM tok JOIN documents USING (doc_id) ORDER BY doc_id"),
+
+    Q("q_langid",
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        docs(s, d).select(
+          col("doc_id"), col("lang"),
+          TextOps.langGuess(
+            TextOps.stopwordHits(t, "en"), TextOps.stopwordHits(t, "es"),
+            TextOps.stopwordHits(t, "de"), TextOps.stopwordHits(t, "fr")).as("guess"))
+          .orderBy("doc_id")
+      }, {
+        def hits(l: String) = "len(list_filter(toks, x -> x IN (" +
+          TextOps.stopwords(l).map(w => s"'$w'").mkString(",") + ")))"
+        s"WITH $DOC_TOKS, h AS (SELECT doc_id, ${hits("en")} AS en, ${hits("es")} AS es, " +
+          s"${hits("de")} AS de, ${hits("fr")} AS fr FROM tok) " +
+          "SELECT doc_id, lang, CASE " +
+          "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' " +
+          "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' " +
+          "WHEN de > 0 AND de >= fr THEN 'de' " +
+          "WHEN fr > 0 THEN 'fr' ELSE 'und' END AS guess " +
+          "FROM h JOIN documents USING (doc_id) ORDER BY doc_id"
+      }),
+
+    Q("q_quality",
+      // Exact-int internals, one double formula at the end (identical tree).
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val n = size(t).cast("long")
+        val sw = TextOps.stopwordHits(t, "en").cast("long")
+        docs(s, d).select(
+          col("doc_id"), n.as("n_tokens"), sw.as("n_stop"),
+          (least(n.cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - sw.cast("double") / greatest(n, lit(1L)).cast("double")))
+            .as("quality")).orderBy("doc_id")
+      }, {
+        val hits = "len(list_filter(toks, x -> x IN (" +
+          TextOps.stopwords("en").map(w => s"'$w'").mkString(",") + ")))"
+        s"WITH $DOC_TOKS, h AS (SELECT doc_id, len(toks) AS n, $hits AS sw FROM tok) " +
+          "SELECT doc_id, n AS n_tokens, sw AS n_stop, " +
+          "least(CAST(n AS DOUBLE) / 100.0e0, CAST(1.0 AS DOUBLE)) * " +
+          "(CAST(1.0 AS DOUBLE) - CAST(sw AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) AS quality " +
+          "FROM h ORDER BY doc_id"
+      }),
+
+    Q("q_fingerprint",
+      (s, d) => docs(s, d).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
+      "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(text) + 1), i -> " +
+        "CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents ORDER BY doc_id"),
+
+    // ---------------- dedup family ----------------
+    Q("q_dedup_exact",
+      (s, d) => docs(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy("keeper"),
+      "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n " +
+        "FROM documents GROUP BY h ORDER BY keeper"),
+
+    Q("q_dedup_minhash",
+      (s, d) => {
+        val edges = TextOps.shingleEdges(docs(s, d), "doc_id", "text", K)
+        val sigs = TextOps.minhashSignatures(edges, "doc_id", H)
+        val bands = TextOps.lshBands(sigs, "doc_id", BANDS, R)
+        TextOps.lshCandidates(bands, "doc_id").orderBy("a", "b")
+      }, {
+        val sigCols = (0 until H).map(j =>
+          s"min((sid * ${TextOps.aCoef(j)} + ${TextOps.bCoef(j)}) % ${TextOps.P}) AS h$j")
+          .mkString(", ")
+        val bandSelects = (0 until BANDS).map { b =>
+          val key = (0 until R).map(r => s"h${b * R + r}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"WITH $DOC_TOKS, $SHINGLES, $VOCAB, " +
+          s"sig AS (SELECT doc_id, $sigCols FROM wi GROUP BY doc_id), " +
+          s"bands AS ($bandSelects) " +
+          "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l " +
+          "JOIN bands r USING (band, key) WHERE l.doc_id < r.doc_id ORDER BY a, b"
+      }),
+
+    Q("q_dedup_simhash",
+      (s, d) => {
+        val edges = docs(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("shingle"))
+          .distinct()
+        val withIds = edges.join(TextOps.vocab(edges), "shingle")
+        TextOps.simhash(withIds, "doc_id", NBITS).orderBy("doc_id")
+      }, {
+        val bitCols = (0 until NBITS).map(k =>
+          s"CAST(sum(CASE WHEN (sid * ${2L * k + 7919} % 131071) % 2 = 1 " +
+            s"THEN 1 ELSE -1 END) > 0 AS BIGINT) AS b$k").mkString(", ")
+        val sig = (0 until NBITS).map(k => s"b$k * ${1L << k}").mkString(" + ")
+        s"WITH $DOC_TOKS, $UNIGRAMS, $VOCAB, " +
+          s"bits AS (SELECT doc_id, $bitCols FROM wi GROUP BY doc_id) " +
+          s"SELECT doc_id, $sig AS simhash FROM bits ORDER BY doc_id"
+      }),
+
+    Q("q_dedup_jaccard",
+      // n-gram Jaccard via inverted-index join (the scale shape: shuffle
+      // on shingle, never all-pairs); top-100 most similar pairs.
+      (s, d) => {
+        val edges = TextOps.shingleEdges(docs(s, d), "doc_id", "text", K)
+        val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val l = edges.select(col("doc_id").as("a"), col("shingle"))
+        val r = edges.select(col("doc_id").as("b"), col("shingle"))
+        val inter = l.join(r, "shingle").filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .withColumn("jacc", col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+          .select("a", "b", "i", "jacc")
+          .orderBy(col("jacc").desc, col("a"), col("b")).limit(100)
+      },
+      s"WITH $DOC_TOKS, $SHINGLES, " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM edges GROUP BY doc_id), " +
+        "inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i FROM edges l " +
+        "JOIN edges r USING (shingle) WHERE l.doc_id < r.doc_id GROUP BY a, b) " +
+        "SELECT a, b, i, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
+        "ORDER BY jacc DESC, a, b LIMIT 100"),
+
+    Q("q_dedup_cosine",
+      (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.8)
+        .orderBy("a", "b"),
+      "SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"${sqlCos("l.embedding", "r.embedding")} AS cos " +
+        "FROM embeddings l, embeddings r WHERE l.vec_id < r.vec_id " +
+        s"AND ${sqlCos("l.embedding", "r.embedding")} >= 0.8e0 ORDER BY a, b"),
+
+    // ---------------- similarity search ----------------
+    Q("q_ann_topk",
+      (s, d) => Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
+        .orderBy("a", "rank"),
+      "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
+    Q("q_ann_lsh",
+      (s, d) => Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
+        .orderBy("a", "rank"),
+      {
+        def proj(j: Int, v: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $DIMS), " +
+            s"d -> CAST($v[CAST(d + 1 AS INT)] AS DOUBLE) * ((($j * 131 + d * 137) % 19) - 9))), " +
+            "(acc, x) -> acc + x)"
+        val bucket = (0 until PLANES).map(j =>
+          s"CASE WHEN ${proj(j, "embedding")} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"WITH bk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings) " +
+          "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+          s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+          "FROM bk l JOIN bk r USING (bucket) WHERE l.vec_id <> r.vec_id) " +
+          "WHERE rank <= 3 ORDER BY a, rank"
+      }),
+
+    // ---------------- multimodal (opaque binary + typed metadata) ----------
+    Q("q_multimodal_meta",
+      // Text stands in for an opaque binary blob: byte length, content
+      // hash, and a deterministic stub "decoded feature" vector (see
+      // graft.multimodal for the mapPartitions decode plumbing).
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        transform(sequence(lit(0), lit(3)),
+          i => ascii(md5(col("text").cast("binary")).substr(i * 7 + 1, lit(1))).cast("long"))
+          .as("stub_feature")).orderBy("doc_id"),
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, " +
+        "list_transform(range(0, 4), i -> CAST(ascii(substr(md5(text), CAST(i * 7 + 1 AS INT), 1)) AS BIGINT)) " +
+        "AS stub_feature FROM documents ORDER BY doc_id")
+  )
+
+  lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap
+  lazy val oracle: Map[String, String] = qs.map(q => q.name -> q.sql).toMap
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational surface (free from Spark, exposed as first-class engine
+ * capability — SURVEY.md §2.9 note): key-based groupBy, equi/semi/anti
+ * joins, sort, set ops over the TPC-H-ish fixtures. These are also the
+ * bench headliners at sf0.1.
+ *
+ * Money stays in integer cents (`sum` of BIGINT — exact, and map-side
+ * partial aggregation applies); dimension tables are broadcast so the
+ * only shuffles are the final aggregations.
+ */
+object RelationalQueries {
+  import EventQueries.QFn
+
+  private def cents(c: String) = round(col(c) * 100, 0).cast("long")
+  private val SQL_EV = "CAST(round(%s * 100, 0) AS BIGINT)"
+  private def sqlCents(c: String) = SQL_EV.format(c)
+
+  private case class Q(name: String, fn: QFn, sql: String)
+
+  private def qs: Seq[Q] = Seq(
+    Q("q_tpch1_pricing",
+      // TPC-H Q1 shape: scan-heavy, pure partial-agg + tiny shuffle.
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents("l_quantity")).as("sum_qty_c"),
+          sum(cents("l_extendedprice")).as("sum_base_c"),
+          sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount").cast("long"))).as("sum_disc_c2"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      "SELECT l_returnflag, l_linestatus, " +
+        s"sum(${sqlCents("l_quantity")}) AS sum_qty_c, " +
+        s"sum(${sqlCents("l_extendedprice")}) AS sum_base_c, " +
+        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS sum_disc_c2, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    Q("q_tpch3_topn",
+      // Join + agg + top-N: dims broadcast, single shuffle on orderkey.
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+            .select("o_orderkey", "o_orderdate")),
+            l("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("revenue_c2"))
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"), col("revenue_c2"))
+          .orderBy(col("revenue_c2").desc, col("o_orderkey")).limit(10)
+      },
+      "SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, " +
+        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c2 " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, o_orderdate " +
+        "ORDER BY revenue_c2 DESC, o_orderkey LIMIT 10"),
+
+    Q("q_tpch5_nation_rev",
+      // Star join: every dim broadcast; one shuffle for the final group.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("revenue_c2"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      "SELECT n_name, " +
+        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c2, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    Q("q_join_semi",
+      // Parts that appear in lineitem (left semi = SQL EXISTS).
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand").orderBy("p_partkey"),
+      "SELECT p_partkey, p_brand FROM part WHERE p_partkey IN " +
+        "(SELECT l_partkey FROM lineitem) ORDER BY p_partkey"),
+
+    Q("q_join_anti",
+      // Customers with no orders (left anti = NOT EXISTS).
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey"),
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders) ORDER BY c_custkey"),
+
+    Q("q_sort_topn",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), cents("o_totalprice").as("total_c"))
+        .orderBy(col("total_c").desc, col("o_orderkey")).limit(20),
+      s"SELECT o_orderkey, ${sqlCents("o_totalprice")} AS total_c FROM orders " +
+        "ORDER BY total_c DESC, o_orderkey LIMIT 20"),
+
+    Q("q_setops",
+      // Customers ordering in 1995 but not in 1996 (EXCEPT).
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        y95.except(y96).orderBy("o_custkey")
+      },
+      "SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "ORDER BY o_custkey"),
+
+    Q("q_grouped_window",
+      // Keyed relational + stream hybrid: per-supplier running revenue
+      // over ship order — the canonical 100 TB-safe window (keyed).
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Long.MinValue, 0)
+        l.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), cents("l_extendedprice").as("ep_c"))
+          .withColumn("run_rev_c", sum(col("ep_c")).over(w))
+          .drop("l_shipdate")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      s"SELECT l_suppkey, l_orderkey, l_linenumber, ${sqlCents("l_extendedprice")} AS ep_c, " +
+        s"sum(${sqlCents("l_extendedprice")}) OVER (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS run_rev_c " +
+        "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber")
+  )
+
+  lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap
+  lazy val oracle: Map[String, String] = qs.map(q => q.name -> q.sql).toMap
+}
