@@ -316,30 +316,41 @@ final case class EventStream(
   }
 
   /**
-   * Concatmap (`ops/transform.py:335-339`): child k passes only its LIVE
-   * emissions — those after every earlier child finished. `childEnd` is
-   * the child's end time as an expression over the parent row;
-   * activation(k) = running max of earlier ends.
+   * Concatmap (`ops/transform.py:335-339`): Concat over the spawned
+   * children in creation (parent) order — child k is disconnected at the
+   * first emission of ANY later child (golden test
+   * `tests/transform_test.py:135-146`: A,B,1,2,3,K,L,M,N). kill(k) = min
+   * over later children of their first emission time; a row passes iff
+   * its child ts <= kill (ties resolve in scan order, earlier child
+   * first).
    */
-  def emapConcat(children: Column, childTsField: String, childEnd: Column): EventStream = {
-    val act = max(childEnd).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val d = df.withColumn("__act", act)
+  def emapConcat(children: Column, childTsField: String): EventStream = {
+    val firstC = array_min(transform(children, c => c.getField(childTsField)))
+    val kill = min(firstC).over(w.rowsBetween(1, Window.unboundedFollowing))
+    val d = df.withColumn("__kill", kill)
       .withColumn("__child", explode(children))
-      .filter(col("__act").isNull || col(s"__child.$childTsField") > col("__act"))
-      .drop("__act")
+      .filter(col("__kill").isNull || col(s"__child.$childTsField") <= col("__kill"))
+      .drop("__kill")
     derive(d, orderCols = Seq(col(s"__child.$childTsField")))
   }
 
   /**
-   * Switchmap (`ops/transform.py:342-346`): the newest child preempts —
-   * child k's rows pass only while strictly before the next child's
-   * first emission (= next parent event time here).
+   * Switchmap (`ops/transform.py:342-346`): the last child to EMIT
+   * preempts (not the last created — golden test
+   * `tests/transform_test.py:156-166`: A,B,1,2,K,L,M,N). General form is
+   * the switch scan with the parent seq as source id; when children
+   * first emit at their creation time (first child ts = parent ts,
+   * parent ts monotonic per key) the scan provably reduces to truncating
+   * child k at the NEXT parent's first child emission — which is the
+   * encoding used here. For non-monotonic children use
+   * [[EventStream.switch]] on the exploded frame.
    */
   def emapSwitch(children: Column, childTsField: String): EventStream = {
-    val nxt = lead(col(tsCol), 1).over(w)
+    val firstC = array_min(transform(children, c => c.getField(childTsField)))
+    val nxt = lead(firstC, 1).over(w)
     val d = df.withColumn("__nxt", nxt)
       .withColumn("__child", explode(children))
-      .filter(col("__nxt").isNull || col(s"__child.$childTsField") < col("__nxt"))
+      .filter(col("__nxt").isNull || col(s"__child.$childTsField") <= col("__nxt"))
       .drop("__nxt")
     derive(d, orderCols = Seq(col(s"__child.$childTsField")))
   }
@@ -383,24 +394,26 @@ object EventStream {
   }
 
   /**
-   * Concat (`ops/combine.py:142-174`): source i+1's LIVE emissions only —
-   * rows emitted before source i finished are dropped. Batch encoding:
-   * activation(i) = running max of end-times of sources < i; a row
-   * passes iff ts > activation(src). The per-(key,src) boundary table is
-   * tiny → broadcast.
+   * Concat (`ops/combine.py:142-174`): when source j emits, every source
+   * i < j is disconnected permanently (golden test
+   * `tests/combine_test.py:26-31`: [0,1,2,3] ++ [100..109]). A row of
+   * source i therefore passes iff ts <= kill(i), where kill(i) = min
+   * first-emission time over sources j > i (a row at the kill instant is
+   * processed before its killer in (ts, src) scan order, so it still
+   * passes). The per-(key,src) firsts table is tiny → broadcast.
    */
   def concat(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
     val h = ss.head
     val u = tagged(ss, srcAs)
-    val bounds = u.groupBy((h.keys :+ srcAs).map(col): _*)
-      .agg(max(col(h.tsCol)).as("__end"))
-      .withColumn("__act", max(col("__end")).over(
+    val kills = u.groupBy((h.keys :+ srcAs).map(col): _*)
+      .agg(min(col(h.tsCol)).as("__first"))
+      .withColumn("__kill", min(col("__first")).over(
         Window.partitionBy(h.keys.map(col): _*).orderBy(col(srcAs))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .drop("__end")
-    val joined = u.join(broadcast(bounds), h.keys :+ srcAs)
-      .filter(col("__act").isNull || col(h.tsCol) > col("__act"))
-      .drop("__act")
+          .rowsBetween(1, Window.unboundedFollowing)))
+      .drop("__first")
+    val joined = u.join(broadcast(kills), h.keys :+ srcAs)
+      .filter(col("__kill").isNull || col(h.tsCol) <= col("__kill"))
+      .drop("__kill")
     val wOut = Window.partitionBy(h.keys.map(col): _*)
       .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
     h.derive(joined.withColumn(outSeqAs, row_number().over(wOut).cast("long")))
@@ -420,19 +433,26 @@ object EventStream {
   }
 
   /**
-   * Switch (`ops/combine.py:105-139`): every row passes when it steals or
-   * holds activity; a source that loses activity is removed permanently.
-   * Order-sensitive scan via [[graft.functions.Aggregators.switchPass]]
-   * over the event-time-ordered union — one sorted pass per key.
+   * Switch (`ops/combine.py:105-139`): a row passes iff its source holds
+   * or steals activity; steal ⟺ the source's first emission (see
+   * [[graft.functions.Aggregators.SwitchAgg]] for why that reduction is
+   * exact). One sorted O(1)-state scan per key; golden test
+   * `tests/combine_test.py:19-24`: [0, 100] ++ [200..209].
    */
   def switch(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
     val h = ss.head
     val u = tagged(ss, srcAs)
+    val wFirst = Window.partitionBy((h.keys :+ srcAs).map(col): _*)
+      .orderBy(col(h.tsCol), col(h.seqCol))
     val wt = Window.partitionBy(h.keys.map(col): _*)
       .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
-    val pass = graft.functions.Aggregators.switchPass(col(srcAs).cast("int"))
+    val pass = graft.functions.Aggregators
+      .switchPass(col(srcAs).cast("long"), col("__isfirst"))
       .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    h.derive(u.withColumn("__pass", pass).filter(col("__pass")).drop("__pass")
+    h.derive(u
+      .withColumn("__isfirst", row_number().over(wFirst) === 1)
+      .withColumn("__pass", pass)
+      .filter(col("__pass")).drop("__pass", "__isfirst")
       .withColumn(outSeqAs, row_number().over(wt).cast("long")))
   }
 

@@ -96,25 +96,29 @@ object Aggregators {
 
   /**
    * Switch (`ops/combine.py:104-139`): rows arrive in event-time order
-   * tagged with a source id. A row from a non-removed source steals
-   * activity; the previously-active source is removed permanently.
-   * Emits whether the CURRENT row passes.
+   * tagged with a source id. A row passes iff its source holds activity
+   * or steals it; the previously-active source is removed permanently.
+   *
+   * Key reduction (keeps the buffer O(1) instead of carrying the removed
+   * set): only ever-active sources get removed, so a non-active source
+   * that emits is un-removed exactly when this is its FIRST emission —
+   * which is a plain `row_number() == 1` column computed beforehand.
+   * Verified against the reference's switch/switchmap golden tests.
    */
-  case class SwitchBuf(active: Int, removed: Seq[Int], pass: Boolean)
-  class SwitchAgg extends Aggregator[Int, SwitchBuf, Boolean] {
-    def zero: SwitchBuf = SwitchBuf(-1, Vector.empty, pass = false)
-    def reduce(b: SwitchBuf, src: Int): SwitchBuf =
-      if (b.removed.contains(src)) b.copy(pass = false)
-      else if (src == b.active) b.copy(pass = true)
-      else {
-        val removed = if (b.active >= 0) b.removed :+ b.active else b.removed
-        SwitchBuf(src, removed, pass = true)
-      }
+  case class SwitchBuf(active: Long, pass: Boolean)
+  class SwitchAgg extends Aggregator[(Long, Boolean), SwitchBuf, Boolean] {
+    def zero: SwitchBuf = SwitchBuf(Long.MinValue, pass = false)
+    def reduce(b: SwitchBuf, in: (Long, Boolean)): SwitchBuf = {
+      val (src, isFirst) = in
+      val pass = src == b.active || isFirst
+      SwitchBuf(if (pass) src else b.active, pass)
+    }
     def merge(a: SwitchBuf, b: SwitchBuf): SwitchBuf =
       throw new UnsupportedOperationException("order-sensitive scan")
     def finish(b: SwitchBuf): Boolean = b.pass
     def bufferEncoder: Encoder[SwitchBuf] = Encoders.product[SwitchBuf]
     def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
   }
-  def switchPass(src: Column): Column = udaf(new SwitchAgg).apply(src)
+  def switchPass(src: Column, isFirst: Column): Column =
+    udaf(new SwitchAgg).apply(src, isFirst)
 }

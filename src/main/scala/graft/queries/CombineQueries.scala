@@ -50,17 +50,16 @@ object CombineQueries {
         "FROM u ORDER BY seq"),
 
     Q("q_concat",
-      // Source 1 contributes only emissions after source 0's last event.
+      // Source 0 is disconnected at source 1's first emission
+      // (reference Concat kills earlier sources on later-source emit).
       (s, d) => EventStream
         .concat(Seq(sub(s, d, "click"), sub(s, d, "purchase")), "src", "out_seq")
         .df.select("seq", "user_id", "cents", "src", "out_seq").orderBy("seq"),
-      s"$U, bounds AS (SELECT user_id, src, max(ts) AS e FROM u GROUP BY user_id, src), " +
-        "act AS (SELECT user_id, src, max(e) OVER (PARTITION BY user_id ORDER BY src " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS act FROM bounds) " +
-        "SELECT seq, user_id, cents, src, " +
-        s"row_number() OVER ($WT) AS out_seq " +
-        "FROM u JOIN act USING (user_id, src) WHERE act.act IS NULL OR u.ts > act.act " +
-        "ORDER BY seq"),
+      s"$U, firsts AS (SELECT user_id, min(CASE WHEN src=1 THEN ts END) AS f1 " +
+        "FROM u GROUP BY user_id) " +
+        s"SELECT seq, user_id, cents, src, row_number() OVER ($WT) AS out_seq " +
+        "FROM u JOIN firsts USING (user_id) " +
+        "WHERE src = 1 OR f1 IS NULL OR ts <= f1 ORDER BY seq"),
 
     Q("q_switch",
       // 2-source switch: the first-emitting source passes rows until the
@@ -73,7 +72,7 @@ object CombineQueries {
         "FROM u GROUP BY user_id), " +
         "passed AS (SELECT u.* FROM u JOIN firsts USING (user_id) WHERE " +
         "CASE WHEN f0 IS NULL OR f1 IS NULL THEN TRUE " +
-        "WHEN f0 <= f1 THEN (src = 1 OR ts < f1) ELSE (src = 0 OR ts < f0) END) " +
+        "WHEN f0 <= f1 THEN (src = 1 OR ts <= f1) ELSE (src = 0 OR ts <= f0) END) " +
         s"SELECT seq, user_id, cents, src, row_number() OVER ($WT) AS out_seq " +
         "FROM passed ORDER BY seq"),
 
@@ -215,24 +214,26 @@ object CombineQueries {
         "(PARTITION BY user_id ORDER BY seq, j) AS out_seq FROM ch ORDER BY seq, j"),
 
     Q("q_concatmap",
-      // Children end at parent ts + 14 min; only live child emissions pass.
+      // Children of odd parents start 7 min late (parity offset), so the
+      // kill boundary (min first-emission of later children) genuinely
+      // differs from the switchmap truncation below.
       (s, d) => {
         val st = ev(s, d)
         val children = expr(
           "transform(sequence(0, 2), j -> named_struct(" +
-            "'j', j, 'cts', ts + j * INTERVAL 7 MINUTE, 'cval', cents + j))")
-        st.emapConcat(children, "cts", col("ts") + expr("INTERVAL 14 MINUTE"))
+            "'j', j, 'cts', ts + (j + seq % 2) * INTERVAL 7 MINUTE, 'cval', cents + j))")
+        st.emapConcat(children, "cts")
           .df.select(col("seq"), col("user_id"), col("__child.j").cast("long").as("j"),
             col("__child.cval").as("cval"), col("__outseq").as("out_seq"))
           .orderBy("seq", "j")
       },
-      s"$EV, par AS (SELECT *, max(ts + INTERVAL 14 MINUTE) OVER " +
-        "(PARTITION BY user_id ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS act FROM ev), " +
-        "ch AS (SELECT seq, user_id, ts + j.j * INTERVAL 7 MINUTE AS cts, j.j AS j, " +
-        "cents + j.j AS cval, act FROM par CROSS JOIN (SELECT unnest(range(3)) AS j) j) " +
+      s"$EV, par AS (SELECT *, min(ts + (seq % 2) * INTERVAL 7 MINUTE) OVER " +
+        "(PARTITION BY user_id ORDER BY seq ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS kill FROM ev), " +
+        "ch AS (SELECT seq, user_id, ts + (j.j + seq % 2) * INTERVAL 7 MINUTE AS cts, j.j AS j, " +
+        "cents + j.j AS cval, kill FROM par CROSS JOIN (SELECT unnest(range(3)) AS j) j) " +
         "SELECT seq, user_id, j, cval, row_number() OVER " +
         "(PARTITION BY user_id ORDER BY cts, seq) AS out_seq FROM ch " +
-        "WHERE act IS NULL OR cts > act ORDER BY seq, j"),
+        "WHERE kill IS NULL OR cts <= kill ORDER BY seq, j"),
 
     Q("q_switchmap",
       // The next parent event preempts: children truncate at lead(ts).
@@ -251,7 +252,7 @@ object CombineQueries {
         "cents + j.j AS cval, nxt FROM par CROSS JOIN (SELECT unnest(range(3)) AS j) j) " +
         "SELECT seq, user_id, j, cval, row_number() OVER " +
         "(PARTITION BY user_id ORDER BY cts, seq) AS out_seq FROM ch " +
-        "WHERE nxt IS NULL OR cts < nxt ORDER BY seq, j"),
+        "WHERE nxt IS NULL OR cts <= nxt ORDER BY seq, j"),
 
     // ---------------- §2.8 error ops ----------------
     Q("q_errors",

@@ -24,6 +24,13 @@ object Sources {
         timestamp_micros(lit(epochUs) + col("seq") * math.round(intervalSec * 1e6)).as("ts"),
         col("value"))
 
+  def fromLongs(spark: SparkSession, values: Seq[Long], intervalSec: Double = 1.0): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    fromSeq(spark, values, intervalSec)
+  }
+
   private val epochUs: Long = 1704067200000000L // 2024-01-01T00:00:00Z
 
   /** Range (`ops/create.py:86-90`): `spark.range` is already distributed. */

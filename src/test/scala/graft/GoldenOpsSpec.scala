@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators
+
+/**
+ * Golden values ported verbatim from the reference's unit tests
+ * (`/root/reference/tests/aggregate_test.py`, `select_test.py`) — the
+ * expected outputs are engine-independent.
+ */
+class GoldenOpsSpec extends SparkSpec {
+  private val array = 0 until 10
+
+  test("running sum of 0..9 (aggregate_test.py:18-21)") {
+    val got = longs(seqStream(array).rsum(col("value"), "rsum"), "rsum")
+    assert(got == Seq(0L, 1, 3, 6, 10, 15, 21, 28, 36, 45))
+  }
+
+  test("running product of 1..9 = factorials (aggregate_test.py:23-26)") {
+    val st = seqStream(1 until 10)
+    val got = valuesOf[Double](
+      st.derive(st.df.withColumn("p",
+        Aggregators.runningProduct(col("value").cast("double")).over(st.wRun))), "p")
+    assert(got == Seq(1.0, 2, 6, 24, 120, 720, 5040, 40320, 362880))
+  }
+
+  test("running min / max (aggregate_test.py:11-16)") {
+    assert(longs(seqStream(array).rmin(col("value"), "m"), "m") == Seq.fill(10)(0L))
+    assert(longs(seqStream(array).rmax(col("value"), "m"), "m") == array.map(_.toLong))
+  }
+
+  test("running any / all (aggregate_test.py:28-36)") {
+    val anyGot = valuesOf[Boolean](seqStream(array).rany(col("value") =!= 0, "a"), "a")
+    assert(anyGot == Seq(false) ++ Seq.fill(9)(true))
+    val allIn = Seq.fill(10)(1) ++ Seq.fill(10)(0)
+    val allGot = valuesOf[Boolean](seqStream(allIn).rall(col("value") =!= 0, "a"), "a")
+    assert(allGot == allIn.map(_ == 1))
+  }
+
+  test("pairwise (aggregate_test.py:38-40)") {
+    val st = seqStream(array).pairwise("value", "prev")
+    val got = st.df.orderBy("seq").select("prev", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == array.zip(array.tail).map { case (a, b) => (a.toLong, b.toLong) })
+  }
+
+  test("chunk(3) of 0..9 (aggregate_test.py:42-44)") {
+    val st = seqStream(array).chunk("value", 3, "ci", "vals")
+    val got = st.df.orderBy("ci").select("vals").collect()
+      .map(_.getSeq[Long](0).toList).toList
+    assert(got == List(List(0L, 1, 2), List(3L, 4, 5), List(6L, 7, 8), List(9L)))
+  }
+
+  test("sliding array(5), last (aggregate_test.py:51-53)") {
+    val st = seqStream(array).deque(col("value"), 5, "arr").last()
+    val got = st.df.select("arr").collect().head.getSeq[Long](0)
+    assert(got == (5 until 10).map(_.toLong))
+  }
+
+  test("ema matches sequential fold semantics (ops/aggregate.py:95-111)") {
+    val st = seqStream(array)
+    val got = valuesOf[Double](
+      st.derive(st.df.withColumn("e",
+        Aggregators.ema(col("value").cast("double"), 0.25).over(st.wRun))), "e")
+    val expected = array.map(_.toDouble).tail
+      .scanLeft(array.head.toDouble)((acc, x) => acc * 0.75 + x * 0.25)
+    assert(got == expected)
+  }
+
+  test("filter odds (select_test.py:10-12)") {
+    val got = longs(seqStream(array).where(col("value") % 2 =!= 0), "value")
+    assert(got == array.filter(_ % 2 != 0).map(_.toLong))
+  }
+
+  test("skip / take (select_test.py:14-20)") {
+    assert(longs(seqStream(array).skip(5), "value") == (5 until 10).map(_.toLong))
+    assert(longs(seqStream(array).take(5), "value") == (0 until 5).map(_.toLong))
+  }
+
+  test("takewhile / dropwhile < 5 (select_test.py:22-28)") {
+    assert(longs(seqStream(array).takeWhile(col("value") < 5), "value") ==
+      (0 until 5).map(_.toLong))
+    assert(longs(seqStream(array).dropWhile(col("value") < 5), "value") ==
+      (5 until 10).map(_.toLong))
+  }
+
+  test("changes (select_test.py:30-33)") {
+    val in = Seq(1, 1, 2, 1, 2, 2, 2, 3, 1, 4, 4)
+    assert(longs(seqStream(in).changes(Seq("value")), "value") ==
+      Seq(1L, 2, 1, 2, 3, 1, 4))
+  }
+
+  test("unique (select_test.py:35-38)") {
+    val in = Seq(1, 1, 2, 1, 2, 2, 2, 3, 1, 4, 4)
+    assert(longs(seqStream(in).unique(Seq("value")), "value") == Seq(1L, 2, 3, 4))
+  }
+
+  test("last (select_test.py:40-42)") {
+    assert(longs(seqStream(array).last(), "value") == Seq(9L))
+  }
+
+  test("enumerate / previous / rcount") {
+    assert(longs(seqStream(array).enumerate("i"), "i") == array.map(_.toLong))
+    assert(longs(seqStream(array).previous("value", "p", 2), "p") ==
+      (0 until 8).map(_.toLong))
+    assert(longs(seqStream(array).rcount("c", start = 10, step = 2), "c") ==
+      array.map(i => 10L + 2 * i))
+  }
+}

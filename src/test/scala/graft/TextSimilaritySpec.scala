@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+import graft.text.TextOps
+
+/** Text-analysis, dedup, similarity and multimodal plumbing tests. */
+class TextSimilaritySpec extends SparkSpec {
+  import org.apache.spark.sql.Encoders
+
+  private def docsDf(texts: Seq[String]) = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    spark.createDataset(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+  }
+
+  test("tokens, shingles, fingerprint") {
+    val df = docsDf(Seq("The quick brown fox, the quick dog!"))
+    val row = df.select(
+      TextOps.tokens(col("text")).as("t"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("s"),
+      TextOps.fingerprint(lit("abc")).as("fp")).collect().head
+    assert(row.getSeq[String](0) ==
+      Seq("the", "quick", "brown", "fox", "the", "quick", "dog"))
+    assert(row.getSeq[String](1).head == "the quick brown")
+    assert(row.getSeq[String](1).size == 5)
+    // ((0*31+97)*31+98)*31+99 mod 1e9+7 — cross-checked against DuckDB
+    assert(row.getLong(2) == 96354L)
+  }
+
+  test("shingles of short docs are empty, not inverted sequences") {
+    val df = docsDf(Seq("two words"))
+    val got = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3)).collect().head
+    assert(got.getSeq[String](0).isEmpty)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills near the old stone bridge"
+    val nearDup = base.replace("rain", "snow")
+    val other = "completely different content about spark catalyst optimizer rules and distributed shuffle execution plans"
+    val docs = docsDf(Seq(base, nearDup, other))
+    val edges = TextOps.shingleEdges(docs, "doc_id", "text", 3)
+    val sigs = TextOps.minhashSignatures(edges, "doc_id", 12)
+    val cands = TextOps.lshCandidates(TextOps.lshBands(sigs, "doc_id", 4, 3), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
+  }
+
+  test("language ID picks the dominant stopword language") {
+    val df = docsDf(Seq(
+      "the cat and the dog sat in a box",
+      "el perro y la casa de un amigo en la calle",
+      "xyzzy qwerty plugh"))
+    val t = TextOps.tokens(col("text"))
+    val got = df.select(TextOps.langGuess(
+        TextOps.stopwordHits(t, "en"), TextOps.stopwordHits(t, "es"),
+        TextOps.stopwordHits(t, "de"), TextOps.stopwordHits(t, "fr")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0f, 0.9f, 0.1f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map(v => org.apache.spark.sql.Row(v._1, v._2.toSeq))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val top1 = Similarity.topK(df, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(top1 == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("multimodal stub decode: schema and deterministic features") {
+    val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractFeatures(items, dims = 4)
+    val first = feats.filter(_.media_id == 0L).collect().head
+    assert(first.feature.length == 4)
+    assert(first.n_bytes > 0)
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(items, dims = 4)
+      .filter(_.media_id == 0L).collect().head
+    assert(first.feature.toSeq == again.feature.toSeq)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.EventStream
+import graft.sources.Sources
+
+/** Timing operators recast to event time — semantics of
+  * `/root/reference/eventkit/ops/timing.py`, no sleeps. */
+class TimingSpec extends SparkSpec {
+
+  /** Stream with explicit event times (seconds offsets). */
+  private def timed(sec: Seq[Double]): EventStream = {
+    val base = Sources.fromLongs(spark, sec.indices.map(_.toLong), 0.0)
+    val withTs = base.withColumn("ts",
+      timestamp_micros(lit(1704067200000000L) +
+        element_at(typedLit(sec.map(s => math.round(s * 1e6))), col("seq").cast("int") + 1)))
+    EventStream(withTs, keys = Nil)
+  }
+
+  test("delay shifts event time (ops/timing.py:8-28)") {
+    val got = timed(Seq(0, 1, 2)).delay("90 SECONDS")
+      .df.orderBy("seq").select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1000000L, 2000000L).map(_ + 90000000L + 1704067200000000L))
+  }
+
+  test("throttle 1-per-second rewrites admit times (ops/timing.py:104-184)") {
+    val got = timed(Seq(0, 0.1, 0.2, 3.0)).throttle(1, 1.0)
+      .df.orderBy("seq").select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    val base = 1704067200000000L
+    assert(got.toSeq == Seq(0L, 1000000L, 2000000L, 3000000L).map(_ + base))
+  }
+
+  test("throttle 2-per-second keeps burst pairs (ops/timing.py:104-184)") {
+    val got = timed(Seq(0, 0.1, 0.2, 0.3)).throttle(2, 1.0)
+      .df.orderBy("seq").select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    val base = 1704067200000000L
+    // admits: 0, 0.1 (burst), then 0+1s, 0.1+1s
+    assert(got.toSeq == Seq(0L, 100000L, 1000000L, 1100000L).map(_ + base))
+  }
+
+  test("debounce last-of-burst re-stamped at +gap (ops/timing.py:67-101)") {
+    val es = timed(Seq(0, 0.2, 0.4, 5.0, 5.1, 20.0))
+    val got = es.debounce(1.0, onFirst = false)
+      .df.orderBy("seq").select(col("value"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1) - 1704067200000000L)).toSeq
+    assert(got == Seq((2L, 1400000L), (4L, 6100000L), (5L, 21000000L)))
+  }
+
+  test("debounce on_first emits burst heads (ops/timing.py:80-86)") {
+    val es = timed(Seq(0, 0.2, 0.4, 5.0, 5.1, 20.0))
+    val got = longs(es.debounce(1.0, onFirst = true), "value")
+    assert(got == Seq(0L, 3L, 5L))
+  }
+
+  test("timeout ends stream at first silent gap (ops/timing.py:31-64)") {
+    val es = timed(Seq(0, 0.5, 1.0, 10.0, 10.5))
+    assert(longs(es.timeout(2.0), "value") == Seq(0L, 1L, 2L))
+    val markers = es.timeoutMarkers(2.0).collect()
+    assert(markers.length == 1)
+    assert(markers.head.getTimestamp(0).getTime == 1704067200000L + 3000L)
+  }
+
+  test("sample picks latest value at each tick (ops/timing.py:187-211)") {
+    val src = timed(Seq(0.5, 1.5, 3.5))
+    val ticks = timed(Seq(1.0, 2.0, 3.0, 4.0))
+    val got = src.sample(ticks, Seq("value"))
+      .df.orderBy("ts").select("value").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 1L, 2L))
+  }
+}
