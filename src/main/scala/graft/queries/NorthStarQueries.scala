@@ -30,19 +30,24 @@ object NorthStarQueries {
   private val TOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
   private val DOC_TOKS = s"tok AS (SELECT doc_id, $TOKS AS toks FROM documents)"
-  private val SHINGLES =
-    "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN " +
-      "list_transform(range(1, len(toks) - 1), i -> " +
-      "array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')) " +
-      "ELSE [] END) AS shingle FROM tok), " +
-      "edges AS (SELECT DISTINCT doc_id, shingle FROM sh)"
+  /** Per-token polynomial hashes (TextOps.tokenFingerprints mirror). */
+  private val TOKFPS =
+    "tokfp AS (SELECT doc_id, list_transform(toks, t -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(t) + 1), i -> " +
+      "CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(acc, x) -> (acc * 31 + x) % 1000000007)) AS fps FROM tok)"
+  /** Shingle ids combining k=3 token hashes (TextOps.shingleSidsFromFps). */
+  private val SHSIDS =
+    "sh AS (SELECT doc_id, unnest(CASE WHEN len(fps) >= 3 THEN " +
+      "list_transform(range(1, len(fps) - 1), i -> " +
+      "((((fps[CAST(i AS INT)] % 1000000007) * 8191 + fps[CAST(i + 1 AS INT)]) % 1000000007) " +
+      "* 8191 + fps[CAST(i + 2 AS INT)]) % 1000000007) " +
+      "ELSE [] END) AS sid FROM tokfp)"
+  private val EDGES_DISTINCT = "edges AS (SELECT DISTINCT doc_id, sid FROM sh)"
   private val UNIGRAMS =
-    "ug AS (SELECT doc_id, unnest(toks) AS shingle FROM tok), " +
-      "edges AS (SELECT DISTINCT doc_id, shingle FROM ug)"
-  private val VOCAB =
-    "vocab AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid " +
-      "FROM (SELECT DISTINCT shingle FROM edges)), " +
-      "wi AS (SELECT doc_id, sid FROM edges JOIN vocab USING (shingle))"
+    "ug AS (SELECT doc_id, unnest(fps) AS sid FROM tokfp), " +
+      "edges AS (SELECT DISTINCT doc_id, sid FROM ug)"
 
   /** Sequential-fold dot product in DuckDB — same op order as Similarity.dot. */
   private def sqlDot(a: String, b: String): String =
@@ -131,7 +136,7 @@ object NorthStarQueries {
 
     Q("q_dedup_minhash",
       (s, d) => {
-        val edges = TextOps.shingleEdges(docs(s, d), "doc_id", "text", K)
+        val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = false)
         val sigs = TextOps.minhashSignatures(edges, "doc_id", H)
         val bands = TextOps.lshBands(sigs, "doc_id", BANDS, R)
         TextOps.lshCandidates(bands, "doc_id").orderBy("a", "b")
@@ -143,8 +148,8 @@ object NorthStarQueries {
           val key = (0 until R).map(r => s"h${b * R + r}").mkString(", ")
           s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS key FROM sig"
         }.mkString(" UNION ALL ")
-        s"WITH $DOC_TOKS, $SHINGLES, $VOCAB, " +
-          s"sig AS (SELECT doc_id, $sigCols FROM wi GROUP BY doc_id), " +
+        s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, " +
+          s"sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
           s"bands AS ($bandSelects) " +
           "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l " +
           "JOIN bands r USING (band, key) WHERE l.doc_id < r.doc_id ORDER BY a, b"
@@ -153,17 +158,18 @@ object NorthStarQueries {
     Q("q_dedup_simhash",
       (s, d) => {
         val edges = docs(s, d)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("shingle"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            explode(TextOps.tokenFingerprints(col("__toks"))).as("sid"))
           .distinct()
-        val withIds = edges.join(TextOps.vocab(edges), "shingle")
-        TextOps.simhash(withIds, "doc_id", NBITS).orderBy("doc_id")
+        TextOps.simhash(edges, "doc_id", NBITS).orderBy("doc_id")
       }, {
         val bitCols = (0 until NBITS).map(k =>
           s"CAST(sum(CASE WHEN (sid * ${2L * k + 7919} % 131071) % 2 = 1 " +
             s"THEN 1 ELSE -1 END) > 0 AS BIGINT) AS b$k").mkString(", ")
         val sig = (0 until NBITS).map(k => s"b$k * ${1L << k}").mkString(" + ")
-        s"WITH $DOC_TOKS, $UNIGRAMS, $VOCAB, " +
-          s"bits AS (SELECT doc_id, $bitCols FROM wi GROUP BY doc_id) " +
+        s"WITH $DOC_TOKS, $TOKFPS, $UNIGRAMS, " +
+          s"bits AS (SELECT doc_id, $bitCols FROM edges GROUP BY doc_id) " +
           s"SELECT doc_id, $sig AS simhash FROM bits ORDER BY doc_id"
       }),
 
@@ -171,11 +177,11 @@ object NorthStarQueries {
       // n-gram Jaccard via inverted-index join (the scale shape: shuffle
       // on shingle, never all-pairs); top-100 most similar pairs.
       (s, d) => {
-        val edges = TextOps.shingleEdges(docs(s, d), "doc_id", "text", K)
+        val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
         val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val l = edges.select(col("doc_id").as("a"), col("shingle"))
-        val r = edges.select(col("doc_id").as("b"), col("shingle"))
-        val inter = l.join(r, "shingle").filter(col("a") < col("b"))
+        val l = edges.select(col("doc_id").as("a"), col("sid"))
+        val r = edges.select(col("doc_id").as("b"), col("sid"))
+        val inter = l.join(r, "sid").filter(col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("i"))
         inter
           .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
@@ -184,10 +190,10 @@ object NorthStarQueries {
           .select("a", "b", "i", "jacc")
           .orderBy(col("jacc").desc, col("a"), col("b")).limit(100)
       },
-      s"WITH $DOC_TOKS, $SHINGLES, " +
+      s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, $EDGES_DISTINCT, " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM edges GROUP BY doc_id), " +
         "inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i FROM edges l " +
-        "JOIN edges r USING (shingle) WHERE l.doc_id < r.doc_id GROUP BY a, b) " +
+        "JOIN edges r USING (sid) WHERE l.doc_id < r.doc_id GROUP BY a, b) " +
         "SELECT a, b, i, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
         "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
         "ORDER BY jacc DESC, a, b LIMIT 100"),

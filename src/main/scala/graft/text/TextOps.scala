@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -9,13 +8,11 @@ import org.apache.spark.sql.functions._
  * pipelines: tokenization, language ID, quality scoring, fingerprinting,
  * MinHash+LSH / SimHash / n-gram-Jaccard dedup.
  *
- * Everything is integer/rational arithmetic over deterministic token ids
- * so results are exactly reproducible across engines (the DuckDB oracle
- * computes the identical pipeline). Scale note: the rank-based vocabulary
- * (dense_rank over sorted distinct shingles) exists for oracle exactness;
- * at 100 TB swap `vocabId` for `xxhash64(shingle)` — the pipeline shape
- * (explode → per-shingle min → band → bucket join) is unchanged and every
- * step remains a keyed shuffle, never a driver collect.
+ * Everything is integer/rational arithmetic over deterministic hash-based
+ * token ids, so results are exactly reproducible across engines (the
+ * DuckDB oracle computes the identical pipeline) and every step is a
+ * per-row projection or keyed shuffle — no global sort, no driver
+ * collect, nothing that breaks at 100 TB.
  */
 object TextOps {
 
@@ -63,8 +60,11 @@ object TextOps {
 
   // ------------------------------------------------------------------
   // MinHash + LSH: numBands bands of rowsPerBand hashes each.
-  // h_j(id) = (a_j * id + b_j) mod P with id = rank of shingle in the
-  // sorted distinct-shingle vocabulary.
+  // h_j(sid) = (a_j * sid + b_j) mod P with sid = polynomial string hash
+  // of the shingle ([[fingerprint]] of it): pure per-row arithmetic that
+  // both engines compute identically, with NO global vocabulary sort and
+  // NO join — the shape that survives 100 TB (a rank-based vocabulary
+  // would funnel every distinct shingle through one sorted partition).
   // ------------------------------------------------------------------
 
   val P: Long = 2147483647L
@@ -76,50 +76,87 @@ object TextOps {
     docs.select(col(idCol), explode(shingles(tokens(col(textCol)), k)).as("shingle"))
       .distinct()
 
-  /** Deterministic vocabulary: shingle → dense rank in sorted order.
-    * Small output, built once; swap for xxhash64 at scale. */
-  def vocab(edges: DataFrame): DataFrame =
-    edges.select("shingle").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
+  /** Deterministic shingle id: the polynomial rolling hash. */
+  def shingleId(shingle: Column): Column = fingerprint(shingle)
 
-  /** One row per doc: minhash signature columns h0..h{n-1}. */
+  /** Per-token fingerprints — each token hashed once, then shingle ids
+    * combine k token hashes with ~k integer ops instead of re-folding
+    * every character of every (overlapping) shingle. */
+  def tokenFingerprints(toks: Column): Column =
+    transform(toks, t => fingerprint(t))
+
+  /** Shingle ids from a materialized token-fingerprint array. */
+  def shingleSidsFromFps(fps: Column, k: Int): Column =
+    when(size(fps) >= k,
+      transform(
+        sequence(lit(1), size(fps) - (k - 1)),
+        i => (0 until k).foldLeft(lit(0L)) { (acc, j) =>
+          (acc * 8191 + element_at(fps, i + j)) % 1000000007L
+        }))
+      .otherwise(array().cast("array<long>"))
+
+  /** (doc_id, sid) edges: tokenize → per-token hash → shingle ids —
+    * three narrow projections, longs (not strings) into the shuffle.
+    * `dedup=false` for minhash (min-agg ignores duplicates anyway),
+    * true for set-semantics consumers (Jaccard). */
+  def shingleSidEdges(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dedup: Boolean): DataFrame = {
+    val staged = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), tokenFingerprints(col("__toks")).as("__fps"))
+      .select(col(idCol), explode(shingleSidsFromFps(col("__fps"), k)).as("sid"))
+    if (dedup) staged.distinct() else staged
+  }
+
+  /** One row per doc: minhash signature columns h0..h{n-1} over `sid`. */
   def minhashSignatures(edges: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val withIds = edges.join(vocab(edges), "shingle")
     val aggs = (0 until numHashes).map { j =>
       min((col("sid") * aCoef(j) + bCoef(j)) % P).as(s"h$j")
     }
-    withIds.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    edges.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc, band, key) rows; equal keys within a band = candidate pair. */
+  /** (doc, band, key) rows; equal keys within a band = candidate pair.
+    * Built as ONE array+explode projection, not a union of per-band
+    * selects — a union would re-execute the whole signature pipeline
+    * once per band. */
   def lshBands(sigs: DataFrame, idCol: String, numBands: Int, rowsPerBand: Int): DataFrame = {
-    val bands = (0 until numBands).map { b =>
+    val bandStructs = (0 until numBands).map { b =>
       val key = concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-      sigs.select(col(idCol), lit(b).as("band"), key.as("key"))
+      struct(lit(b).as("band"), key.as("key"))
     }
-    bands.reduce(_.unionByName(_))
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Distinct candidate pairs (a < b) colliding in at least one band. */
-  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val l = bandsDf.select(col("band"), col("key"), col(idCol).as("a"))
-    val r = bandsDf.select(col("band"), col("key"), col(idCol).as("b"))
-    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+  /** Distinct candidate pairs (a < b) colliding in at least one band.
+    * Pairs are generated inside each (band, key) bucket after a single
+    * groupBy shuffle — no self-join, so the upstream pipeline executes
+    * once. LSH bucket sizes are bounded with high probability, so the
+    * within-bucket pair explosion is safe; monitor bucket sizes at scale
+    * and add a size cap/salt if a degenerate key appears. */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame =
+    bandsDf.groupBy("band", "key")
+      .agg(collect_list(col(idCol)).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-  }
 
   // ------------------------------------------------------------------
   // SimHash: nBits-bit signature over distinct unigram token ids.
   // bit_k votes +1/-1 by ((id * (2k+7919)) mod 131071) mod 2.
   // ------------------------------------------------------------------
 
-  def simhash(edgesWithIds: DataFrame, idCol: String, nBits: Int): DataFrame = {
+  def simhash(edges: DataFrame, idCol: String, nBits: Int): DataFrame = {
+    val withIds = edges
     val bitAggs = (0 until nBits).map { k =>
       val vote = when((col("sid") * (2L * k + 7919) % 131071L) % 2 === 1, 1L).otherwise(-1L)
       (sum(vote) > 0).cast("long").as(s"b$k")
     }
-    val withBits = edgesWithIds.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+    val withBits = withIds.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
     val sig = (0 until nBits).map(k => col(s"b$k") * (1L << k)).reduce(_ + _)
     withBits.select(col(idCol), sig.as("simhash"))
   }

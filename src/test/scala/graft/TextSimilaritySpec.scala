@@ -40,7 +40,7 @@ class TextSimilaritySpec extends SparkSpec {
     val nearDup = base.replace("rain", "snow")
     val other = "completely different content about spark catalyst optimizer rules and distributed shuffle execution plans"
     val docs = docsDf(Seq(base, nearDup, other))
-    val edges = TextOps.shingleEdges(docs, "doc_id", "text", 3)
+    val edges = TextOps.shingleSidEdges(docs, "doc_id", "text", 3, dedup = false)
     val sigs = TextOps.minhashSignatures(edges, "doc_id", 12)
     val cands = TextOps.lshCandidates(TextOps.lshBands(sigs, "doc_id", 4, 3), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
