@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Structured Streaming variants of the eventkit surface (SURVEY.md §2.10).
+ *
+ * Batch is the semantic source of truth (every operator in
+ * [[graft.engine.EventStream]] is defined over an already-ended stream);
+ * this module adds the genuinely-streaming capabilities:
+ *
+ *  - `EventBus`   — the reference's `connect`/`emit` pub-sub surface
+ *                   (`event.py:87-225`): injected rows flow through a
+ *                   live query into per-batch listener callbacks.
+ *  - `timer`      — the reference's `Timer` (`ops/create.py:100`) as a
+ *                   rate source.
+ *  - windowed aggregation with watermarks — `ChunkWith`/tumbling windows.
+ *  - `debounceBursts` — the reference's `Debounce` (`ops/timing.py:67`)
+ *                   as event-time-timeout keyed state: emits the last
+ *                   row of a burst once the quiet gap elapses.
+ *
+ * All state is keyed (`groupByKey(user)`), so streaming state shards
+ * across executors exactly like the batch windows do.
+ */
+object Streaming {
+
+  case class Ev(user_id: Long, tsUs: Long, value: Double)
+
+  /**
+   * Pub-sub bridge: `emit` injects rows (reference `Event.emit`), a
+   * started query pushes them to the sink (reference listeners).
+   */
+  final class EventBus(spark: SparkSession) {
+    import spark.implicits._
+    private val mem = MemoryStream[Ev](spark, 1)
+
+    def emit(rows: Ev*): Unit = mem.addData(rows)
+
+    /** The live stream, typed (for keyed-state operators). */
+    def eventsTyped: Dataset[Ev] = mem.toDS()
+
+    /** The live stream as (seq-less) event-time rows. */
+    def events: DataFrame = mem.toDF()
+      .select(col("user_id"), timestamp_micros(col("tsUs")).as("ts"), col("value"))
+  }
+
+  /** Timer source: emits i*intervalSec at those (processing) times. */
+  def timer(spark: SparkSession, intervalSec: Double): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", math.max(1, (1 / intervalSec).toInt).toString)
+      .load()
+      .select(col("value").as("seq"), col("timestamp").as("ts"),
+        (col("value") * intervalSec).as("value"))
+
+  /** Tumbling event-time window with watermark — ChunkWith's streaming
+    * form (`ops/transform.py:179-211`). */
+  def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /**
+   * Debounce (last-of-burst) with keyed state + event-time timeout:
+   * buffer the newest row per user; when no row arrives within `gapSec`
+   * (by watermark time), emit it stamped at burst_ts + gap.
+   */
+  def debounceBursts(
+      events: Dataset[Ev], gapSec: Double, watermark: String): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = math.round(gapSec * 1e6)
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs"))).as[(Long, Long, Double, java.sql.Timestamp)]
+      .toDF("user_id", "tsUs", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), Ev](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (lastUs, v) = state.get
+            state.remove()
+            Iterator(Ev(user, lastUs + gapUs, v))
+          } else {
+            // Bursts can complete *within* one micro-batch: walk rows in
+            // event-time order, emitting a burst whenever the quiet gap
+            // elapses between consecutive rows; only the still-open burst
+            // waits on the event-time timer.
+            val out = Seq.newBuilder[Ev]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2).foreach { r =>
+              cur match {
+                case Some((pUs, pV)) if r._2 - pUs >= gapUs =>
+                  out += Ev(user, pUs + gapUs, pV)
+                  cur = Some((r._2, r._3))
+                case Some((pUs, _)) if r._2 >= pUs => cur = Some((r._2, r._3))
+                case Some(_) => // late row older than burst head: drop
+                case None => cur = Some((r._2, r._3))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._1 / 1000 + math.round(gapSec * 1000))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion into an in-memory table
+    * and return the result — the batch-parity harness used in tests. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

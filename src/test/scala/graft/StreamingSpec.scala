@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Ev
+
+/** Structured Streaming parity: the same semantics the batch engine pins
+  * with golden values, driven through live streaming queries
+  * (MemoryStream source → watermark/state → memory sink). */
+class StreamingSpec extends SparkSpec {
+
+  test("EventBus emit -> live query -> listener (event.py:87-225 pub-sub)") {
+    val bus = new Streaming.EventBus(spark)
+    bus.emit(Ev(1L, 1_000_000L, 1.0), Ev(1L, 2_000_000L, 2.0), Ev(2L, 2_500_000L, 5.0))
+    val got = Streaming.runToMemory(bus.events, "bus_out")
+    assert(got.count() === 3)
+    assert(got.agg(sum("value")).collect()(0).getDouble(0) === 8.0)
+  }
+
+  test("windowed counts with watermark (ChunkWith streaming form)") {
+    val bus = new Streaming.EventBus(spark)
+    // user 1: two rows in [0,10s), one in [10,20s)
+    bus.emit(
+      Ev(1L, 1_000_000L, 1.0), Ev(1L, 4_000_000L, 2.0), Ev(1L, 12_000_000L, 3.0),
+      Ev(2L, 5_000_000L, 10.0))
+    val agg = Streaming.windowedCounts(bus.events, "10 seconds", "0 seconds")
+    val got = Streaming.runToMemory(agg, "win_out", OutputMode.Complete())
+      .select(col("window.start").cast("long").as("w"), col("user_id"), col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((0L, 1L, 2L, 3.0), (10L, 1L, 1L, 3.0), (0L, 2L, 1L, 10.0)))
+  }
+
+  test("streaming debounce matches batch debounce semantics (ops/timing.py:67)") {
+    import spark.implicits._
+    // bursts per user: u1 @ 0s,0.4s,0.8s (one burst, last=3.0) then 5s (own burst);
+    // u2 @ 1s alone. gap=1s.
+    val rows = Seq(
+      Ev(1L, 0L, 1.0), Ev(1L, 400_000L, 2.0), Ev(1L, 800_000L, 3.0),
+      Ev(1L, 5_000_000L, 9.0), Ev(2L, 1_000_000L, 7.0))
+    val bus = new Streaming.EventBus(spark)
+    bus.emit(rows: _*)
+    // advance watermark far past all bursts so every timer fires
+    bus.emit(Ev(99L, 100_000_000L, 0.0))
+    val out = Streaming.debounceBursts(bus.eventsTyped, gapSec = 1.0, watermark = "0 seconds")
+    val got = Streaming.runToMemory(out.toDF(), "deb_out")
+      .filter(col("user_id") < 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // last-of-burst, re-stamped at burst_end + gap
+    assert(got === Set(
+      (1L, 1_800_000L, 3.0), (1L, 6_000_000L, 9.0), (2L, 2_000_000L, 7.0)))
+  }
+}
