@@ -137,6 +137,19 @@ final case class EventStream(
   def enumerate(as: String, start: Long = 0, step: Long = 1): EventStream =
     derive(df.withColumn(as, lit(start) + lit(step) * (row_number().over(w) - 1)))
 
+  /** On each input row, take the next value from a finite iterator; the
+    * stream ends when the iterator is exhausted (`ops/transform.py:22-35`).
+    * Encoded as a broadcast equi-join on per-key row index — the inner
+    * join ends at the shorter side, exactly the reference's termination. */
+  def iterate(values: Seq[String], as: String): EventStream = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val it = values.zipWithIndex
+      .map { case (v, i) => (i + 1L, v) }.toDF("__rn", as)
+    derive(df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(it), "__rn").drop("__rn"))
+  }
+
   /** Value from `n` rows back; first `n` rows dropped (`ops/transform.py:130-141`). */
   def previous(c: String, as: String, n: Int = 1): EventStream =
     derive(df.withColumn(as, lag(col(c), n).over(w))

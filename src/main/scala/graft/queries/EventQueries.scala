@@ -308,7 +308,57 @@ object EventQueries {
       s"$EV SELECT seq, user_id, CASE WHEN (count(*) $W10) >= 2 THEN " +
         s"sqrt(CAST((count(*) $W10)*(sum(cents*cents) $W10) - (sum(cents) $W10)*(sum(cents) $W10) AS DOUBLE) " +
         s"/ CAST((count(*) $W10)*((count(*) $W10)-1) AS DOUBLE)) / 100.0e0 END AS wstd " +
-        "FROM ev ORDER BY seq")
+        "FROM ev ORDER BY seq"),
+
+    Q("q_arrayprod",
+      // Sliding product over ±1 signs (exact at any window length;
+      // `ops/array.py:94-98`).
+      (s, d) => { val st = ev(s, d)
+        val sign = when(col("cents") % 2 === 0, 1.0).otherwise(-1.0)
+        st.derive(st.df.withColumn("wprod",
+            Aggregators.runningProduct(sign).over(st.wSlide(10))))
+          .df.select("seq", "user_id", "wprod").orderBy("seq") },
+      s"$EV SELECT seq, user_id, CAST(product(" +
+        s"CASE WHEN cents%2=0 THEN 1.0 ELSE -1.0 END) $W10 AS DOUBLE) AS wprod " +
+        "FROM ev ORDER BY seq"),
+
+    Q("q_arrayany",
+      (s, d) => { val st = ev(s, d)
+        st.derive(st.df.withColumn("wany",
+            max(when(col("value") > 180, 1).otherwise(0)).over(st.wSlide(10)) === 1))
+          .df.select("seq", "user_id", "wany").orderBy("seq") },
+      s"$EV SELECT seq, user_id, bool_or(value > 180) $W10 AS wany FROM ev ORDER BY seq"),
+
+    Q("q_arrayall",
+      (s, d) => { val st = ev(s, d)
+        st.derive(st.df.withColumn("wall",
+            min(when(col("value") > 20, 1).otherwise(0)).over(st.wSlide(10)) === 1))
+          .df.select("seq", "user_id", "wall").orderBy("seq") },
+      s"$EV SELECT seq, user_id, bool_and(value > 20) $W10 AS wall FROM ev ORDER BY seq"),
+
+    Q("q_iterate",
+      // Iterate (`ops/transform.py:22-35`): each row consumes the next
+      // iterator value; stream ends when the 40-element iterator does.
+      (s, d) => ev(s, d).iterate((1 to 40).map(i => s"label_$i"), "label")
+        .df.select("seq", "user_id", "label").orderBy("seq"),
+      s"$EV SELECT seq, user_id, 'label_' || CAST(rn AS VARCHAR) AS label FROM (" +
+        "SELECT seq, user_id, row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn " +
+        "FROM ev) WHERE rn <= 40 ORDER BY seq"),
+
+    Q("q_fork_zip",
+      // fork[count, sum, min, max].zip() (`ops/combine.py:10-37`,
+      // tests/event_test.py:148-152): N running aggregates over the same
+      // rows, zipped positionally = one select with N window columns —
+      // Catalyst collapses them into a single Window node.
+      (s, d) => { val st = ev(s, d)
+        st.derive(st.df
+            .withColumn("rcnt", count(lit(1)).over(st.wRun))
+            .withColumn("rsum", sum(col("cents")).over(st.wRun))
+            .withColumn("rmin", min(col("cents")).over(st.wRun))
+            .withColumn("rmax", max(col("cents")).over(st.wRun)))
+          .df.select("seq", "user_id", "rcnt", "rsum", "rmin", "rmax").orderBy("seq") },
+      s"$EV SELECT seq, user_id, count(*) $WRUN AS rcnt, sum(cents) $WRUN AS rsum, " +
+        s"min(cents) $WRUN AS rmin, max(cents) $WRUN AS rmax FROM ev ORDER BY seq")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

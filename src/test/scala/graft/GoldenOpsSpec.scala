@@ -106,4 +106,9 @@ class GoldenOpsSpec extends SparkSpec {
     assert(longs(seqStream(array).rcount("c", start = 10, step = 2), "c") ==
       array.map(i => 10L + 2 * i))
   }
+
+  test("iterate ends at the shorter side (transform_test.py, ops/transform.py:22-35)") {
+    val got = valuesOf[String](seqStream(array).iterate(Seq("a", "b", "c"), "it"), "it")
+    assert(got == Seq("a", "b", "c"))
+  }
 }
