@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `Column(expr)` constructor; the supported
+  * bridge (`classic.ExpressionUtils`) is `private[sql]`. This shim is the
+  * one conventional package-escape needed to expose custom Catalyst
+  * expressions (e.g. [[graft.functions.VecDot]]) as `Column`s. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
