@@ -94,9 +94,129 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Rolling polynomial string hash: fold `acc = (acc*mult + byte) % mod`
+ * over the UTF-8 bytes of the input.
+ *
+ * For ASCII input (our tokenizer emits only `[a-z0-9 ]`) each byte IS the
+ * codepoint, so this equals the per-character `ascii(substr(s,i,1))` HOF
+ * fold — which was O(len²) (substr re-scans) and interpreted. This is one
+ * codegen'd O(len) loop; it is the hot inner op of shingle fingerprinting
+ * and MinHash (SURVEY.md §7.2 step 9).
+ */
+case class AsciiPolyHash(child: Expression, mult: Long, mod: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ascii_poly_hash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ascii_poly_hash needs STRING, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * mult + (bytes(i) & 0xffL)) % mod; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AsciiPolyHash.fold($c.getBytes(), ${mult}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AsciiPolyHash {
+  /** Called from generated code. */
+  def fold(bytes: Array[Byte], mult: Long, mod: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * mult + (bytes(i) & 0xffL)) % mod; i += 1 }
+    acc
+  }
+}
+
+/**
+ * Fused shingle-id kernel: `array<string>` tokens → `array<long>` of
+ * k-shingle ids, where each token is first fingerprinted with the
+ * rolling poly hash (mult 31 mod 1e9+7) and each shingle id is the fold
+ * `acc = (acc*8191 + tokenFp) % 1e9+7` over k consecutive token
+ * fingerprints — the exact arithmetic of the `transform`+`aggregate`
+ * HOF pipeline it replaces (one interpreted lambda dispatch per token
+ * and per shingle position), in a single codegen'd pass.
+ */
+case class ShingleSids(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_sids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_sids needs ARRAY<STRING>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleSids.eval(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleSids.eval($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleSids {
+  private val MOD = 1000000007L
+
+  /** Called from generated code. */
+  def eval(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val fps = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      fps(i) = AsciiPolyHash.fold(
+        toks.getUTF8String(i).getBytes, 31L, MOD)
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 8191 + fps(s + j)) % MOD; j += 1 }
+      out(s) = acc
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Rolling polynomial ASCII hash as a `Column`. */
+  def asciiPolyHash(s: Column, mult: Long, mod: Long): Column =
+    ColumnBridge.column(AsciiPolyHash(ColumnBridge.expression(s), mult, mod))
+
+  /** Fused token-fingerprint → k-shingle-id kernel as a `Column`. */
+  def shingleSids(toks: Column, k: Int): Column =
+    ColumnBridge.column(ShingleSids(ColumnBridge.expression(toks), k))
 }

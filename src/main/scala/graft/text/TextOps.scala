@@ -30,12 +30,11 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
 
   /** Rolling polynomial fingerprint of the raw characters:
-    * fold(acc*31 + ascii(char)) mod 1e9+7 — exact in 64-bit. */
+    * fold(acc*31 + ascii(char)) mod 1e9+7 — exact in 64-bit. Codegen'd
+    * byte loop ([[graft.functions.AsciiPolyHash]]); identical to the
+    * per-char `ascii(substr)` fold for the ASCII-only tokenizer output. */
   def fingerprint(text: Column): Column =
-    aggregate(
-      sequence(lit(1), length(text)),
-      lit(0L),
-      (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % 1000000007L)
+    graft.functions.VectorFunctions.asciiPolyHash(text, 31L, 1000000007L)
 
   // ------------------------------------------------------------------
   // Language ID: stopword-hit heuristic with a fixed priority tie-break.
@@ -102,9 +101,8 @@ object TextOps {
   def shingleSidEdges(docs: DataFrame, idCol: String, textCol: String,
       k: Int, dedup: Boolean): DataFrame = {
     val staged = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), tokenFingerprints(col("__toks")).as("__fps"))
-      .select(col(idCol), explode(shingleSidsFromFps(col("__fps"), k)).as("sid"))
+      .select(col(idCol),
+        explode(graft.functions.VectorFunctions.shingleSids(tokens(col(textCol)), k)).as("sid"))
     if (dedup) staged.distinct() else staged
   }
 
