@@ -70,6 +70,45 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /**
+   * IVF (inverted-file) cosine top-k: vectors are assigned to the cell
+   * of their nearest centroid, and the quadratic scoring runs within
+   * cells. Centroids are the first `nCells` vectors by id — a
+   * deterministic seed choice both engines replicate exactly (a k-means
+   * refinement would sharpen recall but adds iterative state; seeds are
+   * the right baseline for an exact-match oracle).
+   *
+   * Scale shape: the centroid table is tiny → broadcast; assignment is
+   * one narrow pass over the data (no shuffle); the only shuffle is the
+   * per-cell groupBy, and cells are bounded by construction. This is the
+   * same partition-then-pair skeleton as [[topKLsh]] with a learned-ish
+   * partitioner instead of random hyperplanes.
+   */
+  def topKIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int): DataFrame = {
+    val cents = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scoredCells = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col(vecCol), col("cv")) / (norm(col(vecCol)) * norm(col("cv"))))
+    val wCell = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+    val assigned = scoredCells
+      .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"))
+    val pairs = assigned
+      .groupBy("cell")
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x.id") =!= col("y.id"))
+    val scored = pairs.select(
+      col("x.id").as("a"), col("y.id").as("b"),
+      (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("a", "rank", "b")
+  }
+
   /** LSH-bucketed cosine top-k: the quadratic work stays within buckets.
     * Pairs are generated by a bucket groupBy + within-bucket explode (one
     * scan, one shuffle) instead of a self-join, which would execute the

@@ -215,6 +215,24 @@ object NorthStarQueries {
         "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
+    Q("q_ann_ivf",
+      // IVF: broadcast seed centroids, nearest-centroid cell assignment,
+      // within-cell quadratic top-k — the learned-partitioner counterpart
+      // to the LSH path.
+      (s, d) => Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16)
+        .orderBy("a", "rank"),
+      "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings " +
+        "ORDER BY vec_id LIMIT 16), " +
+        "scored AS (SELECT e.vec_id, e.embedding, c.cid, " +
+        s"${sqlCos("e.embedding", "c.cv")} AS ccos FROM embeddings e, cents c), " +
+        "assigned AS (SELECT vec_id, embedding, cid AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r " +
+        "FROM scored) WHERE r = 1) " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM assigned l JOIN assigned r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_ann_lsh",
       (s, d) => Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
         .orderBy("a", "rank"),
