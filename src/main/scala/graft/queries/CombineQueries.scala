@@ -273,6 +273,42 @@ object CombineQueries {
       (s, _) => Sources.range(s, 0, 5000, 3).orderBy("id"),
       "SELECT range AS id FROM range(0, 5000, 3) ORDER BY id"),
 
+    Q("q_sequence",
+      // Sequence (`ops/create.py:60-76`): THE workhorse source — explicit
+      // values paced by an interval from the epoch.
+      (s, _) => Sources.fromLongs(s, (0 until 1000).map(i => i * 7L), 0.25)
+        .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("seq"),
+      "SELECT range AS seq, 1704067200000000 + range * 250000 AS ts_us, " +
+        "range * 7 AS value FROM range(1000) ORDER BY seq"),
+
+    Q("q_aiterate",
+      // Aiterate (`ops/create.py:38-57`): an (async) iterator drained into
+      // a stream — in batch, identical to Sequence over the drained values.
+      (s, _) => Sources.fromSeq(s, (0 until 500).map(i => s"v$i"), 1.0)(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+        .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("seq"),
+      "SELECT range AS seq, 1704067200000000 + range * 1000000 AS ts_us, " +
+        "'v' || CAST(range AS VARCHAR) AS value FROM range(500) ORDER BY seq"),
+
+    Q("q_timer",
+      // Timer (`ops/create.py:100-112`): emit i*interval at those times.
+      // 0.5 is exactly representable, so i*0.5 is exact in both engines.
+      (s, _) => Sources.timer(s, 0.5, 1000)
+        .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("seq"),
+      "SELECT range AS seq, 1704067200000000 + range * 500000 AS ts_us, " +
+        "CAST(range AS DOUBLE) * 0.5e0 AS value FROM range(1000) ORDER BY seq"),
+
+    Q("q_wait",
+      // Wait (`ops/create.py:10-35`): one awaited result, then done.
+      (s, _) => Sources.waitValue(s, lit(42L))
+        .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("value")),
+      "SELECT 0 AS seq, 1704067200000000 AS ts_us, 42 AS value"),
+
     Q("q_timerange",
       (s, _) => Sources.timerange(s, "2024-01-01 00:00:00", "2024-03-01 00:00:00", "6 HOUR")
         .select(unix_micros(col("ts")).as("ts_us")).orderBy("ts_us"),

@@ -33,6 +33,14 @@ object Sources {
 
   private val epochUs: Long = 1704067200000000L // 2024-01-01T00:00:00Z
 
+  /** Wait (`ops/create.py:10-35`): an awaited result becomes a one-row
+    * stream — emit the single value at the epoch, then done. */
+  def waitValue(spark: SparkSession, value: org.apache.spark.sql.Column): DataFrame =
+    spark.range(1).select(
+      lit(0L).as("seq"),
+      timestamp_micros(lit(epochUs)).as("ts"),
+      value.as("value"))
+
   /** Range (`ops/create.py:86-90`): `spark.range` is already distributed. */
   def range(spark: SparkSession, start: Long, end: Long, step: Long): DataFrame =
     spark.range(start, end, step).select(col("id"))
