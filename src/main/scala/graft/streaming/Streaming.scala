@@ -112,6 +112,38 @@ object Streaming {
       }
   }
 
+  /**
+   * Streaming Sample (`ops/timing.py:187-211`): the latest value per key
+   * as of each regular grid tick — a tumbling event-time window with
+   * `max_by(value, ts)`, tick-stamped at window end. Deterministic
+   * (event-time, watermark-bounded state), sharded per key; the batch
+   * `EventStream.sample` computes the same thing against an explicit
+   * timer stream.
+   */
+  def sampleGrid(events: DataFrame, interval: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), interval), col("user_id"))
+      .agg(max_by(col("value"), col("ts")).as("value"))
+      .select(col("window.end").as("ts"), col("user_id"), col("value"))
+
+  /** Streaming running aggregates (§2.4 in update mode): per-key count /
+    * sum / max maintained across micro-batches. */
+  def runningTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+        max(col("value")).as("vmax"))
+
+  /** The reference's `connect` surface (`event.py:87-140`): a listener
+    * invoked per micro-batch of rows. Returns the started query; stop it
+    * to disconnect. */
+  def connect(events: DataFrame, listener: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) => listener(batch.toDF()))
+      .start()
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((0L, 1L, 2L, 3.0), (10L, 1L, 1L, 3.0), (0L, 2L, 1L, 10.0)))
   }
 
+  test("streaming sample: latest value per key at each grid tick (ops/timing.py:187)") {
+    val bus = new Streaming.EventBus(spark)
+    bus.emit(
+      Ev(1L, 1_000_000L, 1.0), Ev(1L, 4_000_000L, 2.0),   // tick @10s -> 2.0
+      Ev(1L, 12_000_000L, 3.0),                           // tick @20s -> 3.0
+      Ev(2L, 5_000_000L, 10.0))                           // tick @10s -> 10.0
+    val got = Streaming.runToMemory(
+      Streaming.sampleGrid(bus.events, "10 seconds", "0 seconds"),
+      "sample_out", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((10L, 1L, 2.0), (20L, 1L, 3.0), (10L, 2L, 10.0)))
+  }
+
+  test("connect: per-batch listener callback (event.py:87-140)") {
+    val bus = new Streaming.EventBus(spark)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = Streaming.connect(bus.events, b => seen.addAndGet(b.count()))
+    bus.emit(Ev(1L, 1_000_000L, 1.0), Ev(2L, 2_000_000L, 2.0))
+    q.processAllAvailable()
+    bus.emit(Ev(1L, 3_000_000L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.get() === 3)
+  }
+
   test("streaming debounce matches batch debounce semantics (ops/timing.py:67)") {
     import spark.implicits._
     // bursts per user: u1 @ 0s,0.4s,0.8s (one burst, last=3.0) then 5s (own burst);
