@@ -174,6 +174,38 @@ final case class EventStream(
     derive(chunked)
   }
 
+  /**
+   * ChunkWith (`ops/transform.py:179-211`): buffer values; flush the
+   * buffer each time `timer` fires; flush the remainder when the source
+   * ends. Chunk membership: a row belongs to the flush of the first tick
+   * at-or-after its event time; rows after the last tick form the final
+   * done-flush.
+   *
+   * Encoding: union source+timer, one keyed event-time window pass —
+   * a row's chunk id is the running count of *strictly earlier* ticks
+   * (source sorts before timer at equal ts, so a row exactly at tick
+   * time lands in that tick's flush). No join; same shape as [[sample]].
+   */
+  def chunkWith(timer: EventStream, c: String, idxAs: String, listAs: String): EventStream = {
+    val src = df.select(keyCols ++ Seq(col(seqCol), col(tsCol),
+      col(c).as("__v"), lit(0).as("__tick")): _*)
+    val tk = timer.df.select(timer.keys.map(col) ++ Seq(
+      col(timer.seqCol).as(seqCol), col(timer.tsCol).as(tsCol),
+      lit(null).cast(df.schema(c).dataType).as("__v"), lit(1).as("__tick")): _*)
+    val wt = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol), col("__tick"), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunked = src.unionByName(tk)
+      .withColumn(idxAs, sum(col("__tick")).over(wt))
+      .filter(col("__tick") === 0)
+      .groupBy((keyCols :+ col(idxAs)): _*)
+      .agg(sort_array(collect_list(struct(col(seqCol), col("__v")))).as("__p"),
+        count(lit(1)).as("n"))
+      .withColumn(listAs, col("__p").getField("__v"))
+      .drop("__p")
+    derive(chunked)
+  }
+
   // ============= §2.4 running aggregates — ops/aggregate.py ================
   // Reference semantics: emit the updated aggregate on EVERY row
   // (`tests/aggregate_test.py:18-21`) — a prefix scan, hence window

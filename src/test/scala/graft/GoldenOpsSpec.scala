@@ -107,6 +107,16 @@ class GoldenOpsSpec extends SparkSpec {
       array.map(i => 10L + 2 * i))
   }
 
+  test("chunkwith flushes at ticks, remainder on done (ops/transform.py:179-211)") {
+    import graft.sources.Sources
+    val src = seqStream(array) // values 0..9 at 1s intervals
+    val timer = graft.engine.EventStream(Sources.timer(spark, 3.0, 3), keys = Nil) // ticks 0s,3s,6s
+    val got = src.chunkWith(timer, "value", "chunk", "vals")
+      .df.orderBy("chunk").select("vals").collect()
+      .map(_.getSeq[Long](0).toList).toList
+    assert(got == List(List(0L), List(1L, 2, 3), List(4L, 5, 6), List(7L, 8, 9)))
+  }
+
   test("iterate ends at the shorter side (transform_test.py, ops/transform.py:22-35)") {
     val got = valuesOf[String](seqStream(array).iterate(Seq("a", "b", "c"), "it"), "it")
     assert(got == Seq("a", "b", "c"))

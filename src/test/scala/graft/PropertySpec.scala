@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.engine.EventStream
+
+/**
+ * Property-based laws (SURVEY.md §5): engine-independent invariants the
+ * reference's semantics imply, checked over random inputs. Spark jobs
+ * per case are expensive, so case counts are small and seeds fixed
+ * (reproducible). Gen is driven directly — the scalatest-scalacheck
+ * bridge artifact is not among the vendored deps.
+ */
+class PropertySpec extends SparkSpec {
+
+  private val smallInts = Gen.nonEmptyListOf(Gen.choose(-50, 50))
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 5).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default.withSize(30), Seed(42L + i)))
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 5).foreach { i =>
+      f(g1.pureApply(Gen.Parameters.default.withSize(30), Seed(42L + i)),
+        g2.pureApply(Gen.Parameters.default.withSize(30), Seed(1042L + i)))
+    }
+
+  test("zip length = min(len a, len b); pairs positional (ops/combine.py:219)") {
+    forAll(smallInts, smallInts) { (a: List[Int], b: List[Int]) =>
+      val z = EventStream.zip(
+        seqStream(a), seqStream(b), "i")
+      val got = z.df.orderBy("i").select("value", "value_r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(got == a.zip(b).map { case (x, y) => (x.toLong, y.toLong) })
+    }
+  }
+
+  test("merge multiset = union of inputs (ops/combine.py:97)") {
+    forAll(smallInts, smallInts) { (a: List[Int], b: List[Int]) =>
+      val m = EventStream.merge(Seq(seqStream(a), seqStream(b)), "src", "oseq")
+      val got = m.df.select("value").collect().map(_.getLong(0)).sorted.toList
+      assert(got == (a ++ b).map(_.toLong).sorted)
+    }
+  }
+
+  test("takewhile ++ dropwhile = identity partition (ops/select.py:49-76)") {
+    forAll(smallInts) { (a: List[Int]) =>
+      val pred = col("value") < 0
+      val tw = valuesOf[Long](seqStream(a).takeWhile(pred), "value")
+      val dw = valuesOf[Long](seqStream(a).dropWhile(pred), "value")
+      assert((tw ++ dw).toList == a.map(_.toLong))
+      assert(tw.forall(_ < 0))
+    }
+  }
+
+  test("running sum/min/max agree with scanLeft (ops/aggregate.py)") {
+    forAll(smallInts) { (a: List[Int]) =>
+      val st = seqStream(a)
+        .rsum(col("value"), "rs").rmin(col("value"), "rmin").rmax(col("value"), "rmax")
+      val rows = st.df.orderBy("seq").select("rs", "rmin", "rmax").collect()
+      val expSum = a.scanLeft(0L)(_ + _).tail
+      val expMin = a.tail.scanLeft(a.head.toLong)((m, x) => math.min(m, x))
+      val expMax = a.tail.scanLeft(a.head.toLong)((m, x) => math.max(m, x))
+      assert(rows.map(_.getLong(0)).toList == expSum)
+      assert(rows.map(_.getLong(1)).toList == expMin)
+      assert(rows.map(_.getLong(2)).toList == expMax)
+    }
+  }
+
+  test("ema stays within running [min, max] (ops/aggregate.py:95)") {
+    forAll(smallInts) { (a: List[Int]) =>
+      val st = seqStream(a)
+      val got = st.derive(st.df.withColumn("ema",
+          graft.functions.Aggregators.ema(col("value").cast("double"), 0.25).over(st.wRun)))
+        .df.orderBy("seq").select("ema").collect().map(_.getDouble(0)).toList
+      val mins = a.tail.scanLeft(a.head)(math.min)
+      val maxs = a.tail.scanLeft(a.head)(math.max)
+      got.zip(mins.zip(maxs)).foreach { case (e, (lo, hi)) =>
+        assert(e >= lo - 1e-9 && e <= hi + 1e-9)
+      }
+    }
+  }
+
+  test("chunk(n) sizes: all n except a shorter tail (ops/transform.py:158)") {
+    forAll(smallInts, Gen.choose(1, 7)) { (a: List[Int], n: Int) =>
+      val sizes = seqStream(a).chunk("value", n, "ci", "vals")
+        .df.orderBy("ci").select("vals").collect()
+        .map(_.getSeq[Long](0).length).toList
+      assert(sizes.init.forall(_ == n) || sizes.length <= 1)
+      assert(sizes.last <= n && sizes.sum == a.length)
+    }
+  }
+
+  test("unique preserves first occurrences in order (ops/select.py:115)") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 5))) { (a: List[Int]) =>
+      val got = valuesOf[Long](seqStream(a).unique(Seq("value")), "value").toList
+      assert(got == a.map(_.toLong).distinct)
+    }
+  }
+}
