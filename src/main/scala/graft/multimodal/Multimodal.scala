@@ -58,6 +58,40 @@ object Multimodal {
     }
   }
 
+  case class Frame(
+      media_id: Long,
+      frame_idx: Long,
+      payload: Array[Byte])
+
+  /**
+   * Frame sampling (video → every `everyN`-th frame): the one-to-many
+   * decode shape. Frames here are fixed-size payload chunks (the stub
+   * codec); a real demuxer replaces only the chunking. `flatMap` keeps
+   * it fully parallel and lets downstream per-frame decode fan out.
+   */
+  def frameSample(items: Dataset[MediaItem], frameBytes: Int, everyN: Int): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (bytes, i) if i % everyN == 0 => Frame(m.media_id, i.toLong, bytes)
+      }
+    }
+  }
+
+  /** Resize stub: metadata transform + deterministic payload rewrite
+    * (truncate/pad to the target byte budget — a real scaler replaces
+    * only this kernel; the plan shape is an embarrassingly parallel
+    * `map`). */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.map { m =>
+      val budget = math.max(1, w * h / 64)
+      val p = if (m.payload.length >= budget) m.payload.take(budget)
+              else m.payload ++ Array.fill[Byte](budget - m.payload.length)(0)
+      MediaItem(m.media_id, m.media_type, p, w, h)
+    }
+  }
+
   /** Demo corpus: documents' text bytes standing in for encoded media. */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._

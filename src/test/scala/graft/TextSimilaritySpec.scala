@@ -89,4 +89,20 @@ class TextSimilaritySpec extends SparkSpec {
       .filter(_.media_id == 0L).collect().head
     assert(first.feature.toSeq == again.feature.toSeq)
   }
+
+  test("multimodal frame-sample and resize shapes") {
+    val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val src = items.filter(_.media_id == 0L).collect().head
+    // frame-sample: every 2nd 64-byte chunk; indices are even
+    val frames = Multimodal.frameSample(
+      items.filter(_.media_id == 0L), frameBytes = 64, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val expectedFrames = (src.payload.length + 63) / 64
+    assert(frames.length == (expectedFrames + 1) / 2)
+    // resize: metadata updated, payload exactly at the stub byte budget
+    val resized = Multimodal.resize(items, 32, 32).filter(_.media_id == 0L).collect().head
+    assert(resized.width == 32 && resized.height == 32)
+    assert(resized.payload.length == 32 * 32 / 64)
+  }
 }
