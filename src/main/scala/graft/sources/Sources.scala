@@ -90,4 +90,30 @@ object Sources {
     marbleRows(s).toDF("seq", "ts_us", "value")
       .select(col("seq"), timestamp_micros(col("ts_us")).as("ts"), col("value"))
   }
+
+  /**
+   * Distributed global sequence assignment — the scale path for un-keyed
+   * streams (SURVEY.md §7.4 #1). `row_number() OVER (ORDER BY …)` forces
+   * a single partition; this instead range-repartitions on the order
+   * columns, sorts within partitions, and assigns contiguous ids via the
+   * classic two-pass count-then-offset (`zipWithIndex`: one tiny job for
+   * per-partition counts, then a narrow map). No partition ever holds
+   * more than its share of rows. The one justified RDD use in the engine
+   * (per-partition imperative indexing has no Dataset equivalent).
+   */
+  def withGlobalSeq(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+      as: String = "seq", numPartitions: Int = 0): DataFrame = {
+    val ranged =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, orderCols: _*)
+      else df.repartitionByRange(orderCols: _*) // session default; AQE may coalesce
+    val sorted = ranged.sortWithinPartitions(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(as, org.apache.spark.sql.types.LongType,
+          nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

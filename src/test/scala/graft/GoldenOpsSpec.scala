@@ -121,4 +121,15 @@ class GoldenOpsSpec extends SparkSpec {
     val got = valuesOf[String](seqStream(array).iterate(Seq("a", "b", "c"), "it"), "it")
     assert(got == Seq("a", "b", "c"))
   }
+
+  test("withGlobalSeq: contiguous order-respecting ids across partitions") {
+    import graft.sources.Sources
+    val df = spark.range(0, 1000).select((col("id") * 7919 % 1000).as("v"))
+      .repartition(8) // deliberately scrambled across partitions
+    val seqd = Sources.withGlobalSeq(df, Seq(col("v")), "gseq", numPartitions = 8)
+    assert(seqd.rdd.getNumPartitions > 1) // not a single-partition sort
+    val rows = seqd.orderBy("gseq").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq == (0L until 1000L))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
 }

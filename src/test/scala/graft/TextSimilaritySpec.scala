@@ -90,6 +90,18 @@ class TextSimilaritySpec extends SparkSpec {
     assert(first.feature.toSeq == again.feature.toSeq)
   }
 
+  test("GraftExtensions: custom kernels callable from SQL") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "ascii_poly_hash('abc', 31L, 1000000007L) AS h, " +
+      "shingle_sids(array('a', 'b', 'c'), 2) AS s").collect().head
+    assert(r.getDouble(0) === 11.0)
+    // fold: ((0*31+97)%M *31 + 98)%M *31 + 99 = 97*961 + 98*31 + 99
+    assert(r.getLong(1) === 97L * 31 * 31 + 98L * 31 + 99L)
+    assert(r.getSeq[Long](2).length === 2)
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
