@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
  */
 object Tables {
 
+  // Catalog-style handle cache: DataFrames are immutable, so reusing the
+  // resolved handle per (session, path) skips repeated file listing and
+  // parquet footer/schema reads on every query construction — the same
+  // metadata caching a real catalog provides. Keyed by session so a
+  // restarted session re-resolves.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /**
    * The `events` table is the canonical eventkit stream stand-in:
@@ -22,7 +31,11 @@ object Tables {
    * `cents` = value in integer cents so aggregate queries stay exact
    * (bit-identical across engines regardless of summation order).
    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, s"$dir/events.parquet#normalized"),
+      eventsUncached(spark, dir))
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {
     // The fixture's ts is INT64 TIMESTAMP(NANOS) which vanilla Spark
     // refuses ([PARQUET_TYPE_ILLEGAL]); read nanos as long and convert.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
