@@ -37,19 +37,20 @@ object ProbeMh {
     time("edges") {
       TextOps.shingleSidEdges(docs, "doc_id", "text", K, dedup = false).count()
     }
-    time("sigs") {
-      TextOps.minhashSignatures(
-        TextOps.shingleSidEdges(docs, "doc_id", "text", K, dedup = false), "doc_id", H).count()
+    time("sigs-narrow") {
+      TextOps.minhashSignaturesNarrow(docs, "doc_id", "text", K, H).count()
+    }
+    time("bands") {
+      val sigs = TextOps.minhashSignaturesNarrow(docs, "doc_id", "text", K, H)
+      TextOps.lshBands(sigs, "doc_id", BANDS, R).count()
     }
     time("full") {
-      val edges = TextOps.shingleSidEdges(docs, "doc_id", "text", K, dedup = false)
-      val sigs = TextOps.minhashSignatures(edges, "doc_id", H)
+      val sigs = TextOps.minhashSignaturesNarrow(docs, "doc_id", "text", K, H)
       val bands = TextOps.lshBands(sigs, "doc_id", BANDS, R)
       TextOps.lshCandidates(bands, "doc_id").count()
     }
     time("full-2nd") {
-      val edges = TextOps.shingleSidEdges(docs, "doc_id", "text", K, dedup = false)
-      val sigs = TextOps.minhashSignatures(edges, "doc_id", H)
+      val sigs = TextOps.minhashSignaturesNarrow(docs, "doc_id", "text", K, H)
       val bands = TextOps.lshBands(sigs, "doc_id", BANDS, R)
       TextOps.lshCandidates(bands, "doc_id").count()
     }

@@ -206,6 +206,66 @@ object ShingleSids {
   }
 }
 
+/**
+ * MinHash signature kernel: `array<long>` shingle ids → `array<long>` of
+ * `numHashes` signature values, `h_j = min over sids of (sid*a_j + b_j)
+ * mod P` with the engine's fixed coefficient schedule (`TextOps.aCoef/
+ * bCoef/P`). Computing the signature *per document row* — the sids are
+ * already colocated in the shingle array — removes the explode and the
+ * per-doc groupBy shuffle of the edge-based formulation: the whole
+ * signature stage becomes one narrow codegen'd pass.
+ */
+case class MinHashSigs(child: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs needs ARRAY<BIGINT>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.eval(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigs.eval($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  private val P = 2147483647L
+
+  /** Called from generated code. Empty input → empty signature (callers
+    * filter docs with no shingles, matching the edge-based groupBy which
+    * simply has no row for them). */
+  def eval(sids: ArrayData, numHashes: Int): ArrayData = {
+    val n = sids.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sid = sids.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = (sid * (2L * j + 3) + (7919L * j + 13)) % P
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
@@ -219,4 +279,8 @@ object VectorFunctions {
   /** Fused token-fingerprint → k-shingle-id kernel as a `Column`. */
   def shingleSids(toks: Column, k: Int): Column =
     ColumnBridge.column(ShingleSids(ColumnBridge.expression(toks), k))
+
+  /** Per-row MinHash signature kernel as a `Column`. */
+  def minhashSigs(sids: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigs(ColumnBridge.expression(sids), numHashes))
 }

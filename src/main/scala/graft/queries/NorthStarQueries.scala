@@ -136,8 +136,7 @@ object NorthStarQueries {
 
     Q("q_dedup_minhash",
       (s, d) => {
-        val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = false)
-        val sigs = TextOps.minhashSignatures(edges, "doc_id", H)
+        val sigs = TextOps.minhashSignaturesNarrow(docs(s, d), "doc_id", "text", K, H)
         val bands = TextOps.lshBands(sigs, "doc_id", BANDS, R)
         TextOps.lshCandidates(bands, "doc_id").orderBy("a", "b")
       }, {

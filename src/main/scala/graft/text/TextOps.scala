@@ -106,12 +106,30 @@ object TextOps {
     if (dedup) staged.distinct() else staged
   }
 
-  /** One row per doc: minhash signature columns h0..h{n-1} over `sid`. */
+  /** One row per doc: minhash signature columns h0..h{n-1} over `sid`.
+    * Edge-based (generic) formulation: use when shingles arrive as a
+    * shuffled edge list. When they come straight from the text, prefer
+    * [[minhashSignaturesNarrow]] — same values, no shuffle. */
   def minhashSignatures(edges: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { j =>
       min((col("sid") * aCoef(j) + bCoef(j)) % P).as(s"h$j")
     }
     edges.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Signatures computed per document row by the [[graft.functions.MinHashSigs]]
+    * codegen kernel — the sids never leave the row, so the whole stage is
+    * one narrow pass (no explode, no groupBy shuffle). Docs with no
+    * shingles are dropped, matching the edge-based groupBy. */
+  def minhashSignaturesNarrow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      graft.functions.VectorFunctions.minhashSigs(
+        graft.functions.VectorFunctions.shingleSids(tokens(col(textCol)), k),
+        numHashes).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+    sigs.select(col(idCol) +:
+      (0 until numHashes).map(j => element_at(col("__hs"), j + 1).as(s"h$j")): _*)
   }
 
   /** (doc, band, key) rows; equal keys within a band = candidate pair.
