@@ -266,6 +266,66 @@ object MinHashSigs {
   }
 }
 
+/**
+ * Fused SimHash kernel: `array<string>` tokens → BIGINT signature.
+ * Fingerprints each token (rolling poly hash), dedups (set semantics),
+ * then for each of `nBits` bits sums ±1 votes
+ * (`((fp*(2k+7919)) % 131071) % 2`) and sets bit k iff the sum is
+ * positive — the identical arithmetic of the explode → distinct →
+ * groupBy formulation, without the explode or either shuffle.
+ */
+case class SimHashSig(child: Expression, nBits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sig needs ARRAY<STRING>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSig.eval(input.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashSig.eval($c, $nBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  /** Called from generated code. */
+  def eval(toks: ArrayData, nBits: Int): Long = {
+    val seen = new java.util.HashSet[Long]()
+    val votes = new Array[Long](nBits)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val fp = AsciiPolyHash.fold(toks.getUTF8String(i).getBytes, 31L, 1000000007L)
+      if (seen.add(fp)) {
+        var k = 0
+        while (k < nBits) {
+          val odd = (fp * (2L * k + 7919) % 131071L) % 2 == 1
+          votes(k) += (if (odd) 1 else -1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < nBits) { if (votes(k) > 0) sig |= 1L << k; k += 1 }
+    sig
+  }
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
@@ -283,4 +343,8 @@ object VectorFunctions {
   /** Per-row MinHash signature kernel as a `Column`. */
   def minhashSigs(sids: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigs(ColumnBridge.expression(sids), numHashes))
+
+  /** Fused per-row SimHash signature kernel as a `Column`. */
+  def simhashSig(toks: Column, nBits: Int): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(toks), nBits))
 }

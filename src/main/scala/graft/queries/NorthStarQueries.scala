@@ -155,14 +155,14 @@ object NorthStarQueries {
       }),
 
     Q("q_dedup_simhash",
-      (s, d) => {
-        val edges = docs(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
-          .select(col("doc_id"),
-            explode(TextOps.tokenFingerprints(col("__toks"))).as("sid"))
-          .distinct()
-        TextOps.simhash(edges, "doc_id", NBITS).orderBy("doc_id")
-      }, {
+      // Fused per-row kernel: tokens → deduped fingerprints → bit votes →
+      // signature, one narrow pass (no explode, no shuffle).
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.simhashSig(
+            TextOps.tokens(col("text")), NBITS).as("simhash"))
+        .filter(size(TextOps.tokens(col("text"))) > 0)
+        .orderBy("doc_id"), {
         val bitCols = (0 until NBITS).map(k =>
           s"CAST(sum(CASE WHEN (sid * ${2L * k + 7919} % 131071) % 2 = 1 " +
             s"THEN 1 ELSE -1 END) > 0 AS BIGINT) AS b$k").mkString(", ")
