@@ -295,13 +295,14 @@ object CombineQueries {
         "'v' || CAST(range AS VARCHAR) AS value FROM range(500) ORDER BY seq"),
 
     Q("q_timer",
-      // Timer (`ops/create.py:100-112`): emit i*interval at those times.
-      // 0.5 is exactly representable, so i*0.5 is exact in both engines.
+      // Timer (`ops/create.py:100-112`): first tick after `interval`
+      // (i starts at 1), value i*interval. 0.5 is exactly representable,
+      // so i*0.5 is exact in both engines.
       (s, _) => Sources.timer(s, 0.5, 1000)
         .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("value"))
         .orderBy("seq"),
-      "SELECT range AS seq, 1704067200000000 + range * 500000 AS ts_us, " +
-        "CAST(range AS DOUBLE) * 0.5e0 AS value FROM range(1000) ORDER BY seq"),
+      "SELECT range AS seq, 1704067200000000 + (range + 1) * 500000 AS ts_us, " +
+        "CAST(range + 1 AS DOUBLE) * 0.5e0 AS value FROM range(1000) ORDER BY seq"),
 
     Q("q_wait",
       // Wait (`ops/create.py:10-35`): one awaited result, then done.

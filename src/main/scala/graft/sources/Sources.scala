@@ -53,12 +53,14 @@ object Sources {
       timestamp_micros(lit(epochUs) + col("id") * math.round(intervalSec * 1e6)).as("ts"),
       lit(value).as("value"))
 
-  /** Timer (`ops/create.py:100-112`): emit i*interval at those times. */
+  /** Timer (`ops/create.py:100-112`): the reference's loop starts at
+    * i = 1 — the first tick fires after `interval` (never at t = 0) and
+    * carries value `i*interval`. */
   def timer(spark: SparkSession, intervalSec: Double, count: Int): DataFrame =
     spark.range(count).select(
       col("id").as("seq"),
-      timestamp_micros(lit(epochUs) + col("id") * math.round(intervalSec * 1e6)).as("ts"),
-      (col("id") * intervalSec).as("value"))
+      timestamp_micros(lit(epochUs) + (col("id") + 1) * math.round(intervalSec * 1e6)).as("ts"),
+      ((col("id") + 1) * intervalSec).as("value"))
 
   /** Timerange (`ops/create.py:93-97`): datetimes start..end paced by step. */
   def timerange(spark: SparkSession, start: String, end: String, stepExpr: String): DataFrame =

@@ -47,13 +47,14 @@ object Streaming {
       .select(col("user_id"), timestamp_micros(col("tsUs")).as("ts"), col("value"))
   }
 
-  /** Timer source: emits i*intervalSec at those (processing) times. */
+  /** Timer source: i-th tick carries i*intervalSec (i from 1, matching
+    * the reference loop — `ops/create.py:100-112`) at processing time. */
   def timer(spark: SparkSession, intervalSec: Double): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", math.max(1, (1 / intervalSec).toInt).toString)
       .load()
       .select(col("value").as("seq"), col("timestamp").as("ts"),
-        (col("value") * intervalSec).as("value"))
+        ((col("value") + 1) * intervalSec).as("value"))
 
   /** Tumbling event-time window with watermark — ChunkWith's streaming
     * form (`ops/transform.py:179-211`). */

@@ -107,19 +107,48 @@ class GoldenOpsSpec extends SparkSpec {
       array.map(i => 10L + 2 * i))
   }
 
-  test("chunkwith flushes at ticks, remainder on done (ops/transform.py:179-211)") {
+  test("chunkwith golden (aggregate_test.py:46-49, times scaled 100x)") {
     import graft.sources.Sources
+    // reference: sequence(array, 0.01).chunkwith(timer(0.029, 10))
+    //   -> [[0,1,2],[3,4,5],[6,7,8],[9]]
     val src = seqStream(array) // values 0..9 at 1s intervals
-    val timer = graft.engine.EventStream(Sources.timer(spark, 3.0, 3), keys = Nil) // ticks 0s,3s,6s
+    val timer = graft.engine.EventStream(
+      Sources.timer(spark, 2.9, 10), keys = Nil) // ticks 2.9s, 5.8s, …
     val got = src.chunkWith(timer, "value", "chunk", "vals")
       .df.orderBy("chunk").select("vals").collect()
       .map(_.getSeq[Long](0).toList).toList
-    assert(got == List(List(0L), List(1L, 2, 3), List(4L, 5, 6), List(7L, 8, 9)))
+    assert(got == List(List(0L, 1, 2), List(3L, 4, 5), List(6L, 7, 8), List(9L)))
   }
 
   test("iterate ends at the shorter side (transform_test.py, ops/transform.py:22-35)") {
     val got = valuesOf[String](seqStream(array).iterate(Seq("a", "b", "c"), "it"), "it")
     assert(got == Seq("a", "b", "c"))
+  }
+
+  test("pluck nested attrs golden (transform_test.py:66-83)") {
+    // Person(name, address:(city, street, ...)); pluck('0.name',
+    // '.address.street') -> [('Max','Levelstreet'), ...]
+    val data = Seq(
+      ("Max", ("Delft", "Levelstreet")),
+      ("Elena", ("Leiden", "Punt")),
+      ("Fem", ("Rotterdam", "Burgundy")))
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(
+      Encoders.STRING, Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val df = spark.createDataset(data).toDF("name", "address")
+      .select(col("name"), col("address").cast("struct<city:string,street:string>"))
+    val got = df.select(col("name"), col("address.street").as("street"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(got == List(("Max", "Levelstreet"), ("Elena", "Punt"), ("Fem", "Burgundy")))
+  }
+
+  test("sync star map golden (transform_test.py:85-90)") {
+    // map(i -> (i,i)).star().map((x,y) -> x/2 - y)
+    val got = seqStream(array)
+      .mapPayload("p" -> struct(col("value").as("x"), col("value").as("y")))
+      .mapPayload("r" -> (col("p.x") / 2.0 - col("p.y")))
+      .df.orderBy("seq").select("r").collect().map(_.getDouble(0)).toList
+    assert(got == array.map(i => i / 2.0 - i).toList)
   }
 
   test("withGlobalSeq: contiguous order-respecting ids across partitions") {
