@@ -56,6 +56,11 @@ final case class EventStream(
 
   def derive(d: DataFrame): EventStream = copy(df = d)
 
+  /** Compose source-less operator chains (`event.py:259-282` `pipe`/`|`):
+    * operators are plain `EventStream => EventStream` functions. */
+  def pipe(fs: (EventStream => EventStream)*): EventStream =
+    fs.foldLeft(this)((s, f) => f(s))
+
   /** Ordinal of each row within its key, starting at 1. */
   def withRowNumber(as: String): EventStream =
     derive(df.withColumn(as, row_number().over(w)))

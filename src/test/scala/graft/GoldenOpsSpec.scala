@@ -125,6 +125,13 @@ class GoldenOpsSpec extends SparkSpec {
     assert(got == Seq("a", "b", "c"))
   }
 
+  test("pipe composes operator chains (event.py:259-282)") {
+    val double = (s: graft.engine.EventStream) => s.mapPayload("value" -> col("value") * 2)
+    val positive = (s: graft.engine.EventStream) => s.where(col("value") > 0)
+    val got = longs(seqStream(array).pipe(double, positive), "value")
+    assert(got == array.filter(_ > 0).map(_ * 2L))
+  }
+
   test("pluck nested attrs golden (transform_test.py:66-83)") {
     // Person(name, address:(city, street, ...)); pluck('0.name',
     // '.address.street') -> [('Max','Levelstreet'), ...]

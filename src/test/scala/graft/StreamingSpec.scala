@@ -56,6 +56,17 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() === 3)
   }
 
+  test("streaming merge: stream-stream union is native (ops/combine.py:97)") {
+    val a = new Streaming.EventBus(spark)
+    val b = new Streaming.EventBus(spark)
+    a.emit(Ev(1L, 1_000_000L, 1.0), Ev(1L, 3_000_000L, 3.0))
+    b.emit(Ev(1L, 2_000_000L, 2.0))
+    val merged = a.events.unionByName(b.events)
+    val got = Streaming.runToMemory(merged, "merge_out")
+      .orderBy("ts").collect().map(_.getDouble(2)).toList
+    assert(got == List(1.0, 2.0, 3.0))
+  }
+
   test("streaming debounce matches batch debounce semantics (ops/timing.py:67)") {
     import spark.implicits._
     // bursts per user: u1 @ 0s,0.4s,0.8s (one burst, last=3.0) then 5s (own burst);
