@@ -492,17 +492,23 @@ object EventStream {
   def switch(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
     val h = ss.head
     val u = tagged(ss, srcAs)
-    val wFirst = Window.partitionBy((h.keys :+ srcAs).map(col): _*)
-      .orderBy(col(h.tsCol), col(h.seqCol))
+    // First emission per (key, source): `seq` IS emit order within a
+    // source (reference `event.py:194`), so min(seq) identifies it. A
+    // partial-aggregated min + broadcast join replaces a second full
+    // (key, source)-sorted window pass — map-side combine shrinks the
+    // agg to one row per key×source before its exchange.
+    val firsts = u.groupBy((h.keys :+ srcAs).map(col): _*)
+      .agg(min(col(h.seqCol)).as("__fseq"))
     val wt = Window.partitionBy(h.keys.map(col): _*)
       .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
     val pass = graft.functions.Aggregators
       .switchPass(col(srcAs).cast("long"), col("__isfirst"))
       .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     h.derive(u
-      .withColumn("__isfirst", row_number().over(wFirst) === 1)
+      .join(broadcast(firsts), h.keys :+ srcAs)
+      .withColumn("__isfirst", col(h.seqCol) === col("__fseq"))
       .withColumn("__pass", pass)
-      .filter(col("__pass")).drop("__pass", "__isfirst")
+      .filter(col("__pass")).drop("__pass", "__isfirst", "__fseq")
       .withColumn(outSeqAs, row_number().over(wt).cast("long")))
   }
 
