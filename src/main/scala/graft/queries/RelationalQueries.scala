@@ -108,6 +108,43 @@ object RelationalQueries {
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey NOT IN " +
         "(SELECT o_custkey FROM orders) ORDER BY c_custkey"),
 
+    Q("q_tpch6_forecast",
+      // TPC-H Q6 shape: fully-pushed-down filter + one scalar aggregate
+      // (partial agg → 1-row exchange). Exact: cents × basis points.
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          cents("l_discount").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(cents("l_extendedprice") * cents("l_discount")).as("revenue_c2")),
+      s"SELECT sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")}) AS revenue_c2 " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        s"AND ${sqlCents("l_discount")} BETWEEN 5 AND 7 AND l_quantity < 24"),
+
+    Q("q_tpch12_priority",
+      // TPC-H Q12 shape on the fixture's columns: fact-fact join +
+      // conditional aggregation (high/low priority line counts per
+      // linestatus for lines shipped in 1996).
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus"),
+      "SELECT l_linestatus, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
+        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
+
     Q("q_sort_topn",
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"), cents("o_totalprice").as("total_c"))
