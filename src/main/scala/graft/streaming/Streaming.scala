@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 
 /**
  * Structured Streaming variants of the eventkit surface (SURVEY.md §2.10).
@@ -144,6 +144,55 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) => listener(batch.toDF()))
       .start()
+
+  /**
+   * Streaming Throttle (`ops/timing.py:104-184`) on the
+   * `transformWithState` API (Spark 4 stateful processor + RocksDB
+   * state store): values are never dropped; each row's timestamp is
+   * rewritten to when the per-key sliding-window rate limiter
+   * (`maximum` per `intervalSec`) admits it — the same semantics as the
+   * batch `EventStream.throttle` scan. State is the bounded list of the
+   * last `maximum` admitted times.
+   *
+   * Requires `spark.sql.streaming.stateStore.providerClass =
+   * ...RocksDBStateStoreProvider` (transformWithState's backing store).
+   */
+  class ThrottleProcessor(maximum: Int, intervalUs: Long)
+    extends StatefulProcessor[Long, Ev, Ev] {
+
+    @transient private var admitted: ValueState[Seq[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      admitted = getHandle.getValueState[Seq[Long]](
+        "admitted", implicitly[org.apache.spark.sql.Encoder[Seq[Long]]], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[Ev] = {
+      var window = if (admitted.exists()) admitted.get() else Seq.empty[Long]
+      val out = rows.toSeq.sortBy(_.tsUs).map { ev =>
+        val admitTs =
+          if (window.size < maximum) ev.tsUs
+          else math.max(ev.tsUs, window(window.size - maximum) + intervalUs)
+        window = (window :+ admitTs).takeRight(maximum)
+        Ev(ev.user_id, admitTs, ev.value)
+      }
+      admitted.update(window)
+      out.iterator
+    }
+  }
+
+  /** Streaming throttle: ts-rewrite rate limiting with keyed RocksDB
+    * state via `transformWithState`. */
+  def throttleStream(events: Dataset[Ev], maximum: Int, intervalSec: Double): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new ThrottleProcessor(maximum, math.round(intervalSec * 1e6)),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */

@@ -56,6 +56,31 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() === 3)
   }
 
+  test("transformWithState throttle rewrites admit times (ops/timing.py:104)") {
+    // max 2 per 1s, user 1 bursts 5 rows at t=0..0.1s:
+    // admits at 0, 0.1 (window free), then 0+1s, 0.1+1s, then 1.0+1s.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bus = new Streaming.EventBus(spark)
+      bus.emit(
+        Ev(1L, 0L, 1.0), Ev(1L, 100_000L, 2.0), Ev(1L, 110_000L, 3.0),
+        Ev(1L, 120_000L, 4.0), Ev(1L, 130_000L, 5.0))
+      val out = Streaming.throttleStream(bus.eventsTyped, maximum = 2, intervalSec = 1.0)
+      val got = Streaming.runToMemory(out.toDF(), "thr_out")
+        .orderBy("tsUs").collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+      assert(got == List(
+        (0L, 1.0), (100_000L, 2.0),
+        (1_000_000L, 3.0), (1_100_000L, 4.0), (2_000_000L, 5.0)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming merge: stream-stream union is native (ops/combine.py:97)") {
     val a = new Streaming.EventBus(spark)
     val b = new Streaming.EventBus(spark)
