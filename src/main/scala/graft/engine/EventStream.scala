@@ -413,6 +413,29 @@ final case class EventStream(
 
 object EventStream {
 
+  /**
+   * Async map with a concurrency cap (`ops/transform.py:214-288`:
+   * `Map(func, task_limit=N)` — the reference's bounded-parallelism
+   * external-service call). Spark already parallelizes across
+   * partitions; `taskLimit` bounds the *in-flight calls per partition*
+   * (connection-pool semantics): each partition's iterator advances in
+   * windows of `taskLimit` concurrent futures, and results stay in emit
+   * order (the reference's `ordered=True` default). Wrap `f` in a
+   * Try→null for the reference's timeout→NO_VALUE mode.
+   */
+  def mapAsync[I, O: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[I], f: I => O, taskLimit: Int)
+      : org.apache.spark.sql.Dataset[O] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    ds.mapPartitions { it =>
+      it.grouped(math.max(1, taskLimit)).flatMap { batch =>
+        batch.map(i => Future(f(i))).map(fu => Await.result(fu, Duration.Inf))
+      }
+    }
+  }
+
   /** Tag and union streams; `srcAs` identifies the origin. */
   private def tagged(ss: Seq[EventStream], srcAs: String): DataFrame =
     ss.zipWithIndex.map { case (s, i) =>

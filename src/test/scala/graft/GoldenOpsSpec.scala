@@ -125,6 +125,20 @@ class GoldenOpsSpec extends SparkSpec {
     assert(got == Seq("a", "b", "c"))
   }
 
+  test("mapAsync: ordered bounded-parallel map (transform_test.py:92-115)") {
+    import spark.implicits._
+    val ds = spark.createDataset((0 until 50).map(_.toLong))
+    val got = graft.engine.EventStream
+      .mapAsync[Long, Long](ds, x => x * x, taskLimit = 4)
+      .collect().toList
+    assert(got.sorted == (0 until 50).map(i => i.toLong * i).toList)
+    // ordered within partition: per-partition outputs are monotone
+    val perPart = graft.engine.EventStream
+      .mapAsync[Long, Long](ds.repartitionByRange(2, $"value"), x => x * x, 4)
+      .mapPartitions(it => Iterator(it.toList)).collect()
+    perPart.foreach(l => assert(l == l.sorted))
+  }
+
   test("pipe composes operator chains (event.py:259-282)") {
     val double = (s: graft.engine.EventStream) => s.mapPayload("value" -> col("value") * 2)
     val positive = (s: graft.engine.EventStream) => s.where(col("value") > 0)
