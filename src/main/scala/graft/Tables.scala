@@ -22,6 +22,12 @@ object Tables {
     cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Drop cached handles (fixtures are immutable in normal use; call
+    * after rewriting files in place or stopping a session to release
+    * its entries). */
+  def invalidate(spark: SparkSession): Unit =
+    cache.keys.filter(_._1 eq spark).foreach(cache.remove)
+
   /**
    * The `events` table is the canonical eventkit stream stand-in:
    * event_id → seq, ts → event time, user_id → stream key.

@@ -181,34 +181,55 @@ final case class EventStream(
 
   /**
    * ChunkWith (`ops/transform.py:179-211`): buffer values; flush the
-   * buffer each time `timer` fires; flush the remainder when the source
-   * ends. Chunk membership: a row belongs to the flush of the first tick
-   * at-or-after its event time; rows after the last tick form the final
-   * done-flush.
+   * buffer each time `timer` fires — an empty list if nothing arrived
+   * (`emitEmpty`, the reference's `emit_empty=True` default); flush the
+   * remainder when the source ends. Ticks after the source's last row
+   * don't fire (the reference disconnects the timer at source-done). A
+   * row belongs to the flush of the first tick at-or-after its event
+   * time; rows after the last in-range tick form the final done-flush.
    *
    * Encoding: union source+timer, one keyed event-time window pass —
    * a row's chunk id is the running count of *strictly earlier* ticks
    * (source sorts before timer at equal ts, so a row exactly at tick
-   * time lands in that tick's flush). No join; same shape as [[sample]].
+   * time lands in that tick's flush). An un-keyed timer against a keyed
+   * source is fanned out per key. Empty flushes come from the tick rows
+   * themselves (tick i closes chunk i-1), so no extra scan or join.
    */
-  def chunkWith(timer: EventStream, c: String, idxAs: String, listAs: String): EventStream = {
+  def chunkWith(timer: EventStream, c: String, idxAs: String, listAs: String,
+      emitEmpty: Boolean = true): EventStream = {
     val src = df.select(keyCols ++ Seq(col(seqCol), col(tsCol),
       col(c).as("__v"), lit(0).as("__tick")): _*)
-    val tk = timer.df.select(timer.keys.map(col) ++ Seq(
+    val tk0 = timer.df.select(timer.keys.map(col) ++ Seq(
       col(timer.seqCol).as(seqCol), col(timer.tsCol).as(tsCol),
       lit(null).cast(df.schema(c).dataType).as("__v"), lit(1).as("__tick")): _*)
+    // Ticks stop at source done (the reference disconnects the timer,
+    // `ops/transform.py:205-210`): bound ticks by the (per-key) max
+    // source ts. A global timer against a keyed source fans out per key.
+    val bounds = df.groupBy(keyCols: _*).agg(max(col(tsCol)).as("__done"))
+    val tkKeyed =
+      if (keys.isEmpty) tk0.crossJoin(broadcast(bounds))
+      else if (timer.keys.isEmpty) bounds.crossJoin(broadcast(tk0))
+      else tk0.join(broadcast(bounds), keys)
+    val tk = tkKeyed.filter(col(tsCol) <= col("__done")).drop("__done")
     val wt = Window.partitionBy(keyCols: _*)
       .orderBy(col(tsCol), col("__tick"), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val chunked = src.unionByName(tk)
-      .withColumn(idxAs, sum(col("__tick")).over(wt))
-      .filter(col("__tick") === 0)
+    val tagged = src.unionByName(tk)
+      .withColumn("__nticks", sum(col("__tick")).over(wt))
+      // source row → chunk = #ticks before it; tick row i → closes chunk i-1
+      .withColumn(idxAs, col("__nticks") - col("__tick"))
+    val chunked = tagged
       .groupBy((keyCols :+ col(idxAs)): _*)
       .agg(sort_array(collect_list(struct(col(seqCol), col("__v")))).as("__p"),
-        count(lit(1)).as("n"))
-      .withColumn(listAs, col("__p").getField("__v"))
+        count(when(col("__tick") === 0, 1)).as("n"))
+      .withColumn(listAs,
+        when(col("n") > 0, filter(col("__p"), p => p.getField("__v").isNotNull)
+          .getField("__v"))
+          .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+            df.schema(c).dataType))))
       .drop("__p")
-    derive(chunked)
+    val withEmpties = if (emitEmpty) chunked else chunked.filter(col("n") > 0)
+    derive(withEmpties)
   }
 
   // ============= §2.4 running aggregates — ops/aggregate.py ================
@@ -426,10 +447,16 @@ object EventStream {
   def mapAsync[I, O: org.apache.spark.sql.Encoder](
       ds: org.apache.spark.sql.Dataset[I], f: I => O, taskLimit: Int)
       : org.apache.spark.sql.Dataset[O] = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     ds.mapPartitions { it =>
+      // A dedicated pool of exactly `taskLimit` threads per partition:
+      // the cap is a real connection-pool bound even for blocking calls
+      // (the shared global EC would cap at ~numCores JVM-wide instead).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, taskLimit))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdown()))
       it.grouped(math.max(1, taskLimit)).flatMap { batch =>
         batch.map(i => Future(f(i))).map(fu => Await.result(fu, Duration.Inf))
       }
@@ -515,13 +542,14 @@ object EventStream {
   def switch(ss: Seq[EventStream], srcAs: String, outSeqAs: String): EventStream = {
     val h = ss.head
     val u = tagged(ss, srcAs)
-    // First emission per (key, source): `seq` IS emit order within a
-    // source (reference `event.py:194`), so min(seq) identifies it. A
+    // First emission per (key, source) = the first row the (ts, seq)-
+    // ordered scan meets, i.e. min(struct(ts, seq)) lexicographic — NOT
+    // min(seq), which diverges if ts is ever non-monotone in seq. A
     // partial-aggregated min + broadcast join replaces a second full
     // (key, source)-sorted window pass — map-side combine shrinks the
     // agg to one row per key×source before its exchange.
     val firsts = u.groupBy((h.keys :+ srcAs).map(col): _*)
-      .agg(min(col(h.seqCol)).as("__fseq"))
+      .agg(min(struct(col(h.tsCol), col(h.seqCol))).as("__f"))
     val wt = Window.partitionBy(h.keys.map(col): _*)
       .orderBy(col(h.tsCol), col(srcAs), col(h.seqCol))
     val pass = graft.functions.Aggregators
@@ -529,9 +557,10 @@ object EventStream {
       .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     h.derive(u
       .join(broadcast(firsts), h.keys :+ srcAs)
-      .withColumn("__isfirst", col(h.seqCol) === col("__fseq"))
+      .withColumn("__isfirst",
+        struct(col(h.tsCol), col(h.seqCol)) === col("__f"))
       .withColumn("__pass", pass)
-      .filter(col("__pass")).drop("__pass", "__isfirst", "__fseq")
+      .filter(col("__pass")).drop("__pass", "__isfirst", "__f")
       .withColumn(outSeqAs, row_number().over(wt).cast("long")))
   }
 

@@ -30,6 +30,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Always nullable: mismatched lengths yield NULL even for non-null
+  // inputs (and codegen needs a mutable isNull slot to set it).
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   private def elemType(e: Expression): DataType =
@@ -55,12 +58,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     case other       => throw new IllegalStateException(s"vec_dot: $other")
   }
 
+  // Mismatched lengths → NULL, like the zip_with+aggregate HOF this
+  // replaces (null-padded products nulled the whole fold) — a corrupt or
+  // truncated embedding must surface as null, not a partial score.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lt = elemType(left)
     val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += get(x, lt, i) * get(y, rt, i); i += 1 }
@@ -80,12 +87,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(a, elemType(left), i)} * ${getter(b, elemType(right), i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${getter(a, elemType(left), i)} * ${getter(b, elemType(right), i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -95,14 +106,14 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 /**
- * Rolling polynomial string hash: fold `acc = (acc*mult + byte) % mod`
- * over the UTF-8 bytes of the input.
- *
- * For ASCII input (our tokenizer emits only `[a-z0-9 ]`) each byte IS the
- * codepoint, so this equals the per-character `ascii(substr(s,i,1))` HOF
- * fold — which was O(len²) (substr re-scans) and interpreted. This is one
- * codegen'd O(len) loop; it is the hot inner op of shingle fingerprinting
- * and MinHash (SURVEY.md §7.2 step 9).
+ * Rolling polynomial string hash: fold `acc = (acc*mult + codepoint) %
+ * mod` over the characters of the input — the exact arithmetic of the
+ * `ascii(substr(s,i,1))` HOF fold it replaces (which was O(len²) and
+ * interpreted) and of the DuckDB oracle, for ANY input. ASCII input
+ * (the tokenizer emits only `[a-z0-9 ]`, and the doc fixtures are
+ * ASCII) takes a byte-loop fast path; non-ASCII walks Unicode
+ * codepoints. Hot inner op of shingle fingerprinting and MinHash
+ * (SURVEY.md §7.2 step 9).
  */
 case class AsciiPolyHash(child: Expression, mult: Long, mod: Long)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -118,28 +129,38 @@ case class AsciiPolyHash(child: Expression, mult: Long, mod: Long)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"ascii_poly_hash needs STRING, got ${child.dataType}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    var acc = 0L
-    var i = 0
-    while (i < bytes.length) { acc = (acc * mult + (bytes(i) & 0xffL)) % mod; i += 1 }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    AsciiPolyHash.fold(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mult, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.AsciiPolyHash.fold($c.getBytes(), ${mult}L, ${mod}L)")
+      s"graft.functions.AsciiPolyHash.fold($c, ${mult}L, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object AsciiPolyHash {
-  /** Called from generated code. */
-  def fold(bytes: Array[Byte], mult: Long, mod: Long): Long = {
-    var acc = 0L
+  /** Called from generated code. Codepoint fold; ASCII byte fast path. */
+  def fold(s: org.apache.spark.unsafe.types.UTF8String, mult: Long, mod: Long): Long = {
+    val bytes = s.getBytes
+    var ascii = true
     var i = 0
-    while (i < bytes.length) { acc = (acc * mult + (bytes(i) & 0xffL)) % mod; i += 1 }
+    while (i < bytes.length) { if (bytes(i) < 0) { ascii = false; i = bytes.length }; i += 1 }
+    var acc = 0L
+    if (ascii) {
+      var j = 0
+      while (j < bytes.length) { acc = (acc * mult + (bytes(j) & 0xffL)) % mod; j += 1 }
+    } else {
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        acc = (acc * mult + cp) % mod
+        j += Character.charCount(cp)
+      }
+    }
     acc
   }
 }
@@ -189,8 +210,7 @@ object ShingleSids {
     val fps = new Array[Long](n)
     var i = 0
     while (i < n) {
-      fps(i) = AsciiPolyHash.fold(
-        toks.getUTF8String(i).getBytes, 31L, MOD)
+      fps(i) = AsciiPolyHash.fold(toks.getUTF8String(i), 31L, MOD)
       i += 1
     }
     val out = new Array[Long](n - k + 1)
@@ -308,7 +328,7 @@ object SimHashSig {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val fp = AsciiPolyHash.fold(toks.getUTF8String(i).getBytes, 31L, 1000000007L)
+      val fp = AsciiPolyHash.fold(toks.getUTF8String(i), 31L, 1000000007L)
       if (seen.add(fp)) {
         var k = 0
         while (k < nBits) {

@@ -28,8 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  // 5-arg ctor is (className, db, name, usage, extended)
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def longArg(e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v

@@ -158,10 +158,10 @@ object NorthStarQueries {
       // Fused per-row kernel: tokens → deduped fingerprints → bit votes →
       // signature, one narrow pass (no explode, no shuffle).
       (s, d) => docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
         .select(col("doc_id"),
-          graft.functions.VectorFunctions.simhashSig(
-            TextOps.tokens(col("text")), NBITS).as("simhash"))
-        .filter(size(TextOps.tokens(col("text"))) > 0)
+          graft.functions.VectorFunctions.simhashSig(col("__toks"), NBITS).as("simhash"))
         .orderBy("doc_id"), {
         val bitCols = (0 until NBITS).map(k =>
           s"CAST(sum(CASE WHEN (sid * ${2L * k + 7919} % 131071) % 2 = 1 " +

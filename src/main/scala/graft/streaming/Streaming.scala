@@ -172,9 +172,16 @@ object Streaming {
         key: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[Ev] = {
       var window = if (admitted.exists()) admitted.get() else Seq.empty[Long]
       val out = rows.toSeq.sortBy(_.tsUs).map { ev =>
-        val admitTs =
-          if (window.size < maximum) ev.tsUs
-          else math.max(ev.tsUs, window(window.size - maximum) + intervalUs)
+        // Arrival order is FIFO (reference queue, ops/timing.py:119-121):
+        // an admit never precedes the previous one, so clamping to the
+        // last admitted time keeps `window` sorted ascending across
+        // micro-batches — which indexing the (size-maximum)-th element
+        // relies on.
+        val floor = window.lastOption.getOrElse(Long.MinValue)
+        val rateFloor =
+          if (window.size < maximum) Long.MinValue
+          else window(window.size - maximum) + intervalUs
+        val admitTs = math.max(ev.tsUs, math.max(floor, rateFloor))
         window = (window :+ admitTs).takeRight(maximum)
         Ev(ev.user_id, admitTs, ev.value)
       }

@@ -125,6 +125,25 @@ class GoldenOpsSpec extends SparkSpec {
     assert(got == Seq("a", "b", "c"))
   }
 
+  test("chunkwith emit_empty default flushes [] on silent ticks (ops/transform.py:197-200)") {
+    import graft.sources.Sources
+    // values at 0s and 5s; ticks each 1s (bounded at source done=5s);
+    // the row at exactly 5s lands in tick@5's flush ->
+    // [[100],[],[],[],[200]]
+    val src = graft.engine.EventStream(
+      Sources.fromLongs(spark, Seq(100L, 200L), intervalSec = 5.0), keys = Nil)
+    val timer = graft.engine.EventStream(Sources.timer(spark, 1.0, 30), keys = Nil)
+    val got = src.chunkWith(timer, "value", "chunk", "vals")
+      .df.orderBy("chunk").select("vals").collect()
+      .map(_.getSeq[Long](0).toList).toList
+    assert(got == List(List(100L), Nil, Nil, Nil, List(200L)))
+    // emitEmpty=false drops the silent flushes
+    val noEmpty = src.chunkWith(timer, "value", "chunk", "vals", emitEmpty = false)
+      .df.orderBy("chunk").select("vals").collect()
+      .map(_.getSeq[Long](0).toList).toList
+    assert(noEmpty == List(List(100L), List(200L)))
+  }
+
   test("mapAsync: ordered bounded-parallel map (transform_test.py:92-115)") {
     import spark.implicits._
     val ds = spark.createDataset((0 until 50).map(_.toLong))
