@@ -144,6 +144,26 @@ class GoldenOpsSpec extends SparkSpec {
     assert(noEmpty == List(List(100L), List(200L)))
   }
 
+  test("chunkwith: global timer fans out over a keyed source") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.Encoders
+    // user 1: rows at 0s,1s,4s; user 2: row at 2s. ticks each 2s.
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val rows = Seq((1L, 0L, 0L, 10L), (1L, 1L, 1_000_000L, 11L),
+      (1L, 2L, 4_000_000L, 12L), (2L, 0L, 2_000_000L, 20L))
+    val df = spark.createDataset(rows).toDF("user_id", "seq", "ts_us", "value")
+      .select(col("user_id"), col("seq"), timestamp_micros(col("ts_us") + 1704067200000000L).as("ts"), col("value"))
+    val src = graft.engine.EventStream(df, keys = Seq("user_id"))
+    val timer = graft.engine.EventStream(Sources.timer(spark, 2.0, 10), keys = Nil)
+    val got = src.chunkWith(timer, "value", "chunk", "vals")
+      .df.orderBy("user_id", "chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3).toList)).toList
+    // u1: tick@2 -> [10,11] (0s,1s); tick@4 -> [12] (at exactly 4s); done: nothing
+    // u2: tick@2 -> [20] (at exactly 2s)
+    assert(got == List((1L, 0L, List(10L, 11L)), (1L, 1L, List(12L)), (2L, 0L, List(20L))))
+  }
+
   test("mapAsync: ordered bounded-parallel map (transform_test.py:92-115)") {
     import spark.implicits._
     val ds = spark.createDataset((0 until 50).map(_.toLong))
