@@ -345,6 +345,32 @@ object EventQueries {
         "SELECT seq, user_id, row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn " +
         "FROM ev) WHERE rn <= 40 ORDER BY seq"),
 
+    Q("q_chunkwith",
+      // Generic ChunkWith (`ops/transform.py:179-211`): daily timer ticks
+      // flush per-user buffers (non-empty flushes). Oracle: a row's chunk
+      // id = #ticks strictly before it = exact integer arithmetic on the
+      // day offset (row exactly at a tick belongs to that tick's flush).
+      (s, d) => {
+        val st = ev(s, d)
+        val b = st.df.agg(date_trunc("day", min(col("ts"))).as("t0"),
+          max(col("ts")).as("t1"))
+        val ticks = b.select(explode(expr(
+            "sequence(t0 + INTERVAL 1 DAY, t1 + INTERVAL 1 DAY, INTERVAL 1 DAY)")).as("ts"))
+          .withColumn("seq",
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("ts")))
+              .cast("long"))
+        val timer = graft.engine.EventStream(ticks, keys = Nil)
+        st.chunkWith(timer, "cents", "chunk", "vals", emitEmpty = false)
+          .df.select("user_id", "chunk", "n", "vals").orderBy("user_id", "chunk")
+      },
+      s"$EV, b AS (SELECT date_trunc('day', min(ts)) AS t0 FROM ev) " +
+        "SELECT user_id, chunk, count(*) AS n, list(cents ORDER BY seq) AS vals FROM (" +
+        "SELECT user_id, seq, cents, " +
+        "GREATEST(CASE WHEN (epoch_us(ts) - epoch_us(t0)) % 86400000000 = 0 " +
+        "THEN (epoch_us(ts) - epoch_us(t0)) // 86400000000 - 1 " +
+        "ELSE (epoch_us(ts) - epoch_us(t0)) // 86400000000 END, 0) AS chunk " +
+        "FROM ev, b) GROUP BY user_id, chunk ORDER BY user_id, chunk"),
+
     Q("q_fork_zip",
       // fork[count, sum, min, max].zip() (`ops/combine.py:10-37`,
       // tests/event_test.py:148-152): N running aggregates over the same
