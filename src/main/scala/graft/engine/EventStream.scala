@@ -368,6 +368,19 @@ final case class EventStream(
       .drop("__admit_us"))
   }
 
+  /** Throttle with per-item cost (`cost_func`, `ops/timing.py:115-117`):
+    * total admitted cost over any sliding `intervalSec` stays ≤
+    * `maximum`; timestamps move to admission, nothing is dropped. */
+  def throttleCost(cost: Column, maximum: Long, intervalSec: Double): EventStream = {
+    val wtRun = wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admit = graft.functions.Aggregators.throttleCostAdmit(
+      unix_micros(col(tsCol)), cost, maximum, math.round(intervalSec * 1e6))
+    derive(df
+      .withColumn("__admit_us", admit.over(wtRun))
+      .withColumn(tsCol, timestamp_micros(col("__admit_us")))
+      .drop("__admit_us"))
+  }
+
   // ================== §2.3 higher-order (emap family) =======================
   // Each parent row spawns a child array of structs (the sub-event); the
   // joiner fixes output order / filtering (`ops/transform.py:291-346`).

@@ -95,6 +95,41 @@ object Aggregators {
     udaf(new ThrottleAgg(maximum, intervalUs)).apply(tsUs)
 
   /**
+   * Cost-based throttle (`ops/timing.py:104-184` with `cost_func`): each
+   * item carries a cost; total admitted cost over any sliding
+   * `intervalUs` stays ≤ `maximum`. Admission waits until enough earlier
+   * admissions expire (`admit + intervalUs`). FIFO — admits are
+   * monotone. Buffer = queue of live (admitUs, cost) pairs, pruned on
+   * every step, so state is bounded by the cost budget.
+   */
+  case class ThrottleCostBuf(admits: Seq[(Long, Long)])
+  class ThrottleCostAgg(maximum: Long, intervalUs: Long)
+      extends Aggregator[(Long, Long), ThrottleCostBuf, Long] {
+    def zero: ThrottleCostBuf = ThrottleCostBuf(Vector.empty)
+    def reduce(b: ThrottleCostBuf, in: (Long, Long)): ThrottleCostBuf = {
+      val (tsUs, cost) = in
+      var t = b.admits.lastOption.map(a => math.max(tsUs, a._1)).getOrElse(tsUs)
+      var live = b.admits
+      def windowSum(at: Long) = live.collect {
+        case (a, c) if a + intervalUs > at => c
+      }.sum
+      live = live.dropWhile { case (a, _) => a + intervalUs <= t }
+      while (windowSum(t) + cost > maximum && live.nonEmpty) {
+        t = live.head._1 + intervalUs // earliest expiry frees budget
+        live = live.dropWhile { case (a, _) => a + intervalUs <= t }
+      }
+      ThrottleCostBuf(live :+ (t, cost))
+    }
+    def merge(a: ThrottleCostBuf, b: ThrottleCostBuf): ThrottleCostBuf =
+      throw new UnsupportedOperationException("order-sensitive scan")
+    def finish(b: ThrottleCostBuf): Long = b.admits.last._1
+    def bufferEncoder: Encoder[ThrottleCostBuf] = Encoders.product[ThrottleCostBuf]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+  def throttleCostAdmit(tsUs: Column, cost: Column, maximum: Long, intervalUs: Long): Column =
+    udaf(new ThrottleCostAgg(maximum, intervalUs)).apply(tsUs, cost)
+
+  /**
    * Switch (`ops/combine.py:104-139`): rows arrive in event-time order
    * tagged with a source id. A row passes iff its source holds activity
    * or steals it; the previously-active source is removed permanently.

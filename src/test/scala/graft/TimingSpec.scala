@@ -60,6 +60,20 @@ class TimingSpec extends SparkSpec {
     assert(markers.head.getTimestamp(0).getTime == 1704067200000L + 3000L)
   }
 
+  test("throttle with per-item cost (cost_func, ops/timing.py:115-117)") {
+    // budget 3 per 10s; costs [2,2,2,1,3] at ts 0..4s ->
+    // admits [0, 10, 20, 20, 30] (worked in the Scaladoc convention:
+    // an admission's cost frees at admit + interval).
+    val es = timed(Seq(0, 1, 2, 3, 4))
+    val costs = Seq(2L, 2L, 2L, 1L, 3L)
+    val withCost = es.derive(es.df.withColumn("cost",
+      element_at(typedLit(costs), col("seq").cast("int") + 1)))
+    val got = withCost.throttleCost(col("cost"), maximum = 3, intervalSec = 10.0)
+      .df.orderBy("seq").select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    val base = 1704067200000000L
+    assert(got.toSeq == Seq(0L, 10000000L, 20000000L, 20000000L, 30000000L).map(_ + base))
+  }
+
   test("sample picks latest value at each tick (ops/timing.py:187-211)") {
     val src = timed(Seq(0.5, 1.5, 3.5))
     val ticks = timed(Seq(1.0, 2.0, 3.0, 4.0))
