@@ -21,7 +21,7 @@ object ProbePlans {
       "q_filter", "q_rsum", "q_ema", "q_zip", "q_ziplatest", "q_switch",
       "q_sample", "q_tpch3_topn", "q_tpch5_nation_rev",
       "q_dedup_exact", "q_dedup_minhash", "q_ann_lsh", "q_ann_ivf",
-      "q_token_stats", "q_grouped_window")
+      "q_token_stats", "q_grouped_window", "q_chunkwith")
     val all = SparkEntry.queries
     names.foreach { n =>
       out.println("=" * 78)
