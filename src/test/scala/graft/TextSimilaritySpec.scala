@@ -90,6 +90,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(first.feature.toSeq == again.feature.toSeq)
   }
 
+  test("vec_dot: mismatched lengths yield NULL, not a partial score") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS d").collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("ascii_poly_hash folds codepoints (not UTF-8 bytes) for non-ASCII") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql("SELECT ascii_poly_hash('café', 31L, 1000000007L)")
+      .collect().head.getLong(0)
+    // oracle arithmetic: fold over codepoints c,a,f,é = 99,97,102,233
+    val exp = Seq(99L, 97L, 102L, 233L)
+      .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 1000000007L)
+    assert(got === exp)
+    // and NOT the byte fold (é = 0xC3 0xA9 would add two terms)
+    val byteFold = Seq(99L, 97L, 102L, 0xC3L, 0xA9L)
+      .foldLeft(0L)((acc, b) => (acc * 31 + b) % 1000000007L)
+    assert(got !== byteFold)
+  }
+
   test("GraftExtensions: custom kernels callable from SQL") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
