@@ -57,13 +57,27 @@ object Bench {
     val pipelineSec = (System.nanoTime() - tp0) / 1e9
     val pipelineRate = nEvents / pipelineSec
 
+    // BASELINE.md-comparable counters (same op shapes as the measured
+    // reference numbers): zip pairs/s and sliding-mean values/s. Warm
+    // plans (each ran once above), so these measure steady-state rate.
+    def rate(name: String): Double = {
+      val t0 = System.nanoTime()
+      val n = all(name)(spark, sfDir).count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+    val zipRate = rate("q_zip")
+    val slideRate = rate("q_arraymean")
+
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""n_queries":${results.size},"events_rows":$nEvents,""" +
         s""""pipeline_events_per_sec":$pipelineRate,""" +
-        s""""reference_pipeline_events_per_sec":52489}""")
+        s""""reference_pipeline_events_per_sec":52489,""" +
+        s""""zip_pairs_per_sec":$zipRate,"reference_zip_pairs_per_sec":27399,""" +
+        s""""sliding_mean_values_per_sec":$slideRate,""" +
+        s""""reference_sliding_mean_values_per_sec":16302}""")
     spark.stop()
   }
 }
