@@ -99,4 +99,41 @@ class PropertySpec extends SparkSpec {
       assert(got == a.map(_.toLong).distinct)
     }
   }
+
+  test("throttle laws: no drops, no early admits, rate respected (ops/timing.py:104)") {
+    // random inter-arrival gaps in [0, 2]s; limit 3 per 5s
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 20))) { (gapsDs: List[Int]) =>
+      val ts = gapsDs.scanLeft(0L)((acc, g) => acc + g * 100000L).tail
+      val base = graft.sources.Sources.fromLongs(spark, ts.indices.map(_.toLong), 0.0)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          lit(1704067200000000L) + element_at(typedLit(ts), col("seq").cast("int") + 1)))
+      val st = graft.engine.EventStream(base, keys = Nil)
+      val admits = st.throttle(3, 5.0)
+        .df.orderBy("seq").select(unix_micros(col("ts"))).collect()
+        .map(_.getLong(0) - 1704067200000000L)
+      assert(admits.length == ts.length)                      // never drops
+      admits.zip(ts).foreach { case (a, t) => assert(a >= t) } // never early
+      // any sliding 5s window admits at most 3
+      admits.foreach { w =>
+        assert(admits.count(a => a >= w && a < w + 5000000L) <= 3)
+      }
+    }
+  }
+
+  test("debounce law: one emit per burst, value = burst last (ops/timing.py:67)") {
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(1, 2, 30))) { (gapsDs: List[Int]) =>
+      // gaps in deciseconds: 0.1/0.2s continue a burst, 3.0s starts a new one
+      val ts = gapsDs.scanLeft(0L)((acc, g) => acc + g * 100000L).tail
+      val base = graft.sources.Sources.fromLongs(spark, ts.indices.map(_.toLong), 0.0)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          lit(1704067200000000L) + element_at(typedLit(ts), col("seq").cast("int") + 1)))
+      val st = graft.engine.EventStream(base, keys = Nil)
+      val got = st.debounce(1.0).df.count()
+      val bursts = 1 + ts.sliding(2).count {
+        case Seq(a, b) => b - a >= 1000000L
+        case _ => false
+      }
+      assert(got == bursts)
+    }
+  }
 }
