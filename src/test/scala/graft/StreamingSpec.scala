@@ -81,6 +81,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sinks: key-partitioned batch write and checkpointed stream write") {
+    import graft.sources.{Sinks, Sources}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // batch: keyed write partitions by key
+    val es = graft.engine.EventStream(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"), keys = Seq("user_id"))
+    Sinks.toParquet(es, s"$tmp/batch")
+    assert(new java.io.File(s"$tmp/batch").listFiles().exists(_.getName.startsWith("user_id=")))
+    assert(spark.read.parquet(s"$tmp/batch").count() === es.df.count())
+    // streaming: durable append with checkpoint
+    val bus = new Streaming.EventBus(spark)
+    bus.emit(Ev(1L, 1_000_000L, 1.0), Ev(2L, 2_000_000L, 2.0))
+    val q = Sinks.streamToParquet(bus.events, s"$tmp/stream", s"$tmp/ckpt")
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/stream").count() === 2)
+  }
+
   test("streaming merge: stream-stream union is native (ops/combine.py:97)") {
     val a = new Streaming.EventBus(spark)
     val b = new Streaming.EventBus(spark)
