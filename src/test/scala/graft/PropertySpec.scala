@@ -100,6 +100,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals direct aggregation (Skew)") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 3)), Gen.choose(2, 8)) {
+      (a: List[Int], buckets: Int) =>
+        val df = seqStream(a).df.withColumn("k", col("value") % 2)
+        val direct = df.groupBy("k").agg(sum(col("value")).as("s"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val salted = graft.engine.Skew.saltedSum(df, Seq("k"), col("value"), "s", buckets)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(salted == direct)
+        val directD = df.groupBy("k").agg(count_distinct(col("value")).as("d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val saltedD = graft.engine.Skew
+          .saltedCountDistinct(df, Seq("k"), col("value"), "d", buckets)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(saltedD == directD)
+    }
+  }
+
   test("throttle laws: no drops, no early admits, rate respected (ops/timing.py:104)") {
     // random inter-arrival gaps in [0, 2]s; limit 3 per 5s
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 20))) { (gapsDs: List[Int]) =>
