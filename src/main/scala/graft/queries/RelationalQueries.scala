@@ -145,6 +145,33 @@ object RelationalQueries {
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "GROUP BY l_linestatus ORDER BY l_linestatus"),
 
+    Q("q_tpch10_returns",
+      // TPC-H Q10 shape: top-20 customers by lost revenue on returned
+      // items in one year — 3-way join, keyed agg, TakeOrderedAndProject.
+      (s, d) => {
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_custkey", "c_name", "c_nationkey")
+          .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+            .as("revenue_c2"))
+          .orderBy(col("revenue_c2").desc, col("c_custkey")).limit(20)
+      },
+      "SELECT c_custkey, c_name, c_nationkey, " +
+        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c2 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY c_custkey, c_name, c_nationkey " +
+        "ORDER BY revenue_c2 DESC, c_custkey LIMIT 20"),
+
     Q("q_sort_topn",
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"), cents("o_totalprice").as("total_c"))
