@@ -70,14 +70,23 @@ object Bench {
 
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""n_queries":${results.size},"events_rows":$nEvents,""" +
         s""""pipeline_events_per_sec":$pipelineRate,""" +
         s""""reference_pipeline_events_per_sec":52489,""" +
         s""""zip_pairs_per_sec":$zipRate,"reference_zip_pairs_per_sec":27399,""" +
         s""""sliding_mean_values_per_sec":$slideRate,""" +
-        s""""reference_sliding_mean_values_per_sec":16302}""")
+        s""""reference_sliding_mean_values_per_sec":16302}"""
+    // sbt interleaves [info]/[error] noise on stdout, which broke the
+    // driver's JSON extraction in round 1 (BENCH_r01 "parsed": null).
+    // Write the metric line to a file as the durable channel, and print
+    // it raw (System.out, no log prefix) as the last line too.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -191,10 +191,10 @@ case class ShingleSids(child: Expression, k: Int)
     }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleSids.eval(input.asInstanceOf[ArrayData], k)
+    ShingleSids.kernel(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleSids.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleSids.kernel($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -203,8 +203,13 @@ case class ShingleSids(child: Expression, k: Int)
 object ShingleSids {
   private val MOD = 1000000007L
 
-  /** Called from generated code. */
-  def eval(toks: ArrayData, k: Int): ArrayData = {
+  /** Called from generated code. Named `kernel`, NOT `eval`: the case
+    * class inherits an instance method `eval` from `Expression`, and a
+    * companion method with a clashing name gets no static forwarder —
+    * Janino would resolve `ShingleSids.eval(...)` to the instance method
+    * and fail to compile, silently dropping the stage to interpreted
+    * execution. */
+  def kernel(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()
     if (n < k) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
     val fps = new Array[Long](n)
@@ -252,10 +257,10 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     }
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSigs.eval(input.asInstanceOf[ArrayData], numHashes)
+    MinHashSigs.kernel(input.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigs.eval($c, $numHashes)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigs.kernel($c, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -264,10 +269,11 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 object MinHashSigs {
   private val P = 2147483647L
 
-  /** Called from generated code. Empty input → empty signature (callers
-    * filter docs with no shingles, matching the edge-based groupBy which
-    * simply has no row for them). */
-  def eval(sids: ArrayData, numHashes: Int): ArrayData = {
+  /** Called from generated code (named `kernel` to get a static
+    * forwarder — see ShingleSids.kernel). Empty input → empty signature
+    * (callers filter docs with no shingles, matching the edge-based
+    * groupBy which simply has no row for them). */
+  def kernel(sids: ArrayData, numHashes: Int): ArrayData = {
     val n = sids.numElements()
     val out = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -311,18 +317,19 @@ case class SimHashSig(child: Expression, nBits: Int)
     }
 
   override def nullSafeEval(input: Any): Any =
-    SimHashSig.eval(input.asInstanceOf[ArrayData], nBits)
+    SimHashSig.kernel(input.asInstanceOf[ArrayData], nBits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashSig.eval($c, $nBits)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashSig.kernel($c, $nBits)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SimHashSig {
-  /** Called from generated code. */
-  def eval(toks: ArrayData, nBits: Int): Long = {
+  /** Called from generated code (named `kernel` to get a static
+    * forwarder — see ShingleSids.kernel). */
+  def kernel(toks: ArrayData, nBits: Int): Long = {
     val seen = new java.util.HashSet[Long]()
     val votes = new Array[Long](nBits)
     val n = toks.numElements()

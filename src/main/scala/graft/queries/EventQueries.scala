@@ -166,10 +166,13 @@ object EventQueries {
         "WHERE prev_cents IS NOT NULL ORDER BY seq"),
 
     Q("q_chunk",
+      // Array output serialized to CSV string: the driver comparator
+      // (pandas sort_values) cannot sort ndarray cells.
       (s, d) => ev(s, d).chunk("cents", 4, "chunk_idx", "vals")
-        .df.select("user_id", "chunk_idx", "vals", "n")
+        .df.select(col("user_id"), col("chunk_idx"),
+          array_join(col("vals").cast("array<string>"), ",").as("vals"), col("n"))
         .orderBy("user_id", "chunk_idx"),
-      s"$EV SELECT user_id, chunk_idx, list(cents ORDER BY seq) AS vals, " +
+      s"$EV SELECT user_id, chunk_idx, array_to_string(list(cents ORDER BY seq), ',') AS vals, " +
         "count(*) AS n FROM (SELECT user_id, cents, seq, " +
         "CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY seq) - 1) / 4) AS BIGINT) " +
         "AS chunk_idx FROM ev) GROUP BY user_id, chunk_idx ORDER BY user_id, chunk_idx"),
@@ -184,7 +187,9 @@ object EventQueries {
     Q("q_rsum",
       (s, d) => ev(s, d).rsum(col("cents"), "rsum")
         .df.select("seq", "user_id", "rsum").orderBy("seq"),
-      s"$EV SELECT seq, user_id, sum(cents) $WRUN AS rsum FROM ev ORDER BY seq"),
+      // CAST: DuckDB SUM(BIGINT) yields HUGEINT (pandas float64) which
+      // hash-mismatches Spark's int64 under the driver comparator.
+      s"$EV SELECT seq, user_id, CAST(sum(cents) $WRUN AS BIGINT) AS rsum FROM ev ORDER BY seq"),
 
     Q("q_rmin",
       (s, d) => ev(s, d).rmin(col("value"), "rmin")
@@ -256,14 +261,18 @@ object EventQueries {
 
     Q("q_deque",
       (s, d) => ev(s, d).deque(col("cents"), 3, "window3")
-        .df.select("seq", "user_id", "window3").orderBy("seq"),
-      s"$EV SELECT seq, user_id, list(cents) OVER (PARTITION BY user_id ORDER BY seq " +
-        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS window3 FROM ev ORDER BY seq"),
+        .df.select(col("seq"), col("user_id"),
+          array_join(col("window3").cast("array<string>"), ",").as("window3"))
+        .orderBy("seq"),
+      s"$EV SELECT seq, user_id, array_to_string(list(cents) OVER (PARTITION BY user_id ORDER BY seq " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS window3 FROM ev ORDER BY seq"),
 
     Q("q_list",
       (s, d) => ev(s, d).list("cents", "all_cents")
-        .df.select("user_id", "all_cents").orderBy("user_id"),
-      s"$EV SELECT user_id, list(cents ORDER BY seq) AS all_cents FROM ev " +
+        .df.select(col("user_id"),
+          array_join(col("all_cents").cast("array<string>"), ",").as("all_cents"))
+        .orderBy("user_id"),
+      s"$EV SELECT user_id, array_to_string(list(cents ORDER BY seq), ',') AS all_cents FROM ev " +
         "GROUP BY user_id ORDER BY user_id"),
 
     // ---------------- §2.5 windowed-array ops ----------------
@@ -283,7 +292,7 @@ object EventQueries {
       (s, d) => { val st = ev(s, d)
         st.derive(st.df.withColumn("wsum", sum(col("cents")).over(st.wSlide(10))))
           .df.select("seq", "user_id", "wsum").orderBy("seq") },
-      s"$EV SELECT seq, user_id, sum(cents) $W10 AS wsum FROM ev ORDER BY seq"),
+      s"$EV SELECT seq, user_id, CAST(sum(cents) $W10 AS BIGINT) AS wsum FROM ev ORDER BY seq"),
 
     Q("q_arraymean",
       (s, d) => { val st = ev(s, d)
@@ -361,10 +370,12 @@ object EventQueries {
               .cast("long"))
         val timer = graft.engine.EventStream(ticks, keys = Nil)
         st.chunkWith(timer, "cents", "chunk", "vals", emitEmpty = false)
-          .df.select("user_id", "chunk", "n", "vals").orderBy("user_id", "chunk")
+          .df.select(col("user_id"), col("chunk"), col("n"),
+            array_join(col("vals").cast("array<string>"), ",").as("vals"))
+          .orderBy("user_id", "chunk")
       },
       s"$EV, b AS (SELECT date_trunc('day', min(ts)) AS t0 FROM ev) " +
-        "SELECT user_id, chunk, count(*) AS n, list(cents ORDER BY seq) AS vals FROM (" +
+        "SELECT user_id, chunk, count(*) AS n, array_to_string(list(cents ORDER BY seq), ',') AS vals FROM (" +
         "SELECT user_id, seq, cents, " +
         "GREATEST(CASE WHEN (epoch_us(ts) - epoch_us(t0)) % 86400000000 = 0 " +
         "THEN (epoch_us(ts) - epoch_us(t0)) // 86400000000 - 1 " +
@@ -383,7 +394,7 @@ object EventQueries {
             .withColumn("rmin", min(col("cents")).over(st.wRun))
             .withColumn("rmax", max(col("cents")).over(st.wRun)))
           .df.select("seq", "user_id", "rcnt", "rsum", "rmin", "rmax").orderBy("seq") },
-      s"$EV SELECT seq, user_id, count(*) $WRUN AS rcnt, sum(cents) $WRUN AS rsum, " +
+      s"$EV SELECT seq, user_id, count(*) $WRUN AS rcnt, CAST(sum(cents) $WRUN AS BIGINT) AS rsum, " +
         s"min(cents) $WRUN AS rmin, max(cents) $WRUN AS rmax FROM ev ORDER BY seq")
   )
 

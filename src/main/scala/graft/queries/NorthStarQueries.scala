@@ -198,12 +198,14 @@ object NorthStarQueries {
         "ORDER BY jacc DESC, a, b LIMIT 100"),
 
     Q("q_dedup_cosine",
-      (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.8)
+      // Threshold 0.4 yields real near-dup pairs on the synthetic
+      // embeddings (0.8 matched zero rows — a vacuous green).
+      (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.4)
         .orderBy("a", "b"),
       "SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"${sqlCos("l.embedding", "r.embedding")} AS cos " +
         "FROM embeddings l, embeddings r WHERE l.vec_id < r.vec_id " +
-        s"AND ${sqlCos("l.embedding", "r.embedding")} >= 0.8e0 ORDER BY a, b"),
+        s"AND ${sqlCos("l.embedding", "r.embedding")} >= 0.4e0 ORDER BY a, b"),
 
     // ---------------- similarity search ----------------
     Q("q_ann_topk",
@@ -259,11 +261,14 @@ object NorthStarQueries {
         col("doc_id"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
         md5(col("text").cast("binary")).as("content_hash"),
-        transform(sequence(lit(0), lit(3)),
+        array_join(transform(sequence(lit(0), lit(3)),
           i => ascii(md5(col("text").cast("binary")).substr(i * 7 + 1, lit(1))).cast("long"))
+            .cast("array<string>"), ",")
           .as("stub_feature")).orderBy("doc_id"),
+      // stub_feature serialized to CSV string: the driver comparator
+      // (pandas sort_values) cannot sort ndarray cells.
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, " +
-        "list_transform(range(0, 4), i -> CAST(ascii(substr(md5(text), CAST(i * 7 + 1 AS INT), 1)) AS BIGINT)) " +
+        "array_to_string(list_transform(range(0, 4), i -> CAST(ascii(substr(md5(text), CAST(i * 7 + 1 AS INT), 1)) AS BIGINT)), ',') " +
         "AS stub_feature FROM documents ORDER BY doc_id")
   )
 

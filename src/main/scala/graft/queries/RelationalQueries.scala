@@ -35,10 +35,12 @@ object RelationalQueries {
           sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount").cast("long"))).as("sum_disc_c2"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
+      // CAST(sum AS BIGINT) everywhere below: DuckDB SUM over integers
+      // returns HUGEINT (pandas float64), hash-mismatching Spark's int64.
       "SELECT l_returnflag, l_linestatus, " +
-        s"sum(${sqlCents("l_quantity")}) AS sum_qty_c, " +
-        s"sum(${sqlCents("l_extendedprice")}) AS sum_base_c, " +
-        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS sum_disc_c2, " +
+        s"CAST(sum(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c, " +
+        s"CAST(sum(${sqlCents("l_extendedprice")}) AS BIGINT) AS sum_base_c, " +
+        s"CAST(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS sum_disc_c2, " +
         "count(*) AS count_order FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -59,7 +61,7 @@ object RelationalQueries {
           .orderBy(col("revenue_c2").desc, col("o_orderkey")).limit(10)
       },
       "SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, " +
-        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c2 " +
+        s"CAST(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS revenue_c2 " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, o_orderdate " +
@@ -84,7 +86,7 @@ object RelationalQueries {
           .orderBy("n_name")
       },
       "SELECT n_name, " +
-        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c2, " +
+        s"CAST(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS revenue_c2, " +
         "count(*) AS n_items " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
@@ -101,12 +103,16 @@ object RelationalQueries {
         "(SELECT l_partkey FROM lineitem) ORDER BY p_partkey"),
 
     Q("q_join_anti",
-      // Customers with no orders (left anti = NOT EXISTS).
+      // Customers with no 1996 orders (left anti = NOT EXISTS). The year
+      // restriction keeps the result non-empty at every SF — the fixture
+      // gives every customer at least one order overall, which made the
+      // unrestricted anti join a vacuous 0-row comparison.
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment").orderBy("c_custkey"),
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey NOT IN " +
-        "(SELECT o_custkey FROM orders) ORDER BY c_custkey"),
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) ORDER BY c_custkey"),
 
     Q("q_tpch6_forecast",
       // TPC-H Q6 shape: fully-pushed-down filter + one scalar aggregate
@@ -117,7 +123,7 @@ object RelationalQueries {
           cents("l_discount").between(5, 7) &&
           col("l_quantity") < 24)
         .agg(sum(cents("l_extendedprice") * cents("l_discount")).as("revenue_c2")),
-      s"SELECT sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")}) AS revenue_c2 " +
+      s"SELECT CAST(sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")}) AS BIGINT) AS revenue_c2 " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         s"AND ${sqlCents("l_discount")} BETWEEN 5 AND 7 AND l_quantity < 24"),
@@ -138,8 +144,8 @@ object RelationalQueries {
             .as("low_line_count"))
         .orderBy("l_linestatus"),
       "SELECT l_linestatus, " +
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
-        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
@@ -163,7 +169,7 @@ object RelationalQueries {
           .orderBy(col("revenue_c2").desc, col("c_custkey")).limit(20)
       },
       "SELECT c_custkey, c_name, c_nationkey, " +
-        s"sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c2 " +
+        s"CAST(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS revenue_c2 " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE l_returnflag = 'R' " +
@@ -206,8 +212,8 @@ object RelationalQueries {
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       },
       s"SELECT l_suppkey, l_orderkey, l_linenumber, ${sqlCents("l_extendedprice")} AS ep_c, " +
-        s"sum(${sqlCents("l_extendedprice")}) OVER (PARTITION BY l_suppkey " +
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS run_rev_c " +
+        s"CAST(sum(${sqlCents("l_extendedprice")}) OVER (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_rev_c " +
         "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber")
   )
 

@@ -15,17 +15,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # Type-sensitive on purpose: the driver comparator hashes pandas
+    # dtypes, so int64 5 != float64 5.0 (DuckDB HUGEINT sums surface as
+    # float64/object). Tag every scalar with its Python type so this
+    # replica fails exactly where the driver would.
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+        # The driver's pandas sort_values crashes on ndarray cells
+        # (unhashable) — flag array columns loudly instead of comparing.
+        return ("ARRAY_COLUMN_WOULD_CRASH_DRIVER", tuple(norm(x) for x in v))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return ("ts", v.isoformat())
     if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    return v
+        return ("struct", tuple(sorted((k, norm(x)) for k, x in v.items())))
+    return (type(v).__name__, v)
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -56,6 +66,11 @@ def main(sf_dir, out_dir):
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:160]}")
+            continue
+        if any(isinstance(x, list) for r in got[:50] for x in r):
+            print(f"FAIL {name}: array-valued output column — driver "
+                  "comparator (pandas sort_values) crashes on ndarray; "
+                  "stringify with array_join/to_json on both sides")
             continue
         gc, gr = canon(got_cols, got)
         ec, er = canon(exp_cols, exp)
