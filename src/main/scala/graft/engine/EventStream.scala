@@ -381,6 +381,83 @@ final case class EventStream(
       .drop("__admit_us"))
   }
 
+  /**
+   * Throttle status side-channel (`Throttle.status_event`,
+   * `ops/timing.py:110-114`, `:171-176`): the reference emits `true`
+   * when the limiter starts queueing and `false` when the queue drains.
+   * In the admitted-time encoding a row sits queued during
+   * [arrival, admit); the status stream is the per-key union of those
+   * intervals — one (ts, active=true) row at each merged episode's start
+   * and one (ts, active=false) at its end. A strictly-later arrival than
+   * every prior admit means the queue drained in between, i.e. a new
+   * episode (arrival ties extend the episode). Same window partitioning
+   * as the admit scan: one shuffle, sorted passes, then a
+   * partially-aggregated groupBy on (key, episode).
+   */
+  def throttleStatus(maximum: Int, intervalSec: Double): EventStream = {
+    val wtRun = wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtPrev = wTime.rowsBetween(Window.unboundedPreceding, -1)
+    val admit = graft.functions.Aggregators
+      .throttleAdmit(unix_micros(col(tsCol)), maximum, math.round(intervalSec * 1e6))
+    val queued = df
+      .withColumn("__t_us", unix_micros(col(tsCol)))
+      .withColumn("__admit_us", admit.over(wtRun))
+      .filter(col("__admit_us") > col("__t_us"))
+    val eps = queued
+      .withColumn("__new", when(col("__t_us") >
+        coalesce(max(col("__admit_us")).over(wtPrev), lit(Long.MinValue)), 1L)
+        .otherwise(0L))
+      .withColumn("__ep", sum(col("__new")).over(wtRun))
+      .groupBy((keyCols :+ col("__ep")): _*)
+      .agg(min(col("__t_us")).as("__on_us"), max(col("__admit_us")).as("__off_us"))
+    val out = eps
+      .select((keyCols :+ explode(array(
+        struct(col("__on_us").as("us"), lit(true).as("active")),
+        struct(col("__off_us").as("us"), lit(false).as("active")))).as("__e")): _*)
+      .select((keyCols ++ Seq(
+        timestamp_micros(col("__e.us")).as(tsCol),
+        col("__e.active").as("active"))): _*)
+      .withColumn(seqCol,
+        row_number().over(Window.partitionBy(keyCols: _*).orderBy(col(tsCol))).cast("long"))
+    derive(out)
+  }
+
+  /**
+   * Throttle with dynamic re-limiting (`Throttle.set_limit`,
+   * `ops/timing.py:124-130`): `limits` is a small control stream with
+   * columns (ts, maximum, interval_sec); each source row is admitted
+   * under the limit in force at its arrival — the batch analogue of
+   * calling `set_limit` at that instant. The limiter's memory of past
+   * admits carries across limit changes (pruned with the interval in
+   * force at each step, exactly like the reference forgetting emit
+   * times older than the current interval). Control streams are tiny,
+   * so the as-of limit attach is a broadcast range join; the admit scan
+   * stays one sorted pass per key.
+   */
+  def throttleDynamic(
+      limits: DataFrame, defaultMax: Int, defaultIntervalSec: Double): EventStream = {
+    val lims = limits
+      .select(
+        unix_micros(col("ts")).as("__l_us"),
+        col("maximum").cast("int").as("__l_max"),
+        (col("interval_sec") * 1e6).cast("long").as("__l_iv"))
+      .withColumn("__l_nxt", lead(col("__l_us"), 1).over(Window.orderBy(col("__l_us"))))
+    val wtRun = wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = df
+      .withColumn("__t_us", unix_micros(col(tsCol)))
+      .join(broadcast(lims),
+        col("__t_us") >= col("__l_us") &&
+          (col("__l_nxt").isNull || col("__t_us") < col("__l_nxt")),
+        "left")
+    val admit = graft.functions.Aggregators.throttleDynAdmit(
+      col("__t_us"),
+      coalesce(col("__l_max"), lit(defaultMax)),
+      coalesce(col("__l_iv"), lit(math.round(defaultIntervalSec * 1e6))))
+    derive(joined
+      .withColumn(tsCol, timestamp_micros(admit.over(wtRun)))
+      .drop("__t_us", "__l_us", "__l_max", "__l_iv", "__l_nxt"))
+  }
+
   // ================== §2.3 higher-order (emap family) =======================
   // Each parent row spawns a child array of structs (the sub-event); the
   // joiner fixes output order / filtering (`ops/transform.py:291-346`).

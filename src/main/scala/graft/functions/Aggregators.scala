@@ -130,6 +130,41 @@ object Aggregators {
     udaf(new ThrottleCostAgg(maximum, intervalUs)).apply(tsUs, cost)
 
   /**
+   * Dynamic-limit throttle (`Throttle.set_limit`, `ops/timing.py:124-130`):
+   * each row carries the (maximum, interval) in force at its arrival.
+   * Like the reference — which forgets emit times older than the
+   * *current* interval on every step (`ops/timing.py:151-153`) — past
+   * admits are pruned with the interval attached to the incoming row,
+   * so a later, longer interval does not resurrect them.
+   *
+   * Closed form (no wait loop): after pruning, the row must wait exactly
+   * until the m-th-newest surviving admit expires —
+   * `admit = kept(size - m) + iv` if `kept.size >= m`, else arrival `t`.
+   * A final clamp to the newest surviving admit keeps emissions FIFO
+   * when a relaxed limit would otherwise let a late arrival overtake a
+   * still-queued earlier one (the reference queue cannot reorder).
+   * Buffer = the pruned admit list, bounded by the in-window budget.
+   */
+  case class ThrottleDynBuf(admits: Seq[Long])
+  class ThrottleDynAgg extends Aggregator[(Long, Int, Long), ThrottleDynBuf, Long] {
+    def zero: ThrottleDynBuf = ThrottleDynBuf(Vector.empty)
+    def reduce(b: ThrottleDynBuf, in: (Long, Int, Long)): ThrottleDynBuf = {
+      val (t, m, iv) = in
+      val kept = b.admits.filter(_ + iv > t)
+      val raw = if (kept.size >= m) kept(kept.size - m) + iv else t
+      val admit = math.max(t, math.max(raw, kept.lastOption.getOrElse(Long.MinValue)))
+      ThrottleDynBuf(kept :+ admit)
+    }
+    def merge(a: ThrottleDynBuf, b: ThrottleDynBuf): ThrottleDynBuf =
+      throw new UnsupportedOperationException("order-sensitive scan")
+    def finish(b: ThrottleDynBuf): Long = b.admits.last
+    def bufferEncoder: Encoder[ThrottleDynBuf] = Encoders.product[ThrottleDynBuf]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+  def throttleDynAdmit(tsUs: Column, maximum: Column, intervalUs: Column): Column =
+    udaf(new ThrottleDynAgg).apply(tsUs, maximum, intervalUs)
+
+  /**
    * Switch (`ops/combine.py:104-139`): rows arrive in event-time order
    * tagged with a source id. A row passes iff its source holds activity
    * or steals it; the previously-active source is removed permanently.

@@ -156,6 +156,65 @@ object CombineQueries {
         "list(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, seq ROWS UNBOUNDED PRECEDING), " +
         "(a, x) -> greatest(x, a + 3600000000)) AS admit_us FROM ev ORDER BY seq"),
 
+    Q("q_throttle_status",
+      // Throttle status side-channel (`Throttle.status_event`): true at
+      // each episode where the limiter starts queueing, false when the
+      // queue drains. Episodes = merged [arrival, admit) intervals of
+      // delayed rows.
+      (s, d) => ev(s, d).throttleStatus(1, 3600.0)
+        .df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("active"))
+        .orderBy("user_id", "ts_us"),
+      s"$EV, adm AS (SELECT seq, user_id, epoch_us(ts) AS t, list_reduce(" +
+        "list(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, seq ROWS UNBOUNDED PRECEDING), " +
+        "(a, x) -> greatest(x, a + 3600000000)) AS a FROM ev), " +
+        "del AS (SELECT * FROM adm WHERE a > t), " +
+        "ep AS (SELECT *, CASE WHEN t > coalesce(max(a) OVER " +
+        "(PARTITION BY user_id ORDER BY t, seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "-9223372036854775807) THEN 1 ELSE 0 END AS brk FROM del), " +
+        "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, seq " +
+        "ROWS UNBOUNDED PRECEDING) AS epi FROM ep), " +
+        "e AS (SELECT user_id, epi, min(t) AS on_us, max(a) AS off_us FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, on_us AS ts_us, true AS active FROM e " +
+        "UNION ALL SELECT user_id, off_us AS ts_us, false AS active FROM e " +
+        "ORDER BY user_id, ts_us"),
+
+    Q("q_throttle_relimit",
+      // Dynamic re-limit (`Throttle.set_limit`): 1/hour until the
+      // timeline midpoint, then 2 per 30 min. The oracle folds the same
+      // closed-form admit rule over [t, maximum, interval] triples,
+      // carrying the pruned admit list in the accumulator's tail.
+      (s, d) => {
+        val base = ev(s, d)
+        val lims = base.df.agg(
+          ((unix_micros(min(col("ts"))) + unix_micros(max(col("ts")))) / 2)
+            .cast("long").as("mid"))
+          .select(timestamp_micros(col("mid")).as("ts"),
+            lit(2).as("maximum"), lit(1800.0).as("interval_sec"))
+        base.throttleDynamic(lims, defaultMax = 1, defaultIntervalSec = 3600.0)
+          .df.select(col("seq"), col("user_id"), unix_micros(col("ts")).as("admit_us"))
+          .orderBy("seq")
+      }, {
+        // acc = [t, m, iv] of the last row ++ pruned admit times; the
+        // fold's init is the first row's triple (its admit = its t).
+        val prev = "(CASE WHEN len(acc) = 3 THEN [acc[1]] ELSE list_slice(acc, 4, len(acc)) END)"
+        val kept = s"list_filter($prev, a -> a + x[3] > x[1])"
+        val raw = s"(CASE WHEN len($kept) >= x[2] THEN " +
+          s"list_extract($kept, len($kept) - x[2] + 1) + x[3] ELSE x[1] END)"
+        val adm = s"greatest(x[1], $raw, coalesce(list_extract($kept, len($kept)), x[1]))"
+        val lam = s"(acc, x) -> list_concat([x[1], x[2], x[3]], list_concat($kept, [$adm]))"
+        s"$EV, mm AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM ev), " +
+          "tagged AS (SELECT seq, user_id, epoch_us(ts) AS t, " +
+          "CASE WHEN epoch_us(ts) >= mid THEN 2 ELSE 1 END AS m, " +
+          "CASE WHEN epoch_us(ts) >= mid THEN 1800000000 ELSE 3600000000 END AS iv " +
+          "FROM ev CROSS JOIN mm), " +
+          "st AS (SELECT seq, user_id, t, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY t, seq) AS rn, " +
+          "list_reduce(list([t, m, iv]) OVER (PARTITION BY user_id ORDER BY t, seq " +
+          s"ROWS UNBOUNDED PRECEDING), $lam) AS f FROM tagged) " +
+          "SELECT seq, user_id, CASE WHEN rn = 1 THEN t ELSE f[len(f)] END AS admit_us " +
+          "FROM st ORDER BY seq"
+      }),
+
     Q("q_sample",
       // At each daily tick (grid derived from the data), the latest event
       // value per user at-or-before the tick.

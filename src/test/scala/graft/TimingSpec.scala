@@ -60,6 +60,52 @@ class TimingSpec extends SparkSpec {
     assert(markers.head.getTimestamp(0).getTime == 1704067200000L + 3000L)
   }
 
+  test("throttle status_event emits on/off at queue transitions (ops/timing.py:110-114,171-176)") {
+    // 1/sec: arrivals 0, .1, .2 queue (.1 delayed to 1s, .2 to 2s) ->
+    // ON at 0.1, OFF at 2.0; then 5.0 passes clean; 5.1 queues again ->
+    // ON at 5.1, OFF at 6.0.
+    val es = timed(Seq(0, 0.1, 0.2, 5.0, 5.1))
+    val got = es.throttleStatus(1, 1.0)
+      .df.orderBy("ts").select(unix_micros(col("ts")), col("active")).collect()
+      .map(r => (r.getLong(0) - 1704067200000000L, r.getBoolean(1))).toSeq
+    assert(got == Seq((100000L, true), (2000000L, false), (5100000L, true), (6000000L, false)))
+  }
+
+  test("throttle status is empty when nothing queues (ops/timing.py:171-176)") {
+    val es = timed(Seq(0, 2, 4))
+    assert(es.throttleStatus(1, 1.0).df.count() === 0)
+  }
+
+  test("throttle set_limit re-limits from the control stream (ops/timing.py:124-130)") {
+    // Default 1/sec; at t=3s the limit relaxes to 2/sec. Arrivals
+    // 0, .1, 3.0, 3.1, 3.2: under 1/sec admits would be 0,1,3,4,5;
+    // with the relax, 3.0 and 3.1 both pass (2 in window), 3.2 waits
+    // until 3.0's admission expires at 4.0.
+    val es = timed(Seq(0, 0.1, 3.0, 3.1, 3.2))
+    val lims = spark.range(1).select(
+      timestamp_micros(lit(1704067200000000L + 3000000L)).as("ts"),
+      lit(2).as("maximum"), lit(1.0).as("interval_sec"))
+    val got = es.throttleDynamic(lims, defaultMax = 1, defaultIntervalSec = 1.0)
+      .df.orderBy("seq").select(unix_micros(col("ts"))).collect()
+      .map(_.getLong(0) - 1704067200000000L)
+    assert(got.toSeq == Seq(0L, 1000000L, 3000000L, 3100000L, 4000000L))
+  }
+
+  test("throttle set_limit tighten prunes with the new interval (ops/timing.py:151-153)") {
+    // 3/sec until t=1.5s, then 1 per 3s. Arrivals 0, .1, .2, 2.0, 2.1:
+    // first three pass; 2.0 sees admits {0,.1,.2} pruned with iv=3s ->
+    // all live, 1-per-3s means wait for the newest's expiry clamp:
+    // kept(size-1)=.2 -> admit 3.2; 2.1 then waits for 2.0's slot: 6.2.
+    val es = timed(Seq(0, 0.1, 0.2, 2.0, 2.1))
+    val lims = spark.range(1).select(
+      timestamp_micros(lit(1704067200000000L + 1500000L)).as("ts"),
+      lit(1).as("maximum"), lit(3.0).as("interval_sec"))
+    val got = es.throttleDynamic(lims, defaultMax = 3, defaultIntervalSec = 1.0)
+      .df.orderBy("seq").select(unix_micros(col("ts"))).collect()
+      .map(_.getLong(0) - 1704067200000000L)
+    assert(got.toSeq == Seq(0L, 100000L, 200000L, 3200000L, 6200000L))
+  }
+
   test("throttle with per-item cost (cost_func, ops/timing.py:115-117)") {
     // budget 3 per 10s; costs [2,2,2,1,3] at ts 0..4s ->
     // admits [0, 10, 20, 20, 30] (worked in the Scaladoc convention:
