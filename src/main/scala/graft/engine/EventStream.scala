@@ -465,15 +465,24 @@ final case class EventStream(
   // Output rows carry the child struct in `__child` plus `__outseq`.
 
   /** Mergemap: interleave children by child event time (`ops/transform.py:321-325`). */
-  def emapMerge(children: Column, childTsField: String): EventStream = {
-    val d = df.withColumn("__child", explode(children))
-    derive(d, orderCols = Seq(col(s"__child.$childTsField")))
-  }
+  def emapMerge(children: Column, childTsField: String): EventStream =
+    emap(children, EventStream.Joiners.Merge(childTsField))
 
   /** Chainmap: drain child i fully before i+1 (`ops/transform.py:328-332`). */
-  def emapChain(children: Column, childIdxField: String): EventStream = {
-    val d = df.withColumn("__child", explode(children))
-    derive(d, orderCols = Seq(col(seqCol), col(s"__child.$childIdxField")))
+  def emapChain(children: Column, childIdxField: String): EventStream =
+    emap(children, EventStream.Joiners.Chain(childIdxField))
+
+  /**
+   * Generic Emap (`Emap(constr, joiner)`, `ops/transform.py:291-318`):
+   * the reference accepts ANY JoinOp as the joiner; here the strategy is
+   * an [[EventStream.Joiner]] deciding how exploded children are
+   * filtered and ordered. The four canonical instances
+   * ([[EventStream.Joiners]]) back the variants below; pass a custom
+   * Joiner for anything else.
+   */
+  def emap(children: Column, joiner: EventStream.Joiner): EventStream = {
+    val (d, ord) = joiner(this, children)
+    derive(d, ord)
   }
 
   /**
@@ -485,15 +494,8 @@ final case class EventStream(
    * its child ts <= kill (ties resolve in scan order, earlier child
    * first).
    */
-  def emapConcat(children: Column, childTsField: String): EventStream = {
-    val firstC = array_min(transform(children, c => c.getField(childTsField)))
-    val kill = min(firstC).over(w.rowsBetween(1, Window.unboundedFollowing))
-    val d = df.withColumn("__kill", kill)
-      .withColumn("__child", explode(children))
-      .filter(col("__kill").isNull || col(s"__child.$childTsField") <= col("__kill"))
-      .drop("__kill")
-    derive(d, orderCols = Seq(col(s"__child.$childTsField")))
-  }
+  def emapConcat(children: Column, childTsField: String): EventStream =
+    emap(children, EventStream.Joiners.Concat(childTsField))
 
   /**
    * Switchmap (`ops/transform.py:342-346`): the last child to EMIT
@@ -506,15 +508,8 @@ final case class EventStream(
    * encoding used here. For non-monotonic children use
    * [[EventStream.switch]] on the exploded frame.
    */
-  def emapSwitch(children: Column, childTsField: String): EventStream = {
-    val firstC = array_min(transform(children, c => c.getField(childTsField)))
-    val nxt = lead(firstC, 1).over(w)
-    val d = df.withColumn("__nxt", nxt)
-      .withColumn("__child", explode(children))
-      .filter(col("__nxt").isNull || col(s"__child.$childTsField") <= col("__nxt"))
-      .drop("__nxt")
-    derive(d, orderCols = Seq(col(s"__child.$childTsField")))
-  }
+  def emapSwitch(children: Column, childTsField: String): EventStream =
+    emap(children, EventStream.Joiners.Switch(childTsField))
 
   private def derive(d: DataFrame, orderCols: Seq[Column]): EventStream = {
     val wOut = Window.partitionBy(keyCols: _*).orderBy(orderCols :+ col(seqCol): _*)
@@ -525,14 +520,117 @@ final case class EventStream(
 object EventStream {
 
   /**
+   * A join strategy for the generic Emap (`ops/transform.py:291-318`):
+   * given the parent stream and the child-array column, return the
+   * exploded (possibly filtered) child rows — child struct in `__child`
+   * — plus the columns that fix output order (seq is always the final
+   * tiebreak). Implementing this is the Spark analogue of handing the
+   * reference's `Emap` a custom JoinOp instance.
+   */
+  trait Joiner {
+    def apply(parent: EventStream, children: Column): (DataFrame, Seq[Column])
+  }
+
+  /** The four canonical reference joiners (`ops/transform.py:321-346`). */
+  object Joiners {
+    /** Interleave children by child event time. */
+    final case class Merge(childTsField: String) extends Joiner {
+      def apply(p: EventStream, children: Column): (DataFrame, Seq[Column]) =
+        (p.df.withColumn("__child", explode(children)),
+          Seq(col(s"__child.$childTsField")))
+    }
+
+    /** Drain child i fully before i+1. */
+    final case class Chain(childIdxField: String) extends Joiner {
+      def apply(p: EventStream, children: Column): (DataFrame, Seq[Column]) =
+        (p.df.withColumn("__child", explode(children)),
+          Seq(col(p.seqCol), col(s"__child.$childIdxField")))
+    }
+
+    /**
+     * Concat in creation order: child k is disconnected at the first
+     * emission of ANY later child (golden test
+     * `tests/transform_test.py:135-146`). kill(k) = min over later
+     * children of their first emission time; a row passes iff its child
+     * ts <= kill (ties resolve in scan order, earlier child first).
+     */
+    final case class Concat(childTsField: String) extends Joiner {
+      def apply(p: EventStream, children: Column): (DataFrame, Seq[Column]) = {
+        val firstC = array_min(transform(children, c => c.getField(childTsField)))
+        val kill = min(firstC).over(p.w.rowsBetween(1, Window.unboundedFollowing))
+        val d = p.df.withColumn("__kill", kill)
+          .withColumn("__child", explode(children))
+          .filter(col("__kill").isNull || col(s"__child.$childTsField") <= col("__kill"))
+          .drop("__kill")
+        (d, Seq(col(s"__child.$childTsField")))
+      }
+    }
+
+    /**
+     * Switch: the last child to EMIT preempts (not the last created —
+     * golden test `tests/transform_test.py:156-166`). When children
+     * first emit at their creation time (first child ts = parent ts,
+     * parent ts monotonic per key) the switch scan provably reduces to
+     * truncating child k at the NEXT parent's first child emission —
+     * the encoding here. For non-monotonic children use
+     * [[EventStream.switch]] on the exploded frame.
+     */
+    final case class Switch(childTsField: String) extends Joiner {
+      def apply(p: EventStream, children: Column): (DataFrame, Seq[Column]) = {
+        val firstC = array_min(transform(children, c => c.getField(childTsField)))
+        val nxt = lead(firstC, 1).over(p.w)
+        val d = p.df.withColumn("__nxt", nxt)
+          .withColumn("__child", explode(children))
+          .filter(col("__nxt").isNull || col(s"__child.$childTsField") <= col("__nxt"))
+          .drop("__nxt")
+        (d, Seq(col(s"__child.$childTsField")))
+      }
+    }
+  }
+
+  /**
+   * Pull iterator with backpressure drop (`aiter(skip_to_last=True)`,
+   * `event.py:339-366`): the reference's "slipper clutch" between a
+   * producer that is too fast and a consumer that can't keep up — on
+   * every new value the backlog queue is drained, so each pull yields
+   * only the NEWEST value produced since the previous pull. A daemon
+   * thread advances the plan's `toLocalIterator`; `next()` blocks only
+   * while nothing new has arrived. The final row is always delivered.
+   */
+  def aiterSkipToLast(df: DataFrame): Iterator[org.apache.spark.sql.Row] = {
+    val lock = new Object
+    var latest: org.apache.spark.sql.Row = null // guarded by lock
+    var finished = false
+    val t = new Thread(() => {
+      try df.toLocalIterator().forEachRemaining { r =>
+        lock.synchronized { latest = r; lock.notifyAll() }
+      } finally lock.synchronized { finished = true; lock.notifyAll() }
+    }, "aiter-skip-to-last")
+    t.setDaemon(true)
+    t.start()
+    new Iterator[org.apache.spark.sql.Row] {
+      def hasNext: Boolean = lock.synchronized {
+        while (latest == null && !finished) lock.wait()
+        latest != null
+      }
+      def next(): org.apache.spark.sql.Row = lock.synchronized {
+        if (!hasNext) throw new NoSuchElementException("stream done")
+        val r = latest
+        latest = null
+        r
+      }
+    }
+  }
+
+  /**
    * Async map with a concurrency cap (`ops/transform.py:214-288`:
    * `Map(func, task_limit=N)` — the reference's bounded-parallelism
    * external-service call). Spark already parallelizes across
    * partitions; `taskLimit` bounds the *in-flight calls per partition*
    * (connection-pool semantics): each partition's iterator advances in
    * windows of `taskLimit` concurrent futures, and results stay in emit
-   * order (the reference's `ordered=True` default). Wrap `f` in a
-   * Try→null for the reference's timeout→NO_VALUE mode.
+   * order (the reference's `ordered=True` default). For the reference's
+   * timeout→NO_VALUE mode use [[mapAsyncTimeout]].
    */
   def mapAsync[I, O: org.apache.spark.sql.Encoder](
       ds: org.apache.spark.sql.Dataset[I], f: I => O, taskLimit: Int)
@@ -549,6 +647,40 @@ object EventStream {
         .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdown()))
       it.grouped(math.max(1, taskLimit)).flatMap { batch =>
         batch.map(i => Future(f(i))).map(fu => Await.result(fu, Duration.Inf))
+      }
+    }
+  }
+
+  /**
+   * Map with `timeout` (`Map(func, timeout=...)`,
+   * `ops/transform.py:252-253`, `:283-288`): a call that exceeds the
+   * timeout — or raises — yields NO_VALUE instead of killing the stream
+   * (the reference wraps the coroutine in `asyncio.wait_for` and its
+   * done-callback converts errors to NO_VALUE + an error_event).
+   * NO_VALUE maps to `None` here. The timeout clock starts at task
+   * submission, matching `wait_for`: each future records its start and
+   * the ordered await charges only the remaining budget.
+   */
+  def mapAsyncTimeout[I, O](
+      ds: org.apache.spark.sql.Dataset[I], f: I => O, taskLimit: Int, timeoutSec: Double)(
+      implicit oe: org.apache.spark.sql.Encoder[Option[O]])
+      : org.apache.spark.sql.Dataset[Option[O]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+    import scala.concurrent.duration._
+    ds.mapPartitions { it =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, taskLimit))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+      val budgetNs = math.round(timeoutSec * 1e9)
+      it.grouped(math.max(1, taskLimit)).flatMap { batch =>
+        batch
+          .map(i => (Future(scala.util.Try(f(i))), System.nanoTime()))
+          .map { case (fu, t0) =>
+            val remainNs = math.max(0L, budgetNs - (System.nanoTime() - t0))
+            try Await.result(fu, remainNs.nanos).toOption
+            catch { case _: TimeoutException => None }
+          }
       }
     }
   }

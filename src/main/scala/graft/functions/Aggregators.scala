@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -40,6 +41,28 @@ object Aggregators {
 
   /** `ema(col, n).over(wRun)` — weight 2/(n+1) like the reference. */
   def ema(c: Column, weight: Double): Column = udaf(new EmaAgg(weight)).apply(c)
+
+  /**
+   * Element-wise EMA over multi-arg tuples (`ops/aggregate.py:104-108`):
+   * the reference zips the previous tuple with the incoming one and
+   * folds each position independently. Tuples map to arrays here; like
+   * Python's `zip`, a length mismatch truncates to the shorter side.
+   */
+  case class EmaVecBuf(v: Seq[Double], primed: Boolean)
+  class EmaVecAgg(alpha: Double) extends Aggregator[Seq[Double], EmaVecBuf, Seq[Double]] {
+    private val f1 = alpha
+    private val f2 = 1.0 - alpha
+    def zero: EmaVecBuf = EmaVecBuf(Vector.empty, primed = false)
+    def reduce(b: EmaVecBuf, x: Seq[Double]): EmaVecBuf =
+      if (!b.primed) EmaVecBuf(x, primed = true)
+      else EmaVecBuf(b.v.zip(x).map { case (p, a) => p * f2 + a * f1 }, primed = true)
+    def merge(a: EmaVecBuf, b: EmaVecBuf): EmaVecBuf =
+      throw new UnsupportedOperationException("order-sensitive scan")
+    def finish(b: EmaVecBuf): Seq[Double] = b.v
+    def bufferEncoder: Encoder[EmaVecBuf] = Encoders.product[EmaVecBuf]
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+  def emaVec(c: Column, weight: Double): Column = udaf(new EmaVecAgg(weight)).apply(c)
 
   /** Generic Reduce (`ops/aggregate.py:18-36`) demo instance: running
     * string fold `acc || x` (initializer = ""). */

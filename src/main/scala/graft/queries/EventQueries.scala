@@ -248,6 +248,25 @@ object EventQueries {
       s"$EV SELECT seq, user_id, CAST(list_reduce(list(value) $WRUN, " +
         "(a,x) -> a*0.75e0 + x*0.25e0) AS DOUBLE) AS ema FROM ev ORDER BY seq"),
 
+    Q("q_ema_tuple",
+      // Element-wise EMA over a 2-tuple (`ops/aggregate.py:104-108`):
+      // each position folds independently — the oracle runs one scalar
+      // fold per position, the engine one vector fold over the array.
+      (s, d) => {
+        val st = ev(s, d)
+        st.derive(st.df.withColumn("__e",
+            Aggregators.emaVec(array(col("value"), col("cents").cast("double")), 0.25)
+              .over(st.wRun)))
+          .df.select(col("seq"), col("user_id"),
+            element_at(col("__e"), 1).as("ema_value"),
+            element_at(col("__e"), 2).as("ema_cents"))
+          .orderBy("seq")
+      },
+      s"$EV SELECT seq, user_id, CAST(list_reduce(list(value) $WRUN, " +
+        "(a,x) -> a*0.75e0 + x*0.25e0) AS DOUBLE) AS ema_value, " +
+        s"CAST(list_reduce(list(CAST(cents AS DOUBLE)) $WRUN, " +
+        "(a,x) -> a*0.75e0 + x*0.25e0) AS DOUBLE) AS ema_cents FROM ev ORDER BY seq"),
+
     Q("q_reduce",
       // Generic Reduce (`ops/aggregate.py:18-36`): running string fold.
       (s, d) => {

@@ -81,4 +81,23 @@ class EmapMarbleSpec extends SparkSpec {
       .df.orderBy("o").select("value").collect().map(_.getString(0)).toSeq
     assert(got == Seq("A", "B", "1", "2", "K", "L", "M", "N"))
   }
+
+  test("generic emap accepts a custom joiner (Emap(constr, joiner), transform.py:291-318)") {
+    // A user-defined JoinOp: reverse-chain — drain the LAST child first.
+    // Not one of the four canonical joiners, so it exercises the open
+    // strategy surface.
+    val reverseChain = new EventStream.Joiner {
+      def apply(p: EventStream, children: org.apache.spark.sql.Column) =
+        (p.df.withColumn("__child", explode(children)),
+          Seq(col(p.seqCol).desc, col("__child.j")))
+    }
+    val marbles = Seq("A B", "_1 2")
+    val got = outValues(parentWithChildren(marbles).emap(col("children"), reverseChain))
+    assert(got == Seq("1", "2", "A", "B"))
+    // and the canonical variants still route through the same surface
+    val viaGeneric = outValues(parentWithChildren(marbles)
+      .emap(col("children"), EventStream.Joiners.Merge("cts")))
+    val viaNamed = outValues(parentWithChildren(marbles).emapMerge(col("children"), "cts"))
+    assert(viaGeneric == viaNamed)
+  }
 }

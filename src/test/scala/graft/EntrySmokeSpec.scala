@@ -25,4 +25,19 @@ class EntrySmokeSpec extends SparkSpec {
     while (it.hasNext) { it.next(); n += 1 }
     assert(n === 100)
   }
+
+  test("aiter skip_to_last drops the backlog for a slow consumer (event.py:339-366)") {
+    val df = seqStream(0 until 2000).df.orderBy("seq")
+    val it = graft.engine.EventStream.aiterSkipToLast(df)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      got += it.next().getAs[Long]("value")
+      Thread.sleep(20) // consumer slower than the producer
+    }
+    // in order, nothing fabricated, final value always delivered
+    assert(got.toSeq == got.toSeq.sorted)
+    assert(got.last === 1999L)
+    // the clutch slipped: a slow consumer must NOT see every value
+    assert(got.size < 2000, s"expected skips, got all ${got.size}")
+  }
 }

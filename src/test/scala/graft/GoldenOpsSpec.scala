@@ -67,6 +67,22 @@ class GoldenOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ema over tuples folds each position independently (ops/aggregate.py:104-108)") {
+    val st = seqStream(array)
+    val got = st.derive(st.df.withColumn("e",
+        graft.functions.Aggregators.emaVec(
+          org.apache.spark.sql.functions.array(
+            col("value").cast("double"), (col("value") * 10).cast("double")), 0.25)
+          .over(st.wRun)))
+      .df.orderBy("seq").select("e").collect()
+      .map(_.getSeq[Double](0).toList).toList
+    val e1 = array.map(_.toDouble).tail
+      .scanLeft(array.head.toDouble)((acc, x) => acc * 0.75 + x * 0.25)
+    val e2 = array.map(_.toDouble * 10).tail
+      .scanLeft(array.head.toDouble * 10)((acc, x) => acc * 0.75 + x * 0.25)
+    assert(got == e1.zip(e2).map { case (a, b) => List(a, b) })
+  }
+
   test("filter odds (select_test.py:10-12)") {
     val got = longs(seqStream(array).where(col("value") % 2 =!= 0), "value")
     assert(got == array.filter(_ % 2 != 0).map(_.toLong))
@@ -176,6 +192,19 @@ class GoldenOpsSpec extends SparkSpec {
       .mapAsync[Long, Long](ds.repartitionByRange(2, $"value"), x => x * x, 4)
       .mapPartitions(it => Iterator(it.toList)).collect()
     perPart.foreach(l => assert(l == l.sorted))
+  }
+
+  test("mapAsync timeout converts slow or failing calls to NO_VALUE (transform.py:252-253,283-288)") {
+    import spark.implicits._
+    val ds = spark.createDataset((0L until 6L).toSeq).repartition(1)
+    val got = graft.engine.EventStream
+      .mapAsyncTimeout[Long, Long](ds, x => {
+        if (x == 2L) Thread.sleep(30000) // far past the timeout
+        if (x == 4L) throw new RuntimeException("boom") // error -> NO_VALUE too
+        x * x
+      }, taskLimit = 4, timeoutSec = 1.0)
+      .collect().toList
+    assert(got == List(Some(0L), Some(1L), None, Some(9L), None, Some(25L)))
   }
 
   test("pipe composes operator chains (event.py:259-282)") {
