@@ -53,24 +53,37 @@ def main(sf_dir, out_dir):
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.execute(
+            got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
             got = got_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             continue
         try:
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t) for t in exp_rel.types]
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:160]}")
             continue
-        if any(isinstance(x, list) for r in got[:50] for x in r):
-            print(f"FAIL {name}: array-valued output column — driver "
-                  "comparator (pandas sort_values) crashes on ndarray; "
-                  "stringify with array_join/to_json on both sides")
+        # Declared-type checks (not value sampling): the driver's pandas
+        # comparator crashes on LIST cells (unhashable ndarray) and
+        # dtype-mismatches HUGEINT/DECIMAL oracle sums (float64/object)
+        # against Spark's int64 even when every value is equal.
+        bad_types = [
+            f"{side}.{c}:{t}"
+            for side, cols, types in (("spark", got_cols, got_types),
+                                      ("oracle", exp_cols, exp_types))
+            for c, t in zip(cols, types)
+            if t.endswith("[]") or t.startswith("HUGEINT")
+            or t.startswith("DECIMAL")]
+        if bad_types:
+            print(f"FAIL {name}: driver-hostile column types {bad_types} — "
+                  "stringify arrays (array_join/to_json vs array_to_string)"
+                  " and CAST sums AS BIGINT on the oracle side")
             continue
         gc, gr = canon(got_cols, got)
         ec, er = canon(exp_cols, exp)
