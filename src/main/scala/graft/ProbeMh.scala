@@ -27,6 +27,24 @@ object ProbeMh {
     }
     val K = 5; val H = 12; val BANDS = 4; val R = 3
 
+    time("warm-tiny-3docs") {
+      val tiny = docs.limit(3)
+      val sigs = TextOps.minhashSigArray(tiny, "doc_id", "text", K, H)
+      val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+      TextOps.lshCandidates(bands, "doc_id").count()
+    }
+    time("arr-cold-first") {
+      val sigs = TextOps.minhashSigArray(docs, "doc_id", "text", K, H)
+      val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+      TextOps.lshCandidates(bands, "doc_id").count()
+    }
+    time("arr-sigs-only") {
+      TextOps.minhashSigArray(docs, "doc_id", "text", K, H).count()
+    }
+    time("arr-bands-only") {
+      val sigs = TextOps.minhashSigArray(docs, "doc_id", "text", K, H)
+      TextOps.lshBandsArr(sigs, "doc_id", BANDS, R).count()
+    }
     time("tokens-only") {
       docs.select(TextOps.tokens(col("text")).as("t")).selectExpr("sum(size(t))").count()
     }
@@ -52,6 +70,16 @@ object ProbeMh {
     time("full-2nd") {
       val sigs = TextOps.minhashSignaturesNarrow(docs, "doc_id", "text", K, H)
       val bands = TextOps.lshBands(sigs, "doc_id", BANDS, R)
+      TextOps.lshCandidates(bands, "doc_id").count()
+    }
+    time("full-arr-cold") {
+      val sigs = TextOps.minhashSigArray(docs, "doc_id", "text", K, H)
+      val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+      TextOps.lshCandidates(bands, "doc_id").count()
+    }
+    time("full-arr-2nd") {
+      val sigs = TextOps.minhashSigArray(docs, "doc_id", "text", K, H)
+      val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
       TextOps.lshCandidates(bands, "doc_id").count()
     }
     out.close()

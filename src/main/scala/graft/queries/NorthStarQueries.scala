@@ -23,7 +23,10 @@ object NorthStarQueries {
   private val BANDS = 4
   private val R = 3            // rows per band
   private val NBITS = 16       // simhash bits
-  private val PLANES = 8       // LSH hyperplanes
+  private val PLANES = 8       // LSH hyperplanes (ANN top-k)
+  private val DEDUP_PLANES = 3 // coarser buckets for near-dup pairs
+  private val DEDUP_PROBES = 3 // probe every plane flip on the dedup path
+  private val NPROBES = 2      // multi-probe bit flips (ANN top-k)
   private val DIMS = 64        // embedding dims
 
   // ---- oracle SQL fragments
@@ -56,6 +59,18 @@ object NorthStarQueries {
 
   private def sqlCos(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** Hyperplane projection for plane j — Similarity.planeCoef mirror. */
+  private def sqlProj(j: Int, v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $DIMS), " +
+      s"d -> CAST($v[CAST(d + 1 AS INT)] AS DOUBLE) * ((($j * 131 + d * 137) % 19) - 9))), " +
+      "(acc, x) -> acc + x)"
+
+  /** Sign-bit bucket id over `planes` hyperplanes — Similarity.lshBucket. */
+  private def sqlBucket(planes: Int): String =
+    (0 until planes).map(j =>
+      s"CASE WHEN ${sqlProj(j, "embedding")} > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
@@ -135,9 +150,13 @@ object NorthStarQueries {
         "FROM documents GROUP BY h ORDER BY keeper"),
 
     Q("q_dedup_minhash",
+      // Array-keyed band pipeline: signature stays ONE array column and
+      // band keys are raw slices — same buckets as the oracle's
+      // concat_ws string keys (fixed-length integer slices), half the
+      // codegen.
       (s, d) => {
-        val sigs = TextOps.minhashSignaturesNarrow(docs(s, d), "doc_id", "text", K, H)
-        val bands = TextOps.lshBands(sigs, "doc_id", BANDS, R)
+        val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
+        val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
         TextOps.lshCandidates(bands, "doc_id").orderBy("a", "b")
       }, {
         val sigCols = (0 until H).map(j =>
@@ -207,6 +226,29 @@ object NorthStarQueries {
         "FROM embeddings l, embeddings r WHERE l.vec_id < r.vec_id " +
         s"AND ${sqlCos("l.embedding", "r.embedding")} >= 0.4e0 ORDER BY a, b"),
 
+    Q("q_dedup_cosine_lsh",
+      // The scale path for q_dedup_cosine: hyperplane-sign buckets (3
+      // planes) + 3 single-bit probes confine the quadratic pair
+      // generation while recovering 41 of the 59 exact pairs (planes
+      // alone: 13); the exact-cosine filter keeps precision 1. The
+      // oracle replicates the bucketing, so the compare is exact
+      // (recall loss is part of the operator's contract, not noise).
+      (s, d) => Similarity.cosinePairsLsh(emb(s, d), "vec_id", "embedding",
+          0.4, DEDUP_PLANES, DIMS, DEDUP_PROBES)
+        .orderBy("a", "b"),
+      {
+        val probeUnion = (1 to DEDUP_PROBES).map(p =>
+          s"SELECT vec_id, embedding, xor(bucket, ${1L << (p - 1)}) AS bucket FROM bk")
+          .mkString(" UNION ALL ")
+        s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket(DEDUP_PLANES)} AS bucket " +
+          "FROM embeddings), " +
+          s"nb AS (SELECT vec_id, embedding, bucket FROM bk UNION ALL $probeUnion) " +
+          "SELECT a, b, cos FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+          s"${sqlCos("l.embedding", "r.embedding")} AS cos " +
+          "FROM nb l JOIN bk r USING (bucket) WHERE l.vec_id < r.vec_id) " +
+          "WHERE cos >= 0.4e0 ORDER BY a, b"
+      }),
+
     // ---------------- similarity search ----------------
     Q("q_ann_topk",
       (s, d) => Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
@@ -238,17 +280,32 @@ object NorthStarQueries {
       (s, d) => Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
         .orderBy("a", "rank"),
       {
-        def proj(j: Int, v: String) =
-          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $DIMS), " +
-            s"d -> CAST($v[CAST(d + 1 AS INT)] AS DOUBLE) * ((($j * 131 + d * 137) % 19) - 9))), " +
-            "(acc, x) -> acc + x)"
-        val bucket = (0 until PLANES).map(j =>
-          s"CASE WHEN ${proj(j, "embedding")} > 0 THEN ${1L << j} ELSE 0 END")
-          .mkString(" + ")
-        s"WITH bk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings) " +
+        s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket " +
+          "FROM embeddings) " +
           "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
           s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
           "FROM bk l JOIN bk r USING (bucket) WHERE l.vec_id <> r.vec_id) " +
+          "WHERE rank <= 3 ORDER BY a, rank"
+      }),
+
+    Q("q_ann_lsh_mp",
+      // Multi-probe LSH: each vector is announced in its home bucket
+      // plus the 2 single-bit-flip neighbors — recall lift over
+      // q_ann_lsh at (nProbes+1)× shuffle volume, still no quadratic
+      // cross term.
+      (s, d) => Similarity.topKLshMp(emb(s, d), "vec_id", "embedding", 3,
+          PLANES, DIMS, NPROBES)
+        .orderBy("a", "rank"),
+      {
+        val probeUnion = (1 to NPROBES).map(p =>
+          s"SELECT vec_id, embedding, xor(bucket, ${1L << (p - 1)}) AS bucket FROM bk")
+          .mkString(" UNION ALL ")
+        s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket " +
+          "FROM embeddings), " +
+          s"nb AS (SELECT vec_id, embedding, bucket FROM bk UNION ALL $probeUnion) " +
+          "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+          s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+          "FROM nb l JOIN bk r USING (bucket) WHERE l.vec_id <> r.vec_id) " +
           "WHERE rank <= 3 ORDER BY a, rank"
       }),
 

@@ -214,7 +214,62 @@ object RelationalQueries {
       s"SELECT l_suppkey, l_orderkey, l_linenumber, ${sqlCents("l_extendedprice")} AS ep_c, " +
         s"CAST(sum(${sqlCents("l_extendedprice")}) OVER (PARTITION BY l_suppkey " +
         "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_rev_c " +
-        "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber")
+        "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"),
+
+    Q("q_join_asof",
+      // As-of join (graft.engine.AsofJoin): stamp each non-purchase
+      // event with the user's latest purchase at-or-before it. One keyed
+      // union-window scan — no range join, no per-key cross term. Oracle
+      // is DuckDB's native ASOF LEFT JOIN.
+      (s, d) => {
+        val e = EventQueries.ev(s, d).df
+        val left = e.filter(col("event_type") =!= "purchase")
+          .select("seq", "user_id", "ts", "event_type", "cents")
+        val right = e.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "cents")
+        graft.engine.AsofJoin
+          .asofLeft(left, right, "user_id", "ts", Seq("cents"), "purchase_")
+          .orderBy("seq")
+      },
+      EventQueries.EV +
+        " SELECT e.seq, e.user_id, e.ts, e.event_type, e.cents, " +
+        "m.ts AS purchase_ts, m.cents AS purchase_cents " +
+        "FROM (SELECT * FROM ev WHERE event_type <> 'purchase') e " +
+        "ASOF LEFT JOIN (SELECT user_id AS m_uid, ts, cents FROM ev " +
+        "WHERE event_type = 'purchase') m " +
+        "ON e.user_id = m.m_uid AND e.ts >= m.ts ORDER BY e.seq"),
+
+    Q("q_sample_hash",
+      // Deterministic Bernoulli sampling by multiplicative hash — the
+      // reproducible-across-engines (and across reruns at 100 TB) form
+      // of TABLESAMPLE: no RNG state, prunes in one narrow pass.
+      (s, d) => EventQueries.ev(s, d).df
+        .filter((col("seq") * 2654435761L) % 1000003L < 100000L)
+        .select("seq", "user_id", "value")
+        .orderBy("seq"),
+      EventQueries.EV +
+        " SELECT seq, user_id, value FROM ev " +
+        "WHERE (seq * 2654435761) % 1000003 < 100000 ORDER BY seq"),
+
+    Q("q_sample_stratified",
+      // Stratified sampling: EXACTLY n rows per key, chosen by hash
+      // order — per-key quota sampling as one keyed window (no
+      // per-group collect, no driver loop). The 100 TB form of
+      // "balance the training mix per source/user".
+      (s, d) => {
+        val h = (col("seq") * 2654435761L) % 1000003L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(h, col("seq"))
+        EventQueries.ev(s, d).df
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 20)
+          .select("seq", "user_id", "value")
+          .orderBy("seq")
+      },
+      EventQueries.EV +
+        " SELECT seq, user_id, value FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY (seq * 2654435761) % 1000003, seq) AS rn " +
+        "FROM ev) WHERE rn <= 20 ORDER BY seq")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

@@ -132,6 +132,33 @@ object TextOps {
       (0 until numHashes).map(j => element_at(col("__hs"), j + 1).as(s"h$j")): _*)
   }
 
+  /** Signature as ONE array column `__hs` (no h0..hN unpack): the
+    * compact form [[lshBandsArr]] consumes. Same values as
+    * [[minhashSignaturesNarrow]]; docs with no shingles are dropped. */
+  def minhashSigArray(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.VectorFunctions.minhashSigs(
+          graft.functions.VectorFunctions.shingleSids(tokens(col(textCol)), k),
+          numHashes).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+
+  /** Band rows keyed by the raw signature SLICE (array<long>), not a
+    * concat_ws string: equal slices ⇔ equal concat keys (fixed length,
+    * integer parts), so buckets are provably identical to the string
+    * encoding the oracle uses — but the plan skips the N-column unpack
+    * and the per-row string building, roughly halving codegen size and
+    * cold JIT on the dedup path. */
+  def lshBandsArr(sigArr: DataFrame, idCol: String, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        slice(col("__hs"), b * rowsPerBand + 1, rowsPerBand).as("key"))
+    }
+    sigArr.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** (doc, band, key) rows; equal keys within a band = candidate pair.
     * Built as ONE array+explode projection, not a union of per-band
     * selects — a union would re-execute the whole signature pipeline

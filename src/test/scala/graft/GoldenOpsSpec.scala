@@ -37,6 +37,26 @@ class GoldenOpsSpec extends SparkSpec {
     assert(allGot == allIn.map(_ == 1))
   }
 
+  test("asof join: latest right at-or-before, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 150L), (3L, 1L, 999L))
+      .toDF("k", "t", "px")
+    val got = graft.engine.AsofJoin.asofLeft(left, right, "k", "t", Seq("px"))
+      .orderBy("k", "t")
+      .collect()
+      .map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[java.lang.Long]("asof_t")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("asof_px")).map(_.toLong)))
+      .toSeq
+    assert(got == Seq(
+      ("a", None, None),            // before any right row
+      ("b", Some(10L), Some(100L)), // tie at t=10 matches (inclusive)
+      ("c", Some(15L), Some(150L)), // latest of the two priors
+      ("d", None, None)))           // key with no right rows at all
+  }
+
   test("pairwise (aggregate_test.py:38-40)") {
     val st = seqStream(array).pairwise("value", "prev")
     val got = st.df.orderBy("seq").select("prev", "value").collect()

@@ -46,6 +46,15 @@ class TextSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((0L, 1L)))
     assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
+
+    // The array-keyed pipeline (slice keys, no h0..hN unpack) buckets
+    // identically to the edge/string-keyed formulation.
+    val candsArr = TextOps.lshCandidates(
+        TextOps.lshBandsArr(
+          TextOps.minhashSigArray(docs, "doc_id", "text", 3, 12), "doc_id", 4, 3),
+        "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candsArr == cands)
   }
 
   test("language ID picks the dominant stopword language") {
@@ -76,6 +85,30 @@ class TextSimilaritySpec extends SparkSpec {
     val top1 = Similarity.topK(df, "vec_id", "embedding", 1)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(top1 == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("LSH cosine pairs: subset of brute force, probes only add pairs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val lsh = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, 3, 64))
+    val lshMp = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, 3, 64, 3))
+    assert(lsh.subsetOf(exact), "precision must be 1 (exact-cosine filter)")
+    assert(lshMp.subsetOf(exact))
+    assert(lsh.subsetOf(lshMp), "probing may only ADD candidate pairs")
+    // no duplicate emissions (the documented exactly-once argument)
+    val raw = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, 3, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(raw.size == raw.toSet.size)
+  }
+
+  test("multi-probe top-k: each (a,b) candidate generated exactly once") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // rank duplicates would surface as repeated (a, rank) keys
+    val got = Similarity.topKLshMp(emb, "vec_id", "embedding", 3, 8, 64, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.toSet.size)
   }
 
   test("multimodal stub decode: schema and deterministic features") {
