@@ -126,6 +126,29 @@ object EventQueries {
       s"$EV SELECT seq, user_id, row_number() " +
         "OVER (PARTITION BY user_id ORDER BY seq) - 1 AS idx FROM ev ORDER BY seq"),
 
+    Q("q_sessionize",
+      // Sessionization: a gap > 6 h opens a new per-user session —
+      // lag + running sum over ONE keyed window (no self-join, no
+      // gaps-and-islands subqueries). Gaps compare as integer micros so
+      // both engines agree exactly.
+      (s, d) => {
+        val st = ev(s, d)
+        val tsUs = unix_micros(col("ts"))
+        val gap = tsUs - lag(tsUs, 1).over(st.w)
+        st.df
+          .withColumn("__gap", gap)
+          .withColumn("__st",
+            when(col("__gap").isNull || col("__gap") > 21600000000L, 1L).otherwise(0L))
+          .withColumn("session", sum(col("__st")).over(st.wRun))
+          .select("seq", "user_id", "session")
+          .orderBy("seq")
+      },
+      s"$EV SELECT seq, user_id, CAST(sum(CASE WHEN gap IS NULL OR " +
+        "gap > 21600000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id " +
+        "ORDER BY seq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session " +
+        "FROM (SELECT seq, user_id, epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY seq) AS gap FROM ev) ORDER BY seq"),
+
     Q("q_timestamp",
       (s, d) => ev(s, d).df
         .select(col("seq"), col("user_id"), unix_micros(col("ts")).as("ts_us"))

@@ -60,6 +60,23 @@ object NorthStarQueries {
   private def sqlCos(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** Minhash band CTEs ending in `cand` = candidate pairs (a < b) —
+    * shared by q_dedup_minhash and q_dedup_clusters. */
+  private lazy val MINHASH_CANDS: String = {
+    val sigCols = (0 until H).map(j =>
+      s"min((sid * ${TextOps.aCoef(j)} + ${TextOps.bCoef(j)}) % ${TextOps.P}) AS h$j")
+      .mkString(", ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val key = (0 until R).map(r => s"h${b * R + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"$DOC_TOKS, $TOKFPS, $SHSIDS, " +
+      s"sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
+      s"bands AS ($bandSelects), " +
+      "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l " +
+      "JOIN bands r USING (band, key) WHERE l.doc_id < r.doc_id)"
+  }
+
   /** Hyperplane projection for plane j — Similarity.planeCoef mirror. */
   private def sqlProj(j: Int, v: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $DIMS), " +
@@ -132,6 +149,44 @@ object NorthStarQueries {
           "FROM h ORDER BY doc_id"
       }),
 
+    Q("q_pipeline_train",
+      // End-to-end training-set materialization: language filter →
+      // quality (token-count) filter → exact dedup keeping the lowest
+      // doc_id per content hash → stats for the surviving set. The
+      // composition a reference user runs daily, as one declarative
+      // plan: narrow scans into one groupBy + one keeper join.
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val enriched = docs(s, d).select(
+          col("doc_id"), col("text"),
+          size(t).cast("long").as("n_tokens"),
+          TextOps.langGuess(
+            TextOps.stopwordHits(t, "en"), TextOps.stopwordHits(t, "es"),
+            TextOps.stopwordHits(t, "de"), TextOps.stopwordHits(t, "fr")).as("guess"))
+        val filtered = enriched
+          .filter(col("guess") === "en" && col("n_tokens") >= 20)
+        val keep = filtered
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        keep.join(filtered.select("doc_id", "n_tokens"), "doc_id")
+          .select("doc_id", "n_tokens")
+          .orderBy("doc_id")
+      }, {
+        def hits(l: String) = "len(list_filter(toks, x -> x IN (" +
+          TextOps.stopwords(l).map(w => s"'$w'").mkString(",") + ")))"
+        s"WITH $DOC_TOKS, " +
+          s"h AS (SELECT doc_id, len(toks) AS n_tokens, ${hits("en")} AS en, " +
+          s"${hits("es")} AS es, ${hits("de")} AS de, ${hits("fr")} AS fr FROM tok), " +
+          "f AS (SELECT d.doc_id, d.text, h.n_tokens FROM documents d " +
+          "JOIN h ON d.doc_id = h.doc_id WHERE h.n_tokens >= 20 AND CASE " +
+          "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' " +
+          "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' " +
+          "WHEN de > 0 AND de >= fr THEN 'de' " +
+          "WHEN fr > 0 THEN 'fr' ELSE 'und' END = 'en'), " +
+          "k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)) " +
+          "SELECT doc_id, n_tokens FROM k JOIN f USING (doc_id) ORDER BY doc_id"
+      }),
+
     Q("q_fingerprint",
       (s, d) => docs(s, d).select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
@@ -158,20 +213,32 @@ object NorthStarQueries {
         val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
         val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
         TextOps.lshCandidates(bands, "doc_id").orderBy("a", "b")
-      }, {
-        val sigCols = (0 until H).map(j =>
-          s"min((sid * ${TextOps.aCoef(j)} + ${TextOps.bCoef(j)}) % ${TextOps.P}) AS h$j")
-          .mkString(", ")
-        val bandSelects = (0 until BANDS).map { b =>
-          val key = (0 until R).map(r => s"h${b * R + r}").mkString(", ")
-          s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, " +
-          s"sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
-          s"bands AS ($bandSelects) " +
-          "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l " +
-          "JOIN bands r USING (band, key) WHERE l.doc_id < r.doc_id ORDER BY a, b"
-      }),
+      },
+      s"WITH $MINHASH_CANDS SELECT a, b FROM cand ORDER BY a, b"),
+
+    Q("q_dedup_clusters",
+      // Pairs → CLUSTERS: connected components (min-label propagation,
+      // graft.engine.ConnectedComponents) over the minhash candidate
+      // graph, so a~b and b~c collapse to ONE keeper. The oracle walks
+      // the same graph with a recursive CTE (min reachable id =
+      // component id).
+      (s, d) => {
+        val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
+        val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+        val cand = TextOps.lshCandidates(bands, "doc_id")
+        graft.engine.ConnectedComponents.run(cand)
+          .select(col("node").as("doc_id"), col("comp").as("cluster"))
+          .orderBy("doc_id")
+      },
+      s"WITH RECURSIVE $MINHASH_CANDS, " +
+        "e2 AS (SELECT a AS src, b AS dst FROM cand " +
+        "UNION ALL SELECT b AS src, a AS dst FROM cand), " +
+        "walk(node, comp) AS (" +
+        "SELECT DISTINCT src, src FROM e2 " +
+        "UNION " +
+        "SELECT e2.src, w.comp FROM e2 JOIN walk w ON w.node = e2.dst) " +
+        "SELECT node AS doc_id, min(comp) AS cluster FROM walk " +
+        "GROUP BY node ORDER BY doc_id"),
 
     Q("q_dedup_simhash",
       // Fused per-row kernel: tokens → deduped fingerprints → bit votes →

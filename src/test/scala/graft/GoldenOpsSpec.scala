@@ -57,6 +57,18 @@ class GoldenOpsSpec extends SparkSpec {
       ("d", None, None)))           // key with no right rows at all
   }
 
+  test("connected components: chains collapse, components stay separate") {
+    import spark.implicits._
+    // 1-2-3-4-5 chain (diameter 4 — needs several propagation rounds),
+    // a separate pair, edge listed high-to-low to check symmetrization.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (9L, 7L))
+      .toDF("a", "b")
+    val got = graft.engine.ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
   test("pairwise (aggregate_test.py:38-40)") {
     val st = seqStream(array).pairwise("value", "prev")
     val got = st.df.orderBy("seq").select("prev", "value").collect()
