@@ -201,6 +201,20 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /**
+   * Streaming exact dedup: drop rows whose `keyCols` were already seen
+   * within the watermark horizon — the streaming form of the dedup
+   * family (q_dedup_exact), e.g. suppressing re-crawled documents by
+   * content hash. `dropDuplicatesWithinWatermark` keys RocksDB state by
+   * the dedup columns and EVICTS entries older than the watermark, so
+   * state is bounded by the horizon (a bare dropDuplicates would grow
+   * forever on an unbounded stream).
+   */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

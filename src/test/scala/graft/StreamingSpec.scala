@@ -44,6 +44,19 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((10L, 1L, 2.0), (20L, 1L, 3.0), (10L, 2L, 10.0)))
   }
 
+  test("streaming dedup: duplicate keys within the watermark are dropped") {
+    val bus = new Streaming.EventBus(spark)
+    // value stands in for a content hash: 1.0 arrives three times from
+    // two users, 2.0 once. State is keyed on the dedup column only.
+    bus.emit(
+      Ev(1L, 1_000_000L, 1.0), Ev(2L, 2_000_000L, 1.0),
+      Ev(1L, 3_000_000L, 2.0), Ev(1L, 4_000_000L, 1.0))
+    val out = Streaming.dedupStream(bus.events, Seq("value"), "ts", "10 seconds")
+    val got = Streaming.runToMemory(out, "dedup_out")
+      .select("value").collect().map(_.getDouble(0)).toSeq.sorted
+    assert(got == Seq(1.0, 2.0))
+  }
+
   test("connect: per-batch listener callback (event.py:87-140)") {
     val bus = new Streaming.EventBus(spark)
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
