@@ -149,6 +149,73 @@ object NorthStarQueries {
           "FROM h ORDER BY doc_id"
       }),
 
+    Q("q_tfidf",
+      // Inverted-index scoring: top-3 characteristic terms per document
+      // by tf·N/df (log-free so the score is ONE integer multiply + ONE
+      // IEEE divide — bit-identical across engines; the ln() of classic
+      // IDF only reorders monotonically). Shuffle shape: explode →
+      // map-side-combined tf groupBy, df groupBy on term, broadcast
+      // 1-row corpus count, keyed rank window.
+      (s, d) => {
+        val t = docs(s, d).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = t.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "score")
+          .orderBy("doc_id", "rank")
+      },
+      s"WITH $DOC_TOKS, t AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "scored AS (SELECT doc_id, term, " +
+        "CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, rank, term, score FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored) " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank"),
+
+    Q("q_token_quantiles",
+      // Exact per-group quantiles by RANK SELECTION (lower median and
+      // ceil-rank p90 of token counts per language) — integer outputs,
+      // no interpolation, so engines agree exactly; approx_percentile
+      // sketches trade that determinism away. One keyed sort window +
+      // one groupBy.
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+        base
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_tokens"))).as("median_tokens"),
+            max(when(col("rn") === expr("(cnt * 9 + 9) div 10"), col("n_tokens"))).as("p90_tokens"))
+          .orderBy("lang")
+      },
+      s"WITH $DOC_TOKS, " +
+        "base AS (SELECT t.doc_id, d.lang, len(t.toks) AS n_tokens " +
+        "FROM tok t JOIN documents d ON t.doc_id = d.doc_id), " +
+        "r AS (SELECT lang, n_tokens, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY n_tokens, doc_id) AS rn, count(*) OVER (PARTITION BY lang) AS cnt " +
+        "FROM base) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "max(CASE WHEN rn = (cnt + 1) // 2 THEN n_tokens END) AS median_tokens, " +
+        "max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens " +
+        "FROM r GROUP BY lang ORDER BY lang"),
+
     Q("q_pipeline_train",
       // End-to-end training-set materialization: language filter →
       // quality (token-count) filter → exact dedup keeping the lowest
