@@ -21,7 +21,10 @@ object ProbePlans {
       "q_filter", "q_rsum", "q_ema", "q_zip", "q_ziplatest", "q_switch",
       "q_sample", "q_tpch3_topn", "q_tpch5_nation_rev",
       "q_dedup_exact", "q_dedup_minhash", "q_ann_lsh", "q_ann_ivf",
-      "q_token_stats", "q_grouped_window", "q_chunkwith")
+      "q_token_stats", "q_grouped_window", "q_chunkwith",
+      "q_join_asof", "q_dedup_cosine_lsh", "q_ann_lsh_mp", "q_tfidf",
+      "q_sessionize", "q_sample_stratified", "q_pipeline_train",
+      "q_token_quantiles")
     val all = SparkEntry.queries
     names.foreach { n =>
       out.println("=" * 78)

@@ -157,8 +157,14 @@ object NorthStarQueries {
       // map-side-combined tf groupBy, df groupBy on term, broadcast
       // 1-row corpus count, keyed rank window.
       (s, d) => {
+        // ONE term-hash repartition feeds both aggregates AND the join:
+        // HashPartitioning(term) satisfies the (doc_id, term) clustering
+        // too, so tf/df/join add no further exchange — and the identical
+        // exchange subplans dedupe via ReusedExchange (one tokenize
+        // pass, not two).
         val t = docs(s, d).select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("term"))
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .repartition(col("term"))
         val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = t.groupBy("term").agg(countDistinct("doc_id").as("df"))
         val n = docs(s, d).agg(count(lit(1)).as("n"))

@@ -118,6 +118,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asof laws: row-preserving, match <= left ts, match is the max candidate") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 40)), Gen.nonEmptyListOf(Gen.choose(0, 40))) {
+      (lts: List[Int], rts: List[Int]) =>
+        import spark.implicits._
+        val left = lts.distinct.zipWithIndex
+          .map { case (t, i) => (t.toLong % 3, t.toLong, i.toLong) }
+          .toDF("k", "t", "lid")
+        val right = rts.distinct
+          .map(t => (t.toLong % 3, t.toLong, t.toLong * 10))
+          .toDF("k", "t", "px")
+        val got = graft.engine.AsofJoin.asofLeft(left, right, "k", "t", Seq("px"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.getAs[java.lang.Long]("asof_t")).map(_.toLong)))
+        assert(got.length == left.count())  // LEFT join: no drops, no dups
+        val rightSet = rts.distinct.map(t => (t.toLong % 3, t.toLong)).toSet
+        got.foreach { case (k, t, m) =>
+          val cands = rightSet.collect { case (rk, rt) if rk == k && rt <= t => rt }
+          assert(m == (if (cands.isEmpty) None else Some(cands.max)))
+        }
+    }
+  }
+
+  test("stratified sample: exactly min(n, group size) rows per key, deterministic") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 100)), Gen.choose(1, 5)) {
+      (a: List[Int], n: Int) =>
+        import spark.implicits._
+        val df = a.distinct.map(v => (v.toLong % 4, v.toLong)).toDF("k", "v")
+        val h = (col("v") * 2654435761L) % 1000003L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(h, col("v"))
+        val pick = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        val sizes = pick.groupBy("k").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = df.groupBy("k").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(sizes == full.map { case (k, c) => k -> math.min(c, n.toLong) })
+        // deterministic: a second evaluation picks the identical rows
+        val s1 = pick.select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val s2 = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+          .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(s1 == s2)
+    }
+  }
+
+  test("connected components: same label iff connected (brute-force check)") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))) {
+      (es: List[(Long, Long)]) =>
+        import spark.implicits._
+        val edges = es.filter(e => e._1 != e._2)
+        if (edges.nonEmpty) {
+          val got = graft.engine.ConnectedComponents.run(edges.toDF("a", "b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // brute-force reachability fixpoint on the driver
+          var comp = edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .map(v => v -> v).toMap
+          val sym = edges ++ edges.map(_.swap)
+          var changed = true
+          while (changed) {
+            changed = false
+            sym.foreach { case (u, v) =>
+              val m = math.min(comp(u), comp(v))
+              if (comp(u) != m || comp(v) != m) {
+                comp += u -> m; comp += v -> m; changed = true
+              }
+            }
+          }
+          assert(got == comp)
+        }
+    }
+  }
+
   test("throttle laws: no drops, no early admits, rate respected (ops/timing.py:104)") {
     // random inter-arrival gaps in [0, 2]s; limit 3 per 5s
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 20))) { (gapsDs: List[Int]) =>
