@@ -331,6 +331,47 @@ object NorthStarQueries {
           s"SELECT doc_id, $sig AS simhash FROM bits ORDER BY doc_id"
       }),
 
+    Q("q_dedup_verified",
+      // LSH-then-verify: exact n-gram Jaccard computed ONLY for minhash
+      // candidate pairs. Candidate docs are a small set, so edges are
+      // semi-join PRUNED before the sid self-join — the verify cost is
+      // proportional to the candidates, not the corpus (the all-pairs
+      // Jaccard of q_dedup_jaccard is the exhaustive baseline).
+      (s, d) => {
+        val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
+        val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+        val cand = TextOps.lshCandidates(bands, "doc_id")
+        val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
+        val candDocs = cand
+          .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+        val pruned = edges.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val l = pruned.select(col("doc_id").as("a"), col("sid"))
+        val r = pruned.select(col("doc_id").as("b"), col("sid"))
+        val inter = l.join(r, "sid").filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("i"))
+          .join(cand, Seq("a", "b"), "left_semi")
+        inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .withColumn("jacc", col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+          .filter(col("jacc") >= 0.5)
+          .select("a", "b", "i", "jacc")
+          .orderBy("a", "b")
+      },
+      s"WITH $MINHASH_CANDS, $EDGES_DISTINCT, " +
+        "cd AS (SELECT DISTINCT doc_id FROM " +
+        "(SELECT a AS doc_id FROM cand UNION ALL SELECT b AS doc_id FROM cand)), " +
+        "pe AS (SELECT e.* FROM edges e JOIN cd USING (doc_id)), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM pe GROUP BY doc_id), " +
+        "inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i FROM pe l " +
+        "JOIN pe r USING (sid) WHERE l.doc_id < r.doc_id GROUP BY a, b) " +
+        "SELECT a, b, i, jacc FROM (SELECT i.a, i.b, i.i, " +
+        "CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jacc " +
+        "FROM inter i JOIN cand c ON i.a = c.a AND i.b = c.b " +
+        "JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b) " +
+        "WHERE jacc >= 0.5e0 ORDER BY a, b"),
+
     Q("q_dedup_jaccard",
       // n-gram Jaccard via inverted-index join (the scale shape: shuffle
       // on shingle, never all-pairs); top-100 most similar pairs.

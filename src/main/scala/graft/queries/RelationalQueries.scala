@@ -216,6 +216,25 @@ object RelationalQueries {
         "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_rev_c " +
         "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"),
 
+    Q("q_rollup",
+      // Hierarchical totals in one pass: ROLLUP emits (flag, status),
+      // (flag, ALL), (ALL, ALL) levels from a single scan + one
+      // expand+shuffle — no UNION of three aggregations. NULL group
+      // markers are coalesced to 'ALL' on both sides.
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(cents("l_quantity")).as("sum_qty_c"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty_c"), col("n"))
+        .orderBy("rf", "ls"),
+      "SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+        "coalesce(l_linestatus, 'ALL') AS ls, " +
+        s"CAST(sum(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c, " +
+        "count(*) AS n FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+
     Q("q_join_asof",
       // As-of join (graft.engine.AsofJoin): stamp each non-purchase
       // event with the user's latest purchase at-or-before it. One keyed
