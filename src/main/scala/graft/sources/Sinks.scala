@@ -18,6 +18,23 @@ object Sinks {
     (if (es.keys.nonEmpty) w.partitionBy(es.keys: _*) else w).parquet(path)
   }
 
+  /**
+   * Bucketed table write: co-locates rows by hash(bucketCols) at WRITE
+   * time so every later equi-join or aggregation on those columns skips
+   * its shuffle entirely — the "pay the exchange once" amortization
+   * that matters most at 100 TB, where a fact-fact join's shuffle IS
+   * the job. `sortBy` the same columns so sort-merge joins also skip
+   * the per-task sort. (Parquet path tables can't carry bucket
+   * metadata; bucketing requires `saveAsTable`.)
+   */
+  def toBucketedTable(df: DataFrame, table: String, nBuckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Durable streaming sink: parquet append with checkpointed progress. */
   def streamToParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
     df.writeStream

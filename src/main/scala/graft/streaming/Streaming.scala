@@ -215,6 +215,18 @@ object Streaming {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /**
+   * Streaming sessionization — the live form of `q_sessionize`:
+   * `session_window(ts, gap)` merges events whose gaps stay under
+   * `gap` into one growing window per key; the watermark closes (and
+   * evicts) sessions once event time passes their end, so state is
+   * bounded by the number of OPEN sessions, not history.
+   */
+  def sessionize(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -57,6 +57,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1.0, 2.0))
   }
 
+  test("streaming sessionize: gap merges within, splits across (q_sessionize live form)") {
+    val bus = new Streaming.EventBus(spark)
+    // user 1: events at 0s,3s (one session, gap 5s), then 20s (new
+    // session); user 2: one event
+    bus.emit(
+      Ev(1L, 0L, 1.0), Ev(1L, 3_000_000L, 2.0), Ev(1L, 20_000_000L, 4.0),
+      Ev(2L, 1_000_000L, 10.0))
+    val out = Streaming.sessionize(bus.events, "5 seconds", "0 seconds")
+    val got = Streaming.runToMemory(out, "sess_out", OutputMode.Complete())
+      .select(col("user_id"), col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 10.0)))
+  }
+
   test("connect: per-batch listener callback (event.py:87-140)") {
     val bus = new Streaming.EventBus(spark)
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
@@ -109,6 +123,36 @@ class StreamingSpec extends SparkSpec {
     val q = Sinks.streamToParquet(bus.events, s"$tmp/stream", s"$tmp/ckpt")
     q.awaitTermination()
     assert(spark.read.parquet(s"$tmp/stream").count() === 2)
+  }
+
+  test("bucketed tables: co-located join and aggregation plan ZERO exchanges") {
+    import graft.sources.Sinks
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("seq", "user_id", "value")
+    Sinks.toBucketedTable(ev, "ev_bucketed", 8, Seq("user_id"))
+    // disable broadcast so the join exercises the co-located path the
+    // bucketing exists for (at fact-fact scale broadcast is off the
+    // table anyway)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("ev_bucketed")
+      // self-join on the bucket column: both sides pre-hashed at write
+      // time -> no shuffle exchange; sortBy also removes per-task sorts
+      val joined = t.as("l").join(t.as("r"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+      // aggregation on the bucket column: likewise exchange-free
+      val agg = t.groupBy("user_id").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      // and the data still round-trips
+      assert(t.count() === ev.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    }
   }
 
   test("streaming merge: stream-stream union is native (ops/combine.py:97)") {
