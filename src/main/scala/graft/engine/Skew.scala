@@ -28,6 +28,25 @@ object Skew {
       .agg(sum(col("__partial")).as(as))
   }
 
+  /**
+   * Salted equi-join for a skewed BIG side against a modest (but not
+   * broadcastable) small side: the big side salts deterministically
+   * into `saltBuckets`, the small side replicates once per bucket, and
+   * the join key becomes (keys, salt) — a hot key's rows now spread
+   * over `saltBuckets` tasks instead of one straggler. Use when AQE's
+   * skew splitting can't help (e.g. the skew is in a shuffle feeding a
+   * sort-merge join it can't re-split, or outside AQE). Cost: small
+   * side shuffles ×`saltBuckets`. Inner-join semantics.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+  }
+
   /** Salted distinct-count: exact — stage 1 dedups within salt buckets
     * (dedup is idempotent across buckets for hash-partitioned values),
     * stage 2 counts. Salt by the VALUE so equal values land in the same

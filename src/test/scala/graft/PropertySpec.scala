@@ -118,6 +118,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted join equals direct join (Skew)") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 6)), Gen.choose(2, 8)) {
+      (a: List[Int], buckets: Int) =>
+        import spark.implicits._
+        val big = a.zipWithIndex.map { case (k, i) => (k.toLong, i.toLong) }
+          .toDF("k", "payload")
+        val small = a.distinct.map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select("k", "payload", "name").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+        val direct = rows(big.join(small, Seq("k")))
+        val salted = rows(graft.engine.Skew.saltedJoin(big, small, Seq("k"), buckets))
+        assert(salted == direct)
+    }
+  }
+
   test("asof laws: row-preserving, match <= left ts, match is the max candidate") {
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 40)), Gen.nonEmptyListOf(Gen.choose(0, 40))) {
       (lts: List[Int], rts: List[Int]) =>
