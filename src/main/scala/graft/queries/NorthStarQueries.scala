@@ -260,6 +260,37 @@ object NorthStarQueries {
           "SELECT doc_id, n_tokens FROM k JOIN f USING (doc_id) ORDER BY doc_id"
       }),
 
+    Q("q_sample_weighted",
+      // Quality-weighted deterministic sampling: doc i is kept iff its
+      // multiplicative-hash uniform u(i) falls under its own quality
+      // score — high-quality docs oversampled, rejection is per-row,
+      // reproducible, and shuffle-free (one narrow pass). The training-
+      // mix knob ("sample ∝ quality") without RNG state.
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val n = size(t).cast("long")
+        val sw = TextOps.stopwordHits(t, "en").cast("long")
+        val q = least(n.cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - sw.cast("double") / greatest(n, lit(1L)).cast("double"))
+        docs(s, d)
+          .withColumn("__q", q)
+          .withColumn("__u", (col("doc_id") * 2654435761L) % 1000003L)
+          .filter(col("__u").cast("double") < col("__q") * 1000003.0)
+          .select(col("doc_id"), col("__q").as("quality"))
+          .orderBy("doc_id")
+      }, {
+        val hits = "len(list_filter(toks, x -> x IN (" +
+          TextOps.stopwords("en").map(w => s"'$w'").mkString(",") + ")))"
+        s"WITH $DOC_TOKS, " +
+          s"h AS (SELECT doc_id, len(toks) AS n, $hits AS sw FROM tok), " +
+          "q AS (SELECT doc_id, least(CAST(n AS DOUBLE) / 100.0e0, " +
+          "CAST(1.0 AS DOUBLE)) * (CAST(1.0 AS DOUBLE) - CAST(sw AS DOUBLE) / " +
+          "CAST(greatest(n, 1) AS DOUBLE)) AS quality FROM h) " +
+          "SELECT doc_id, quality FROM q " +
+          "WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) < " +
+          "quality * 1000003.0e0 ORDER BY doc_id"
+      }),
+
     Q("q_fingerprint",
       (s, d) => docs(s, d).select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
