@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ml.Similarity
+import graft.multimodal.Multimodal
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -604,7 +605,56 @@ object NorthStarQueries {
       // (pandas sort_values) cannot sort ndarray cells.
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, " +
         "array_to_string(list_transform(range(0, 4), i -> CAST(ascii(substr(md5(text), CAST(i * 7 + 1 AS INT), 1)) AS BIGINT)), ',') " +
-        "AS stub_feature FROM documents ORDER BY doc_id")
+        "AS stub_feature FROM documents ORDER BY doc_id"),
+
+    Q("q_multimodal_frames",
+      // Frame sampling through the real mapPartitions/flatMap plumbing
+      // (graft.multimodal.frameSample): every 2nd 64-byte chunk of the
+      // opaque payload, identified by content hash — the one-to-many
+      // decode shape, oracle-checked (the stub chunker IS the
+      // deterministic contract; a demuxer replaces only it).
+      (s, d) => Multimodal.frameSample(Multimodal.fromDocuments(s, d), 64, 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("frame_hash"))
+        .orderBy("media_id", "frame_idx"),
+      "SELECT media_id, frame_idx, " +
+        "length(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS n_bytes, " +
+        "md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash " +
+        "FROM (SELECT doc_id AS media_id, text, " +
+        "unnest(range(0, (length(text) + 63) // 64)) AS frame_idx FROM documents) " +
+        "WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx"),
+
+    Q("q_distinct_kmv",
+      // KMV (k-minimum-values) distinct sketch: estimate = (k-1)/u_k
+      // over the k smallest hash-uniforms of the distinct token ids —
+      // the mergeable sketch for COUNT(DISTINCT) at 100 TB, here with a
+      // FIXED hash so the estimate is reproducible and oracle-exact
+      // (approx_count_distinct's HLL trades that determinism away).
+      // TakeOrderedAndProject keeps the top-k scale-safe (no global
+      // sort materialization); exact count rides along for the error.
+      (s, d) => {
+        val sids = TextOps
+          .shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
+          .select("sid").distinct()
+        val withU = sids.withColumn("u",
+          ((col("sid") * 2654435761L) % 1000003L).cast("double") / 1000003.0)
+        val topk = withU.orderBy(col("u"), col("sid")).limit(64)
+          .agg(max(col("u")).as("uk"), count(lit(1)).as("n_kmv"))
+        val exact = sids.agg(count(lit(1)).as("n_exact"))
+        exact.crossJoin(topk)
+          .select(col("n_exact"), col("n_kmv"),
+            ((col("n_kmv") - 1).cast("double") / col("uk")).as("est"))
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, " +
+        "sids AS (SELECT DISTINCT sid FROM sh), " +
+        "w AS (SELECT sid, CAST((sid * 2654435761) % 1000003 AS DOUBLE) / " +
+        "1000003.0e0 AS u FROM sids), " +
+        "k AS (SELECT max(u) AS uk, count(*) AS n_kmv FROM " +
+        "(SELECT u, sid FROM w ORDER BY u, sid LIMIT 64)), " +
+        "e AS (SELECT count(*) AS n_exact FROM sids) " +
+        "SELECT n_exact, n_kmv, CAST(n_kmv - 1 AS DOUBLE) / uk AS est FROM e, k")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap
