@@ -227,6 +227,54 @@ object Streaming {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  case class DocEv(doc_id: Long, text: String)
+  case class CandPair(a: Long, b: Long)
+
+  /**
+   * Streaming MinHash near-dup detection — the live form of
+   * `q_dedup_minhash`: stage 1 computes signatures and band keys with
+   * the SAME codegen kernels as batch (stateless projections stream
+   * as-is); stage 2 keys state by band bucket and emits a candidate
+   * pair the moment a new document lands in a bucket with prior
+   * members. State shards by bucket (never by corpus), and holds doc
+   * ids only — the streaming analogue of the batch groupBy. A
+   * production deployment adds TTL/eviction on the bucket state; a
+   * downstream `dropDuplicates` dedups pairs colliding in >1 band,
+   * exactly like the batch path's distinct.
+   */
+  def minhashCandStream(docs: Dataset[DocEv], k: Int, numHashes: Int,
+      numBands: Int, rowsPerBand: Int): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandKeys = (0 until numBands).map { b =>
+      concat_ws("_", lit(b) +:
+        (0 until rowsPerBand).map(r =>
+          element_at(col("__hs"), b * rowsPerBand + r + 1)): _*)
+    }
+    val withBands = docs.toDF()
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhashSigs(
+          graft.functions.VectorFunctions.shingleSids(
+            graft.text.TextOps.tokens(col("text")), k),
+          numHashes).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bucket"))
+      .as[(Long, String)]
+    withBands.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Seq[Long]]) => {
+          var seen = state.getOption.getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[CandPair]
+          rows.map(_._1).filterNot(seen.contains).foreach { id =>
+            seen.foreach(p =>
+              out += CandPair(math.min(id, p), math.max(id, p)))
+            seen = seen :+ id
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

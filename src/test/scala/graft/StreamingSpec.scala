@@ -125,6 +125,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/stream").count() === 2)
   }
 
+  test("streaming minhash: near-dup pair detected live, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills near the old stone bridge"
+    val mem = MemoryStream[Streaming.DocEv](spark, 1)
+    mem.addData(Streaming.DocEv(0L, base),
+      Streaming.DocEv(2L, "completely different content about spark catalyst optimizer rules and distributed shuffle execution plans"))
+    val out = Streaming.minhashCandStream(mem.toDS(), 3, 12, 4, 3)
+    val q = out.toDF().writeStream.format("memory").queryName("mh_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // the near-dup arrives in a LATER batch: bucket state must persist
+    mem.addData(Streaming.DocEv(1L, base.replace("rain", "snow")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("mh_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("bucketed tables: co-located join and aggregation plan ZERO exchanges") {
     import graft.sources.Sinks
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
