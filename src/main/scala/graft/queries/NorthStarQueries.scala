@@ -150,6 +150,30 @@ object NorthStarQueries {
           "FROM h ORDER BY doc_id"
       }),
 
+    Q("q_pipeline_dedup",
+      // The dedup pipeline's FINAL artifact: the corpus with every
+      // near-dup cluster collapsed to its lowest doc_id — candidates →
+      // components → anti-join, ending in the training set itself
+      // (q_dedup_clusters shows the labels; this ships the corpus).
+      (s, d) => {
+        val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
+        val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+        val cand = TextOps.lshCandidates(bands, "doc_id")
+        val labels = graft.engine.ConnectedComponents.run(cand)
+        val dropIds = labels.filter(col("node") =!= col("comp"))
+          .select(col("node").as("doc_id"))
+        docs(s, d).join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+          .select("doc_id", "n_chars").orderBy("doc_id")
+      },
+      s"WITH RECURSIVE $MINHASH_CANDS, " +
+        "e2 AS (SELECT a AS src, b AS dst FROM cand " +
+        "UNION ALL SELECT b AS src, a AS dst FROM cand), " +
+        "walk(node, comp) AS (SELECT DISTINCT src, src FROM e2 " +
+        "UNION SELECT e2.src, w.comp FROM e2 JOIN walk w ON w.node = e2.dst), " +
+        "lab AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node) " +
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN " +
+        "(SELECT node FROM lab WHERE node <> comp) ORDER BY doc_id"),
+
     Q("q_tfidf",
       // Inverted-index scoring: top-3 characteristic terms per document
       // by tf·N/df (log-free so the score is ONE integer multiply + ONE

@@ -216,6 +216,50 @@ object RelationalQueries {
         "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_rev_c " +
         "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"),
 
+    Q("q_tpch17_smallqty",
+      // TPC-H Q17 shape: correlated scalar subquery (revenue from
+      // line items under 20% of their part's average quantity),
+      // decorrelated into a per-part aggregate + equi-join — the
+      // rewrite Catalyst needs spelled out to avoid a per-row subquery.
+      // Average = exact integer-cents sum / count, ONE division, so the
+      // threshold compare is bit-identical across engines.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val avgq = l.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(cents("l_quantity")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty_c"))
+        l.join(avgq, l("l_partkey") === col("pk"))
+          .filter(cents("l_quantity").cast("double") < col("avg_qty_c") * 0.2)
+          .agg(sum(cents("l_extendedprice")).as("rev_c"), count(lit(1)).as("n"))
+      },
+      "SELECT CAST(sum(c_ep) AS BIGINT) AS rev_c, count(*) AS n FROM (" +
+        s"SELECT ${sqlCents("l.l_extendedprice")} AS c_ep, " +
+        s"CAST(${sqlCents("l.l_quantity")} AS DOUBLE) AS c_q, a.avg_qty_c " +
+        "FROM lineitem l JOIN (SELECT l_partkey AS pk, " +
+        s"CAST(sum(${sqlCents("l_quantity")}) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS avg_qty_c " +
+        "FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk) " +
+        "WHERE c_q < avg_qty_c * 0.2e0"),
+
+    Q("q_time_window",
+      // Time-based sliding aggregate: per-user trailing-1-hour spend as
+      // a RANGE frame over event-time micros — the wall-clock-window
+      // staple the row-based §2.5 array ops can't express (row frames
+      // count events, range frames count seconds).
+      (s, d) => {
+        val e = EventQueries.ev(s, d).df
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0)
+        e.withColumn("hour_cents", sum(col("cents")).over(w))
+          .select("seq", "user_id", "hour_cents")
+          .orderBy("seq")
+      },
+      EventQueries.EV +
+        " SELECT seq, user_id, CAST(sum(cents) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS hour_cents FROM ev ORDER BY seq"),
+
     Q("q_rollup",
       // Hierarchical totals in one pass: ROLLUP emits (flag, status),
       // (flag, ALL), (ALL, ALL) levels from a single scan + one
