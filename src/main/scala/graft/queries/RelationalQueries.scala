@@ -260,6 +260,40 @@ object RelationalQueries {
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
         "AS BIGINT) AS hour_cents FROM ev ORDER BY seq"),
 
+    Q("q_pivot",
+      // Pivot with an EXPLICIT value list (event types are a known
+      // enum): one groupBy, no schema-inference pass over the data —
+      // the scale-safe pivot (an unlisted pivot must scan once just to
+      // learn the columns). Mirrored as FILTER aggregates in the
+      // oracle.
+      (s, d) => EventQueries.ev(s, d).df
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id"),
+      EventQueries.EV +
+        " SELECT user_id, " +
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ") +
+        " FROM ev GROUP BY user_id ORDER BY user_id"),
+
+    Q("q_percentile_rank",
+      // Percentile rank of each document's length within its language:
+      // cume_dist = rows-at-or-below / rows — rank-count division, the
+      // same integer ratio in both engines.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("n_chars")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            cume_dist().over(w).as("pctl"))
+          .orderBy("doc_id")
+      },
+      "SELECT doc_id, lang, n_chars, cume_dist() OVER " +
+        "(PARTITION BY lang ORDER BY n_chars) AS pctl " +
+        "FROM documents ORDER BY doc_id"),
+
     Q("q_rollup",
       // Hierarchical totals in one pass: ROLLUP emits (flag, status),
       // (flag, ALL), (ALL, ALL) levels from a single scan + one
