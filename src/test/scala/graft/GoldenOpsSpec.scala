@@ -57,6 +57,16 @@ class GoldenOpsSpec extends SparkSpec {
       ("d", None, None)))           // key with no right rows at all
   }
 
+  test("copy/deepcopy are identity on immutable rows (ops/transform.py Copy/Deepcopy)") {
+    // The reference copies the mutable payload object; DataFrame rows
+    // are immutable, so both ops are the identity — asserted rather
+    // than assumed: same plan, same rows, and derive() preserves them.
+    val st = seqStream(array)
+    val copied = st.derive(st.df)
+    assert(copied.df.schema == st.df.schema)
+    assert(copied.df.collect().toSeq == st.df.collect().toSeq)
+  }
+
   test("connected components: chains collapse, components stay separate") {
     import spark.implicits._
     // 1-2-3-4-5 chain (diameter 4 — needs several propagation rounds),
