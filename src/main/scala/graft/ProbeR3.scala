@@ -18,7 +18,7 @@ object ProbeR3 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val all = SparkEntry.queries
-    Seq("q_join_asof", "q_sessionize", "q_sample_stratified", "q_tfidf",
+    Seq("q_join_asof", "q_join_asof", "q_sessionize", "q_sample_stratified", "q_tfidf",
       "q_token_quantiles", "q_dedup_cosine_lsh", "q_ann_lsh_mp",
       "q_dedup_clusters", "q_dedup_verified", "q_pipeline_train",
       "q_pipeline_dedup", "q_time_window", "q_tpch17_smallqty",

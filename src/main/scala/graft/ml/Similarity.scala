@@ -85,21 +85,27 @@ object Similarity {
    * partitioner instead of random hyperplanes.
    */
   def topKIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int): DataFrame = {
+      nCells: Int, nProbe: Int = 1): DataFrame = {
     val cents = emb.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scoredCells = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col(vecCol), col("cv")) / (norm(col(vecCol)) * norm(col("cv"))))
     val wCell = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-    val assigned = scoredCells
-      .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"))
-    val pairs = assigned
+    // Each vector LIVES in its nearest cell (isHome) and, as a QUERY,
+    // also probes its next nProbe-1 nearest cells — the IVF nprobe
+    // knob: candidates come only from home members, so pair (a,b) is
+    // generated exactly once (in home(b), where a has one copy).
+    val probed = scoredCells
+      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"),
+        (col("__r") === 1).as("isHome"))
+    val pairs = probed
       .groupBy("cell")
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
+        col("isHome"))).as("ms"))
       .select(explode(col("ms")).as("x"), col("ms"))
       .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("x.id") =!= col("y.id"))
+      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
     val scored = pairs.select(
       col("x.id").as("a"), col("y.id").as("b"),
       (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))

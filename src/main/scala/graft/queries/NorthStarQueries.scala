@@ -78,6 +78,20 @@ object NorthStarQueries {
       "JOIN bands r USING (band, key) WHERE l.doc_id < r.doc_id)"
   }
 
+  /** IVF CTEs ending in `probe` (top-`nProbe` cells per vector, r = cell
+    * rank) and `home` (the r = 1 assignment) — Similarity.topKIvf
+    * mirror. */
+  private def sqlIvfCtes(nCells: Int, nProbe: Int): String =
+    s"cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings " +
+      s"ORDER BY vec_id LIMIT $nCells), " +
+      "cscored AS (SELECT e.vec_id, e.embedding, c.cid, " +
+      s"${sqlCos("e.embedding", "c.cv")} AS ccos FROM embeddings e, cents c), " +
+      "cranked AS (SELECT vec_id, embedding, cid AS cell, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr " +
+      "FROM cscored), " +
+      s"probe AS (SELECT vec_id, embedding, cell FROM cranked WHERE cr <= $nProbe), " +
+      "home AS (SELECT vec_id, embedding, cell FROM cranked WHERE cr = 1)"
+
   /** Hyperplane projection for plane j — Similarity.planeCoef mirror. */
   private def sqlProj(j: Int, v: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $DIMS), " +
@@ -513,6 +527,19 @@ object NorthStarQueries {
         "FROM assigned l JOIN assigned r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
+    Q("q_ann_ivf2",
+      // IVF with nprobe=2: each query also searches its second-nearest
+      // cell — the standard IVF recall knob (candidates stay home-only,
+      // so pairs are exactly-once; probe side doubles, quadratic term
+      // does not).
+      (s, d) => Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2)
+        .orderBy("a", "rank"),
+      s"WITH ${sqlIvfCtes(16, 2)} " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_ann_lsh",
       (s, d) => Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
         .orderBy("a", "rank"),
@@ -562,6 +589,8 @@ object NorthStarQueries {
           .select("a", "b")
         val ivf = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16)
           .select("a", "b")
+        val ivf2 = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2)
+          .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nH = exact.join(lsh, Seq("a", "b"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
@@ -569,13 +598,17 @@ object NorthStarQueries {
           .agg(count(lit(1)).as("n_hits_mp"))
         val nV = exact.join(ivf, Seq("a", "b"), "left_semi")
           .agg(count(lit(1)).as("n_hits_ivf"))
-        nE.crossJoin(nH).crossJoin(nM).crossJoin(nV)
+        val nV2 = exact.join(ivf2, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits_ivf2"))
+        nE.crossJoin(nH).crossJoin(nM).crossJoin(nV).crossJoin(nV2)
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
           .withColumn("recall_mp",
             col("n_hits_mp").cast("double") / col("n_exact").cast("double"))
           .withColumn("recall_ivf",
             col("n_hits_ivf").cast("double") / col("n_exact").cast("double"))
+          .withColumn("recall_ivf2",
+            col("n_hits_ivf2").cast("double") / col("n_exact").cast("double"))
       },
       "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
@@ -591,26 +624,26 @@ object NorthStarQueries {
         "lm AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM nb l JOIN bk r USING (bucket) WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
-        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings " +
-        "ORDER BY vec_id LIMIT 16), " +
-        "cscored AS (SELECT e.vec_id, e.embedding, c.cid, " +
-        s"${sqlCos("e.embedding", "c.cv")} AS ccos FROM embeddings e, cents c), " +
-        "assigned AS (SELECT vec_id, embedding, cid AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r " +
-        "FROM cscored) WHERE r = 1), " +
+        s"${sqlIvfCtes(16, 2)}, " +
         "lv AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        "FROM assigned l JOIN assigned r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "FROM home l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3), " +
+        "lv2 AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
         "e AS (SELECT count(*) AS n_exact FROM ex), " +
         "h AS (SELECT count(*) AS n_hits FROM ex JOIN ls USING (a, b)), " +
         "m AS (SELECT count(*) AS n_hits_mp FROM ex JOIN lm USING (a, b)), " +
-        "v AS (SELECT count(*) AS n_hits_ivf FROM ex JOIN lv USING (a, b)) " +
-        "SELECT n_exact, n_hits, n_hits_mp, n_hits_ivf, " +
+        "v AS (SELECT count(*) AS n_hits_ivf FROM ex JOIN lv USING (a, b)), " +
+        "v2 AS (SELECT count(*) AS n_hits_ivf2 FROM ex JOIN lv2 USING (a, b)) " +
+        "SELECT n_exact, n_hits, n_hits_mp, n_hits_ivf, n_hits_ivf2, " +
         "CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall, " +
         "CAST(n_hits_mp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_mp, " +
-        "CAST(n_hits_ivf AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf " +
-        "FROM e, h, m, v"),
+        "CAST(n_hits_ivf AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf, " +
+        "CAST(n_hits_ivf2 AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf2 " +
+        "FROM e, h, m, v, v2"),
 
     // ---------------- multimodal (opaque binary + typed metadata) ----------
     Q("q_multimodal_meta",
