@@ -261,6 +261,68 @@ object NorthStarQueries {
         "max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens " +
         "FROM r GROUP BY lang ORDER BY lang"),
 
+    Q("q_chunk_docs",
+      // Context-window chunking with overlap: token windows of 40 with
+      // stride 30 (10-token overlap), rejoined to text — how a corpus
+      // becomes model-sized training rows. One narrow
+      // tokenize+slice+explode pass; chunk count ⌈(n-overlap)/stride⌉.
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val n = size(toks)
+        val nChunks = ceil((n - 10).cast("double") / 30.0).cast("long")
+        docs(s, d)
+          .select(col("doc_id"), toks.as("__t"), greatest(nChunks, lit(1L)).as("__nc"))
+          .select(col("doc_id"), col("__t"),
+            explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            concat_ws(" ", slice(col("__t"), (col("chunk_idx") * 30 + 1).cast("int"), lit(40)))
+              .as("chunk_text"))
+          .withColumn("n_chunk_tokens",
+            (size(split(col("chunk_text"), " "))).cast("long"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      s"WITH $DOC_TOKS SELECT doc_id, chunk_idx, " +
+        "array_to_string(toks[CAST(chunk_idx * 30 + 1 AS INT):CAST(chunk_idx * 30 + 40 AS INT)], ' ') AS chunk_text, " +
+        "len(string_split(array_to_string(toks[CAST(chunk_idx * 30 + 1 AS INT):CAST(chunk_idx * 30 + 40 AS INT)], ' '), ' ')) AS n_chunk_tokens " +
+        "FROM (SELECT doc_id, toks, unnest(range(0, greatest(" +
+        "CAST(ceil(CAST(len(toks) - 10 AS DOUBLE) / 30.0e0) AS BIGINT), 1))) AS chunk_idx " +
+        "FROM tok) ORDER BY doc_id, chunk_idx"),
+
+    Q("q_decontaminate",
+      // Benchmark decontamination: drop corpus docs sharing ANY
+      // 3-token shingle with the held-out set (docs 0-9 stand in for a
+      // benchmark). Inverted-index semi-join on shingle id — the
+      // contamination check runs at corpus scale as one keyed shuffle,
+      // never doc×benchmark pairs.
+      (s, d) => {
+        val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
+        val benchSids = edges.filter(col("doc_id") < 10).select("sid").distinct()
+        val contaminated = edges.filter(col("doc_id") >= 10)
+          .join(broadcast(benchSids), "sid")
+          .select("doc_id").distinct()
+        docs(s, d).filter(col("doc_id") >= 10)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id")
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, $EDGES_DISTINCT " +
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 10 AND doc_id NOT IN (" +
+        "SELECT DISTINCT e.doc_id FROM edges e WHERE e.doc_id >= 10 AND e.sid IN (" +
+        "SELECT sid FROM edges WHERE doc_id < 10)) ORDER BY doc_id"),
+
+    Q("q_redact",
+      // PII-style scrubbing: digit runs become <NUM> and the redacted
+      // text is content-hashed; the count of redactions rides along.
+      // Pure per-row regex projections — embarrassingly parallel.
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_redacted"),
+        md5(regexp_replace(col("text"), "[0-9]+", "<NUM>").cast("binary")).as("redacted_hash"))
+        .orderBy("doc_id"),
+      "SELECT doc_id, len(regexp_extract_all(text, '[0-9]+')) AS n_redacted, " +
+        "md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_hash " +
+        "FROM documents ORDER BY doc_id"),
+
     Q("q_pipeline_train",
       // End-to-end training-set materialization: language filter →
       // quality (token-count) filter → exact dedup keeping the lowest
