@@ -18,12 +18,13 @@ object ProbeR3 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val all = SparkEntry.queries
-    Seq("q_join_asof", "q_join_asof", "q_sessionize", "q_sample_stratified", "q_tfidf",
+    Seq("q_join_asof", "q_sessionize", "q_sample_stratified", "q_tfidf",
       "q_token_quantiles", "q_dedup_cosine_lsh", "q_ann_lsh_mp",
       "q_dedup_clusters", "q_dedup_verified", "q_pipeline_train",
       "q_pipeline_dedup", "q_time_window", "q_tpch17_smallqty",
       "q_rollup", "q_pivot", "q_percentile_rank", "q_distinct_kmv",
-      "q_multimodal_frames", "q_sample_weighted", "q_ann_recall")
+      "q_multimodal_frames", "q_sample_weighted", "q_ann_recall",
+      "q_ann_ivf2", "q_chunk_docs", "q_decontaminate", "q_redact")
       .foreach { n =>
         val t0 = System.nanoTime()
         try {
