@@ -266,21 +266,10 @@ object NorthStarQueries {
       // stride 30 (10-token overlap), rejoined to text — how a corpus
       // becomes model-sized training rows. One narrow
       // tokenize+slice+explode pass; chunk count ⌈(n-overlap)/stride⌉.
-      (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        val n = size(toks)
-        val nChunks = ceil((n - 10).cast("double") / 30.0).cast("long")
-        docs(s, d)
-          .select(col("doc_id"), toks.as("__t"), greatest(nChunks, lit(1L)).as("__nc"))
-          .select(col("doc_id"), col("__t"),
-            explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
-          .select(col("doc_id"), col("chunk_idx"),
-            concat_ws(" ", slice(col("__t"), (col("chunk_idx") * 30 + 1).cast("int"), lit(40)))
-              .as("chunk_text"))
-          .withColumn("n_chunk_tokens",
-            (size(split(col("chunk_text"), " "))).cast("long"))
-          .orderBy("doc_id", "chunk_idx")
-      },
+      (s, d) => TextOps.chunkDocs(docs(s, d), "doc_id", "text", 40, 30)
+        .withColumn("n_chunk_tokens",
+          size(split(col("chunk_text"), " ")).cast("long"))
+        .orderBy("doc_id", "chunk_idx"),
       s"WITH $DOC_TOKS SELECT doc_id, chunk_idx, " +
         "array_to_string(toks[CAST(chunk_idx * 30 + 1 AS INT):CAST(chunk_idx * 30 + 40 AS INT)], ' ') AS chunk_text, " +
         "len(string_split(array_to_string(toks[CAST(chunk_idx * 30 + 1 AS INT):CAST(chunk_idx * 30 + 40 AS INT)], ' '), ' ')) AS n_chunk_tokens " +
@@ -294,17 +283,12 @@ object NorthStarQueries {
       // benchmark). Inverted-index semi-join on shingle id — the
       // contamination check runs at corpus scale as one keyed shuffle,
       // never doc×benchmark pairs.
-      (s, d) => {
-        val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
-        val benchSids = edges.filter(col("doc_id") < 10).select("sid").distinct()
-        val contaminated = edges.filter(col("doc_id") >= 10)
-          .join(broadcast(benchSids), "sid")
-          .select("doc_id").distinct()
-        docs(s, d).filter(col("doc_id") >= 10)
-          .join(contaminated, Seq("doc_id"), "left_anti")
-          .select("doc_id", "n_chars")
-          .orderBy("doc_id")
-      },
+      (s, d) => TextOps.decontaminate(
+          docs(s, d).filter(col("doc_id") >= 10),
+          docs(s, d).filter(col("doc_id") < 10),
+          "doc_id", "text", K)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id"),
       s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, $EDGES_DISTINCT " +
         "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 10 AND doc_id NOT IN (" +
         "SELECT DISTINCT e.doc_id FROM edges e WHERE e.doc_id >= 10 AND e.sid IN (" +

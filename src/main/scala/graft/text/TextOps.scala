@@ -132,6 +132,47 @@ object TextOps {
       (0 until numHashes).map(j => element_at(col("__hs"), j + 1).as(s"h$j")): _*)
   }
 
+  /**
+   * Context-window chunking: token windows of `width` advancing by
+   * `stride` (overlap = width - stride), rejoined to text — corpus →
+   * model-sized training rows in one narrow pass. Chunk count is
+   * max(1, ⌈(n - overlap) / stride⌉), so every doc yields at least one
+   * chunk and every token is covered.
+   */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    val overlap = width - stride
+    val toks = tokens(col(textCol))
+    val nChunks = ceil((size(toks) - overlap).cast("double") / stride.toDouble)
+      .cast("long")
+    docs
+      .select(col(idCol), toks.as("__t"), greatest(nChunks, lit(1L)).as("__nc"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__t"), (col("chunk_idx") * stride + 1).cast("int"), lit(width)))
+          .as("chunk_text"))
+  }
+
+  /**
+   * Benchmark decontamination: drop corpus docs sharing ANY k-token
+   * shingle with the held-out set. The contamination probe is an
+   * inverted-index semi-join on shingle id (corpus-scale keyed
+   * shuffle, never doc×benchmark pairs); the benchmark's shingle set
+   * is small → broadcast.
+   */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val corpusEdges = shingleSidEdges(corpus, idCol, textCol, k, dedup = true)
+    val benchSids = shingleSidEdges(bench, idCol, textCol, k, dedup = true)
+      .select("sid").distinct()
+    val contaminated = corpusEdges
+      .join(broadcast(benchSids), "sid")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Signature as ONE array column `__hs` (no h0..hN unpack): the
     * compact form [[lshBandsArr]] consumes. Same values as
     * [[minhashSignaturesNarrow]]; docs with no shingles are dropped. */

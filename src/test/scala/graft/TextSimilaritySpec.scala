@@ -57,6 +57,35 @@ class TextSimilaritySpec extends SparkSpec {
     assert(candsArr == cands)
   }
 
+  test("chunkDocs: stride windows overlap and cover every token") {
+    val words = (1 to 100).map(i => s"w$i")
+    val df = docsDf(Seq(words.mkString(" "), "tiny doc"))
+    val got = TextOps.chunkDocs(df, "doc_id", "text", 40, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val doc0 = got.filter(_._1 == 0L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    // ceil((100-10)/30) = 3 chunks; chunk i starts at token 30i+1
+    assert(doc0.length == 3)
+    assert(doc0(0).head == "w1" && doc0(0).last == "w40")
+    assert(doc0(1).head == "w31" && doc0(1).last == "w70")
+    assert(doc0(2).head == "w61" && doc0(2).last == "w100")
+    // 10-token overlap between consecutive chunks
+    assert(doc0(0).takeRight(10) == doc0(1).take(10))
+    // short doc: exactly one chunk with all its tokens
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.length == 1 && doc1.head._3 == "tiny doc")
+  }
+
+  test("decontaminate drops exactly the docs sharing a shingle with the benchmark") {
+    val bench = docsDf(Seq("alpha beta gamma delta"))
+    val corpus = docsDf(Seq(
+      "zzz alpha beta gamma yyy",        // shares shingle "alpha beta gamma"
+      "completely unrelated text here",  // clean
+      "beta gamma unrelated"))           // bigram overlap only, k=3 → clean
+    val clean = TextOps.decontaminate(corpus, bench, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L, 2L))
+  }
+
   test("language ID picks the dominant stopword language") {
     val df = docsDf(Seq(
       "the cat and the dog sat in a box",
