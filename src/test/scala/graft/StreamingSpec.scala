@@ -176,6 +176,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join: live events enriched from a broadcast dimension") {
+    import spark.implicits._
+    val bus = new Streaming.EventBus(spark)
+    bus.emit(Ev(1L, 1_000_000L, 1.0), Ev(2L, 2_000_000L, 2.0), Ev(3L, 3_000_000L, 3.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val joined = bus.events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val got = Streaming.runToMemory(joined, "ss_join_out")
+      .select("user_id", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+  }
+
   test("streaming merge: stream-stream union is native (ops/combine.py:97)") {
     val a = new Streaming.EventBus(spark)
     val b = new Streaming.EventBus(spark)
