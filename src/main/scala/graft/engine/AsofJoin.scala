@@ -38,24 +38,35 @@ object AsofJoin {
   def asofLeft(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns
+    // Internal columns must not collide with user columns on either side.
+    val taken = leftCols.toSet ++ right.columns
+    def fresh(base: String) =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val side = fresh("__side")
+    val p = fresh("__p")
+    val m = fresh("__m")
     val pStruct = struct((ts +: payload).map(col): _*)
     // Tagged union: right rows carry the payload struct, left rows NULL.
-    // __side orders a right row BEFORE a left row at the same ts so the
+    // `side` orders a right row BEFORE a left row at the same ts so the
     // match is inclusive.
     val r = right.select(
-      Seq(col(key), col(ts), lit(0).as("__side"), pStruct.as("__p")) ++
+      Seq(col(key), col(ts), lit(0).as(side), pStruct.as(p)) ++
         leftCols.filterNot(c => c == key || c == ts).map(c => lit(null).as(c)): _*)
     val l = left.select(
-      Seq(col(key), col(ts), lit(1).as("__side"),
-        lit(null).cast(r.schema("__p").dataType).as("__p")) ++
+      Seq(col(key), col(ts), lit(1).as(side),
+        lit(null).cast(r.schema(p).dataType).as(p)) ++
         leftCols.filterNot(c => c == key || c == ts).map(col): _*)
+    // Final `p` term breaks ties among right rows sharing (key, ts)
+    // deterministically (struct ordering ⇒ the greatest payload wins);
+    // without it the carried row is whichever the sort happened to put
+    // last, which can disagree run-to-run and with the oracle.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col(side), col(p))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+      .withColumn(m, last(col(p), ignoreNulls = true).over(w))
+    carried.filter(col(side) === 1)
       .select(leftCols.map(col) ++
-        (ts +: payload).map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+        (ts +: payload).map(c => col(s"$m.$c").as(s"$prefix$c")): _*)
   }
 }

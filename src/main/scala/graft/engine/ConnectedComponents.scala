@@ -55,6 +55,15 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // A silent non-converged return would hand downstream dedup WRONG
+    // labels (documents kept/dropped against the wrong cluster) with no
+    // signal — fail loudly instead. Long-diameter graphs should use
+    // [[runStar]], which converges in O(log n) rounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ConnectedComponents.run did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter or use runStar " +
+          "for high-diameter graphs")
     labels
   }
 }

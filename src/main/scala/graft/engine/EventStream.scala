@@ -659,27 +659,37 @@ object EventStream {
    * done-callback converts errors to NO_VALUE + an error_event).
    * NO_VALUE maps to `None` here. The timeout clock starts at task
    * submission, matching `wait_for`: each future records its start and
-   * the ordered await charges only the remaining budget.
+   * the ordered await charges only the remaining budget. A timed-out
+   * task is CANCELLED with interrupt (`FutureTask.cancel(true)`) —
+   * `wait_for` cancels the coroutine, and without it a stuck `f` would
+   * permanently occupy a pool thread, queueing later batches while
+   * their submission-started clocks run and cascading spurious
+   * NO_VALUEs.
    */
   def mapAsyncTimeout[I, O](
       ds: org.apache.spark.sql.Dataset[I], f: I => O, taskLimit: Int, timeoutSec: Double)(
       implicit oe: org.apache.spark.sql.Encoder[Option[O]])
       : org.apache.spark.sql.Dataset[Option[O]] = {
-    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
-    import scala.concurrent.duration._
+    import java.util.concurrent.{ExecutionException, FutureTask, TimeoutException, TimeUnit}
     ds.mapPartitions { it =>
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, taskLimit))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       val budgetNs = math.round(timeoutSec * 1e9)
       it.grouped(math.max(1, taskLimit)).flatMap { batch =>
         batch
-          .map(i => (Future(scala.util.Try(f(i))), System.nanoTime()))
-          .map { case (fu, t0) =>
+          .map { i =>
+            val ft = new FutureTask[O](() => f(i))
+            pool.execute(ft)
+            (ft, System.nanoTime())
+          }
+          .map { case (ft, t0) =>
             val remainNs = math.max(0L, budgetNs - (System.nanoTime() - t0))
-            try Await.result(fu, remainNs.nanos).toOption
-            catch { case _: TimeoutException => None }
+            try Some(ft.get(remainNs, TimeUnit.NANOSECONDS))
+            catch {
+              case _: TimeoutException => ft.cancel(true); None
+              case _: ExecutionException => None // f raised → NO_VALUE
+            }
           }
       }
     }

@@ -8,21 +8,35 @@ import org.apache.spark.sql.functions._
  * share of rows, a plain `groupBy(key)` puts that key's whole share on
  * one task. Two-stage salted aggregation bounds the per-task share at
  * 1/`saltBuckets` for any decomposable aggregate: stage 1 aggregates on
- * (key, salt), stage 2 merges the partials. Salt is a deterministic
- * hash of the projected columns — no rand(), so plans stay replayable.
+ * (key, salt), stage 2 merges the partials. Salt mixes the row's
+ * physical position (partition id + per-partition counter) — no
+ * rand(), plans stay replayable for a fixed input partitioning, and
+ * fully-identical duplicate rows of a hot key still spread across
+ * buckets (a content hash would send them all to one bucket, keeping
+ * the straggler exactly in the duplicate-row-skew case).
  *
  * (Join-side skew is handled by AQE's skew-join splitting, which is on;
  * this covers aggregation skew, which AQE does not re-balance.)
  */
 object Skew {
 
-  /** Salted sum: exact for any row distribution. */
+  /** Position-derived salt in [0, saltBuckets): deterministic for a
+    * fixed input partitioning, distinct for duplicate row contents. */
+  private def rowSalt(saltBuckets: Int): Column =
+    pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(saltBuckets))
+
+  /** Pick an internal column name not present on any input. */
+  private def fresh(base: String, taken: Set[String]): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+
+  /** Salted sum: exact for any row distribution (partial sums merge
+    * regardless of which bucket a row landed in). */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
       saltBuckets: Int): DataFrame = {
     val keyCols = keys.map(col)
-    df.withColumn("__salt",
-        pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
-      .groupBy(keyCols :+ col("__salt"): _*)
+    val salt = fresh("__salt", df.columns.toSet)
+    df.withColumn(salt, rowSalt(saltBuckets))
+      .groupBy(keyCols :+ col(salt): _*)
       .agg(sum(value).as("__partial"))
       .groupBy(keyCols: _*)
       .agg(sum(col("__partial")).as(as))
@@ -40,11 +54,11 @@ object Skew {
    */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int): DataFrame = {
-    val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
-    val smallS = small.withColumn("__salt",
+    val salt = fresh("__salt", big.columns.toSet ++ small.columns)
+    val bigS = big.withColumn(salt, rowSalt(saltBuckets))
+    val smallS = small.withColumn(salt,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+    bigS.join(smallS, keys :+ salt).drop(salt)
   }
 
   /** Salted distinct-count: exact — stage 1 dedups within salt buckets

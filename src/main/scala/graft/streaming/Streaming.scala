@@ -265,10 +265,17 @@ object Streaming {
         (_: String, rows: Iterator[(Long, String)], state: GroupState[Seq[Long]]) => {
           var seen = state.getOption.getOrElse(Vector.empty[Long])
           val out = Vector.newBuilder[CandPair]
-          rows.map(_._1).filterNot(seen.contains).foreach { id =>
-            seen.foreach(p =>
-              out += CandPair(math.min(id, p), math.max(id, p)))
-            seen = seen :+ id
+          // Membership must be checked against the UPDATED list: a
+          // filterNot(seen.contains) here would eta-expand over the
+          // pre-batch Vector, so a doc_id delivered twice in one
+          // micro-batch would bypass the dedup and emit a degenerate
+          // (id, id) pair plus duplicates.
+          rows.foreach { case (id, _) =>
+            if (!seen.contains(id)) {
+              seen.foreach(p =>
+                out += CandPair(math.min(id, p), math.max(id, p)))
+              seen = seen :+ id
+            }
           }
           state.update(seen)
           out.result().iterator
