@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
  * Scale notes: `localCheckpoint` truncates the growing lineage each
  * round (on a cluster, prefer `checkpoint` to reliable storage). The
  * convergence probe is a count of changed labels — one lightweight
- * action per round. For graphs with huge high-degree components the
- * large-star/small-star variant halves round count; min-label is the
- * right default for dedup-shaped graphs.
+ * action per round. For high-diameter graphs use [[runStar]], which
+ * converges in O(log n) rounds; min-label is the right default for
+ * dedup-shaped graphs (short diameter, fewer/cheaper rounds).
  */
 object ConnectedComponents {
 
@@ -34,7 +34,11 @@ object ConnectedComponents {
    * @return (node, comp) — comp is the minimum node id reachable from
    *         `node`; only nodes present in `edges` appear
    */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    runWithRounds(edges, maxIter)._1
+
+  /** [[run]] plus the number of propagation rounds executed. */
+  def runWithRounds(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val a = edges.columns(0)
     val b = edges.columns(1)
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
@@ -64,6 +68,75 @@ object ConnectedComponents {
         s"ConnectedComponents.run did not converge in $maxIter rounds " +
           s"($changed labels still changing); raise maxIter or use runStar " +
           "for high-diameter graphs")
-    labels
+    (labels, iter)
+  }
+
+  /**
+   * Alternating large-star/small-star connected components (Kiveris et
+   * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+   * the high-diameter alternative to [[run]]: the edge set itself is
+   * rewritten each round until it is a union of min-rooted stars, and
+   * the round count is O(log n) in the component size rather than
+   * O(diameter). Use for graphs where long chains are plausible
+   * (web-link graphs, session stitching); min-label does fewer, cheaper
+   * rounds on dedup-shaped graphs.
+   *
+   * Per round (both phases are keyed shuffles only, no driver data):
+   *  - large-star: every node u links its LARGER neighbors to
+   *    m = min(N(u) ∪ {u});
+   *  - small-star: every node u (grouping the big→small oriented
+   *    edges by their larger endpoint) links its smaller neighbors and
+   *    itself to the minimum.
+   * The convergence probe is a symmetric set difference of successive
+   * edge sets (two anti-join counts).
+   *
+   * Same contract as [[run]]: returns (node, comp), comp = min node id
+   * of the component, every node present in `edges` appears (including
+   * self-loop-only nodes).
+   */
+  def runStar(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runStarWithRounds(edges, maxIter)._1
+
+  /** [[runStar]] plus the number of (large-star + small-star) rounds. */
+  def runStarWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val a = edges.columns(0)
+    val b = edges.columns(1)
+    val nodes = edges.select(col(a).as("node"))
+      .union(edges.select(col(b).as("node")))
+      .distinct().localCheckpoint(true)
+    // Orient big→small; drop self-loops and duplicates. The orientation
+    // is an invariant both phases preserve (each emitted edge (x, m)
+    // has m strictly below x).
+    var e = edges.filter(col(a) =!= col(b))
+      .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .select(col("v").as("x"), col("m"))
+        .union(smins.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      changed = small.except(e).count() + e.except(small).count()
+      e = small
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ConnectedComponents.runStar did not converge in $maxIter rounds")
+    val stars = e.select(col("u").as("node"), col("v").as("comp"))
+    val labels = nodes.join(stars, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    (labels, iter)
   }
 }

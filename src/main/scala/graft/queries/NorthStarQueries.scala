@@ -24,6 +24,11 @@ object NorthStarQueries {
   private val BANDS = 4
   private val R = 3            // rows per band
   private val NBITS = 16       // simhash bits
+  // Per-bucket cap for LSH pair generation: far above any bucket this
+  // corpus produces (results identical to uncapped — the oracle is
+  // uncapped), but a degenerate boilerplate key at 100 TB is bounded at
+  // C(cap,2) pairs instead of quadratic. See TextOps.lshCandidatesCapped.
+  private val LSH_BUCKET_CAP = 1024
   private val PLANES = 8       // LSH hyperplanes (ANN top-k)
   private val DEDUP_PLANES = 3 // coarser buckets for near-dup pairs
   private val DEDUP_PROBES = 3 // probe every plane flip on the dedup path
@@ -172,7 +177,7 @@ object NorthStarQueries {
       (s, d) => {
         val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
         val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
-        val cand = TextOps.lshCandidates(bands, "doc_id")
+        val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
         val labels = graft.engine.ConnectedComponents.run(cand)
         val dropIds = labels.filter(col("node") =!= col("comp"))
           .select(col("node").as("doc_id"))
@@ -401,7 +406,7 @@ object NorthStarQueries {
       (s, d) => {
         val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
         val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
-        TextOps.lshCandidates(bands, "doc_id").orderBy("a", "b")
+        TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP).orderBy("a", "b")
       },
       s"WITH $MINHASH_CANDS SELECT a, b FROM cand ORDER BY a, b"),
 
@@ -414,7 +419,7 @@ object NorthStarQueries {
       (s, d) => {
         val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
         val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
-        val cand = TextOps.lshCandidates(bands, "doc_id")
+        val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
         graft.engine.ConnectedComponents.run(cand)
           .select(col("node").as("doc_id"), col("comp").as("cluster"))
           .orderBy("doc_id")
@@ -456,7 +461,7 @@ object NorthStarQueries {
       (s, d) => {
         val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
         val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
-        val cand = TextOps.lshCandidates(bands, "doc_id")
+        val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
         val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
         val candDocs = cand
           .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()

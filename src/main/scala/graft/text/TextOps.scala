@@ -217,9 +217,10 @@ object TextOps {
   /** Distinct candidate pairs (a < b) colliding in at least one band.
     * Pairs are generated inside each (band, key) bucket after a single
     * groupBy shuffle — no self-join, so the upstream pipeline executes
-    * once. LSH bucket sizes are bounded with high probability, so the
-    * within-bucket pair explosion is safe; monitor bucket sizes at scale
-    * and add a size cap/salt if a degenerate key appears. */
+    * once. LSH bucket sizes are bounded with high probability for
+    * natural corpora; for corpora where a degenerate key is possible
+    * (shared boilerplate, empty-ish docs) use [[lshCandidatesCapped]],
+    * which bounds the quadratic term by construction. */
   def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame =
     bandsDf.groupBy("band", "key")
       .agg(collect_list(col(idCol)).as("ms"))
@@ -228,6 +229,41 @@ object TextOps {
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+
+  /**
+   * [[lshCandidates]] with a hard per-bucket size cap: each (band, key)
+   * bucket keeps only its `bucketCap` smallest doc ids before pair
+   * generation, so a degenerate band key (thousands of docs sharing
+   * boilerplate) yields at most bucketCap·(bucketCap−1)/2 pairs on one
+   * task instead of going quadratic in the bucket size. Buckets at or
+   * under the cap — the overwhelming case — produce IDENTICAL results
+   * to the uncapped form.
+   *
+   * The cap is applied with a per-bucket `row_number` (sort-based, so a
+   * mega-bucket spills to disk) rather than trimming after
+   * `collect_list` (which would hold the whole degenerate bucket in one
+   * aggregation buffer — the OOM arrives before the trim). The
+   * keep-lowest-ids rule is deterministic, and recall loss is confined
+   * to overflow docs of degenerate buckets — which still collide in
+   * their other (non-degenerate) bands. The groupBy reuses the window's
+   * (band, key) hash partitioning: still exactly one exchange.
+   */
+  def lshCandidatesCapped(bandsDf: DataFrame, idCol: String,
+      bucketCap: Int): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy(col(idCol))
+    bandsDf
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= bucketCap)
+      .groupBy("band", "key")
+      .agg(collect_list(col(idCol)).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
 
   // ------------------------------------------------------------------
   // SimHash: nBits-bit signature over distinct unigram token ids.

@@ -206,6 +206,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star components identical to min-label (random graphs)") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))) {
+      (es: List[(Long, Long)]) =>
+        import spark.implicits._
+        val df = es.toDF("a", "b")
+        val minLabel = graft.engine.ConnectedComponents.run(df, maxIter = 100)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val star = graft.engine.ConnectedComponents.runStar(df, maxIter = 100)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star == minLabel)
+    }
+  }
+
+  test("star components converge in far fewer rounds on a path graph") {
+    import spark.implicits._
+    // path 0-1-2-...-40: diameter 40 → min-label needs ~40 rounds,
+    // large/small-star collapses it in O(log n)
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val (mlLabels, mlRounds) =
+      graft.engine.ConnectedComponents.runWithRounds(path, maxIter = 100)
+    val (stLabels, stRounds) =
+      graft.engine.ConnectedComponents.runStarWithRounds(path, maxIter = 100)
+    val ml = mlLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = stLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ml == (0L to 40L).map(_ -> 0L).toMap)
+    assert(st == ml)
+    assert(stRounds * 2 < mlRounds,
+      s"star should need far fewer rounds: star=$stRounds minLabel=$mlRounds")
+  }
+
   test("throttle laws: no drops, no early admits, rate respected (ops/timing.py:104)") {
     // random inter-arrival gaps in [0, 2]s; limit 3 per 5s
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 20))) { (gapsDs: List[Int]) =>

@@ -57,6 +57,37 @@ class TextSimilaritySpec extends SparkSpec {
     assert(candsArr == cands)
   }
 
+  test("lshCandidatesCapped bounds a degenerate bucket and matches uncapped elsewhere") {
+    import spark.implicits._
+    // Adversarial corpus shape: 50 docs share one band key (boilerplate),
+    // plus one normal 2-doc bucket in a different band.
+    val degenerate = (0L until 50L).map(i => (i, 0, Seq(1L, 2L, 3L)))
+    val normal = Seq((100L, 1, Seq(9L, 9L, 9L)), (101L, 1, Seq(9L, 9L, 9L)))
+    val bands = (degenerate ++ normal).toDF("doc_id", "band", "key")
+    val capped = TextOps.lshCandidatesCapped(bands, "doc_id", bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // degenerate bucket contributes exactly C(8,2)=28 pairs among the 8
+    // SMALLEST ids (deterministic keep rule), never C(50,2)=1225
+    val expectDegen = (for {
+      a <- 0L until 8L; b <- (a + 1) until 8L
+    } yield (a, b)).toSet
+    assert(capped == expectDegen + ((100L, 101L)))
+    // buckets under the cap: identical to the uncapped operator
+    val onlyNormal = normal.toDF("doc_id", "band", "key")
+    val u = TextOps.lshCandidates(onlyNormal, "doc_id").collect().toSet
+    val c = TextOps.lshCandidatesCapped(onlyNormal, "doc_id", 8).collect().toSet
+    assert(c == u)
+    // and on a real (non-degenerate) corpus the results are unchanged
+    val docs = docsDf(Seq(
+      "the quick brown fox jumps over the lazy dog near the old bridge",
+      "the quick brown fox jumps over the lazy dog near the old gate",
+      "unrelated spark catalyst optimizer shuffle execution plan text"))
+    val realBands = TextOps.lshBandsArr(
+      TextOps.minhashSigArray(docs, "doc_id", "text", 3, 12), "doc_id", 4, 3)
+    assert(TextOps.lshCandidatesCapped(realBands, "doc_id", 64).collect().toSet ==
+      TextOps.lshCandidates(realBands, "doc_id").collect().toSet)
+  }
+
   test("chunkDocs: stride windows overlap and cover every token") {
     val words = (1 to 100).map(i => s"w$i")
     val df = docsDf(Seq(words.mkString(" "), "tiny doc"))
