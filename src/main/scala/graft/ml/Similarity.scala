@@ -115,6 +115,101 @@ object Similarity {
       .select("a", "rank", "b")
   }
 
+  /** Quantization scale for k-means centroid arithmetic. */
+  val QUANT: Int = 1024
+
+  /** Integer quantization of an embedding: floor(x · QUANT) per
+    * component. Both engines compute the identical float→double→
+    * multiply→floor sequence, and everything downstream of it is
+    * integer-exact. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(QUANT)).cast("long"))
+
+  /**
+   * Deterministic Lloyd refinement over quantized vectors. The trick
+   * that makes k-means oracle-replicable: a centroid is represented by
+   * the per-component INTEGER SUM of its members' quantized vectors —
+   * never divided by the count. Cosine is invariant under positive
+   * scaling, so sum and mean define the same cell assignment, and
+   * integer sums are order-independent and exact (a float mean would be
+   * shuffle-order-dependent and engine-divergent). Assignment score is
+   * dot(q, c)/‖c‖ (the query-side norm is constant per vector and
+   * cannot change its argmax), ties broken by lowest cell id. Cells
+   * that lose all members keep their previous centroid.
+   *
+   * Scale shape: centroids are a tiny broadcast table (nCells × dims
+   * longs); each iteration is one narrow assignment pass over the data
+   * plus one map-side-combined groupBy with `dims` sum aggregates.
+   * `iters` is a FIXED count (no convergence probe) so the oracle can
+   * unroll the identical number of rounds.
+   *
+   * @param embQ (idCol, q: array<long>) — quantized vectors
+   */
+  def kmeansCentroids(embQ: DataFrame, idCol: String, nCells: Int,
+      iters: Int, dims: Int): DataFrame = {
+    var cents = embQ.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col("q").as("cq"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val scored = embQ.crossJoin(broadcast(cents))
+        .withColumn("s",
+          dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
+            norm(col("cq").cast("array<double>")))
+      val wV = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
+      val assigned = scored.withColumn("__r", row_number().over(wV))
+        .filter(col("__r") === 1)
+        .select(col(idCol), col("q"), col("cid").as("cell"))
+      val sumCols = (0 until dims).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+      val sums = assigned.groupBy(col("cell"))
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(col("cell"), array((0 until dims).map(d => col(s"s$d")): _*).as("nq"))
+      cents = cents.alias("c").join(sums.alias("n"), col("c.cid") === col("n.cell"), "left")
+        .select(col("c.cid").as("cid"), coalesce(col("n.nq"), col("c.cq")).as("cq"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /**
+   * [[topKIvf]] with k-means-refined centroids: `iters` deterministic
+   * Lloyd rounds ([[kmeansCentroids]]) replace the raw seed vectors, so
+   * cells track the data distribution instead of whatever the first
+   * `nCells` ids happened to be — the recall ceiling that seed
+   * centroids impose. Final assignment, nprobe probing, exactly-once
+   * pair generation and ranking are the [[topKIvf]] skeleton verbatim;
+   * pair SCORING still uses the original float embeddings (centroids
+   * only partition).
+   */
+  def topKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, iters: Int, dims: Int, nProbe: Int = 1): DataFrame = {
+    val embQ = emb.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("q"))
+    val cents = kmeansCentroids(embQ.select(col(idCol), col("q")), idCol,
+      nCells, iters, dims)
+    val scoredCells = embQ.crossJoin(broadcast(cents))
+      .withColumn("s",
+        dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
+          norm(col("cq").cast("array<double>")))
+    val wCell = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
+    val probed = scoredCells
+      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"),
+        (col("__r") === 1).as("isHome"))
+    val pairs = probed
+      .groupBy("cell")
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
+        col("isHome"))).as("ms"))
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
+    val scored = pairs.select(
+      col("x.id").as("a"), col("y.id").as("b"),
+      (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("a", "rank", "b")
+  }
+
   /**
    * LSH-bucketed cosine near-dup pairs — the scale path for
    * [[cosinePairs]]: random-hyperplane sign buckets confine the

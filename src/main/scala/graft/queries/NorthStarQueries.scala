@@ -34,6 +34,7 @@ object NorthStarQueries {
   private val DEDUP_PROBES = 3 // probe every plane flip on the dedup path
   private val NPROBES = 2      // multi-probe bit flips (ANN top-k)
   private val DIMS = 64        // embedding dims
+  private val KM_ITERS = 2     // Lloyd rounds (probe-measured: 3rd adds nothing)
 
   // ---- oracle SQL fragments
   private val TOKS =
@@ -96,6 +97,39 @@ object NorthStarQueries {
       "FROM cscored), " +
       s"probe AS (SELECT vec_id, embedding, cell FROM cranked WHERE cr <= $nProbe), " +
       "home AS (SELECT vec_id, embedding, cell FROM cranked WHERE cr = 1)"
+
+  /** K-means-refined IVF CTEs ending in `kprobe` / `khome` — the
+    * Similarity.topKIvfKmeans mirror. Centroids are per-component
+    * INTEGER SUMS of members' quantized vectors (cosine is invariant
+    * under positive scaling, so sums ≡ means for assignment, and
+    * integer sums are order-independent — the property that makes
+    * Lloyd iterations exactly replicable across engines). `iters`
+    * rounds are unrolled as ka{t}/ks{t}/kc{t+1} CTE triples. */
+  private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int): String = {
+    def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
+    val sumList = (1 to DIMS).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= "qe AS (SELECT vec_id, embedding, list_transform(embedding, " +
+      s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
+      "FROM embeddings), "
+    sb ++= s"kc0 AS (SELECT vec_id AS cid, q AS cq FROM qe ORDER BY vec_id LIMIT $nCells), "
+    for (t <- 0 until iters) {
+      sb ++= s"ka$t AS (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS r " +
+        s"FROM qe e, kc$t c) WHERE r = 1), "
+      sb ++= s"ks$t AS (SELECT cell, $sumList AS nq FROM ka$t GROUP BY cell), "
+      sb ++= s"kc${t + 1} AS (SELECT c.cid, coalesce(s.nq, c.cq) AS cq FROM kc$t c " +
+        s"LEFT JOIN ks$t s ON c.cid = s.cell), "
+    }
+    sb ++= "kranked AS (SELECT vec_id, embedding, cell, cr FROM " +
+      "(SELECT e.vec_id, e.embedding, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS cr " +
+      s"FROM qe e, kc$iters c)), " +
+      s"kprobe AS (SELECT vec_id, embedding, cell FROM kranked WHERE cr <= $nProbe), " +
+      "khome AS (SELECT vec_id, embedding, cell FROM kranked WHERE cr = 1)"
+    sb.result()
+  }
 
   /** Hyperplane projection for plane j — Similarity.planeCoef mirror. */
   private def sqlProj(j: Int, v: String): String =
@@ -591,6 +625,21 @@ object NorthStarQueries {
         "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
+    Q("q_ann_ivf_kmeans",
+      // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
+      // over integer-quantized vectors lift recall@3 from 0.34 (seed
+      // centroids, q_ann_ivf2) to 0.41 at the SAME cells/nprobe operating
+      // point (probe-measured on the fixture). The oracle unrolls the
+      // identical rounds — integer centroid sums make that exact.
+      (s, d) => Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
+          16, KM_ITERS, DIMS, 2)
+        .orderBy("a", "rank"),
+      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS)} " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_ann_lsh",
       (s, d) => Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
         .orderBy("a", "rank"),
@@ -642,6 +691,9 @@ object NorthStarQueries {
           .select("a", "b")
         val ivf2 = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2)
           .select("a", "b")
+        val kme = Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
+            16, KM_ITERS, DIMS, 2)
+          .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nH = exact.join(lsh, Seq("a", "b"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
@@ -651,7 +703,9 @@ object NorthStarQueries {
           .agg(count(lit(1)).as("n_hits_ivf"))
         val nV2 = exact.join(ivf2, Seq("a", "b"), "left_semi")
           .agg(count(lit(1)).as("n_hits_ivf2"))
-        nE.crossJoin(nH).crossJoin(nM).crossJoin(nV).crossJoin(nV2)
+        val nK = exact.join(kme, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits_kmeans"))
+        nE.crossJoin(nH).crossJoin(nM).crossJoin(nV).crossJoin(nV2).crossJoin(nK)
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
           .withColumn("recall_mp",
@@ -660,6 +714,8 @@ object NorthStarQueries {
             col("n_hits_ivf").cast("double") / col("n_exact").cast("double"))
           .withColumn("recall_ivf2",
             col("n_hits_ivf2").cast("double") / col("n_exact").cast("double"))
+          .withColumn("recall_kmeans",
+            col("n_hits_kmeans").cast("double") / col("n_exact").cast("double"))
       },
       "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
@@ -684,17 +740,24 @@ object NorthStarQueries {
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
+        s"${sqlKmeansCtes(16, 2, KM_ITERS)}, " +
+        "lvk AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3), " +
         "e AS (SELECT count(*) AS n_exact FROM ex), " +
         "h AS (SELECT count(*) AS n_hits FROM ex JOIN ls USING (a, b)), " +
         "m AS (SELECT count(*) AS n_hits_mp FROM ex JOIN lm USING (a, b)), " +
         "v AS (SELECT count(*) AS n_hits_ivf FROM ex JOIN lv USING (a, b)), " +
-        "v2 AS (SELECT count(*) AS n_hits_ivf2 FROM ex JOIN lv2 USING (a, b)) " +
-        "SELECT n_exact, n_hits, n_hits_mp, n_hits_ivf, n_hits_ivf2, " +
+        "v2 AS (SELECT count(*) AS n_hits_ivf2 FROM ex JOIN lv2 USING (a, b)), " +
+        "vk AS (SELECT count(*) AS n_hits_kmeans FROM ex JOIN lvk USING (a, b)) " +
+        "SELECT n_exact, n_hits, n_hits_mp, n_hits_ivf, n_hits_ivf2, n_hits_kmeans, " +
         "CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall, " +
         "CAST(n_hits_mp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_mp, " +
         "CAST(n_hits_ivf AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf, " +
-        "CAST(n_hits_ivf2 AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf2 " +
-        "FROM e, h, m, v, v2"),
+        "CAST(n_hits_ivf2 AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf2, " +
+        "CAST(n_hits_kmeans AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_kmeans " +
+        "FROM e, h, m, v, v2, vk"),
 
     // ---------------- multimodal (opaque binary + typed metadata) ----------
     Q("q_multimodal_meta",
