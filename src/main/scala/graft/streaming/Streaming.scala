@@ -201,6 +201,168 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class TaggedEv(user_id: Long, tsUs: Long, value: Double, src: Int)
+  case class ZipOut(user_id: Long, idx: Long, a: Double, b: Double)
+  case class ZipLatestOut(user_id: Long, tsUs: Long, a: Option[Double], b: Option[Double])
+
+  /**
+   * Streaming Zip (`ops/combine.py:219-260`): pair the i-th event of
+   * source A with the i-th event of source B, per key — the reference's
+   * positional zip, sharded. State per key is the pair of pending
+   * queues plus the running pair index; each incoming event appends to
+   * its side's queue and every complete (head, head) pair is emitted
+   * immediately, across micro-batch boundaries. Like the reference,
+   * buffering is unbounded if one side stalls (zip's semantics require
+   * it); state size equals the inter-stream lag, not history.
+   */
+  class ZipProcessor extends StatefulProcessor[Long, TaggedEv, ZipOut] {
+    @transient private var st: ValueState[(Seq[Double], Seq[Double], Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[(Seq[Double], Seq[Double], Long)](
+        "zipq",
+        implicitly[org.apache.spark.sql.Encoder[(Seq[Double], Seq[Double], Long)]],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TaggedEv], timers: TimerValues): Iterator[ZipOut] = {
+      var (qa, qb, idx) = if (st.exists()) st.get() else (Seq.empty[Double], Seq.empty[Double], 0L)
+      val out = Seq.newBuilder[ZipOut]
+      rows.toSeq.sortBy(r => (r.tsUs, r.src)).foreach { r =>
+        if (r.src == 0) qa = qa :+ r.value else qb = qb :+ r.value
+        if (qa.nonEmpty && qb.nonEmpty) {
+          out += ZipOut(key, idx, qa.head, qb.head)
+          qa = qa.tail; qb = qb.tail; idx += 1
+        }
+      }
+      st.update((qa, qb, idx))
+      out.result().iterator
+    }
+  }
+
+  /**
+   * Streaming Ziplatest (`ops/combine.py:262-302`): on every event from
+   * either source emit the latest value of both, `None` standing in for
+   * the reference's NO_VALUE until a side has emitted (`strict = true`
+   * suppresses rows until both sides have a value — the reference's
+   * `partial=False`). State per key is just the two latest values —
+   * bounded regardless of history.
+   */
+  class ZipLatestProcessor(strict: Boolean)
+    extends StatefulProcessor[Long, TaggedEv, ZipLatestOut] {
+    @transient private var st: ValueState[(Option[Double], Option[Double])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[(Option[Double], Option[Double])](
+        "latest",
+        implicitly[org.apache.spark.sql.Encoder[(Option[Double], Option[Double])]],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TaggedEv], timers: TimerValues): Iterator[ZipLatestOut] = {
+      var (la, lb) = if (st.exists()) st.get() else (Option.empty[Double], Option.empty[Double])
+      val out = Seq.newBuilder[ZipLatestOut]
+      rows.toSeq.sortBy(r => (r.tsUs, r.src)).foreach { r =>
+        if (r.src == 0) la = Some(r.value) else lb = Some(r.value)
+        if (!strict || (la.isDefined && lb.isDefined))
+          out += ZipLatestOut(key, r.tsUs, la, lb)
+      }
+      st.update((la, lb))
+      out.result().iterator
+    }
+  }
+
+  private def taggedUnion(a: Dataset[Ev], b: Dataset[Ev]): Dataset[TaggedEv] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.map(e => TaggedEv(e.user_id, e.tsUs, e.value, 0))
+      .union(b.map(e => TaggedEv(e.user_id, e.tsUs, e.value, 1)))
+  }
+
+  /** Streaming positional zip of two live streams, keyed state via
+    * `transformWithState` (requires the RocksDB state-store provider,
+    * like [[throttleStream]]). */
+  def zipStream(a: Dataset[Ev], b: Dataset[Ev]): Dataset[ZipOut] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    taggedUnion(a, b).groupByKey(_.user_id)
+      .transformWithState(new ZipProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming ziplatest of two live streams (partial by default). */
+  def ziplatestStream(a: Dataset[Ev], b: Dataset[Ev],
+      strict: Boolean = false): Dataset[ZipLatestOut] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    taggedUnion(a, b).groupByKey(_.user_id)
+      .transformWithState(new ZipLatestProcessor(strict), TimeMode.None(), OutputMode.Append())
+  }
+
+  case class AsofOut(user_id: Long, tsUs: Long, value: Double,
+      asof_ts: Option[Long], asof_value: Option[Double])
+
+  /**
+   * Streaming as-of join ([[graft.engine.AsofJoin]] live form): stamp
+   * each event of a query stream with the most recent value of a
+   * slowly-changing reference stream for the same key and
+   * `ref.ts <= event.ts` (inclusive, LEFT semantics — no reference yet
+   * ⇒ None). The training-pipeline join at serving time: events stamped
+   * with the prevailing model version / config / quote.
+   *
+   * State per key is the reference history pruned to what future events
+   * can still need: after stamping an event at time t, every reference
+   * row strictly older than the match is discarded (per-key event-time
+   * ordered delivery across micro-batches is assumed, as for a
+   * changelog; within a batch rows are sorted, reference-before-event
+   * at equal timestamps). So state holds the lag between the two
+   * streams, not history.
+   */
+  class AsofProcessor extends StatefulProcessor[Long, TaggedEv, AsofOut] {
+    @transient private var st: ValueState[Seq[(Long, Double)]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[Seq[(Long, Double)]](
+        "refs", implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TaggedEv], timers: TimerValues): Iterator[AsofOut] = {
+      // refs sorted ascending by ts; src 0 = reference, src 1 = query
+      var refs = if (st.exists()) st.get() else Seq.empty[(Long, Double)]
+      val out = Seq.newBuilder[AsofOut]
+      rows.toSeq.sortBy(r => (r.tsUs, r.src)).foreach { r =>
+        if (r.src == 0) {
+          refs = (refs :+ (r.tsUs, r.value)).sortBy(_._1)
+        } else {
+          val m = refs.filter(_._1 <= r.tsUs).lastOption
+          out += AsofOut(key, r.tsUs, r.value, m.map(_._1), m.map(_._2))
+          // older references can never match a later (ordered) event
+          m.foreach { hit => refs = refs.dropWhile(_._1 < hit._1) }
+        }
+      }
+      st.update(refs)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming as-of stamp: `events` enriched with the latest `refs`
+    * value per key as of each event's time, via `transformWithState`
+    * (RocksDB provider required). */
+  def asofStream(events: Dataset[Ev], refs: Dataset[Ev]): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    refs.map(e => TaggedEv(e.user_id, e.tsUs, e.value, 0))
+      .union(events.map(e => TaggedEv(e.user_id, e.tsUs, e.value, 1)))
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /**
    * Streaming exact dedup: drop rows whose `keyCols` were already seen
    * within the watermark horizon — the streaming form of the dedup

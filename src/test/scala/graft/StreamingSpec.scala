@@ -200,6 +200,118 @@ class StreamingSpec extends SparkSpec {
     assert(got == List(1.0, 2.0, 3.0))
   }
 
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming zip: positional pairs across micro-batches (tests/combine_test.py:39)") {
+    withRocksDb {
+      // reference golden: zip(range(10), range(100,110)) == [(i, 100+i)]
+      val a = new Streaming.EventBus(spark)
+      val b = new Streaming.EventBus(spark)
+      val out = Streaming.zipStream(a.eventsTyped, b.eventsTyped)
+      val q = out.toDF().writeStream.format("memory").queryName("zip_out")
+        .outputMode("append").start()
+      // batch 1: A runs ahead of B — pairs 0..2 complete, A queues 2
+      a.emit((0 to 4).map(i => Ev(1L, i * 1000L, i.toDouble)): _*)
+      b.emit((0 to 2).map(i => Ev(1L, i * 1000L + 1, 100.0 + i)): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("zip_out").count()
+      assert(afterB1 === 3, "only completed pairs may emit in batch 1")
+      // batch 2: the rest — queued A heads pair with arriving B values
+      a.emit((5 to 9).map(i => Ev(1L, i * 1000L, i.toDouble)): _*)
+      b.emit((3 to 9).map(i => Ev(1L, i * 1000L + 1, 100.0 + i)): _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("zip_out").orderBy("idx")
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toList
+      assert(got == (0 to 9).map(i => (i.toLong, i.toDouble, 100.0 + i)).toList)
+      // and parity with the batch encoding on the same values
+      val batchZip = graft.engine.EventStream.zip(
+        seqStream(0 to 9), seqStream(100 to 109), "i")
+      val batchPairs = batchZip.df.orderBy("i").select("value", "value_r")
+        .collect().map(r => (r.getLong(0).toDouble, r.getLong(1).toDouble)).toList
+      assert(got.map(t => (t._2, t._3)) == batchPairs)
+    }
+  }
+
+  test("streaming ziplatest: partial and strict goldens across batches (tests/combine_test.py:50)") {
+    withRocksDb {
+      // reference golden: e1=[0,1], e2=[2,3] interleaved ->
+      // [(0, NO_VALUE), (0, 2), (1, 2), (1, 3)]
+      def run(strict: Boolean, name: String): List[(Option[Double], Option[Double])] = {
+        val a = new Streaming.EventBus(spark)
+        val b = new Streaming.EventBus(spark)
+        val out = Streaming.ziplatestStream(a.eventsTyped, b.eventsTyped, strict)
+        val q = out.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        a.emit(Ev(1L, 0L, 0.0))
+        b.emit(Ev(1L, 1000L, 2.0))
+        q.processAllAvailable()
+        a.emit(Ev(1L, 10_000L, 1.0))
+        b.emit(Ev(1L, 11_000L, 3.0))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).orderBy("tsUs").collect()
+          .map(r => (Option(r.getAs[java.lang.Double]("a")).map(_.toDouble),
+            Option(r.getAs[java.lang.Double]("b")).map(_.toDouble))).toList
+      }
+      assert(run(strict = false, "zl_out") == List(
+        (Some(0.0), None), (Some(0.0), Some(2.0)),
+        (Some(1.0), Some(2.0)), (Some(1.0), Some(3.0))))
+      // strict: rows suppressed until both sides have a value
+      assert(run(strict = true, "zls_out") == List(
+        (Some(0.0), Some(2.0)), (Some(1.0), Some(2.0)), (Some(1.0), Some(3.0))))
+    }
+  }
+
+  test("streaming as-of stamp matches batch asofLeft across micro-batches") {
+    withRocksDb {
+      import spark.implicits._
+      val refRows = Seq(
+        Ev(1L, 0L, 10.0), Ev(1L, 5000L, 20.0), Ev(1L, 12_000L, 30.0),
+        Ev(2L, 3000L, 99.0))
+      val evRows = Seq(
+        Ev(1L, 1000L, 1.0), Ev(1L, 5000L, 2.0), Ev(1L, 13_000L, 3.0),
+        Ev(2L, 1000L, 7.0), Ev(2L, 20_000L, 8.0))
+      // batch oracle on the same data
+      val exp = graft.engine.AsofJoin.asofLeft(
+          evRows.toDF("user_id", "tsUs", "value"),
+          refRows.toDF("user_id", "tsUs", "value"),
+          "user_id", "tsUs", Seq("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.getAs[java.lang.Long]("asof_tsUs")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble))).toSet
+      // live: event-time-ordered delivery split across two micro-batches
+      val refs = new Streaming.EventBus(spark)
+      val evs = new Streaming.EventBus(spark)
+      val out = Streaming.asofStream(evs.eventsTyped, refs.eventsTyped)
+      val q = out.toDF().writeStream.format("memory").queryName("asof_out")
+        .outputMode("append").start()
+      refs.emit(Ev(1L, 0L, 10.0), Ev(1L, 5000L, 20.0), Ev(2L, 3000L, 99.0))
+      evs.emit(Ev(1L, 1000L, 1.0), Ev(1L, 5000L, 2.0), Ev(2L, 1000L, 7.0))
+      q.processAllAvailable()
+      refs.emit(Ev(1L, 12_000L, 30.0))
+      evs.emit(Ev(1L, 13_000L, 3.0), Ev(2L, 20_000L, 8.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("asof_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble))).toSet
+      assert(got === exp)
+      // the tie at ts=5000 matched inclusively (DuckDB ASOF `>=`)
+      assert(got.exists(t => t._2 == 5000L && t._4 == Some(5000L) && t._5 == Some(20.0)))
+    }
+  }
+
   test("streaming debounce matches batch debounce semantics (ops/timing.py:67)") {
     import spark.implicits._
     // bursts per user: u1 @ 0s,0.4s,0.8s (one burst, last=3.0) then 5s (own burst);
