@@ -86,19 +86,7 @@ object Similarity {
    */
   def topKIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int, nProbe: Int = 1): DataFrame = {
-    val cents = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val scoredCells = emb.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col(vecCol), col("cv")) / (norm(col(vecCol)) * norm(col("cv"))))
-    val wCell = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-    // Each vector LIVES in its nearest cell (isHome) and, as a QUERY,
-    // also probes its next nProbe-1 nearest cells — the IVF nprobe
-    // knob: candidates come only from home members, so pair (a,b) is
-    // generated exactly once (in home(b), where a has one copy).
-    val probed = scoredCells
-      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"),
-        (col("__r") === 1).as("isHome"))
+    val probed = ivfAssign(emb, idCol, vecCol, nCells, nProbe)
     val pairs = probed
       .groupBy("cell")
       .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
@@ -113,6 +101,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select("a", "rank", "b")
+  }
+
+  /** Cell assignment for seed-centroid IVF: each vector LIVES in its
+    * nearest cell (isHome) and, as a QUERY, also probes its next
+    * nProbe-1 nearest cells — the IVF nprobe knob: candidates come only
+    * from home members, so pair (a,b) is generated exactly once (in
+    * home(b), where a has one copy). Returns (idCol, vecCol, cell,
+    * isHome), one row per probed cell. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nProbe: Int): DataFrame = {
+    val cents = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scoredCells = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col(vecCol), col("cv")) / (norm(col(vecCol)) * norm(col("cv"))))
+    val wCell = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+    scoredCells
+      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"),
+        (col("__r") === 1).as("isHome"))
   }
 
   /** Quantization scale for k-means centroid arithmetic. */
@@ -170,6 +177,25 @@ object Similarity {
     cents
   }
 
+  /** [[ivfAssign]] against k-means-refined centroids: same (id, vec,
+    * cell, isHome) contract, assignment scored on the quantized vectors
+    * vs the refined integer centroids. */
+  def ivfKmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, dims: Int, nProbe: Int): DataFrame = {
+    val embQ = emb.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("q"))
+    val cents = kmeansCentroids(embQ.select(col(idCol), col("q")), idCol,
+      nCells, iters, dims)
+    val scoredCells = embQ.crossJoin(broadcast(cents))
+      .withColumn("s",
+        dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
+          norm(col("cq").cast("array<double>")))
+    val wCell = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
+    scoredCells
+      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"),
+        (col("__r") === 1).as("isHome"))
+  }
+
   /**
    * [[topKIvf]] with k-means-refined centroids: `iters` deterministic
    * Lloyd rounds ([[kmeansCentroids]]) replace the raw seed vectors, so
@@ -182,18 +208,7 @@ object Similarity {
    */
   def topKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int, iters: Int, dims: Int, nProbe: Int = 1): DataFrame = {
-    val embQ = emb.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("q"))
-    val cents = kmeansCentroids(embQ.select(col(idCol), col("q")), idCol,
-      nCells, iters, dims)
-    val scoredCells = embQ.crossJoin(broadcast(cents))
-      .withColumn("s",
-        dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-          norm(col("cq").cast("array<double>")))
-    val wCell = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
-    val probed = scoredCells
-      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"),
-        (col("__r") === 1).as("isHome"))
+    val probed = ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, nProbe)
     val pairs = probed
       .groupBy("cell")
       .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),

@@ -105,29 +105,30 @@ object NorthStarQueries {
     * integer sums are order-independent — the property that makes
     * Lloyd iterations exactly replicable across engines). `iters`
     * rounds are unrolled as ka{t}/ks{t}/kc{t+1} CTE triples. */
-  private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int): String = {
+  private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int,
+      pfx: String = "k"): String = {
     def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
     val sumList = (1 to DIMS).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
       .mkString("[", ", ", "]")
     val sb = new StringBuilder
-    sb ++= "qe AS (SELECT vec_id, embedding, list_transform(embedding, " +
+    sb ++= s"${pfx}qe AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
       "FROM embeddings), "
-    sb ++= s"kc0 AS (SELECT vec_id AS cid, q AS cq FROM qe ORDER BY vec_id LIMIT $nCells), "
+    sb ++= s"${pfx}c0 AS (SELECT vec_id AS cid, q AS cq FROM ${pfx}qe ORDER BY vec_id LIMIT $nCells), "
     for (t <- 0 until iters) {
-      sb ++= s"ka$t AS (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
+      sb ++= s"${pfx}a$t AS (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS r " +
-        s"FROM qe e, kc$t c) WHERE r = 1), "
-      sb ++= s"ks$t AS (SELECT cell, $sumList AS nq FROM ka$t GROUP BY cell), "
-      sb ++= s"kc${t + 1} AS (SELECT c.cid, coalesce(s.nq, c.cq) AS cq FROM kc$t c " +
-        s"LEFT JOIN ks$t s ON c.cid = s.cell), "
+        s"FROM ${pfx}qe e, ${pfx}c$t c) WHERE r = 1), "
+      sb ++= s"${pfx}s$t AS (SELECT cell, $sumList AS nq FROM ${pfx}a$t GROUP BY cell), "
+      sb ++= s"${pfx}c${t + 1} AS (SELECT c.cid, coalesce(s.nq, c.cq) AS cq FROM ${pfx}c$t c " +
+        s"LEFT JOIN ${pfx}s$t s ON c.cid = s.cell), "
     }
-    sb ++= "kranked AS (SELECT vec_id, embedding, cell, cr FROM " +
+    sb ++= s"${pfx}ranked AS (SELECT vec_id, embedding, cell, cr FROM " +
       "(SELECT e.vec_id, e.embedding, c.cid AS cell, " +
       s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS cr " +
-      s"FROM qe e, kc$iters c)), " +
-      s"kprobe AS (SELECT vec_id, embedding, cell FROM kranked WHERE cr <= $nProbe), " +
-      "khome AS (SELECT vec_id, embedding, cell FROM kranked WHERE cr = 1)"
+      s"FROM ${pfx}qe e, ${pfx}c$iters c)), " +
+      s"${pfx}probe AS (SELECT vec_id, embedding, cell FROM ${pfx}ranked WHERE cr <= $nProbe), " +
+      s"${pfx}home AS (SELECT vec_id, embedding, cell FROM ${pfx}ranked WHERE cr = 1)"
     sb.result()
   }
 
@@ -758,6 +759,124 @@ object NorthStarQueries {
         "CAST(n_hits_ivf2 AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf2, " +
         "CAST(n_hits_kmeans AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_kmeans " +
         "FROM e, h, m, v, v2, vk"),
+
+    Q("q_ann_tuning",
+      // Recall-aware operating-point table: one row per ANN config with
+      // hits vs exact ground truth AND the candidate-pair count the
+      // config pays for them (the real cost driver — every candidate is
+      // one exact cosine). A user picks (method, param, probes) from
+      // this frontier instead of hardcoded constants; at 100 TB the same
+      // report runs on a sample. Counts are integers, recall is one
+      // final division — hash-exact across engines.
+      (s, d) => {
+        val e = emb(s, d)
+        val exact = Similarity.topK(e, "vec_id", "embedding", 3).select("a", "b")
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nTot = e.agg(count(lit(1)).as("n"))
+        def cfgRow(method: String, p1: Int, p2: Int, approx: DataFrame,
+            cands: DataFrame): DataFrame = {
+          val hits = exact.join(approx, Seq("a", "b"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+          hits.crossJoin(cands).select(
+            lit(method).as("method"), lit(p1.toLong).as("param"),
+            lit(p2.toLong).as("probes"), col("n_hits"), col("n_cands"))
+        }
+        // ordered scored-pair counts per config (x≠y meetings)
+        val bk = e.select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
+        val lshCands = bk.groupBy("bucket").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).as("n_cands"))
+        val copies = bk.select(col("vec_id"),
+          explode(array(col("bucket") +:
+            (0 until NPROBES).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+            .as("bucket"))
+        val mpCands = copies.groupBy("bucket").agg(count(lit(1)).as("m"))
+          .join(bk.groupBy("bucket").agg(count(lit(1)).as("h")), "bucket")
+          .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
+          .select((col("mh") - col("n")).as("n_cands"))
+        def ivfCands(assign: DataFrame): DataFrame =
+          assign.groupBy("cell").agg(count(lit(1)).as("m"))
+            .join(assign.filter(col("isHome")).groupBy("cell")
+              .agg(count(lit(1)).as("h")), "cell")
+            .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
+            .select((col("mh") - col("n")).as("n_cands"))
+        val id = "vec_id"; val v = "embedding"
+        val rows = Seq(
+          cfgRow("lsh", PLANES, 0,
+            Similarity.topKLsh(e, id, v, 3, PLANES, DIMS).select("a", "b"), lshCands),
+          cfgRow("lsh_mp", PLANES, NPROBES,
+            Similarity.topKLshMp(e, id, v, 3, PLANES, DIMS, NPROBES).select("a", "b"), mpCands),
+          cfgRow("ivf", 16, 1,
+            Similarity.topKIvf(e, id, v, 3, 16).select("a", "b"),
+            ivfCands(Similarity.ivfAssign(e, id, v, 16, 1))),
+          cfgRow("ivf", 16, 2,
+            Similarity.topKIvf(e, id, v, 3, 16, 2).select("a", "b"),
+            ivfCands(Similarity.ivfAssign(e, id, v, 16, 2))),
+          cfgRow("ivf_kmeans", 16, 2,
+            Similarity.topKIvfKmeans(e, id, v, 3, 16, KM_ITERS, DIMS, 2).select("a", "b"),
+            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 2))),
+          cfgRow("ivf_kmeans", 8, 2,
+            Similarity.topKIvfKmeans(e, id, v, 3, 8, KM_ITERS, DIMS, 2).select("a", "b"),
+            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 8, KM_ITERS, DIMS, 2))))
+        rows.reduce(_.unionByName(_)).crossJoin(nE)
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .select("method", "param", "probes", "n_hits", "n_cands", "recall")
+          .orderBy("method", "param", "probes")
+      },
+      {
+        def top3(l: String, r: String, key: String) =
+          "SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+            s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+            s"FROM $l l JOIN $r r USING ($key) WHERE l.vec_id <> r.vec_id) WHERE rank <= 3"
+        def cellCost(probe: String, home: String) =
+          s"SELECT CAST(sum(m*h) - (SELECT n FROM nn) AS BIGINT) AS n_cands " +
+            s"FROM (SELECT cell, count(*) AS m FROM $probe GROUP BY cell) " +
+            s"JOIN (SELECT cell, count(*) AS h FROM $home GROUP BY cell) USING (cell)"
+        "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+          s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+          "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+          s"bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket FROM embeddings), " +
+          s"ls AS (${top3("bk", "bk", "bucket")}), " +
+          (1 to NPROBES).map(p =>
+            s"SELECT vec_id, embedding, xor(bucket, ${1L << (p - 1)}) AS bucket FROM bk")
+            .mkString("nb AS (SELECT vec_id, embedding, bucket FROM bk UNION ALL ",
+              " UNION ALL ", "), ") +
+          s"lm AS (${top3("nb", "bk", "bucket")}), " +
+          s"${sqlIvfCtes(16, 2)}, " +
+          s"lv1 AS (${top3("home", "home", "cell")}), " +
+          s"lv2 AS (${top3("probe", "home", "cell")}), " +
+          s"${sqlKmeansCtes(16, 2, KM_ITERS, "k")}, " +
+          s"lvk AS (${top3("kprobe", "khome", "cell")}), " +
+          s"${sqlKmeansCtes(8, 2, KM_ITERS, "t")}, " +
+          s"lvt AS (${top3("tprobe", "thome", "cell")}), " +
+          "nn AS (SELECT count(*) AS n FROM embeddings), " +
+          "e AS (SELECT count(*) AS n_exact FROM ex), " +
+          "clsh AS (SELECT CAST(sum(c*(c-1)) AS BIGINT) AS n_cands FROM " +
+          "(SELECT count(*) AS c FROM bk GROUP BY bucket)), " +
+          "cmp AS (SELECT CAST(sum(m*h) - (SELECT n FROM nn) AS BIGINT) AS n_cands " +
+          "FROM (SELECT bucket, count(*) AS m FROM nb GROUP BY bucket) " +
+          "JOIN (SELECT bucket, count(*) AS h FROM bk GROUP BY bucket) USING (bucket)), " +
+          s"civ1 AS (${cellCost("home", "home")}), " +
+          s"civ2 AS (${cellCost("probe", "home")}), " +
+          s"ck AS (${cellCost("kprobe", "khome")}), " +
+          s"ct AS (${cellCost("tprobe", "thome")}), " +
+          "h1 AS (SELECT count(*) AS n_hits FROM ex JOIN ls USING (a, b)), " +
+          "h2 AS (SELECT count(*) AS n_hits FROM ex JOIN lm USING (a, b)), " +
+          "h3 AS (SELECT count(*) AS n_hits FROM ex JOIN lv1 USING (a, b)), " +
+          "h4 AS (SELECT count(*) AS n_hits FROM ex JOIN lv2 USING (a, b)), " +
+          "h5 AS (SELECT count(*) AS n_hits FROM ex JOIN lvk USING (a, b)), " +
+          "h6 AS (SELECT count(*) AS n_hits FROM ex JOIN lvt USING (a, b)) " +
+          "SELECT method, param, probes, n_hits, n_cands, " +
+          "CAST(n_hits AS DOUBLE) / CAST((SELECT n_exact FROM e) AS DOUBLE) AS recall FROM (" +
+          s"SELECT 'lsh' AS method, CAST($PLANES AS BIGINT) AS param, CAST(0 AS BIGINT) AS probes, n_hits, n_cands FROM h1, clsh " +
+          s"UNION ALL SELECT 'lsh_mp', $PLANES, $NPROBES, n_hits, n_cands FROM h2, cmp " +
+          "UNION ALL SELECT 'ivf', 16, 1, n_hits, n_cands FROM h3, civ1 " +
+          "UNION ALL SELECT 'ivf', 16, 2, n_hits, n_cands FROM h4, civ2 " +
+          "UNION ALL SELECT 'ivf_kmeans', 16, 2, n_hits, n_cands FROM h5, ck " +
+          "UNION ALL SELECT 'ivf_kmeans', 8, 2, n_hits, n_cands FROM h6, ct" +
+          ") ORDER BY method, param, probes"
+      }),
 
     // ---------------- multimodal (opaque binary + typed metadata) ----------
     Q("q_multimodal_meta",
