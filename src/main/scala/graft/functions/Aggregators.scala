@@ -214,4 +214,60 @@ object Aggregators {
   }
   def switchPass(src: Column, isFirst: Column): Column =
     udaf(new SwitchAgg).apply(src, isFirst)
+
+  /**
+   * Bounded k-smallest collector: `collect_list` whose buffer can never
+   * exceed `cap` elements — it keeps the `cap` SMALLEST longs seen (a
+   * grouped aggregate, so unlike the scans above `merge` is real and the
+   * planner's map-side partial aggregation applies, bounding every
+   * partial buffer and every shuffle record at `cap` too).
+   *
+   * Built for LSH bucket capping (TextOps.lshCandidatesCapped): a
+   * degenerate band key with millions of members costs O(cap) memory in
+   * one aggregation buffer instead of O(bucket), and the hot path keeps
+   * the single-exchange hash-aggregate plan — no per-bucket sort, no
+   * window stage. Buffers stay sorted ascending; inserts into a full
+   * buffer that beat the current max shift in place (normal buckets are
+   * far below the cap, so the common case is a tiny array append).
+   */
+  class BoundedMinAgg(cap: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    private def insert(b: Array[Long], x: Long): Array[Long] = {
+      val full = b.length >= cap
+      if (full && x >= b(b.length - 1)) return b
+      val i = {
+        val s = java.util.Arrays.binarySearch(b, x)
+        if (s >= 0) s else -(s + 1)
+      }
+      val out = new Array[Long](if (full) cap else b.length + 1)
+      System.arraycopy(b, 0, out, 0, i)
+      out(i) = x
+      System.arraycopy(b, i, out, i + 1, out.length - i - 1)
+      out
+    }
+    def reduce(b: Array[Long], x: Long): Array[Long] = insert(b, x)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted arrays, keep the cap smallest
+      val n = math.min(cap, a.length + b.length)
+      val out = new Array[Long](n)
+      var i = 0; var j = 0; var k = 0
+      while (k < n) {
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+          out(k) = a(i); i += 1
+        } else {
+          out(k) = b(j); j += 1
+        }
+        k += 1
+      }
+      out
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** `collectMinK(col, cap)` — the cap-smallest longs per group, sorted. */
+  def collectMinK(c: Column, cap: Int): Column =
+    udaf(new BoundedMinAgg(cap)).apply(c)
 }
