@@ -302,6 +302,54 @@ object Streaming {
       .transformWithState(new ZipLatestProcessor(strict), TimeMode.None(), OutputMode.Append())
   }
 
+  /**
+   * Streaming Switch (`ops/combine.py:104-139`): of N live sources,
+   * events pass only from the currently-active one; a source's FIRST
+   * emission steals activity, and the displaced source is removed
+   * permanently. Same reduction as the batch
+   * [[graft.functions.Aggregators.SwitchAgg]]: "src was never seen" ⇔
+   * "this emission un-removes it", so state per key is just the active
+   * source id plus the ever-seen set — O(#sources), independent of
+   * event count. Rows are processed in (event-time, src) order within a
+   * batch; per-key ordered delivery across micro-batches is assumed
+   * (as for [[AsofProcessor]]).
+   */
+  class SwitchProcessor extends StatefulProcessor[Long, TaggedEv, TaggedEv] {
+    @transient private var st: ValueState[(Long, Seq[Int])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[(Long, Seq[Int])](
+        "switch", implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Int])]],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TaggedEv], timers: TimerValues): Iterator[TaggedEv] = {
+      var (active, seen) =
+        if (st.exists()) st.get() else (Long.MinValue, Seq.empty[Int])
+      val out = Seq.newBuilder[TaggedEv]
+      rows.toSeq.sortBy(r => (r.tsUs, r.src)).foreach { r =>
+        val pass = r.src == active || !seen.contains(r.src)
+        if (!seen.contains(r.src)) seen = seen :+ r.src
+        if (pass) { active = r.src; out += r }
+      }
+      st.update((active, seen))
+      out.result().iterator
+    }
+  }
+
+  /** Streaming switch over N live streams (source index = position). */
+  def switchStream(sources: Seq[Dataset[Ev]]): Dataset[TaggedEv] = {
+    val spark = sources.head.sparkSession
+    import spark.implicits._
+    sources.zipWithIndex
+      .map { case (s, i) => s.map(e => TaggedEv(e.user_id, e.tsUs, e.value, i)) }
+      .reduce(_ union _)
+      .groupByKey(_.user_id)
+      .transformWithState(new SwitchProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   case class AsofOut(user_id: Long, tsUs: Long, value: Double,
       asof_ts: Option[Long], asof_value: Option[Double])
 

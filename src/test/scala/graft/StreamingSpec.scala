@@ -272,6 +272,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming switch: first emission steals activity (tests/combine_test.py:19-24)") {
+    withRocksDb {
+      // reference golden: switch over three delayed sources emits
+      // [0, 100] ++ [200..209] — each later source's first event steals
+      // activity; the displaced source never emits again.
+      val srcs = Seq.fill(3)(new Streaming.EventBus(spark))
+      val out = Streaming.switchStream(srcs.map(_.eventsTyped))
+      val q = out.toDF().writeStream.format("memory").queryName("switch_out")
+        .outputMode("append").start()
+      def ts(i: Int, off: Int): Long = i * 10_000L + off * 1000L
+      // batch 1: first five ticks of each source
+      for (i <- 0 until 5) {
+        srcs(0).emit(Ev(1L, ts(i, 0), i.toDouble))
+        srcs(1).emit(Ev(1L, ts(i, 1), 100.0 + i))
+        srcs(2).emit(Ev(1L, ts(i, 2), 200.0 + i))
+      }
+      q.processAllAvailable()
+      val afterB1 = spark.table("switch_out").orderBy("tsUs")
+        .collect().map(_.getDouble(2)).toList
+      assert(afterB1 == List(0.0, 100.0, 200.0, 201.0, 202.0, 203.0, 204.0))
+      // batch 2: remaining ticks — only source 2 still passes
+      for (i <- 5 until 10) {
+        srcs(0).emit(Ev(1L, ts(i, 0), i.toDouble))
+        srcs(1).emit(Ev(1L, ts(i, 1), 100.0 + i))
+        srcs(2).emit(Ev(1L, ts(i, 2), 200.0 + i))
+      }
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("switch_out").orderBy("tsUs")
+        .collect().map(_.getDouble(2)).toList
+      assert(got == List(0.0, 100.0) ++ (0 until 10).map(200.0 + _))
+    }
+  }
+
   test("streaming as-of stamp matches batch asofLeft across micro-batches") {
     withRocksDb {
       import spark.implicits._
