@@ -353,6 +353,64 @@ object SimHashSig {
   }
 }
 
+/**
+ * Multiplicity statistics kernel: `array<long>` ids → `array<long>` of
+ * `[n, n_distinct, top_multiplicity]` — the three counts behind
+ * repetition-based quality filtering (Gopher-style "fraction of
+ * duplicated n-grams" rules). One sort + one scan per row, no shuffle:
+ * the whole repetition-scoring stage stays a single narrow codegen'd
+ * pass over the corpus. Empty array → [0, 0, 0].
+ */
+case class MultiplicityStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mult_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mult_stats needs ARRAY<BIGINT>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MultiplicityStats.kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MultiplicityStats.kernel($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MultiplicityStats {
+  /** Called from generated code (named `kernel` for the static
+    * forwarder — see ShingleSids.kernel). */
+  def kernel(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0L, 0L, 0L))
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var uniq = 1L
+    var top = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (a(i) == a(i - 1)) { run += 1; if (run > top) top = run }
+      else { uniq += 1; run = 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(n.toLong, uniq, top))
+  }
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
@@ -374,4 +432,8 @@ object VectorFunctions {
   /** Fused per-row SimHash signature kernel as a `Column`. */
   def simhashSig(toks: Column, nBits: Int): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(toks), nBits))
+
+  /** `[n, n_distinct, top_multiplicity]` of an id array as a `Column`. */
+  def multStats(ids: Column): Column =
+    ColumnBridge.column(MultiplicityStats(ColumnBridge.expression(ids)))
 }

@@ -133,6 +133,45 @@ object Similarity {
     transform(vec, x => floor(x.cast("double") * lit(QUANT)).cast("long"))
 
   /**
+   * Per-vector int8 scalar quantization: `q_i = floor(x_i / s)` with
+   * `s = max|x| / 127`, so components land in [-127, 127] — the
+   * classic 4× compression of an embedding store (float32 → int8 +
+   * one float scale). At 100 TB the vector corpus is the dominant
+   * byte count, so the scan/shuffle bandwidth of every ANN stage
+   * drops 4× with it; cosine is scale-invariant per vector, so
+   * ranking degrades only by rounding (measured by
+   * `q_ann_quant_recall`). Deterministic and oracle-replicable:
+   * max/divide/floor is the identical IEEE sequence in both engines,
+   * and all downstream dot products are exact small integers.
+   * All-zero vectors quantize to all-zero (s = 0 guard).
+   */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === lit(0.0), lit(0L))
+        .otherwise(floor(x.cast("double") / scale).cast("long")))
+
+  /** The per-vector int8 scale `max|x| / 127`. */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Brute-force cosine top-k over int8-quantized vectors — the
+    * [[topK]] yardstick at a quarter of the bytes. Same O(n²) caveat:
+    * correctness baseline; the bucketed paths (LSH/IVF) apply to the
+    * quantized representation unchanged. */
+  def topKInt8(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = emb.select(col(idCol),
+        quantizeInt8(col(vecCol), int8Scale(col(vecCol))).as("q"))
+    val l = q.select(col(idCol).as("a"), col("q").as("va"))
+    val r = q.select(col(idCol).as("b"), col("q").as("vb"))
+    val scored = l.crossJoin(r).filter(col("a") =!= col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("a", "rank", "b")
+  }
+
+  /**
    * Deterministic Lloyd refinement over quantized vectors. The trick
    * that makes k-means oracle-replicable: a centroid is represented by
    * the per-component INTEGER SUM of its members' quantized vectors —

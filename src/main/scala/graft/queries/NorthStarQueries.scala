@@ -67,6 +67,16 @@ object NorthStarQueries {
   private def sqlCos(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** Int8 scalar quantization CTEs (Similarity.quantizeInt8 mirror):
+    * `qq` = (vec_id, embedding, q) with q_i = floor(x_i / (max|x|/127)). */
+  private val QUANT8 =
+    "q0 AS (SELECT vec_id, embedding, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / " +
+      "CAST(127.0 AS DOUBLE) AS s FROM embeddings), " +
+      "qq AS (SELECT vec_id, embedding, list_transform(embedding, x -> " +
+      "CASE WHEN s = CAST(0 AS DOUBLE) THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(floor(CAST(x AS DOUBLE) / s) AS BIGINT) END) AS q FROM q0)"
+
   /** Minhash band CTEs ending in `cand` = candidate pairs (a < b) —
     * shared by q_dedup_minhash and q_dedup_clusters. */
   private lazy val MINHASH_CANDS: String = {
@@ -203,6 +213,44 @@ object NorthStarQueries {
           "(CAST(1.0 AS DOUBLE) - CAST(sw AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) AS quality " +
           "FROM h ORDER BY doc_id"
       }),
+
+    Q("q_quality_repetition",
+      // Gopher-style repetition filter: drop docs whose most frequent
+      // bigram dominates (> 0.08 of all bigrams) or whose duplicate-token
+      // fraction exceeds 0.7 (thresholds split the fixture ~33/8 of 500 —
+      // non-vacuous both ways). Counts come from the MultiplicityStats
+      // kernel over token/bigram fingerprint ids: one narrow codegen'd
+      // pass, nothing shuffled. Fractions are one exact-long division
+      // each, so both engines produce bit-identical doubles.
+      (s, d) => {
+        val st = TextOps.repetitionStats(docs(s, d), "doc_id", "text")
+        val dupFrac = (col("n_tokens") - col("n_uniq_tokens")).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")
+        val topFrac = col("top_bigram_count").cast("double") /
+          greatest(col("n_bigrams"), lit(1L)).cast("double")
+        st.withColumn("dup_token_frac", dupFrac)
+          .withColumn("top_bigram_frac", topFrac)
+          .withColumn("keep",
+            col("top_bigram_frac") <= 0.08 && col("dup_token_frac") <= 0.7)
+          .orderBy("doc_id")
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, " +
+        "bg AS (SELECT doc_id, fps, CASE WHEN len(fps) >= 2 THEN " +
+        "list_transform(range(1, len(fps)), i -> " +
+        "((fps[CAST(i AS INT)] % 1000000007) * 8191 + fps[CAST(i + 1 AS INT)]) % 1000000007) " +
+        "ELSE CAST([] AS BIGINT[]) END AS bgs FROM tokfp), " +
+        "st AS (SELECT doc_id, len(fps) AS n_tokens, " +
+        "len(list_distinct(fps)) AS n_uniq_tokens, len(bgs) AS n_bigrams, " +
+        "len(list_distinct(bgs)) AS n_uniq_bigrams, " +
+        "CASE WHEN len(bgs) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "list_max(list_transform(list_distinct(bgs), x -> len(list_filter(bgs, y -> y = x)))) " +
+        "END AS top_bigram_count FROM bg), " +
+        "m AS (SELECT *, CAST(n_tokens - n_uniq_tokens AS DOUBLE) / " +
+        "CAST(greatest(n_tokens, 1) AS DOUBLE) AS dup_token_frac, " +
+        "CAST(top_bigram_count AS DOUBLE) / CAST(greatest(n_bigrams, 1) AS DOUBLE) " +
+        "AS top_bigram_frac FROM st) " +
+        "SELECT *, (top_bigram_frac <= CAST(0.08 AS DOUBLE) AND " +
+        "dup_token_frac <= CAST(0.7 AS DOUBLE)) AS keep FROM m ORDER BY doc_id"),
 
     Q("q_pipeline_dedup",
       // The dedup pipeline's FINAL artifact: the corpus with every
@@ -673,6 +721,48 @@ object NorthStarQueries {
           "FROM nb l JOIN bk r USING (bucket) WHERE l.vec_id <> r.vec_id) " +
           "WHERE rank <= 3 ORDER BY a, rank"
       }),
+
+    Q("q_ann_quantized",
+      // Int8-quantized brute-force top-3: per-vector scale max|x|/127,
+      // q_i = floor(x_i / s) — float32 → int8 is the 4× byte cut every
+      // ANN stage's scan/shuffle inherits at 100 TB. Max/divide/floor is
+      // one identical IEEE sequence in both engines; the dot products
+      // downstream are exact small integers. O(n²) yardstick like
+      // q_ann_topk; the bucketed paths apply to int8 unchanged.
+      (s, d) => Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3)
+        .orderBy("a", "rank"),
+      s"WITH $QUANT8 " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.q", "r.q")} DESC, r.vec_id) AS rank " +
+        "FROM qq l, qq r WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
+    Q("q_ann_quant_recall",
+      // How much ranking fidelity does int8 give up? Quantized top-3 vs
+      // exact float top-3: integer hit counts + one final division.
+      (s, d) => {
+        val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
+          .select("a", "b")
+        val quant = Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3)
+          .select("a", "b")
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nQ = exact.join(quant, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits_quant"))
+        nE.crossJoin(nQ)
+          .withColumn("recall_quant",
+            col("n_hits_quant").cast("double") / col("n_exact").cast("double"))
+      },
+      s"WITH $QUANT8, " +
+        "exact AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+        "quant AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.q", "r.q")} DESC, r.vec_id) AS rank " +
+        "FROM qq l, qq r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+        "e AS (SELECT count(*) AS n_exact FROM exact), " +
+        "h AS (SELECT count(*) AS n_hits_quant FROM exact WHERE (a, b) IN (SELECT (a, b) FROM quant)) " +
+        "SELECT n_exact, n_hits_quant, " +
+        "CAST(n_hits_quant AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_quant FROM e, h"),
 
     Q("q_ann_recall",
       // Recall measurement: LSH top-3 scored against brute-force ground

@@ -94,6 +94,32 @@ object TextOps {
         }))
       .otherwise(array().cast("array<long>"))
 
+  /**
+   * Repetition signals for Gopher-style quality filtering: per doc the
+   * token and bigram multiplicity counts that back "duplicated n-gram
+   * fraction" rules. Token/bigram identity is the polynomial
+   * fingerprint (ids, not strings — bigram id = shingle id at k=2), and
+   * the counting runs in [[graft.functions.MultiplicityStats]], so the
+   * whole stage is one narrow codegen'd pass: no explode, no groupBy,
+   * nothing shuffled at any corpus size.
+   *
+   * Columns: n_tokens, n_uniq_tokens, n_bigrams, n_uniq_bigrams,
+   * top_bigram_count.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val f = graft.functions.VectorFunctions
+    docs.select(col(idCol),
+      f.multStats(f.shingleSids(toks, 1)).as("__t"),
+      f.multStats(f.shingleSids(toks, 2)).as("__b"))
+      .select(col(idCol),
+        element_at(col("__t"), 1).as("n_tokens"),
+        element_at(col("__t"), 2).as("n_uniq_tokens"),
+        element_at(col("__b"), 1).as("n_bigrams"),
+        element_at(col("__b"), 2).as("n_uniq_bigrams"),
+        element_at(col("__b"), 3).as("top_bigram_count"))
+  }
+
   /** (doc_id, sid) edges: tokenize → per-token hash → shingle ids —
     * three narrow projections, longs (not strings) into the shuffle.
     * `dedup=false` for minhash (min-agg ignores duplicates anyway),

@@ -88,6 +88,19 @@ class TextSimilaritySpec extends SparkSpec {
       TextOps.lshCandidates(realBands, "doc_id").collect().toSet)
   }
 
+  test("repetitionStats counts tokens, bigrams, and the top bigram run") {
+    // "a b a b a c": 6 tokens (3 distinct), bigrams ab ba ab ba ac →
+    // 5 total, 3 distinct, top multiplicity 2. Degenerate "x x x x":
+    // every bigram is xx → top = n_bigrams. Empty/one-token docs → 0s.
+    val got = TextOps.repetitionStats(
+        docsDf(Seq("a b a b a c", "x x x x", "solo")), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got(0) == ((6L, 3L, 5L, 3L, 2L)))
+    assert(got(1) == ((4L, 1L, 3L, 1L, 3L)))
+    assert(got(2) == ((1L, 1L, 0L, 0L, 0L)))
+  }
+
   test("chunkDocs: stride windows overlap and cover every token") {
     val words = (1 to 100).map(i => s"w$i")
     val df = docsDf(Seq(words.mkString(" "), "tiny doc"))
