@@ -77,6 +77,25 @@ object NorthStarQueries {
       "CASE WHEN s = CAST(0 AS DOUBLE) THEN CAST(0 AS BIGINT) " +
       "ELSE CAST(floor(CAST(x AS DOUBLE) / s) AS BIGINT) END) AS q FROM q0)"
 
+  /** Repetition-stat CTEs (TextOps.repetitionStats mirror), built on
+    * `tokfp`: `m` = per-doc multiplicity counts + duplicate/top-bigram
+    * fractions. Bigram id = shingle id at k=2. */
+  private val REP_CTES =
+    "bg AS (SELECT doc_id, fps, CASE WHEN len(fps) >= 2 THEN " +
+      "list_transform(range(1, len(fps)), i -> " +
+      "((fps[CAST(i AS INT)] % 1000000007) * 8191 + fps[CAST(i + 1 AS INT)]) % 1000000007) " +
+      "ELSE CAST([] AS BIGINT[]) END AS bgs FROM tokfp), " +
+      "st AS (SELECT doc_id, len(fps) AS n_tokens, " +
+      "len(list_distinct(fps)) AS n_uniq_tokens, len(bgs) AS n_bigrams, " +
+      "len(list_distinct(bgs)) AS n_uniq_bigrams, " +
+      "CASE WHEN len(bgs) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "list_max(list_transform(list_distinct(bgs), x -> len(list_filter(bgs, y -> y = x)))) " +
+      "END AS top_bigram_count FROM bg), " +
+      "m AS (SELECT *, CAST(n_tokens - n_uniq_tokens AS DOUBLE) / " +
+      "CAST(greatest(n_tokens, 1) AS DOUBLE) AS dup_token_frac, " +
+      "CAST(top_bigram_count AS DOUBLE) / CAST(greatest(n_bigrams, 1) AS DOUBLE) " +
+      "AS top_bigram_frac FROM st)"
+
   /** Minhash band CTEs ending in `cand` = candidate pairs (a < b) —
     * shared by q_dedup_minhash and q_dedup_clusters. */
   private lazy val MINHASH_CANDS: String = {
@@ -234,21 +253,7 @@ object NorthStarQueries {
             col("top_bigram_frac") <= 0.08 && col("dup_token_frac") <= 0.7)
           .orderBy("doc_id")
       },
-      s"WITH $DOC_TOKS, $TOKFPS, " +
-        "bg AS (SELECT doc_id, fps, CASE WHEN len(fps) >= 2 THEN " +
-        "list_transform(range(1, len(fps)), i -> " +
-        "((fps[CAST(i AS INT)] % 1000000007) * 8191 + fps[CAST(i + 1 AS INT)]) % 1000000007) " +
-        "ELSE CAST([] AS BIGINT[]) END AS bgs FROM tokfp), " +
-        "st AS (SELECT doc_id, len(fps) AS n_tokens, " +
-        "len(list_distinct(fps)) AS n_uniq_tokens, len(bgs) AS n_bigrams, " +
-        "len(list_distinct(bgs)) AS n_uniq_bigrams, " +
-        "CASE WHEN len(bgs) = 0 THEN CAST(0 AS BIGINT) ELSE " +
-        "list_max(list_transform(list_distinct(bgs), x -> len(list_filter(bgs, y -> y = x)))) " +
-        "END AS top_bigram_count FROM bg), " +
-        "m AS (SELECT *, CAST(n_tokens - n_uniq_tokens AS DOUBLE) / " +
-        "CAST(greatest(n_tokens, 1) AS DOUBLE) AS dup_token_frac, " +
-        "CAST(top_bigram_count AS DOUBLE) / CAST(greatest(n_bigrams, 1) AS DOUBLE) " +
-        "AS top_bigram_frac FROM st) " +
+      s"WITH $DOC_TOKS, $TOKFPS, $REP_CTES " +
         "SELECT *, (top_bigram_frac <= CAST(0.08 AS DOUBLE) AND " +
         "dup_token_frac <= CAST(0.7 AS DOUBLE)) AS keep FROM m ORDER BY doc_id"),
 
@@ -432,6 +437,67 @@ object NorthStarQueries {
           "k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)) " +
           "SELECT doc_id, n_tokens FROM k JOIN f USING (doc_id) ORDER BY doc_id"
       }),
+
+    Q("q_pipeline_corpus",
+      // The full corpus-prep pipeline as ONE declarative plan — what a
+      // training-data run at 100 TB actually chains: repetition/length
+      // quality gate → benchmark decontamination (docs 0-9 are the
+      // held-out set) → exact dedup (min doc_id per content hash) →
+      // minhash near-dup dedup (capped LSH candidates → connected
+      // components → keep component minimum) → context-window chunking
+      // into model-sized training rows. Every stage is the same bounded
+      // shape proven by its standalone query; composing them stays one
+      // plan with no driver-side materialization between stages.
+      (s, d) => {
+        val all = docs(s, d)
+        val rep = TextOps.repetitionStats(all, "doc_id", "text")
+        val repKeep = rep.filter(
+          col("top_bigram_count").cast("double") /
+            greatest(col("n_bigrams"), lit(1L)).cast("double") <= 0.08 &&
+          (col("n_tokens") - col("n_uniq_tokens")).cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double") <= 0.7 &&
+          col("n_tokens") >= 20).select("doc_id")
+        val clean = TextOps.decontaminate(
+          all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10),
+          "doc_id", "text", K)
+        val eligible = clean.join(repKeep, "doc_id").select("doc_id", "text")
+        val keeper = eligible
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val surv = eligible.join(keeper.select("doc_id"), "doc_id")
+        val bands = TextOps.lshBandsArr(
+          TextOps.minhashSigArray(surv, "doc_id", "text", K, H), "doc_id", BANDS, R)
+        val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
+        val dropIds = graft.engine.ConnectedComponents.run(cand)
+          .filter(col("node") =!= col("comp"))
+          .select(col("node").as("doc_id"))
+        val fin = surv.join(dropIds, Seq("doc_id"), "left_anti")
+        TextOps.chunkDocs(fin, "doc_id", "text", 40, 30)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      s"WITH RECURSIVE $MINHASH_CANDS, $EDGES_DISTINCT, $REP_CTES, " +
+        "elig AS (SELECT d.doc_id, d.text FROM documents d JOIN m USING (doc_id) " +
+        "WHERE d.doc_id >= 10 AND m.n_tokens >= 20 " +
+        "AND m.top_bigram_frac <= CAST(0.08 AS DOUBLE) " +
+        "AND m.dup_token_frac <= CAST(0.7 AS DOUBLE) " +
+        "AND d.doc_id NOT IN (SELECT DISTINCT e.doc_id FROM edges e " +
+        "WHERE e.doc_id >= 10 AND e.sid IN (SELECT sid FROM edges WHERE doc_id < 10))), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM elig GROUP BY md5(text)), " +
+        "s1 AS (SELECT e.* FROM elig e JOIN k USING (doc_id)), " +
+        "candf AS (SELECT a, b FROM cand WHERE a IN (SELECT doc_id FROM s1) " +
+        "AND b IN (SELECT doc_id FROM s1)), " +
+        "e2 AS (SELECT a AS src, b AS dst FROM candf " +
+        "UNION ALL SELECT b AS src, a AS dst FROM candf), " +
+        "walk(node, comp) AS (SELECT DISTINCT src, src FROM e2 " +
+        "UNION SELECT e2.src, w.comp FROM e2 JOIN walk w ON w.node = e2.dst), " +
+        "drops AS (SELECT node FROM (SELECT node, min(comp) AS comp FROM walk " +
+        "GROUP BY node) WHERE node <> comp), " +
+        "fin AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT node FROM drops)) " +
+        "SELECT doc_id, chunk_idx, array_to_string(" +
+        "toks[CAST(chunk_idx * 30 + 1 AS INT):CAST(chunk_idx * 30 + 40 AS INT)], ' ') AS chunk_text " +
+        "FROM (SELECT f.doc_id, t.toks, unnest(range(0, greatest(" +
+        "CAST(ceil(CAST(len(t.toks) - 10 AS DOUBLE) / 30.0e0) AS BIGINT), 1))) AS chunk_idx " +
+        "FROM fin f JOIN tok t USING (doc_id)) ORDER BY doc_id, chunk_idx"),
 
     Q("q_sample_weighted",
       // Quality-weighted deterministic sampling: doc i is kept iff its
