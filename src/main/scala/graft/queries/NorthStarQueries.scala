@@ -29,6 +29,12 @@ object NorthStarQueries {
   // uncapped), but a degenerate boilerplate key at 100 TB is bounded at
   // C(cap,2) pairs instead of quadratic. See TextOps.lshCandidatesCapped.
   private val LSH_BUCKET_CAP = 1024
+  // Long-window shingle width for the substring-dedup proxy: at K=3 the
+  // synthetic corpus shares templated 3-grams everywhere (449/500 docs >
+  // 0.5 shared fraction — no signal); at 8 tokens only true near-dup
+  // spans collide (49/500 docs, all ~0.8+), mirroring the ~50-token
+  // windows of Lee et al. 2022.
+  private val K_DUP = 8
   private val PLANES = 8       // LSH hyperplanes (ANN top-k)
   private val DEDUP_PLANES = 3 // coarser buckets for near-dup pairs
   private val DEDUP_PROBES = 3 // probe every plane flip on the dedup path
@@ -55,6 +61,20 @@ object NorthStarQueries {
       "* 8191 + fps[CAST(i + 2 AS INT)]) % 1000000007) " +
       "ELSE [] END) AS sid FROM tokfp)"
   private val EDGES_DISTINCT = "edges AS (SELECT DISTINCT doc_id, sid FROM sh)"
+
+  /** Generic-k shingle-id CTE (named `name`) over `tokfp` — the SHSIDS
+    * formula for arbitrary k via list_reduce; identical fold order to
+    * TextOps.shingleSidsFromFps / the VectorFunctions.shingleSids
+    * kernel: acc = (acc * 8191 + fp) mod 1e9+7, acc0 = 0. */
+  private def sqlShSidsK(k: Int, name: String): String =
+    s"$name AS (SELECT doc_id, unnest(CASE WHEN len(fps) >= $k THEN " +
+      // range() is end-EXCLUSIVE (Spark's sequence() is inclusive):
+      // len - (k-2) excluded ⇒ windows 1 .. len-k+1.
+      s"list_transform(range(1, len(fps) - ${k - 2}), i -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $k), j -> fps[CAST(i + j AS INT)])), " +
+      "(acc, x) -> (acc * 8191 + x) % 1000000007)) " +
+      "ELSE CAST([] AS BIGINT[]) END) AS sid FROM tokfp)"
   private val UNIGRAMS =
     "ug AS (SELECT doc_id, unnest(fps) AS sid FROM tokfp), " +
       "edges AS (SELECT DISTINCT doc_id, sid FROM ug)"
@@ -666,6 +686,65 @@ object NorthStarQueries {
         "SELECT a, b, i, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
         "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
         "ORDER BY jacc DESC, a, b LIMIT 100"),
+
+    Q("q_dup_ngram_frac",
+      // Cross-document repeated n-gram fraction — the linear-cost proxy
+      // for suffix-array substring dedup (Lee et al. 2022,
+      // "Deduplicating Training Data Makes Language Models Better"):
+      // per doc, the fraction of its distinct k-token shingles that
+      // also occur in some OTHER document. Pure inverted-index shape:
+      // one repartition on shingle id feeds both the per-shingle
+      // doc-count aggregate and the join back (identical subplans →
+      // ReusedExchange), then one doc-keyed aggregate. No candidate
+      // pairs anywhere, so cost stays linear in corpus size at 100 TB —
+      // this is the cheap first-pass filter that runs BEFORE any
+      // pairwise dedup. Window width K_DUP = 8 tokens (see the constant:
+      // short shingles are template noise on this corpus; 8-grams only
+      // collide on true duplicated spans).
+      (s, d) => TextOps.dupNgramFrac(docs(s, d), "doc_id", "text", K_DUP)
+        .withColumn("keep", col("dup_frac") <= 0.2)
+        .orderBy("doc_id"),
+      s"WITH $DOC_TOKS, $TOKFPS, ${sqlShSidsK(K_DUP, "sh8")}, " +
+        "edges AS (SELECT DISTINCT doc_id, sid FROM sh8), " +
+        "sd AS (SELECT sid, count(*) AS nd FROM edges GROUP BY sid), " +
+        "per AS (SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared " +
+        "FROM edges JOIN sd USING (sid) GROUP BY doc_id) " +
+        "SELECT doc_id, n_shingles, n_shared, dup_frac, " +
+        "dup_frac <= CAST(0.2 AS DOUBLE) AS keep FROM " +
+        "(SELECT d.doc_id, coalesce(n_shingles, 0) AS n_shingles, " +
+        "coalesce(n_shared, 0) AS n_shared, " +
+        "CAST(coalesce(n_shared, 0) AS DOUBLE) / " +
+        "CAST(greatest(coalesce(n_shingles, 0), 1) AS DOUBLE) AS dup_frac " +
+        "FROM documents d LEFT JOIN per USING (doc_id)) ORDER BY doc_id"),
+
+    Q("q_lm_commonness",
+      // Bigram "commonness" score — the CCNet-style LM-quality proxy
+      // (Wenzek et al. 2020 bucket documents by LM perplexity; with no
+      // external model, the corpus's own bigram statistics stand in):
+      // score = mean corpus frequency of the doc's bigram OCCURRENCES,
+      // plus the rarest-bigram frequency as the surprise signal.
+      // Fluent/boilerplate text scores high, noise scores low. Bigram
+      // identity is the polynomial fingerprint pair-hash, all counting
+      // is integer-exact, and the score is ONE long/long division →
+      // bit-identical doubles in both engines. Same linear inverted-
+      // index shape as q_dup_ngram_frac (count, join back, doc agg).
+      (s, d) => TextOps.bigramCommonness(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      s"WITH $DOC_TOKS, $TOKFPS, " +
+        "bg2 AS (SELECT doc_id, unnest(CASE WHEN len(fps) >= 2 THEN " +
+        "list_transform(range(1, len(fps)), i -> " +
+        "((fps[CAST(i AS INT)] % 1000000007) * 8191 + fps[CAST(i + 1 AS INT)]) % 1000000007) " +
+        "ELSE CAST([] AS BIGINT[]) END) AS sid FROM tokfp), " +
+        "cf AS (SELECT sid, count(*) AS cf FROM bg2 GROUP BY sid), " +
+        "per AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(cf) AS BIGINT) AS sum_cf, min(cf) AS min_cf " +
+        "FROM bg2 JOIN cf USING (sid) GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(sum_cf, 0) AS sum_cf, coalesce(min_cf, 0) AS min_cf, " +
+        "CAST(coalesce(sum_cf, 0) AS DOUBLE) / " +
+        "CAST(greatest(coalesce(n_bigrams, 0), 1) AS DOUBLE) AS commonness " +
+        "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"),
 
     Q("q_dedup_cosine",
       // Threshold 0.4 yields real near-dup pairs on the synthetic

@@ -182,6 +182,63 @@ object TextOps {
   }
 
   /**
+   * Cross-document repeated n-gram fraction — the linear-cost proxy for
+   * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): per doc, the fraction
+   * of its distinct k-token shingles that also occur in some OTHER
+   * document. Inverted-index shape: one repartition on shingle id feeds
+   * both the per-shingle doc count and the join back (identical
+   * subplans → ReusedExchange), then one doc-keyed aggregate — no
+   * candidate pairs, cost linear in corpus size. Docs with fewer than k
+   * tokens report (0, 0, 0.0).
+   *
+   * Columns: idCol, n_shingles, n_shared, dup_frac.
+   */
+  def dupNgramFrac(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val edges = shingleSidEdges(docs, idCol, textCol, k, dedup = true)
+      .repartition(col("sid"))
+    val sidDocs = edges.groupBy("sid").agg(count(lit(1)).as("nd"))
+    val per = edges.join(sidDocs, "sid").groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(idCol).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("dup_frac", col("n_shared").cast("double") /
+        greatest(col("n_shingles"), lit(1L)).cast("double"))
+  }
+
+  /**
+   * Bigram "commonness" score — a CCNet-style LM-quality proxy (Wenzek
+   * et al. 2020 bucket docs by LM perplexity; with no external model
+   * the corpus's own bigram statistics stand in): the mean corpus
+   * frequency of the doc's bigram OCCURRENCES, plus the rarest-bigram
+   * frequency (`min_cf`) as the surprise signal. All counting is
+   * integer-exact over fingerprint pair-hashes; the score is one
+   * long/long division, so engines agree bitwise. Same inverted-index
+   * shape as [[dupNgramFrac]].
+   *
+   * Columns: idCol, n_bigrams, sum_cf, min_cf, commonness.
+   */
+  def bigramCommonness(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = shingleSidEdges(docs, idCol, textCol, 2, dedup = false)
+      .repartition(col("sid"))
+    val cf = occ.groupBy("sid").agg(count(lit(1)).as("cf"))
+    val per = occ.join(cf, "sid").groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("cf").as("sum_cf"),
+        min("cf").as("min_cf"))
+    docs.select(idCol).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_cf"), lit(0L)).as("sum_cf"),
+        coalesce(col("min_cf"), lit(0L)).as("min_cf"))
+      .withColumn("commonness", col("sum_cf").cast("double") /
+        greatest(col("n_bigrams"), lit(1L)).cast("double"))
+  }
+
+  /**
    * Benchmark decontamination: drop corpus docs sharing ANY k-token
    * shingle with the held-out set. The contamination probe is an
    * inverted-index semi-join on shingle id (corpus-scale keyed

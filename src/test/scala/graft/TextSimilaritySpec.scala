@@ -229,6 +229,45 @@ class TextSimilaritySpec extends SparkSpec {
     assert(r.getSeq[Long](2).length === 2)
   }
 
+  test("dupNgramFrac: planted duplicated span is flagged, unique docs score 0") {
+    // docs 0 and 1 share an 8-token span verbatim; doc 2 is unique;
+    // doc 3 is too short to have any 8-gram.
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = docsDf(Seq(
+      s"unique lead in $span and a unique tail here",
+      s"other opening words $span with different ending text",
+      "completely different content about catalyst optimizer rules and shuffle plans today",
+      "too short"))
+    val got = TextOps.dupNgramFrac(d, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 4)
+    val Array(d0, d1, d2, d3) = got
+    // shared windows exist and fraction is strictly between 0 and 1
+    assert(d0._3 > 0 && d0._4 > 0.0 && d0._4 < 1.0)
+    assert(d1._3 > 0 && d1._4 > 0.0 && d1._4 < 1.0)
+    assert(d2._3 == 0 && d2._4 == 0.0)
+    assert(d3 == ((3L, 0L, 0L, 0.0))) // < 8 tokens: zero shingles, frac 0
+    // the shared window count is exactly the 1 common 8-gram: both docs
+    // embed the 8-token span with distinct neighbors on both sides
+    assert(d0._3 == 1 && d1._3 == 1)
+  }
+
+  test("bigramCommonness: repeated bigrams raise the score, rare ones set min_cf") {
+    val d = docsDf(Seq(
+      "spark spark spark spark",     // one bigram ("spark spark") x3
+      "spark spark unique tail",     // shares that bigram once
+      "zz yy"))                      // a bigram occurring once in corpus
+    val got = TextOps.bigramCommonness(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // "spark spark" occurs 3 + 1 = 4 times corpus-wide
+    assert(got(0) == ((0L, 3L, 12L, 4L, 4.0)))          // 3 occurrences, each cf=4
+    assert(got(1)._2 == 3L && got(1)._4 == 1L)           // has two cf=1 bigrams
+    assert(got(1)._3 == 4L + 1L + 1L)
+    assert(got(2) == ((2L, 1L, 1L, 1L, 1.0)))            // lone bigram, cf=1
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
