@@ -350,6 +350,40 @@ object TextOps {
       .select("a", "b").distinct()
   }
 
+  /**
+   * Incremental near-dup dedup — the production shape for a daily crawl:
+   * dedup a NEW batch against an already-deduped corpus WITHOUT ever
+   * re-pairing the corpus with itself. The corpus side enters only as
+   * its LSH band-key index (`corpusBands`: doc_id, band, key — in
+   * production precomputed once, appended per batch); the batch's band
+   * keys are tiny by comparison and are BROADCAST, so the corpus-vs-
+   * batch probe is one scan of the index with zero shuffle of it.
+   * Within-batch duplicates use the capped in-bucket pair generation.
+   *
+   * Drop rule (conservative): a batch doc is dropped if it shares any
+   * band bucket with a corpus doc, or with a lower-id batch doc —
+   * "lower-id batch doc" regardless of whether that doc itself
+   * survives, so the rule needs no iteration and one batch doc per
+   * collision group always survives (the lowest id collides only
+   * downward into the corpus).
+   *
+   * Returns the surviving subset of `batch` (original columns).
+   */
+  def dedupIncremental(batch: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String, k: Int, numHashes: Int,
+      numBands: Int, rowsPerBand: Int, bucketCap: Int): DataFrame = {
+    val batchBands = lshBandsArr(
+      minhashSigArray(batch, idCol, textCol, k, numHashes),
+      idCol, numBands, rowsPerBand)
+    val hitCorpus = corpusBands
+      .join(broadcast(batchBands.select(col(idCol).as("__b"), col("band"), col("key"))),
+        Seq("band", "key"))
+      .select(col("__b").as(idCol)).distinct()
+    val hitBatch = lshCandidatesCapped(batchBands, idCol, bucketCap)
+      .select(col("b").as(idCol)).distinct()
+    batch.join(broadcast(hitCorpus.union(hitBatch)), Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // SimHash: nBits-bit signature over distinct unigram token ids.
   // bit_k votes +1/-1 by ((id * (2k+7919)) mod 131071) mod 2.
