@@ -265,6 +265,40 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+   * k-means clustering — embeddings are clustered with the
+   * deterministic integer-sum Lloyd refinement ([[kmeansCentroids]]),
+   * and the cosine near-dup test runs only WITHIN clusters, so the
+   * quadratic term is bounded by cell size (the paper's trick for web
+   * scale: cluster count grows with the corpus, keeping cells roughly
+   * constant). Drop rule: a vector is dropped ("dropped" = true) if a
+   * LOWER-id member of its cell has cosine ≥ `tau` with it — keep-
+   * lowest-id, matching the text-dedup keep rule. Pair scoring uses
+   * the ORIGINAL float vectors; centroids only partition.
+   *
+   * Returns one row per input vector: (idCol, cell, dropped).
+   */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nCells: Int, iters: Int, dims: Int): DataFrame = {
+    val assign = ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, 1)
+    val pairs = assign.groupBy("cell")
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (dot(col("x.v"), col("y.v")) /
+          (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+      .filter(col("cos") >= tau)
+    val drops = pairs.select(col("b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assign.select(col(idCol), col("cell"))
+      .join(broadcast(drops), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("__dropped"), lit(false)).as("dropped"))
+  }
+
+  /**
    * LSH-bucketed cosine near-dup pairs — the scale path for
    * [[cosinePairs]]: random-hyperplane sign buckets confine the
    * quadratic pair generation to within-bucket, so the whole job is one

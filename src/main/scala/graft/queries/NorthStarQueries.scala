@@ -41,6 +41,7 @@ object NorthStarQueries {
   private val NPROBES = 2      // multi-probe bit flips (ANN top-k)
   private val DIMS = 64        // embedding dims
   private val KM_ITERS = 2     // Lloyd rounds (probe-measured: 3rd adds nothing)
+  private val SEM_TAU = 0.4    // SemDeDup within-cell cosine threshold
 
   // ---- oracle SQL fragments
   private val TOKS =
@@ -717,6 +718,51 @@ object NorthStarQueries {
         "CAST(coalesce(n_shared, 0) AS DOUBLE) / " +
         "CAST(greatest(coalesce(n_shingles, 0), 1) AS DOUBLE) AS dup_frac " +
         "FROM documents d LEFT JOIN per USING (doc_id)) ORDER BY doc_id"),
+
+    Q("q_semdedup",
+      // SemDeDup (Abbas et al. 2023): semantic dedup confined to
+      // k-means cells — the embedding-space analogue of LSH-bucketed
+      // text dedup, and the technique's web-scale form (cluster count
+      // grows with the corpus, cell size stays bounded, so the
+      // quadratic term never grows). Deterministic Lloyd centroids
+      // (integer sums) make the clustering oracle-replicable; pair
+      // scoring uses the original float vectors.
+      (s, d) => Similarity.semDedup(emb(s, d), "vec_id", "embedding",
+        SEM_TAU, 16, KM_ITERS, DIMS).orderBy("vec_id"),
+      s"WITH ${sqlKmeansCtes(16, 1, KM_ITERS, "m")}, " +
+        "pr AS (SELECT l.vec_id AS a, r.vec_id AS b FROM mhome l " +
+        "JOIN mhome r USING (cell) WHERE l.vec_id < r.vec_id " +
+        s"AND ${sqlCos("l.embedding", "r.embedding")} >= CAST($SEM_TAU AS DOUBLE)) " +
+        "SELECT vec_id, cell, vec_id IN (SELECT b FROM pr) AS dropped " +
+        "FROM mhome ORDER BY vec_id"),
+
+    Q("q_dedup_incremental",
+      // Incremental dedup of a "daily batch" (doc_id % 5 = 0 stands in
+      // for today's crawl) against the standing corpus (the rest): the
+      // corpus is touched only as its LSH band-key index — one scan, no
+      // self-pairing, batch keys broadcast (TextOps.dedupIncremental).
+      // This is the operator a 100 TB pipeline actually runs daily;
+      // re-dedup-ing the whole corpus per batch would be quadratic in
+      // corpus count over time.
+      (s, d) => {
+        val all = docs(s, d)
+        val corpusBands = TextOps.lshBandsArr(
+          TextOps.minhashSigArray(all.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", K, H),
+          "doc_id", BANDS, R)
+        TextOps.dedupIncremental(all.filter(col("doc_id") % 5 === 0),
+            corpusBands, "doc_id", "text", K, H, BANDS, R, LSH_BUCKET_CAP)
+          .select("doc_id", "n_chars").orderBy("doc_id")
+      },
+      s"WITH $MINHASH_CANDS, " +
+        "dropc AS (SELECT DISTINCT l.doc_id AS doc_id FROM bands l " +
+        "JOIN bands r USING (band, key) " +
+        "WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 <> 0), " +
+        "dropw AS (SELECT DISTINCT b AS doc_id FROM cand " +
+        "WHERE a % 5 = 0 AND b % 5 = 0) " +
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id % 5 = 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM dropc) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM dropw) ORDER BY doc_id"),
 
     Q("q_lm_commonness",
       // Bigram "commonness" score — the CCNet-style LM-quality proxy

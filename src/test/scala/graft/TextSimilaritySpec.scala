@@ -268,6 +268,45 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got(2) == ((2L, 1L, 1L, 1L, 1.0)))            // lone bigram, cf=1
   }
 
+  test("dedupIncremental: corpus collisions and lower-id batch collisions drop") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills near the old stone bridge"
+    val corpus = docsDf(Seq(base)) // corpus doc 0
+    // batch ids offset to 10..13: 10 near-dups corpus, 11+12 near-dup
+    // each other, 13 unique
+    val batch = docsDf(Seq(
+      base.replace("rain", "snow"),
+      "completely different content about spark catalyst optimizer rules and distributed shuffle execution plans",
+      "completely different content about spark catalyst optimizer rules and distributed shuffle execution graphs",
+      "entirely unrelated third topic covering window aggregation state management and watermark semantics"))
+      .withColumn("doc_id", col("doc_id") + 10)
+    val corpusBands = TextOps.lshBandsArr(
+      TextOps.minhashSigArray(corpus, "doc_id", "text", 3, 12), "doc_id", 4, 3)
+    val kept = TextOps.dedupIncremental(batch, corpusBands,
+        "doc_id", "text", 3, 12, 4, 3, bucketCap = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 collides with corpus; 12 collides with lower-id 11; 11, 13 survive
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("semDedup: near-identical vectors in a cell drop the higher id") {
+    import spark.implicits._
+    // Two tight groups far apart; one stray member of each group is a
+    // near-duplicate (cos ≈ 1) of a lower-id vector.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.1f, 0.0f)),  // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+      (3L, Array(0.01f, 0.99f, 0.0f, 0.1f)),  // near-dup of 2
+      (4L, Array(0.5f, 0.5f, -0.7f, 0.2f)))   // unique direction
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, "vec_id", "embedding",
+        tau = 0.99, nCells = 2, iters = 2, dims = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.filter(_._2).map(_._1).toSet == Set(1L, 3L))
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
