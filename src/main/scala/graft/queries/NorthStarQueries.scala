@@ -973,8 +973,11 @@ object NorthStarQueries {
           .select("a", "b")
         val ivf2 = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2)
           .select("a", "b")
+        // nProbe 4 is the tuning table's frontier point: recall 0.596
+        // at 62k candidates (vs 0.41 at nprobe 2 / 31k) — report the
+        // operating point a user would actually pick.
         val kme = Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
-            16, KM_ITERS, DIMS, 2)
+            16, KM_ITERS, DIMS, 4)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nH = exact.join(lsh, Seq("a", "b"), "left_semi")
@@ -1022,7 +1025,7 @@ object NorthStarQueries {
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
-        s"${sqlKmeansCtes(16, 2, KM_ITERS)}, " +
+        s"${sqlKmeansCtes(16, 4, KM_ITERS)}, " +
         "lvk AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
@@ -1098,7 +1101,10 @@ object NorthStarQueries {
             ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 2))),
           cfgRow("ivf_kmeans", 8, 2,
             Similarity.topKIvfKmeans(e, id, v, 3, 8, KM_ITERS, DIMS, 2).select("a", "b"),
-            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 8, KM_ITERS, DIMS, 2))))
+            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 8, KM_ITERS, DIMS, 2))),
+          cfgRow("ivf_kmeans", 16, 4,
+            Similarity.topKIvfKmeans(e, id, v, 3, 16, KM_ITERS, DIMS, 4).select("a", "b"),
+            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 4))))
         rows.reduce(_.unionByName(_)).crossJoin(nE)
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
@@ -1131,6 +1137,8 @@ object NorthStarQueries {
           s"lvk AS (${top3("kprobe", "khome", "cell")}), " +
           s"${sqlKmeansCtes(8, 2, KM_ITERS, "t")}, " +
           s"lvt AS (${top3("tprobe", "thome", "cell")}), " +
+          s"${sqlKmeansCtes(16, 4, KM_ITERS, "u")}, " +
+          s"lvu AS (${top3("uprobe", "uhome", "cell")}), " +
           "nn AS (SELECT count(*) AS n FROM embeddings), " +
           "e AS (SELECT count(*) AS n_exact FROM ex), " +
           "clsh AS (SELECT CAST(sum(c*(c-1)) AS BIGINT) AS n_cands FROM " +
@@ -1142,12 +1150,14 @@ object NorthStarQueries {
           s"civ2 AS (${cellCost("probe", "home")}), " +
           s"ck AS (${cellCost("kprobe", "khome")}), " +
           s"ct AS (${cellCost("tprobe", "thome")}), " +
+          s"cu AS (${cellCost("uprobe", "uhome")}), " +
           "h1 AS (SELECT count(*) AS n_hits FROM ex JOIN ls USING (a, b)), " +
           "h2 AS (SELECT count(*) AS n_hits FROM ex JOIN lm USING (a, b)), " +
           "h3 AS (SELECT count(*) AS n_hits FROM ex JOIN lv1 USING (a, b)), " +
           "h4 AS (SELECT count(*) AS n_hits FROM ex JOIN lv2 USING (a, b)), " +
           "h5 AS (SELECT count(*) AS n_hits FROM ex JOIN lvk USING (a, b)), " +
-          "h6 AS (SELECT count(*) AS n_hits FROM ex JOIN lvt USING (a, b)) " +
+          "h6 AS (SELECT count(*) AS n_hits FROM ex JOIN lvt USING (a, b)), " +
+          "h7 AS (SELECT count(*) AS n_hits FROM ex JOIN lvu USING (a, b)) " +
           "SELECT method, param, probes, n_hits, n_cands, " +
           "CAST(n_hits AS DOUBLE) / CAST((SELECT n_exact FROM e) AS DOUBLE) AS recall FROM (" +
           s"SELECT 'lsh' AS method, CAST($PLANES AS BIGINT) AS param, CAST(0 AS BIGINT) AS probes, n_hits, n_cands FROM h1, clsh " +
@@ -1155,7 +1165,8 @@ object NorthStarQueries {
           "UNION ALL SELECT 'ivf', 16, 1, n_hits, n_cands FROM h3, civ1 " +
           "UNION ALL SELECT 'ivf', 16, 2, n_hits, n_cands FROM h4, civ2 " +
           "UNION ALL SELECT 'ivf_kmeans', 16, 2, n_hits, n_cands FROM h5, ck " +
-          "UNION ALL SELECT 'ivf_kmeans', 8, 2, n_hits, n_cands FROM h6, ct" +
+          "UNION ALL SELECT 'ivf_kmeans', 8, 2, n_hits, n_cands FROM h6, ct " +
+          "UNION ALL SELECT 'ivf_kmeans', 16, 4, n_hits, n_cands FROM h7, cu" +
           ") ORDER BY method, param, probes"
       }),
 
