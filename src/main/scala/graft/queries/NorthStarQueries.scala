@@ -42,6 +42,8 @@ object NorthStarQueries {
   private val DIMS = 64        // embedding dims
   private val KM_ITERS = 2     // Lloyd rounds (probe-measured: 3rd adds nothing)
   private val SEM_TAU = 0.4    // SemDeDup within-cell cosine threshold
+  private val SPAN = 10        // span dedup width (tokens, non-overlapping)
+  private val DSIR_B = 256     // DSIR hashed-feature buckets
 
   // ---- oracle SQL fragments
   private val TOKS =
@@ -1236,7 +1238,55 @@ object NorthStarQueries {
         "k AS (SELECT max(u) AS uk, count(*) AS n_kmv FROM " +
         "(SELECT u, sid FROM w ORDER BY u, sid LIMIT 64)), " +
         "e AS (SELECT count(*) AS n_exact FROM sids) " +
-        "SELECT n_exact, n_kmv, CAST(n_kmv - 1 AS DOUBLE) / uk AS est FROM e, k")
+        "SELECT n_exact, n_kmv, CAST(n_kmv - 1 AS DOUBLE) / uk AS est FROM e, k"),
+
+    Q("q_dedup_spans",
+      // Cross-doc span dedup (CCNet paragraph pass / Lee et al. 2022 at
+      // non-overlapping 10-token spans): drop every copy of a repeated
+      // span except the lowest-doc-id one, reassemble surviving text.
+      // One content-key shuffle + join-back + per-doc reassembly — the
+      // shape CCNet runs at web scale. TextOps.spanDedup.
+      (s, d) => TextOps.spanDedup(docs(s, d), "doc_id", "text", SPAN)
+        .orderBy("doc_id"),
+      s"WITH $DOC_TOKS, " +
+        "segs AS (SELECT doc_id, (len(toks) + 9) // 10 AS n_spans, " +
+        "unnest(list_transform(range(0, (len(toks) + 9) // 10), i -> " +
+        "struct_pack(pos := i, seg := array_to_string(" +
+        "toks[(i * 10 + 1):((i + 1) * 10)], ' ')))) AS sp " +
+        "FROM tok WHERE len(toks) > 0), " +
+        "segh AS (SELECT doc_id, n_spans, sp.pos AS pos, sp.seg AS seg, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(sp.seg) + 1), i -> " +
+        "CAST(ascii(substr(sp.seg, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM segs), " +
+        "st AS (SELECT h, count(DISTINCT doc_id) AS c, min(doc_id) AS keep " +
+        "FROM segh GROUP BY h) " +
+        "SELECT doc_id, n_spans, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(seg, ' ' ORDER BY pos) AS dedup_text " +
+        "FROM segh JOIN st USING (h) WHERE c = 1 OR doc_id = keep " +
+        "GROUP BY doc_id, n_spans ORDER BY doc_id"),
+
+    Q("q_dsir_weights",
+      // DSIR-style importance weight vs the lang='en' target slice over
+      // 256 hashed token buckets, in integer-exact rational form
+      // (num/den BIGINTs, ONE final IEEE division) so both engines
+      // produce identical bits. The 256-row bucket model is broadcast.
+      // TextOps.dsirWeights; Xie et al. 2023.
+      (s, d) => TextOps.dsirWeights(docs(s, d), "doc_id", "text",
+        "lang", "en", DSIR_B).orderBy("doc_id"),
+      s"WITH $DOC_TOKS, $TOKFPS, " +
+        "tb AS (SELECT doc_id, unnest(fps) % 256 AS b FROM tokfp), " +
+        "cb AS (SELECT tb.doc_id, b, lang, CAST(count(*) AS BIGINT) AS c " +
+        "FROM tb JOIN documents ON tb.doc_id = documents.doc_id " +
+        "GROUP BY tb.doc_id, b, lang), " +
+        "bs AS (SELECT b, CAST(sum(c) AS BIGINT) AS raw, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt " +
+        "FROM cb GROUP BY b) " +
+        "SELECT doc_id, CAST(sum(c * tgt) AS BIGINT) AS w_num, " +
+        "CAST(sum(c * raw) AS BIGINT) AS w_den, " +
+        "CAST(CAST(sum(c * tgt) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(sum(c * raw) AS BIGINT) AS DOUBLE) AS weight " +
+        "FROM cb JOIN bs USING (b) GROUP BY doc_id ORDER BY doc_id")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

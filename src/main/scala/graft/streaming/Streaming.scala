@@ -283,6 +283,19 @@ object Streaming {
       .union(b.map(e => TaggedEv(e.user_id, e.tsUs, e.value, 1)))
   }
 
+  /**
+   * Streaming Merge (`ops/combine.py:97-102`): interleave N live
+   * streams by arrival. In Structured Streaming this IS `union` — each
+   * micro-batch emits whatever any source delivered, no state, no
+   * shuffle; event-time ordering downstream comes from the usual
+   * watermark machinery, exactly how the reference's merge defers
+   * ordering to the consumer. Mergemap (`ops/transform.py` flatten of N
+   * inner streams) reduces to the same union once the inner streams
+   * exist, so this is the streaming path for both.
+   */
+  def mergeStream(sources: Seq[Dataset[Ev]]): Dataset[Ev] =
+    sources.reduce(_ unionByName _)
+
   /** Streaming positional zip of two live streams, keyed state via
     * `transformWithState` (requires the RocksDB state-store provider,
     * like [[throttleStream]]). */

@@ -399,4 +399,104 @@ object TextOps {
     val sig = (0 until nBits).map(k => col(s"b$k") * (1L << k)).reduce(_ + _)
     withBits.select(col(idCol), sig.as("simhash"))
   }
+
+  // ------------------------------------------------------------------
+  // Span-level exact dedup (CCNet paragraph dedup / Lee et al. 2022
+  // "Deduplicating Training Data Makes Language Models Better" — the
+  // within-corpus exact-substring pass, at non-overlapping token-span
+  // granularity instead of suffix arrays).
+  // ------------------------------------------------------------------
+
+  /**
+   * Cross-document span dedup: cut each doc into non-overlapping spans
+   * of `span` tokens (the last span may be shorter — every token is
+   * covered), key each span by its polynomial fingerprint, and drop
+   * every copy of a span that occurs in ≥2 distinct docs EXCEPT the one
+   * in the lowest doc id (one canonical copy survives, as in Lee et
+   * al.; CCNet's drop-all is the `c > 1` filter without the keeper
+   * clause). Intra-doc repeats of a doc's own span are NOT dropped —
+   * this is a cross-doc operator.
+   *
+   * Output: (id, n_spans, n_kept, dedup_text) where dedup_text is the
+   * surviving spans re-joined in original order. Docs whose every span
+   * is claimed by a lower doc vanish (fully-duplicated doc), same as
+   * the oracle.
+   *
+   * Scale shape: one narrow span-cutting projection, one groupBy on the
+   * span hash (count + min — map-side partial agg), one shuffle join
+   * back on the hash, one groupBy doc to reassemble. No global sort, no
+   * all-pairs term anywhere; the hash groupBy is the classic "shuffle
+   * the corpus once by content key" pass that CCNet runs at web scale.
+   */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
+    val toked = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        size(col("__toks")).as("__ntoks"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("__toks")) - 1) / span).cast("int")),
+          i => concat_ws(" ", slice(col("__toks"), i * span + 1, lit(span))))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__seg")
+      .withColumn("__nspans", ((col("__ntoks") + (span - 1)) / span).cast("long"))
+      .withColumn("__h", fingerprint(col("__seg")))
+    val stats = toked.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__c"), min(col(idCol)).as("__keep"))
+    toked.join(stats, "__h")
+      .where(col("__c") === 1 || col(idCol) === col("__keep"))
+      .groupBy(col(idCol), col("__nspans"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          s => s.getField("__seg"))).as("dedup_text"))
+      .select(col(idCol), col("__nspans").as("n_spans"), col("n_kept"), col("dedup_text"))
+  }
+
+  // ------------------------------------------------------------------
+  // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling") over hashed token
+  // features — in integer-exact rational form so the weight is bit-
+  // reproducible across engines (log-space DSIR sums floats, whose
+  // value depends on reduction order; a ratio of two integer sums with
+  // ONE final IEEE division does not).
+  // ------------------------------------------------------------------
+
+  /**
+   * Per-doc importance weight of the raw corpus against a target slice
+   * (`langCol == targetLang`): hash every token occurrence into
+   * `buckets` buckets by fingerprint mod, build the bucket occurrence
+   * tables of the target slice (tgt_b) and the full corpus (raw_b), and
+   * weight each doc by
+   *   w = (Σ_b c_b·tgt_b) / (Σ_b c_b·raw_b)
+   * where c_b is the doc's own bucket count — high when the doc's token
+   * mass sits in buckets the target favors. Output: (id, w_num, w_den,
+   * weight) with num/den exact BIGINTs.
+   *
+   * Scale shape: one narrow hash projection, one groupBy (doc, bucket),
+   * one `buckets`-row aggregate that is BROADCAST back (the importance
+   * model is tiny by construction — that is the point of hashed
+   * features), one groupBy doc. The target distribution never needs a
+   * second corpus scan: tgt_b is a filtered partial of the same
+   * aggregate.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, targetLang: String, buckets: Int): DataFrame = {
+    val cdoc = docs
+      .select(col(idCol), col(langCol),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), col(langCol), (fingerprint(col("__t")) % buckets).as("__b"))
+      .groupBy(col(idCol), col(langCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val bstats = cdoc.groupBy("__b").agg(
+      sum(col("__c")).as("__raw"),
+      sum(when(col(langCol) === targetLang, col("__c")).otherwise(0L)).as("__tgt"))
+    cdoc.join(broadcast(bstats), "__b")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c") * col("__tgt")).as("w_num"),
+        sum(col("__c") * col("__raw")).as("w_den"))
+      .select(col(idCol), col("w_num"), col("w_den"),
+        (col("w_num").cast("double") / col("w_den").cast("double")).as("weight"))
+  }
 }

@@ -192,11 +192,20 @@ class StreamingSpec extends SparkSpec {
   test("streaming merge: stream-stream union is native (ops/combine.py:97)") {
     val a = new Streaming.EventBus(spark)
     val b = new Streaming.EventBus(spark)
-    a.emit(Ev(1L, 1_000_000L, 1.0), Ev(1L, 3_000_000L, 3.0))
+    val merged = Streaming.mergeStream(Seq(a.eventsTyped, b.eventsTyped)).toDF()
+    val q = merged.writeStream.format("memory").queryName("merge_out")
+      .outputMode("append").start()
+    // batch 1: one event from each side
+    a.emit(Ev(1L, 1_000_000L, 1.0))
     b.emit(Ev(1L, 2_000_000L, 2.0))
-    val merged = a.events.unionByName(b.events)
-    val got = Streaming.runToMemory(merged, "merge_out")
-      .orderBy("ts").collect().map(_.getDouble(2)).toList
+    q.processAllAvailable()
+    assert(spark.table("merge_out").count() == 2)
+    // batch 2: a late arrival from a — merge has no state, it just flows
+    a.emit(Ev(1L, 3_000_000L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("merge_out")
+      .orderBy("tsUs").collect().map(_.getDouble(2)).toList
     assert(got == List(1.0, 2.0, 3.0))
   }
 

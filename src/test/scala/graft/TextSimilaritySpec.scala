@@ -307,6 +307,34 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.filter(_._2).map(_._1).toSet == Set(1L, 3L))
   }
 
+  test("spanDedup keeps one canonical copy of a cross-doc span") {
+    // span=3: doc0 [a b c][d e f][g]; doc1 [a b c][x y z] shares its
+    // first span with doc0 (keeper = lower id 0); doc2's only span
+    // [x y z] is doc1's — fully-duplicated doc2 vanishes.
+    val docs = docsDf(Seq("a b c d e f g", "a b c x y z", "x y z"))
+    val got = TextOps.spanDedup(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L, "a b c d e f g"),
+      (1L, 2L, 1L, "x y z")))
+  }
+
+  test("dsirWeights: integer-exact target/raw ratio per doc") {
+    // fp("aa")=3104→bucket 32, fp("bb")=3136→64, fp("cc")=3168→96 (no
+    // collisions). raw/tgt per bucket: 32:(2,1) 64:(2,1) 96:(2,0).
+    val docs = docsDf(Seq("aa bb", "aa bb", "cc cc"))
+      .withColumn("lang",
+        when(col("doc_id") === 0L, "en").otherwise("de"))
+    val got = TextOps.dsirWeights(docs, "doc_id", "text", "lang", "en", 256)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 4L, 0.5), // en doc: both buckets half-target
+      (1L, 2L, 4L, 0.5), // identical text → identical weight, lang ignored
+      (2L, 0L, 4L, 0.0))) // no token mass in any target bucket
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
