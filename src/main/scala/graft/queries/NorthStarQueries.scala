@@ -1286,7 +1286,63 @@ object NorthStarQueries {
         "CAST(sum(c * raw) AS BIGINT) AS w_den, " +
         "CAST(CAST(sum(c * tgt) AS BIGINT) AS DOUBLE) / " +
         "CAST(CAST(sum(c * raw) AS BIGINT) AS DOUBLE) AS weight " +
-        "FROM cb JOIN bs USING (b) GROUP BY doc_id ORDER BY doc_id")
+        "FROM cb JOIN bs USING (b) GROUP BY doc_id ORDER BY doc_id"),
+
+    Q("q_source_stats",
+      // Per-source (crawl/provider) corpus report: doc/token/char mass
+      // and exact-duplicate contamination per source — the dashboard a
+      // 100 TB ingest runs per provider before mixing. One content-hash
+      // groupBy (corpus-wide dup detection) + one ~20-row source
+      // aggregate; dup_frac is a single IEEE division of two BIGINTs.
+      (s, d) => {
+        val dd = docs(s, d)
+        val hashed = dd.select(
+          col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__ntok"),
+          length(col("text")).cast("long").as("__nch"),
+          md5(col("text")).as("__h"))
+        val hc = hashed.groupBy("__h").agg(count(lit(1)).as("__n"))
+        hashed.join(hc, "__h")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("__ntok").as("n_tokens"),
+            sum("__nch").as("n_chars"),
+            sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+          .withColumn("dup_frac",
+            col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .orderBy("source")
+      },
+      s"WITH $DOC_TOKS, " +
+        "h AS (SELECT doc_id, source, md5(text) AS h, length(text) AS nch " +
+        "FROM documents), " +
+        "hc AS (SELECT h, count(*) AS n FROM h GROUP BY h) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(toks)) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(nch) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "CAST(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS dup_frac " +
+        "FROM h JOIN hc USING (h) JOIN tok USING (doc_id) " +
+        "GROUP BY source ORDER BY source"),
+
+    Q("q_token_bpe",
+      // Token counting the way a GPT-2-style BPE pre-tokenizer cuts
+      // text (contraction suffixes | space-prefixed letter runs | digit
+      // runs | punctuation runs) next to the whitespace count — both
+      // pure per-row regex projections; the pattern is in the common
+      // Java-regex/RE2 subset so both engines count identically.
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " +")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"),
+          lit(0))).cast("long").as("n_bpe"))
+        .orderBy("doc_id"),
+      "SELECT doc_id, CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) " +
+        "AS n_bpe FROM documents ORDER BY doc_id")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

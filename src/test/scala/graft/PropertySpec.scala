@@ -256,6 +256,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("spanDedup equals the in-memory reference on random corpora") {
+    // tiny vocab so cross-doc span collisions actually occur
+    val corpusGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f")))
+    val span = 3
+    forAll(corpusGen) { (corpus: List[List[String]]) =>
+      // in-memory reference: same keeper-by-lowest-id semantics
+      val spans = corpus.zipWithIndex.flatMap { case (toks, id) =>
+        toks.grouped(span).zipWithIndex.map { case (seg, pos) =>
+          (id.toLong, pos, seg.mkString(" "))
+        }
+      }
+      val stats = spans.groupBy(_._3).map { case (seg, v) =>
+        seg -> (v.map(_._1).distinct.size, v.map(_._1).min)
+      }
+      val expect = spans
+        .filter { case (id, _, seg) =>
+          val (c, keep) = stats(seg); c == 1 || id == keep }
+        .groupBy(_._1)
+        .map { case (id, ss) =>
+          (id,
+            ((corpus(id.toInt).size + span - 1) / span).toLong,
+            ss.size.toLong,
+            ss.sortBy(_._2).map(_._3).mkString(" "))
+        }.toSet
+
+      implicit val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)
+      val df = spark.createDataset(
+        corpus.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
+        .toDF("doc_id", "text")
+      val got = graft.text.TextOps.spanDedup(df, "doc_id", "text", span)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expect)
+    }
+  }
+
   test("debounce law: one emit per burst, value = burst last (ops/timing.py:67)") {
     forAll(Gen.nonEmptyListOf(Gen.oneOf(1, 2, 30))) { (gapsDs: List[Int]) =>
       // gaps in deciseconds: 0.1/0.2s continue a burst, 3.0s starts a new one
