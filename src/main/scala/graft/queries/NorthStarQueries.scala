@@ -44,6 +44,7 @@ object NorthStarQueries {
   private val SEM_TAU = 0.4    // SemDeDup within-cell cosine threshold
   private val SPAN = 10        // span dedup width (tokens, non-overlapping)
   private val DSIR_B = 256     // DSIR hashed-feature buckets
+  private val PACK_L = 32      // packed training-sequence length (tokens)
 
   // ---- oracle SQL fragments
   private val TOKS =
@@ -1342,7 +1343,36 @@ object NorthStarQueries {
       "SELECT doc_id, CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, " +
         "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) " +
-        "AS n_bpe FROM documents ORDER BY doc_id")
+        "AS n_bpe FROM documents ORDER BY doc_id"),
+
+    Q("q_pack_sequences",
+      // Sequence packing: each source shard's docs concatenated in id
+      // order and cut into exact 32-token training rows (last row per
+      // shard may be shorter; straddling docs split, no padding, no
+      // token lost). One running-sum window per shard + narrow explode
+      // + one groupBy — shards pack in parallel. TextOps.packSequences.
+      (s, d) => TextOps.packSequences(docs(s, d), "doc_id", "text",
+        "source", PACK_L).orderBy("source", "seq_id"),
+      s"WITH $DOC_TOKS, " +
+        "d AS (SELECT doc_id, source, toks, len(toks) AS n FROM tok " +
+        "JOIN documents USING (doc_id) WHERE len(toks) > 0), " +
+        "o AS (SELECT doc_id, source, toks, n, CAST(COALESCE(sum(n) OVER (" +
+        "PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off " +
+        "FROM d), " +
+        "p AS (SELECT source, off, unnest(list_transform(" +
+        "range(off // 32, (off + n - 1) // 32 + 1), r -> struct_pack(" +
+        "seq_id := r, piece := array_to_string(toks[" +
+        "(CAST(greatest(r * 32 - off, 0) AS INT) + 1):" +
+        "(CAST(greatest(r * 32 - off, 0) AS INT) + " +
+        "CAST(least((r + 1) * 32, off + n) - greatest(r * 32, off) AS INT))], " +
+        "' ')))) AS sp FROM o) " +
+        "SELECT source, seq_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, text FROM (" +
+        "SELECT source, sp.seq_id AS seq_id, " +
+        "string_agg(sp.piece, ' ' ORDER BY off) AS text " +
+        "FROM p GROUP BY source, sp.seq_id) " +
+        "ORDER BY source, seq_id")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

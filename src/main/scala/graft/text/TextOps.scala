@@ -454,6 +454,65 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Sequence packing: concatenate a shard's docs in id order and cut
+  // the token stream into fixed-length training rows — the "pack"
+  // step every LM training pipeline runs after dedup/chunking.
+  // ------------------------------------------------------------------
+
+  /**
+   * Pack each group's documents (in `idCol` order) into back-to-back
+   * sequences of exactly `seqLen` tokens (the last sequence of a group
+   * may be shorter). A document that straddles a sequence boundary is
+   * split across the adjacent output rows — no padding, no token lost.
+   *
+   * Output: (group, seq_id, n_tokens, text) with seq_id counting from 0
+   * within each group.
+   *
+   * Scale shape: ONE running-sum window per group computes each doc's
+   * global token offset, then a narrow posexplode emits the ≤
+   * ceil(n/seqLen)+1 pieces a doc contributes, and one groupBy(group,
+   * seq_id) reassembles. Packing is sequential BY CONSTRUCTION — token
+   * t's row depends on every prior doc's length — so the parallel unit
+   * is the group (shard): at 100 TB you pack per source/shard key in
+   * parallel, which is exactly how training shards are produced; an
+   * un-grouped global pack is the degenerate single-shard case.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs
+      .select(col(groupCol), col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+    // rows r covered by this doc: floor(off/L) .. floor((off+n-1)/L)
+    val pieces = offs
+      .select(col(groupCol), col(idCol), col("__toks"), col("__n"), col("__off"),
+        posexplode(transform(
+          sequence((col("__off") / seqLen).cast("long"),
+            ((col("__off") + col("__n") - 1) / seqLen).cast("long")),
+          r => struct(
+            r.as("seq_id"),
+            concat_ws(" ", slice(col("__toks"),
+              // 1-based local start of the overlap of [off, off+n) with
+              // [r*L, (r+1)*L), and its length
+              greatest(r * seqLen - col("__off"), lit(0L)).cast("int") + 1,
+              (least((r + 1) * seqLen, col("__off") + col("__n")) -
+                greatest(r * seqLen, col("__off"))).cast("int")))
+              .as("piece")))))
+      .select(col(groupCol), col(idCol), col("__off"),
+        col("col.seq_id").as("seq_id"), col("col.piece").as("__piece"))
+    pieces.groupBy(col(groupCol), col("seq_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__off"), col(idCol), col("__piece")))),
+        s => s.getField("__piece"))).as("text"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .select(col(groupCol), col("seq_id"), col("n_tokens"), col("text"))
+  }
+
+  // ------------------------------------------------------------------
   // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
   // for Language Models via Importance Resampling") over hashed token
   // features — in integer-exact rational form so the weight is bit-

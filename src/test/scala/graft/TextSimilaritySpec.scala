@@ -335,6 +335,21 @@ class TextSimilaritySpec extends SparkSpec {
       (2L, 0L, 4L, 0.0))) // no token mass in any target bucket
   }
 
+  test("packSequences: straddling docs split across exact-length rows, per group") {
+    // g1: docs of 5+2+3 tokens at L=4 → rows "a b c d" | "e f g h" | "i j"
+    // g2 packs independently.
+    val docs = docsDf(Seq("a b c d e", "f g", "h i j", "x y"))
+      .withColumn("source", when(col("doc_id") < 3L, "g1").otherwise("g2"))
+    val got = TextOps.packSequences(docs, "doc_id", "text", "source", 4)
+      .orderBy("source", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("g1", 0L, 4L, "a b c d"),
+      ("g1", 1L, 4L, "e f g h"),
+      ("g1", 2L, 2L, "i j"),
+      ("g2", 0L, 2L, "x y")))
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
