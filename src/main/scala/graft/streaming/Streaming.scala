@@ -363,6 +363,49 @@ object Streaming {
       .transformWithState(new SwitchProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /**
+   * Streaming Concat (`ops/combine.py:142-174`): when a later source
+   * emits its first event, every earlier source is disconnected
+   * permanently. Live form of the batch kill-boundary encoding
+   * ([[graft.engine.EventStream.concat]]): an event passes iff its
+   * source index ≥ the highest index ever seen for the key — a row at
+   * the kill instant sorts before its killer in (event-time, src) order
+   * and still passes, identical to the batch tie rule. State per key is
+   * ONE integer, bounded regardless of history; per-key ordered
+   * delivery across micro-batches is assumed (as for [[AsofProcessor]]).
+   */
+  class ConcatProcessor extends StatefulProcessor[Long, TaggedEv, TaggedEv] {
+    @transient private var st: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[Int](
+        "concat", implicitly[org.apache.spark.sql.Encoder[Int]], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TaggedEv], timers: TimerValues): Iterator[TaggedEv] = {
+      var maxSrc = if (st.exists()) st.get() else Int.MinValue
+      val out = Seq.newBuilder[TaggedEv]
+      rows.toSeq.sortBy(r => (r.tsUs, r.src)).foreach { r =>
+        if (r.src >= maxSrc) { maxSrc = r.src; out += r }
+      }
+      st.update(maxSrc)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming concat over N live streams (source index = position). */
+  def concatStream(sources: Seq[Dataset[Ev]]): Dataset[TaggedEv] = {
+    val spark = sources.head.sparkSession
+    import spark.implicits._
+    sources.zipWithIndex
+      .map { case (s, i) => s.map(e => TaggedEv(e.user_id, e.tsUs, e.value, i)) }
+      .reduce(_ union _)
+      .groupByKey(_.user_id)
+      .transformWithState(new ConcatProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   case class AsofOut(user_id: Long, tsUs: Long, value: Double,
       asof_ts: Option[Long], asof_value: Option[Double])
 

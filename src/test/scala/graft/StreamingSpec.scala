@@ -315,6 +315,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming concat: later source's first emit kills earlier ones (tests/combine_test.py:26-31)") {
+    withRocksDb {
+      // reference golden: concat(e1 = 0..9 every 20ms, e2 = 100..109
+      // from 70ms) emits [0,1,2,3] ++ [100..109] — e1 is cut at e2's
+      // first emission, a row at the kill instant still passes.
+      val a = new Streaming.EventBus(spark)
+      val b = new Streaming.EventBus(spark)
+      val out = Streaming.concatStream(Seq(a.eventsTyped, b.eventsTyped))
+      val q = out.toDF().writeStream.format("memory").queryName("concat_out")
+        .outputMode("append").start()
+      // batch 1: e1's first five ticks, e2's first tick (at 70ms)
+      a.emit((0 until 5).map(i => Ev(1L, i * 20_000L, i.toDouble)): _*)
+      b.emit(Ev(1L, 70_000L, 100.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("concat_out").orderBy("tsUs")
+        .collect().map(_.getDouble(2)).toList
+      assert(afterB1 == List(0.0, 1.0, 2.0, 3.0, 100.0),
+        "e1's 80ms tick must already be dead in batch 1")
+      // batch 2: the rest — e1 stays dead across batches
+      a.emit((5 until 10).map(i => Ev(1L, i * 20_000L, i.toDouble)): _*)
+      b.emit((1 until 10).map(i => Ev(1L, 70_000L + i * 20_000L, 100.0 + i)): _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("concat_out").orderBy("tsUs")
+        .collect().map(_.getDouble(2)).toList
+      assert(got == List(0.0, 1.0, 2.0, 3.0) ++ (0 until 10).map(100.0 + _))
+    }
+  }
+
   test("streaming as-of stamp matches batch asofLeft across micro-batches") {
     withRocksDb {
       import spark.implicits._
