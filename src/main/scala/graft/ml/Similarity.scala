@@ -299,6 +299,145 @@ object Similarity {
   }
 
   /**
+   * PQ codebook for ONE subspace: deterministic Lloyd refinement like
+   * [[kmeansCentroids]], but also carrying each centroid's member
+   * COUNT so the codeword MEAN (cq/cnt) is reconstructible — product
+   * quantization sums approximate dots ACROSS subspaces, so codewords
+   * must be on the data's scale (a cosine-style sum-centroid would
+   * over-weight crowded cells). Unassigned seeds keep (seed vector,
+   * cnt 1): mean = the seed itself. Returns (cid, cq, cnt).
+   */
+  private def pqCodebook(subQ: DataFrame, idCol: String, k: Int,
+      iters: Int, subDim: Int): DataFrame = {
+    var cents = subQ.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col("q").as("cq"), lit(1L).as("cnt"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val scored = subQ.crossJoin(broadcast(cents.select("cid", "cq")))
+        .withColumn("s",
+          dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
+            norm(col("cq").cast("array<double>")))
+      val wV = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
+      val assigned = scored.withColumn("__r", row_number().over(wV))
+        .filter(col("__r") === 1)
+        .select(col(idCol), col("q"), col("cid").as("cell"))
+      val sumCols = (0 until subDim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+      val sums = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .select(col("cell"), col("n"),
+          array((0 until subDim).map(d => col(s"s$d")): _*).as("nq"))
+      cents = cents.alias("c").join(sums.alias("s"), col("c.cid") === col("s.cell"), "left")
+        .select(col("c.cid").as("cid"),
+          coalesce(col("s.nq"), col("c.cq")).as("cq"),
+          coalesce(col("s.n"), col("c.cnt")).as("cnt"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /**
+   * IVF-PQ top-k (Jégou et al. 2011, "Product Quantization for Nearest
+   * Neighbor Search" — the FAISS IVF-PQ shape): candidates come from
+   * the k-means IVF cells ([[ivfKmeansAssign]], nprobe probing), but
+   * pair SCORING uses only each vector's `m` sub-codeword ids — the
+   * vector never travels. cos(a,b) is approximated from a per-subspace
+   * codeword-dot TABLE (m × pqK² entries, broadcast):
+   *   approx(a,b) = Σ_mi T[mi][ca,cb] / (√Σ T[mi][ca,ca] · √Σ T[mi][cb,cb])
+   * The 100 TB story is the byte count: a 64-dim float vector is 256 B;
+   * its PQ code is m=8 small ids (~8 B) plus a shared 8×16×8-long
+   * codebook — the index that feeds the cell-join shuffle shrinks ~30×,
+   * and scoring is 8 table lookups instead of a 64-dim dot. All
+   * arithmetic is deterministic: integer-sum centroids, one element-wise
+   * mean division, left-fold table dots, fixed-order Σ over subspaces —
+   * the DuckDB oracle replicates it bit-for-bit.
+   */
+  def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
+      m: Int, pqK: Int, pqIters: Int, rerank: Int = 0): DataFrame = {
+    val subDim = dims / m
+    val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
+
+    // per-subspace codebook, code assignment, and codeword-dot table
+    var codesWide: DataFrame = emb.select(col(idCol))
+    val tables = (0 until m).map { mi =>
+      val subQ = embQ.select(col(idCol),
+        slice(col("qq"), mi * subDim + 1, subDim).as("q"))
+      val cb = pqCodebook(subQ, idCol, pqK, pqIters, subDim)
+      val means = cb.select(col("cid"),
+        transform(col("cq"), x => x.cast("double") / col("cnt")).as("mv"))
+      val codes = subQ.crossJoin(broadcast(cb.select("cid", "cq")))
+        .withColumn("s",
+          dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
+            norm(col("cq").cast("array<double>")))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))))
+        .filter(col("__r") === 1)
+        .select(col(idCol), col("cid").as(s"c$mi"))
+      codesWide = codesWide.join(codes, idCol)
+      means.alias("l").crossJoin(broadcast(means.alias("r")))
+        .select(col("l.cid").as("i"), col("r.cid").as("j"),
+          dot(col("l.mv"), col("r.mv")).as("t"))
+        .localCheckpoint(true)
+    }
+
+    // per-vector approx norm² = Σ_mi T[mi][c,c] (diagonal lookups)
+    (0 until m).foreach { mi =>
+      val diag = tables(mi).filter(col("i") === col("j"))
+        .select(col("i").as(s"c$mi"), col("t").as(s"dd$mi"))
+      codesWide = codesWide.join(broadcast(diag), s"c$mi")
+    }
+    val withVn = codesWide
+      .withColumn("vn", sqrt((0 until m).map(mi => col(s"dd$mi")).reduce(_ + _)))
+      .drop((0 until m).map(mi => s"dd$mi"): _*)
+
+    // IVF candidates (exactly-once emission, as in topKIvfKmeans),
+    // carrying codes + approx norm instead of the vector
+    val assign = ivfKmeansAssign(emb, idCol, vecCol, nCells, kmIters, dims, nProbe)
+      .select(col(idCol), col("cell"), col("isHome"))
+      .join(withVn, idCol)
+    val member = struct(
+      col(idCol).as("id") +: col("isHome") +: col("vn") +:
+        (0 until m).map(mi => col(s"c$mi")): _*)
+    var pairs = assign.groupBy("cell").agg(collect_list(member).as("ms"))
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
+      .select(Seq(
+        col("x.id").as("a"), col("y.id").as("b"),
+        col("x.vn").as("vna"), col("y.vn").as("vnb")) ++
+        (0 until m).map(mi => col(s"x.c$mi").as(s"ca$mi")) ++
+        (0 until m).map(mi => col(s"y.c$mi").as(s"cb$mi")): _*)
+    (0 until m).foreach { mi =>
+      pairs = pairs.join(broadcast(tables(mi).select(
+        col("i").as(s"ca$mi"), col("j").as(s"cb$mi"), col("t").as(s"t$mi"))),
+        Seq(s"ca$mi", s"cb$mi"))
+    }
+    val score = (0 until m).map(mi => col(s"t$mi")).reduce(_ + _) /
+      (col("vna") * col("vnb"))
+    val pqRanked = pairs.withColumn("pqcos", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))
+    if (rerank <= 0)
+      pqRanked.filter(col("rank") <= k).select("a", "rank", "b")
+    else {
+      // PQ-shortlist-then-exact-rerank (the FAISS "refine" stage): codes
+      // pick `rerank` candidates per query, true cosine re-ranks ONLY
+      // those — the expensive float vectors touch rerank·n rows, not
+      // the full candidate volume.
+      val short = pqRanked.filter(col("rank") <= rerank).select("a", "b")
+      val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+      val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      short.join(va, "a").join(vb, "b")
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select("a", "rank", "b")
+    }
+  }
+
+  /**
    * LSH-bucketed cosine near-dup pairs — the scale path for
    * [[cosinePairs]]: random-hyperplane sign buckets confine the
    * quadratic pair generation to within-bucket, so the whole job is one

@@ -350,6 +350,20 @@ class TextSimilaritySpec extends SparkSpec {
       ("g2", 0L, 2L, "x y")))
   }
 
+  test("IVF-PQ with full-size rerank equals exact-scored IVF (codes only shortlist)") {
+    // With rerank >= every candidate, the PQ shortlist passes all pairs
+    // through and the exact rerank must reproduce topKIvfKmeans rank-
+    // for-rank: codes affect WHICH pairs survive a small shortlist, not
+    // the exact scoring. (Same cells, iters, nprobe on both sides.)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaKm = Similarity.topKIvfKmeans(emb, "vec_id", "embedding", 3, 16, 1, 64, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaPq = Similarity.topKIvfPq(emb, "vec_id", "embedding", 3,
+        16, 1, 64, 2, 8, 16, 1, rerank = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPq == viaKm)
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
