@@ -1426,6 +1426,59 @@ object NorthStarQueries {
         "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) " +
         "AS n_bpe FROM documents ORDER BY doc_id"),
 
+    Q("q_split",
+      // Deterministic stratified train/val/test split: multiplicative-
+      // hash bucket of doc_id (KMV's fixed hash) — 8/1/1 by bucket mod
+      // 10, no RNG, stable under re-runs and appends; reported per lang
+      // so stratification is visible. Pure projection + tiny aggregate.
+      (s, d) => {
+        val u = (col("doc_id") * 2654435761L % 1000003L) % 10
+        docs(s, d)
+          .withColumn("split",
+            when(u < 8, "train").when(u === 8, "val").otherwise("test"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split")
+      },
+      "SELECT lang, CASE WHEN (doc_id * 2654435761) % 1000003 % 10 < 8 THEN 'train' " +
+        "WHEN (doc_id * 2654435761) % 1000003 % 10 = 8 THEN 'val' ELSE 'test' END AS split, " +
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents " +
+        "GROUP BY lang, split ORDER BY lang, split"),
+
+    Q("q_source_overlap",
+      // Cross-source contamination report: for every source pair, the
+      // count of shared distinct 8-gram shingles and the overlap
+      // coefficient |A∩B| / min(|A|,|B|) — which providers feed each
+      // other's duplicates. Inverted-index self-join on the shingle id:
+      // per-sid pair fanout is bounded by S(S-1)/2 source pairs (S=20
+      // here), never by document count, and the per-source totals are a
+      // broadcast S-row aggregate. One final IEEE division.
+      (s, d) => {
+        val e = TextOps
+          .shingleSidEdges(docs(s, d), "doc_id", "text", K_DUP, dedup = true)
+          .join(docs(s, d).select("doc_id", "source"), "doc_id")
+          .select("source", "sid").distinct()
+        val totals = e.groupBy("source").agg(count(lit(1)).as("n"))
+        e.alias("l").join(e.alias("r"),
+            col("l.sid") === col("r.sid") && col("l.source") < col("r.source"))
+          .groupBy(col("l.source").as("s1"), col("r.source").as("s2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(totals.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+          .join(broadcast(totals.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+          .withColumn("overlap",
+            col("n_shared").cast("double") / least(col("n1"), col("n2")).cast("double"))
+          .select("s1", "s2", "n_shared", "n1", "n2", "overlap")
+          .orderBy("s1", "s2")
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, ${sqlShSidsK(K_DUP, "sh8")}, " +
+        "e AS (SELECT DISTINCT source, sid FROM sh8 JOIN documents USING (doc_id)), " +
+        "t AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY source), " +
+        "sh AS (SELECT l.source AS s1, r.source AS s2, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM e l JOIN e r ON l.sid = r.sid AND l.source < r.source GROUP BY 1, 2) " +
+        "SELECT s1, s2, n_shared, t1.n AS n1, t2.n AS n2, " +
+        "CAST(n_shared AS DOUBLE) / CAST(least(t1.n, t2.n) AS DOUBLE) AS overlap " +
+        "FROM sh JOIN t t1 ON t1.source = s1 JOIN t t2 ON t2.source = s2 " +
+        "ORDER BY s1, s2"),
+
     Q("q_pack_sequences",
       // Sequence packing: each source shard's docs concatenated in id
       // order and cut into exact 32-token training rows (last row per
