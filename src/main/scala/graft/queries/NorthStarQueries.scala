@@ -1483,6 +1483,27 @@ object NorthStarQueries {
         "FROM sh JOIN t t1 ON t1.source = s1 JOIN t t2 ON t2.source = s2 " +
         "ORDER BY s1, s2"),
 
+    Q("q_vocab_growth",
+      // Per-source vocabulary profile: token occurrences, distinct
+      // types (by fingerprint id — longs shuffle, strings don't), and
+      // the type/token ratio (one division) — the Heaps-law summary a
+      // corpus report shows next to q_source_stats' mass numbers.
+      (s, d) => docs(s, d)
+        .select(col("source"),
+          explode(TextOps.tokenFingerprints(TextOps.tokens(col("text")))).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("fp").as("n_types"))
+        .withColumn("ttr",
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("source"),
+      s"WITH $DOC_TOKS, $TOKFPS " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT fp) AS BIGINT) AS n_types, " +
+        "CAST(CAST(count(DISTINCT fp) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS ttr FROM " +
+        "(SELECT doc_id, unnest(fps) AS fp FROM tokfp) " +
+        "JOIN documents USING (doc_id) GROUP BY source ORDER BY source"),
+
     Q("q_pack_sequences",
       // Sequence packing: each source shard's docs concatenated in id
       // order and cut into exact 32-token training rows (last row per

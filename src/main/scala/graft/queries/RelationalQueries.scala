@@ -366,7 +366,30 @@ object RelationalQueries {
       EventQueries.EV +
         " SELECT seq, user_id, value FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY user_id ORDER BY (seq * 2654435761) % 1000003, seq) AS rn " +
-        "FROM ev) WHERE rn <= 20 ORDER BY seq")
+        "FROM ev) WHERE rn <= 20 ORDER BY seq"),
+
+    Q("q_histogram",
+      // Equi-width 20-bucket histogram of events.value: a 1-row min/max
+      // aggregate broadcast back, then a per-row bucket projection and
+      // one tiny groupBy — the distribution profile every column scan
+      // report needs. Width is ONE division, bucket is the identical
+      // subtract/divide/floor IEEE sequence in both engines; the max
+      // value clamps into the last bucket.
+      (s, d) => {
+        val bounds = Tables.events(s, d)
+          .agg(min("value").as("mn"), max("value").as("mx"))
+        Tables.events(s, d).select("value").crossJoin(broadcast(bounds))
+          .select(least(
+            floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 20))
+              .cast("long"), lit(19L)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_events"))
+          .orderBy("bucket")
+      },
+      "WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events) " +
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n_events FROM " +
+        "(SELECT least(CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT), " +
+        "CAST(19 AS BIGINT)) AS bucket FROM events, b) " +
+        "GROUP BY bucket ORDER BY bucket")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

@@ -17,8 +17,11 @@ object ProbeR4 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val all = SparkEntry.queries
-    Seq("q_dedup_spans", "q_dsir_weights", "q_pack_sequences",
+    // q_dedup_spans twice: second run isolates steady-state cost from
+    // first-touch codegen JIT (the SCALE.md cold-dominated claim).
+    Seq("q_dedup_spans", "q_dedup_spans", "q_dsir_weights", "q_pack_sequences",
       "q_source_stats", "q_token_bpe", "q_split", "q_source_overlap",
+      "q_vocab_growth", "q_histogram",
       "q_ann_pq", "q_ann_ivf_kmeans", "q_semdedup", "q_dedup_incremental",
       "q_pipeline_corpus", "q_quality_repetition", "q_ann_tuning")
       .foreach { n =>
