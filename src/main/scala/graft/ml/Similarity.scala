@@ -354,6 +354,41 @@ object Similarity {
   def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
       m: Int, pqK: Int, pqIters: Int, rerank: Int = 0): DataFrame = {
+    val pqRanked = pqRankedPairs(emb, idCol, vecCol,
+      nCells, kmIters, dims, nProbe, m, pqK, pqIters)
+    if (rerank <= 0)
+      pqRanked.filter(col("rank") <= k).select("a", "rank", "b")
+    else {
+      // PQ-shortlist-then-exact-rerank (the FAISS "refine" stage): codes
+      // pick `rerank` candidates per query, true cosine re-ranks ONLY
+      // those — the expensive float vectors touch rerank·n rows, not
+      // the full candidate volume.
+      val short = pqRanked.filter(col("rank") <= rerank).select("a", "b")
+      val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+      val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      short.join(va, "a").join(vb, "b")
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select("a", "rank", "b")
+    }
+  }
+
+  /** The PQ shortlist itself (a, b) at `shortK` per query — the rows
+    * whose float vectors an IVF-PQ+rerank query actually touches; its
+    * count is the honest "pairs exactly scored" cost of the config. */
+  def ivfPqShortlist(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
+      m: Int, pqK: Int, pqIters: Int, shortK: Int): DataFrame =
+    pqRankedPairs(emb, idCol, vecCol, nCells, kmIters, dims, nProbe, m, pqK, pqIters)
+      .filter(col("rank") <= shortK).select("a", "b")
+
+  /** All IVF candidates ranked per query by the PQ table score. */
+  private def pqRankedPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
+      m: Int, pqK: Int, pqIters: Int): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
 
@@ -414,27 +449,9 @@ object Similarity {
     }
     val score = (0 until m).map(mi => col(s"t$mi")).reduce(_ + _) /
       (col("vna") * col("vnb"))
-    val pqRanked = pairs.withColumn("pqcos", score)
+    pairs.withColumn("pqcos", score)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))
-    if (rerank <= 0)
-      pqRanked.filter(col("rank") <= k).select("a", "rank", "b")
-    else {
-      // PQ-shortlist-then-exact-rerank (the FAISS "refine" stage): codes
-      // pick `rerank` candidates per query, true cosine re-ranks ONLY
-      // those — the expensive float vectors touch rerank·n rows, not
-      // the full candidate volume.
-      val short = pqRanked.filter(col("rank") <= rerank).select("a", "b")
-      val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-      val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
-      short.join(va, "a").join(vb, "b")
-        .withColumn("cos",
-          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
-        .filter(col("rank") <= k)
-        .select("a", "rank", "b")
-    }
   }
 
   /**

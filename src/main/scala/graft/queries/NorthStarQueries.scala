@@ -196,7 +196,8 @@ object NorthStarQueries {
     * pk{mi}, and the pqK×pqK codeword-dot table pt{mi}. Ends with
     * pcod (codes pivoted wide) and pvn (approx norm from the table
     * diagonal, fixed-order sum). Requires sqlKmeansCtes's `kqe`. */
-  private def sqlPqCtes(m: Int, subDim: Int, pqK: Int, iters: Int): String = {
+  private def sqlPqCtes(m: Int, subDim: Int, pqK: Int, iters: Int,
+      qe: String = "kqe"): String = {
     def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
     val sb = new StringBuilder
     for (mi <- 0 until m) {
@@ -204,7 +205,7 @@ object NorthStarQueries {
       val hi = (mi + 1) * subDim
       val sumList = (1 to subDim).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
         .mkString("[", ", ", "]")
-      sb ++= s"pe$mi AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM kqe), "
+      sb ++= s"pe$mi AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM $qe), "
       sb ++= s"pc${mi}_0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cq, CAST(1 AS BIGINT) AS cnt " +
         s"FROM pe$mi ORDER BY vec_id LIMIT $pqK), "
       for (t <- 0 until iters) {
@@ -1188,7 +1189,17 @@ object NorthStarQueries {
             ivfCands(Similarity.ivfKmeansAssign(e, id, v, 8, KM_ITERS, DIMS, 2))),
           cfgRow("ivf_kmeans", 16, 4,
             Similarity.topKIvfKmeans(e, id, v, 3, 16, KM_ITERS, DIMS, 4).select("a", "b"),
-            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 4))))
+            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 4))),
+          // IVF-PQ + rerank: same candidates as ivf_kmeans(16,4), but
+          // n_cands here = the PQ shortlist size — the pairs whose
+          // float vectors are ACTUALLY exact-scored (the config's real
+          // float-work cost; everything else is table lookups).
+          cfgRow("ivf_pq", PQ_RERANK, 4,
+            Similarity.topKIvfPq(e, id, v, 3, 16, KM_ITERS, DIMS, 4,
+              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).select("a", "b"),
+            Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS, DIMS, 4,
+              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
+              .agg(count(lit(1)).as("n_cands"))))
         rows.reduce(_.unionByName(_)).crossJoin(nE)
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
@@ -1223,6 +1234,23 @@ object NorthStarQueries {
           s"lvt AS (${top3("tprobe", "thome", "cell")}), " +
           s"${sqlKmeansCtes(16, 4, KM_ITERS, "u")}, " +
           s"lvu AS (${top3("uprobe", "uhome", "cell")}), " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "uqe")}, " +
+          "ppair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, (" +
+          (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
+          ") / (la.vn * rb.vn) AS pqcos " +
+          "FROM uprobe l JOIN uhome r USING (cell) " +
+          "JOIN pcod ca ON ca.vec_id = l.vec_id JOIN pcod cb ON cb.vec_id = r.vec_id " +
+          "JOIN pvn la ON la.vec_id = l.vec_id JOIN pvn rb ON rb.vec_id = r.vec_id " +
+          (0 until PQ_M).map(mi =>
+            s"JOIN pt$mi t$mi ON t$mi.i = ca.c$mi AND t$mi.j = cb.c$mi").mkString(" ") +
+          " WHERE l.vec_id <> r.vec_id), " +
+          "pshort AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER (" +
+          s"PARTITION BY a ORDER BY pqcos DESC, b) AS r FROM ppair) WHERE r <= $PQ_RERANK), " +
+          "lvp AS (SELECT a, b FROM (SELECT s.a, s.b, row_number() OVER (" +
+          s"PARTITION BY s.a ORDER BY ${sqlCos("ea.embedding", "eb.embedding")} DESC, s.b) AS rank " +
+          "FROM pshort s JOIN embeddings ea ON ea.vec_id = s.a " +
+          "JOIN embeddings eb ON eb.vec_id = s.b) WHERE rank <= 3), " +
+          "cp AS (SELECT CAST(count(*) AS BIGINT) AS n_cands FROM pshort), " +
           "nn AS (SELECT count(*) AS n FROM embeddings), " +
           "e AS (SELECT count(*) AS n_exact FROM ex), " +
           "clsh AS (SELECT CAST(sum(c*(c-1)) AS BIGINT) AS n_cands FROM " +
@@ -1241,7 +1269,8 @@ object NorthStarQueries {
           "h4 AS (SELECT count(*) AS n_hits FROM ex JOIN lv2 USING (a, b)), " +
           "h5 AS (SELECT count(*) AS n_hits FROM ex JOIN lvk USING (a, b)), " +
           "h6 AS (SELECT count(*) AS n_hits FROM ex JOIN lvt USING (a, b)), " +
-          "h7 AS (SELECT count(*) AS n_hits FROM ex JOIN lvu USING (a, b)) " +
+          "h7 AS (SELECT count(*) AS n_hits FROM ex JOIN lvu USING (a, b)), " +
+          "h8 AS (SELECT count(*) AS n_hits FROM ex JOIN lvp USING (a, b)) " +
           "SELECT method, param, probes, n_hits, n_cands, " +
           "CAST(n_hits AS DOUBLE) / CAST((SELECT n_exact FROM e) AS DOUBLE) AS recall FROM (" +
           s"SELECT 'lsh' AS method, CAST($PLANES AS BIGINT) AS param, CAST(0 AS BIGINT) AS probes, n_hits, n_cands FROM h1, clsh " +
@@ -1250,7 +1279,8 @@ object NorthStarQueries {
           "UNION ALL SELECT 'ivf', 16, 2, n_hits, n_cands FROM h4, civ2 " +
           "UNION ALL SELECT 'ivf_kmeans', 16, 2, n_hits, n_cands FROM h5, ck " +
           "UNION ALL SELECT 'ivf_kmeans', 8, 2, n_hits, n_cands FROM h6, ct " +
-          "UNION ALL SELECT 'ivf_kmeans', 16, 4, n_hits, n_cands FROM h7, cu" +
+          "UNION ALL SELECT 'ivf_kmeans', 16, 4, n_hits, n_cands FROM h7, cu " +
+          s"UNION ALL SELECT 'ivf_pq', $PQ_RERANK, 4, n_hits, n_cands FROM h8, cp" +
           ") ORDER BY method, param, probes"
       }),
 
