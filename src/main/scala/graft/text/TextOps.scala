@@ -428,7 +428,17 @@ object TextOps {
    * all-pairs term anywhere; the hash groupBy is the classic "shuffle
    * the corpus once by content key" pass that CCNet runs at web scale.
    */
+  /** The span/DSIR/pack operators stage work in `__`-prefixed columns;
+    * fail loudly (not silently wrong) if the input already uses one —
+    * the same collision-guard principle as [[graft.engine.AsofJoin]]. */
+  private def requireNoInternalCols(df: DataFrame, op: String): Unit = {
+    val clash = df.columns.filter(_.startsWith("__"))
+    require(clash.isEmpty,
+      s"$op stages work in __-prefixed columns; input already has: ${clash.mkString(", ")}")
+  }
+
   def spanDedup(docs: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
+    requireNoInternalCols(docs, "spanDedup")
     val toked = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
@@ -479,6 +489,7 @@ object TextOps {
    */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     groupCol: String, seqLen: Int): DataFrame = {
+    requireNoInternalCols(docs, "packSequences")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -541,6 +552,7 @@ object TextOps {
    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   langCol: String, targetLang: String, buckets: Int): DataFrame = {
+    requireNoInternalCols(docs, "dsirWeights")
     val cdoc = docs
       .select(col(idCol), col(langCol),
         explode(tokens(col(textCol))).as("__t"))
