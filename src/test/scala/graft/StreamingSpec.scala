@@ -57,6 +57,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1.0, 2.0))
   }
 
+  test("live corpus prep: quality filter -> exact dedup composes across micro-batches") {
+    // The streaming ops compose like the batch pipeline queries: a
+    // quality filter feeds watermarked dedup state, and a duplicate
+    // arriving in a LATER micro-batch is still dropped by that state.
+    val bus = new Streaming.EventBus(spark)
+    val prep = Streaming.dedupStream(
+      bus.events.filter(org.apache.spark.sql.functions.col("value") >= 1.0),
+      Seq("value"), "ts", "10 seconds")
+    val q = prep.writeStream.format("memory").queryName("prep_out")
+      .outputMode("append").start()
+    bus.emit(Ev(1L, 1_000_000L, 1.0), Ev(1L, 2_000_000L, 0.5), Ev(2L, 3_000_000L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("prep_out").count() == 2, "low-quality row must not reach dedup")
+    bus.emit(Ev(3L, 4_000_000L, 1.0), Ev(3L, 5_000_000L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("prep_out").select("value")
+      .collect().map(_.getDouble(0)).toSeq.sorted
+    assert(got == Seq(1.0, 2.0, 3.0), "cross-batch duplicate must be dropped")
+  }
+
   test("streaming sessionize: gap merges within, splits across (q_sessionize live form)") {
     val bus = new Streaming.EventBus(spark)
     // user 1: events at 0s,3s (one session, gap 5s), then 20s (new
