@@ -1378,6 +1378,30 @@ object NorthStarQueries {
         "FROM segh JOIN st USING (h) WHERE c = 1 OR doc_id = keep " +
         "GROUP BY doc_id, n_spans ORDER BY doc_id"),
 
+    Q("q_dedup_spans_all",
+      // CCNet drop-all mode: every copy of a cross-doc repeated span is
+      // removed (no keeper) — the conservative setting when duplicated
+      // boilerplate should vanish entirely. Same single content-key
+      // shuffle as q_dedup_spans.
+      (s, d) => TextOps.spanDedup(docs(s, d), "doc_id", "text", SPAN,
+        dropAll = true).orderBy("doc_id"),
+      s"WITH $DOC_TOKS, " +
+        "segs AS (SELECT doc_id, (len(toks) + 9) // 10 AS n_spans, " +
+        "unnest(list_transform(range(0, (len(toks) + 9) // 10), i -> " +
+        "struct_pack(pos := i, seg := array_to_string(" +
+        "toks[(i * 10 + 1):((i + 1) * 10)], ' ')))) AS sp " +
+        "FROM tok WHERE len(toks) > 0), " +
+        "segh AS (SELECT doc_id, n_spans, sp.pos AS pos, sp.seg AS seg, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(sp.seg) + 1), i -> " +
+        "CAST(ascii(substr(sp.seg, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM segs), " +
+        "st AS (SELECT h, count(DISTINCT doc_id) AS c FROM segh GROUP BY h) " +
+        "SELECT doc_id, n_spans, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(seg, ' ' ORDER BY pos) AS dedup_text " +
+        "FROM segh JOIN st USING (h) WHERE c = 1 " +
+        "GROUP BY doc_id, n_spans ORDER BY doc_id"),
+
     Q("q_dsir_weights",
       // DSIR-style importance weight vs the lang='en' target slice over
       // 256 hashed token buckets, in integer-exact rational form

@@ -413,9 +413,10 @@ object TextOps {
    * covered), key each span by its polynomial fingerprint, and drop
    * every copy of a span that occurs in ≥2 distinct docs EXCEPT the one
    * in the lowest doc id (one canonical copy survives, as in Lee et
-   * al.; CCNet's drop-all is the `c > 1` filter without the keeper
-   * clause). Intra-doc repeats of a doc's own span are NOT dropped —
-   * this is a cross-doc operator.
+   * al.); `dropAll = true` selects CCNet's mode instead — EVERY copy of
+   * a cross-doc repeated span is removed, keeper included. Intra-doc
+   * repeats of a doc's own span are NOT dropped — this is a cross-doc
+   * operator.
    *
    * Output: (id, n_spans, n_kept, dedup_text) where dedup_text is the
    * surviving spans re-joined in original order. Docs whose every span
@@ -437,7 +438,8 @@ object TextOps {
       s"$op stages work in __-prefixed columns; input already has: ${clash.mkString(", ")}")
   }
 
-  def spanDedup(docs: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String, span: Int,
+                dropAll: Boolean = false): DataFrame = {
     requireNoInternalCols(docs, "spanDedup")
     val toked = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
@@ -453,7 +455,8 @@ object TextOps {
     val stats = toked.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__c"), min(col(idCol)).as("__keep"))
     toked.join(stats, "__h")
-      .where(col("__c") === 1 || col(idCol) === col("__keep"))
+      .where(if (dropAll) col("__c") === 1
+             else col("__c") === 1 || col(idCol) === col("__keep"))
       .groupBy(col(idCol), col("__nspans"))
       .agg(
         count(lit(1)).as("n_kept"),
