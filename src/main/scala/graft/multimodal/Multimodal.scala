@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,10 +13,13 @@ import org.apache.spark.sql.functions._
  *
  * The Spark-side shape is real and tested — schema, partitioning, batch
  * iteration via `mapPartitions` (the Scala analogue of `mapInPandas`:
- * one iterator per partition, decode amortized across the batch). The
- * actual codec is STUBBED (`StubDecoder`) because no image/audio
- * libraries ship in this environment; swapping in a real decoder is a
- * one-function change and nothing in the plan changes.
+ * one iterator per partition, decode amortized across the batch).
+ *
+ * IMAGES are decoded for real: `decodeImage` runs the in-JDK
+ * `javax.imageio` PNG/BMP codec and features come from actual decoded
+ * pixels. Audio/video decode remains STUBBED (`stubDecode`) because no
+ * audio/video libraries ship in this environment; swapping in a real
+ * demuxer is a one-function change and nothing in the plan changes.
  *
  * Scale notes: binary payloads ride the normal columnar path (parquet
  * BINARY), decode is embarrassingly parallel per partition, and feature
@@ -33,8 +40,10 @@ object Multimodal {
       n_bytes: Long,
       feature: Array[Float])
 
-  /** Deterministic fake decode: byte histogram moments. A real decoder
-    * (JPEG → pixels → model features) replaces ONLY this function. */
+  /** Deterministic fake decode for AUDIO/VIDEO (no demuxer in this
+    * environment): byte histogram moments. A real decoder replaces ONLY
+    * this function. Images do not go through here — see
+    * [[decodeImage]]. */
   def stubDecode(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
@@ -45,15 +54,50 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode via the in-JDK `javax.imageio` codec (PNG/BMP/
+    * JPEG…): payload bytes → decoded 8-bit gray samples, row-major.
+    * Throws on undecodable bytes — a corrupt image should fail loudly,
+    * not produce silent garbage features. */
+  def decodeImage(payload: Array[Byte]): Array[Int] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "javax.imageio could not decode image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Gray-value histogram of REAL decoded pixels: `dims` equi-width
+    * buckets over [0, 256). Integer counts (exactly representable as
+    * Float), so the feature is reproducible across engines given the
+    * same pixels — the property the oracle checks. */
+  def imageHistogram(payload: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    val px = decodeImage(payload)
+    var i = 0
+    while (i < px.length) { out(px(i) * dims / 256) += 1.0f; i += 1 }
+    out
+  }
+
   /** Batched decode stage: one decoder instance per partition, streamed
-    * over the iterator — the mapInPandas-equivalent shape. */
+    * over the iterator — the mapInPandas-equivalent shape. Images run
+    * the REAL `javax.imageio` decode; audio/video run the stub. */
   def extractFeatures(items: Dataset[MediaItem], dims: Int = 8): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // per-partition decoder init would go here (model load, codec ctx)
       it.map { m =>
-        MediaFeatures(m.media_id, m.media_type, m.payload.length.toLong,
-          stubDecode(m.payload, dims))
+        val feat = m.media_type match {
+          case "image" => imageHistogram(m.payload, dims)
+          case _       => stubDecode(m.payload, dims)
+        }
+        MediaFeatures(m.media_id, m.media_type, m.payload.length.toLong, feat)
       }
     }
   }
@@ -92,16 +136,63 @@ object Multimodal {
     }
   }
 
-  /** Demo corpus: documents' text bytes standing in for encoded media. */
+  /** Demo corpus: documents' text bytes standing in for encoded media.
+    * Typed "video" — an un-decodable opaque stream is exactly what the
+    * audio/video stub path and the frame sampler model; real images come
+    * from [[fromDocumentsPng]]. */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
       .select(
         col("doc_id").as("media_id"),
-        lit("image").as("media_type"),
+        lit("video").as("media_type"),
         col("text").cast("binary").as("payload"),
         lit(64).as("width"),
         lit(64).as("height"))
       .as[MediaItem]
+  }
+
+  /** Lowercase-hex md5, identical to DuckDB's `md5(text)`. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic gray pixels for a doc: pixel i of a `side`×`side`
+    * image is `(ascii(md5hex[i mod 32]) * 7) % 256` — pure ASCII-hex
+    * arithmetic both engines replicate exactly. */
+  def docPixels(text: String, side: Int): Array[Int] = {
+    val h = md5Hex(text)
+    Array.tabulate(side * side)(i => (h.charAt(i % 32).toInt * 7) % 256)
+  }
+
+  /** Encode gray pixels as a REAL PNG via `javax.imageio`. PNG is
+    * lossless for 8-bit gray, so decode(encode(px)) == px — the
+    * invariant `q_multimodal_decode`'s oracle leans on. */
+  def encodePng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, pixels(y * w + x)); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Image corpus: one real PNG per document, pixels derived from the
+    * doc's md5 so the oracle can reproduce them without a codec. The
+    * payload column carries genuine encoded-image bytes — everything
+    * downstream (decode, features) exercises the real codec path. */
+  def fromDocumentsPng(spark: SparkSession, dir: String, side: Int = 16): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaItem(id, "image", encodePng(docPixels(text, side), side, side),
+          side, side)
+      }
   }
 }

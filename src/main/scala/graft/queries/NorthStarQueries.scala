@@ -1322,6 +1322,33 @@ object NorthStarQueries {
         "unnest(range(0, (length(text) + 63) // 64)) AS frame_idx FROM documents) " +
         "WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx"),
 
+    Q("q_multimodal_decode",
+      // REAL image decode: one 16×16 gray PNG per doc (pixels derived
+      // from md5(text) so the oracle can reproduce them codec-free),
+      // decoded back through the in-JDK javax.imageio codec inside the
+      // batched mapPartitions stage, features = 8-bucket gray histogram
+      // of the ACTUAL decoded pixels. PNG is lossless for 8-bit gray,
+      // so any codec/plumbing corruption = hash mismatch vs the oracle's
+      // direct pixel math. Encode+decode is embarrassingly parallel;
+      // nothing leaves the executor until the tiny histogram rows.
+      (s, d) => Multimodal
+        .extractFeatures(Multimodal.fromDocumentsPng(s, d, 16), 8)
+        .toDF()
+        .select(col("media_id"),
+          concat_ws(",", transform(col("feature"),
+            f => f.cast("int").cast("string"))).as("hist"))
+        .orderBy("media_id"),
+      "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents), " +
+        "v AS (SELECT media_id, " +
+        "((ascii(substr(h, CAST((i % 32) + 1 AS INT), 1)) * 7) % 256) // 32 AS b " +
+        "FROM (SELECT media_id, h, unnest(range(0, 256)) AS i FROM m)), " +
+        "c AS (SELECT media_id, b, count(*) AS n FROM v GROUP BY media_id, b), " +
+        "g AS (SELECT media_id, bb AS b FROM m, (SELECT unnest(range(0, 8)) AS bb)), " +
+        "hist AS (SELECT g.media_id, g.b, coalesce(c.n, 0) AS n " +
+        "FROM g LEFT JOIN c USING (media_id, b)) " +
+        "SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY b) AS hist " +
+        "FROM hist GROUP BY media_id ORDER BY media_id"),
+
     Q("q_distinct_kmv",
       // KMV (k-minimum-values) distinct sketch: estimate = (k-1)/u_k
       // over the k smallest hash-uniforms of the distinct token ids —
@@ -1367,10 +1394,7 @@ object NorthStarQueries {
         "toks[(i * 10 + 1):((i + 1) * 10)], ' ')))) AS sp " +
         "FROM tok WHERE len(toks) > 0), " +
         "segh AS (SELECT doc_id, n_spans, sp.pos AS pos, sp.seg AS seg, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(range(1, length(sp.seg) + 1), i -> " +
-        "CAST(ascii(substr(sp.seg, CAST(i AS INT), 1)) AS BIGINT))), " +
-        "(acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM segs), " +
+        "md5(sp.seg) AS h FROM segs), " +
         "st AS (SELECT h, count(DISTINCT doc_id) AS c, min(doc_id) AS keep " +
         "FROM segh GROUP BY h) " +
         "SELECT doc_id, n_spans, CAST(count(*) AS BIGINT) AS n_kept, " +
@@ -1392,10 +1416,7 @@ object NorthStarQueries {
         "toks[(i * 10 + 1):((i + 1) * 10)], ' ')))) AS sp " +
         "FROM tok WHERE len(toks) > 0), " +
         "segh AS (SELECT doc_id, n_spans, sp.pos AS pos, sp.seg AS seg, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(range(1, length(sp.seg) + 1), i -> " +
-        "CAST(ascii(substr(sp.seg, CAST(i AS INT), 1)) AS BIGINT))), " +
-        "(acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM segs), " +
+        "md5(sp.seg) AS h FROM segs), " +
         "st AS (SELECT h, count(DISTINCT doc_id) AS c FROM segh GROUP BY h) " +
         "SELECT doc_id, n_spans, CAST(count(*) AS BIGINT) AS n_kept, " +
         "string_agg(seg, ' ' ORDER BY pos) AS dedup_text " +

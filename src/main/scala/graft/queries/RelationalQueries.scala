@@ -374,21 +374,24 @@ object RelationalQueries {
       // one tiny groupBy — the distribution profile every column scan
       // report needs. Width is ONE division, bucket is the identical
       // subtract/divide/floor IEEE sequence in both engines; the max
-      // value clamps into the last bucket.
+      // value clamps into the last bucket. Degenerate input (all values
+      // equal → width 0 → 0/0 NaN, where the engines' NULL/NaN handling
+      // diverges) is special-cased to bucket 0 in BOTH formulations.
       (s, d) => {
         val bounds = Tables.events(s, d)
           .agg(min("value").as("mn"), max("value").as("mx"))
         Tables.events(s, d).select("value").crossJoin(broadcast(bounds))
-          .select(least(
+          .select(when(col("mx") === col("mn"), lit(0L)).otherwise(least(
             floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 20))
-              .cast("long"), lit(19L)).as("bucket"))
+              .cast("long"), lit(19L))).as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("n_events"))
           .orderBy("bucket")
       },
       "WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events) " +
         "SELECT bucket, CAST(count(*) AS BIGINT) AS n_events FROM " +
-        "(SELECT least(CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT), " +
-        "CAST(19 AS BIGINT)) AS bucket FROM events, b) " +
+        "(SELECT CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE " +
+        "least(CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT), " +
+        "CAST(19 AS BIGINT)) END AS bucket FROM events, b) " +
         "GROUP BY bucket ORDER BY bucket")
   )
 

@@ -367,31 +367,91 @@ object Streaming {
    * Streaming Concat (`ops/combine.py:142-174`): when a later source
    * emits its first event, every earlier source is disconnected
    * permanently. Live form of the batch kill-boundary encoding
-   * ([[graft.engine.EventStream.concat]]): an event passes iff its
-   * source index ≥ the highest index ever seen for the key — a row at
-   * the kill instant sorts before its killer in (event-time, src) order
-   * and still passes, identical to the batch tie rule. State per key is
-   * ONE integer, bounded regardless of history; per-key ordered
-   * delivery across micro-batches is assumed (as for [[AsofProcessor]]).
+   * ([[graft.engine.EventStream.concat]]): state per key is the
+   * first-emission event time of each source seen so far (bounded by
+   * the source count, not history), and a row of source i passes iff
+   * `ts <= kill(i)` where kill(i) = min first-emission time over
+   * sources j > i — the SAME rule the batch operator evaluates, so an
+   * event-time-earlier row of a lower source arriving in a LATER
+   * micro-batch than its killer still passes (a row at the kill
+   * instant passes too, identical to the batch tie rule). The one
+   * residual append-mode divergence: rows already emitted cannot be
+   * retracted if a killer's true first emission itself arrives late
+   * with a smaller event time than anything seen before.
    */
   class ConcatProcessor extends StatefulProcessor[Long, TaggedEv, TaggedEv] {
-    @transient private var st: ValueState[Int] = _
+    @transient private var st: ValueState[Seq[(Int, Long)]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       import implicits._
-      st = getHandle.getValueState[Int](
-        "concat", implicitly[org.apache.spark.sql.Encoder[Int]], TTLConfig.NONE)
+      st = getHandle.getValueState[Seq[(Int, Long)]](
+        "concat", implicitly[org.apache.spark.sql.Encoder[Seq[(Int, Long)]]],
+        TTLConfig.NONE)
     }
 
     override def handleInputRows(
         key: Long, rows: Iterator[TaggedEv], timers: TimerValues): Iterator[TaggedEv] = {
-      var maxSrc = if (st.exists()) st.get() else Int.MinValue
+      var firsts = if (st.exists()) st.get().toMap else Map.empty[Int, Long]
       val out = Seq.newBuilder[TaggedEv]
       rows.toSeq.sortBy(r => (r.tsUs, r.src)).foreach { r =>
-        if (r.src >= maxSrc) { maxSrc = r.src; out += r }
+        val kill = firsts.collect { case (s, t) if s > r.src => t }
+        val pass = kill.isEmpty || r.tsUs <= kill.min
+        firsts = firsts.updated(r.src,
+          math.min(firsts.getOrElse(r.src, Long.MaxValue), r.tsUs))
+        if (pass) out += r
       }
-      st.update(maxSrc)
+      st.update(firsts.toSeq)
       out.result().iterator
+    }
+  }
+
+  case class SpawnedEv(user_id: Long, tsUs: Long, pseq: Long, c: String)
+  case class MergedChild(user_id: Long, tsUs: Long, pseq: Long, c: String,
+      outseq: Long)
+
+  /**
+   * Streaming Mergemap (`ops/transform.py:321-325`) — the first
+   * higher-order live operator: each parent row spawns a bounded child
+   * sequence on the executor (`flatMap` — fully parallel, stateless, the
+   * live analogue of the batch explode), and a keyed O(1)-state scan
+   * assigns the per-key merge order by child event time — the same
+   * (child_ts, parent_seq) rule the batch
+   * [[graft.engine.EventStream.emapMerge]] window evaluates. State per
+   * key is ONE counter; per-key event-time-ordered delivery across
+   * micro-batches is assumed (as for [[ConcatProcessor]]) — a child
+   * whose event time lands before an already-sequenced child keeps
+   * arrival order rather than retroactively renumbering (append mode
+   * cannot retract).
+   */
+  def mergemapStream(parents: Dataset[Ev],
+      spawn: Ev => Seq[SpawnedEv]): Dataset[MergedChild] = {
+    val spark = parents.sparkSession
+    import spark.implicits._
+    parents.flatMap(spawn(_))
+      .groupByKey(_.user_id)
+      .transformWithState(new MergeSeqProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Keyed running merge-order counter for [[mergemapStream]]. */
+  class MergeSeqProcessor extends StatefulProcessor[Long, SpawnedEv, MergedChild] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[Long](
+        "mergeseq", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[SpawnedEv], timers: TimerValues): Iterator[MergedChild] = {
+      var n = if (st.exists()) st.get() else 0L
+      val out = rows.toSeq.sortBy(r => (r.tsUs, r.pseq, r.c)).map { r =>
+        n += 1
+        MergedChild(r.user_id, r.tsUs, r.pseq, r.c, n)
+      }
+      st.update(n)
+      out.iterator
     }
   }
 

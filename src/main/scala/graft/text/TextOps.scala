@@ -451,7 +451,12 @@ object TextOps {
           i => concat_ws(" ", slice(col("__toks"), i * span + 1, lit(span))))))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__seg")
       .withColumn("__nspans", ((col("__ntoks") + (span - 1)) / span).cast("long"))
-      .withColumn("__h", fingerprint(col("__seg")))
+      // Content key is a 128-bit digest, NOT the 31-poly fingerprint:
+      // the drop/keep decision deletes text, and at web scale a ~2^30
+      // key space guarantees cross-doc collisions (birthday bound ≈50%
+      // at 38k distinct spans) that would silently delete unrelated
+      // spans. md5's 2^128 space makes that probability negligible.
+      .withColumn("__h", md5(col("__seg")))
     val stats = toked.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__c"), min(col(idCol)).as("__keep"))
     toked.join(stats, "__h")

@@ -365,6 +365,89 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming mergemap matches batch emapMerge on marble goldens across micro-batches") {
+    withRocksDb {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      // reference marbles (transform_test.py:117-127) plus a 4th parent
+      // whose children all land after every earlier child — it arrives
+      // in micro-batch 2, so the keyed counter must continue, not reset.
+      val marbles = Seq(
+        "A   B    C    D",
+        "_1   2  3    4",
+        "__K   L     M   N",
+        "__                   X  Y")
+      def kids(v: Int): Seq[(Long, Long, String)] =
+        graft.sources.Sources.marbleRows(marbles(v)).map { case (j, ts, c) =>
+          (j, ts + v * 1000000L, c) }
+      // batch golden: the same children through EventStream.emapMerge
+      val rows = marbles.indices.map { v =>
+        Row(v.toLong, new java.sql.Timestamp(1704067200000L + v * 1000L),
+          kids(v).map { case (j, ts, c) => Row(j, ts, c) })
+      }
+      val schema = StructType(Seq(
+        StructField("seq", LongType),
+        StructField("ts", TimestampType),
+        StructField("children", ArrayType(StructType(Seq(
+          StructField("j", LongType),
+          StructField("cts", LongType),
+          StructField("c", StringType)))))))
+      val exp = graft.engine.EventStream(
+          spark.createDataFrame(spark.sparkContext.parallelize(rows), schema),
+          keys = Nil)
+        .emapMerge(col("children"), "cts")
+        .df.orderBy("__outseq").select("__child.c")
+        .collect().map(_.getString(0)).toSeq
+      // guard: batch-2 children really do come after every batch-1 child
+      assert(kids(3).map(_._2).min > (0 to 2).flatMap(kids(_)).map(_._2).max)
+      val bus = new Streaming.EventBus(spark)
+      val spawn = (e: Ev) => {
+        val v = e.value.toInt
+        graft.sources.Sources.marbleRows(marbles(v)).map { case (_, ts, c) =>
+          Streaming.SpawnedEv(e.user_id, ts + v * 1000000L, v.toLong, c) }
+      }
+      val out = Streaming.mergemapStream(bus.eventsTyped, spawn)
+      val q = out.toDF().writeStream.format("memory").queryName("mm_out")
+        .outputMode("append").start()
+      bus.emit((0 to 2).map(v => Ev(1L, v * 1_000_000L, v.toDouble)): _*)
+      q.processAllAvailable()
+      bus.emit(Ev(1L, 3_000_000L, 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("mm_out").orderBy("outseq")
+        .collect().map(_.getString(3)).toSeq
+      assert(got == exp)
+    }
+  }
+
+  test("streaming concat: late earlier-source row before the kill boundary still passes") {
+    withRocksDb {
+      // Batch rule: a source-0 row passes iff ts <= source-1's first
+      // emission. A source-0 row with event time BEFORE the kill that
+      // arrives in a LATER micro-batch than the killer must therefore
+      // pass (the old max-src-index state dropped it); one past the
+      // boundary stays dead.
+      val a = new Streaming.EventBus(spark)
+      val b = new Streaming.EventBus(spark)
+      val out = Streaming.concatStream(Seq(a.eventsTyped, b.eventsTyped))
+      val q = out.toDF().writeStream.format("memory").queryName("concat_late")
+        .outputMode("append").start()
+      a.emit(Ev(1L, 0L, 0.0), Ev(1L, 20_000L, 1.0))
+      b.emit(Ev(1L, 70_000L, 100.0))
+      q.processAllAvailable()
+      // batch 2: late source-0 rows — 60ms (≤ kill, passes), 70ms (at
+      // the kill instant, batch tie rule passes), 80ms (dead)
+      a.emit(Ev(1L, 60_000L, 3.0), Ev(1L, 70_000L, 3.5), Ev(1L, 80_000L, 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("concat_late").orderBy("tsUs", "src")
+        .collect().map(_.getDouble(2)).toList
+      // (tsUs, src) order: the late 60ms and tie-at-70ms source-0 rows
+      // sort before source-1's 70ms killer; the 80ms row is absent.
+      assert(got == List(0.0, 1.0, 3.0, 3.5, 100.0))
+    }
+  }
+
   test("streaming as-of stamp matches batch asofLeft across micro-batches") {
     withRocksDb {
       import spark.implicits._
@@ -423,5 +506,28 @@ class StreamingSpec extends SparkSpec {
     // last-of-burst, re-stamped at burst_end + gap
     assert(got === Set(
       (1L, 1_800_000L, 3.0), (1L, 6_000_000L, 9.0), (2L, 2_000_000L, 7.0)))
+  }
+
+  test("streaming debounce: a burst straddling two micro-batches stays ONE burst") {
+    import spark.implicits._
+    // burst rows 0s, 0.4s arrive in micro-batch 1; 0.8s (still within
+    // the 1s gap of 0.4s) arrives in micro-batch 2 — the batch operator
+    // sees one burst ending at 0.8s and emits (0.8s + gap, value@0.8s).
+    // A processor that closed bursts at batch boundaries would emit
+    // (1.4s, 2.0) instead.
+    val bus = new Streaming.EventBus(spark)
+    val out = Streaming.debounceBursts(bus.eventsTyped, gapSec = 1.0, watermark = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("deb_straddle")
+      .outputMode("append").start()
+    bus.emit(Ev(1L, 0L, 1.0), Ev(1L, 400_000L, 2.0))
+    q.processAllAvailable()
+    bus.emit(Ev(1L, 800_000L, 3.0), Ev(1L, 5_000_000L, 9.0))
+    q.processAllAvailable()
+    bus.emit(Ev(99L, 100_000_000L, 0.0)) // advance watermark, fire timers
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("deb_straddle").filter(col("user_id") < 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 1_800_000L, 3.0), (1L, 6_000_000L, 9.0)))
   }
 }

@@ -196,6 +196,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(first.feature.toSeq == again.feature.toSeq)
   }
 
+  test("multimodal real image decode: javax.imageio PNG round-trip is exact") {
+    // encode → decode through the real in-JDK codec must return the
+    // source pixels bit-exactly (PNG is lossless for 8-bit gray) — the
+    // invariant q_multimodal_decode's codec-free oracle relies on.
+    val px = Multimodal.docPixels("the quick brown fox", 16)
+    val png = Multimodal.encodePng(px, 16, 16)
+    // a real PNG container, not a renamed blob
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(Multimodal.decodeImage(png).toSeq == px.toSeq)
+    // histogram over decoded pixels: 8 buckets summing to 256
+    val hist = Multimodal.imageHistogram(png, 8)
+    assert(hist.length == 8 && hist.sum == 256.0f)
+    // the distributed path takes the image branch (not the stub)
+    val items = Multimodal.fromDocumentsPng(spark, "/root/testdata/sf0.001", 16)
+    val f = Multimodal.extractFeatures(items, 8).filter(_.media_id == 0L)
+      .collect().head
+    assert(f.media_type == "image" && f.feature.sum == 256.0f)
+    // a corrupt payload fails loudly, not silently
+    intercept[Exception](Multimodal.decodeImage(Array[Byte](1, 2, 3)))
+  }
+
   test("vec_dot: mismatched lengths yield NULL, not a partial score") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
