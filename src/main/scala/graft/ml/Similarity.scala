@@ -216,10 +216,14 @@ object Similarity {
     cents
   }
 
-  /** [[ivfAssign]] against k-means-refined centroids: same (id, vec,
-    * cell, isHome) contract, assignment scored on the quantized vectors
-    * vs the refined integer centroids. */
-  def ivfKmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+  /** [[ivfAssign]] against k-means-refined centroids, KEEPING the probe
+    * rank (1 = home cell): centroids are trained ONCE (eagerly
+    * checkpointed inside [[kmeansCentroids]]) and any probe depth
+    * p ≤ nProbe is a `rank <= p` slice — so a tuning sweep or a
+    * recall/cost frontier probes many depths off one training instead
+    * of re-running Lloyd per configuration (the materialized-index
+    * shape: train once, probe many). */
+  def ivfKmeansAssignRanked(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int, dims: Int, nProbe: Int): DataFrame = {
     val embQ = emb.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("q"))
     val cents = kmeansCentroids(embQ.select(col(idCol), col("q")), idCol,
@@ -230,24 +234,26 @@ object Similarity {
           norm(col("cq").cast("array<double>")))
     val wCell = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
     scoredCells
-      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
+      .withColumn("rank", row_number().over(wCell)).filter(col("rank") <= nProbe)
       .select(col(idCol), col(vecCol), col("cid").as("cell"),
-        (col("__r") === 1).as("isHome"))
+        (col("rank") === 1).as("isHome"), col("rank"))
   }
 
-  /**
-   * [[topKIvf]] with k-means-refined centroids: `iters` deterministic
-   * Lloyd rounds ([[kmeansCentroids]]) replace the raw seed vectors, so
-   * cells track the data distribution instead of whatever the first
-   * `nCells` ids happened to be — the recall ceiling that seed
-   * centroids impose. Final assignment, nprobe probing, exactly-once
-   * pair generation and ranking are the [[topKIvf]] skeleton verbatim;
-   * pair SCORING still uses the original float embeddings (centroids
-   * only partition).
-   */
-  def topKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int, iters: Int, dims: Int, nProbe: Int = 1): DataFrame = {
-    val probed = ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, nProbe)
+  /** [[ivfAssign]] against k-means-refined centroids: same (id, vec,
+    * cell, isHome) contract, assignment scored on the quantized vectors
+    * vs the refined integer centroids. */
+  def ivfKmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, dims: Int, nProbe: Int): DataFrame =
+    ivfKmeansAssignRanked(emb, idCol, vecCol, nCells, iters, dims, nProbe)
+      .drop("rank")
+
+  /** The serving half of the IVF skeleton: exactly-once in-cell pair
+    * generation (every probed copy of a meets every HOME copy of b) +
+    * true-cosine top-k, from any assignment frame carrying (idCol,
+    * vecCol, cell, isHome) — seed IVF, k-means IVF, or a rank-sliced
+    * pre-trained index all reuse it unchanged. */
+  def topKFromAssign(probed: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val pairs = probed
       .groupBy("cell")
       .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
@@ -263,6 +269,22 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("a", "rank", "b")
   }
+
+  /**
+   * [[topKIvf]] with k-means-refined centroids: `iters` deterministic
+   * Lloyd rounds ([[kmeansCentroids]]) replace the raw seed vectors, so
+   * cells track the data distribution instead of whatever the first
+   * `nCells` ids happened to be — the recall ceiling that seed
+   * centroids impose. Final assignment, nprobe probing, exactly-once
+   * pair generation and ranking are the [[topKIvf]] skeleton verbatim;
+   * pair SCORING still uses the original float embeddings (centroids
+   * only partition).
+   */
+  def topKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, iters: Int, dims: Int, nProbe: Int = 1): DataFrame =
+    topKFromAssign(
+      ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, nProbe),
+      idCol, vecCol, k)
 
   /**
    * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via

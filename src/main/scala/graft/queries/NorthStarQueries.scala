@@ -1058,11 +1058,20 @@ object NorthStarQueries {
           .select("a", "b")
         val ivf2 = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2)
           .select("a", "b")
-        // nProbe 4 is the tuning table's frontier point: recall 0.596
-        // at 62k candidates (vs 0.41 at nprobe 2 / 31k) — report the
-        // operating point a user would actually pick.
+        // nProbe 4 is the 16-cell frontier point: recall 0.596 at 62k
+        // candidates (vs 0.41 at nprobe 2 / 31k).
         val kme = Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
             16, KM_ITERS, DIMS, 4)
+          .select("a", "b")
+        // The WIDE frontier: 64 k-means cells probed 20-deep — finer
+        // quantization at a similar scan fraction. Probe-measured
+        // recall 0.834 at 31% of the exact candidate cost (vs 0.596 at
+        // 25% for 16/4); see the q_ann_tuning rows. One training
+        // (checkpointed centroids), probe depth is a rank slice.
+        val kmw = Similarity.topKFromAssign(
+            Similarity.ivfKmeansAssignRanked(emb(s, d), "vec_id", "embedding",
+              64, KM_ITERS, DIMS, 20).drop("rank"),
+            "vec_id", "embedding", 3)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nH = exact.join(lsh, Seq("a", "b"), "left_semi")
@@ -1075,7 +1084,10 @@ object NorthStarQueries {
           .agg(count(lit(1)).as("n_hits_ivf2"))
         val nK = exact.join(kme, Seq("a", "b"), "left_semi")
           .agg(count(lit(1)).as("n_hits_kmeans"))
+        val nW = exact.join(kmw, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits_kmw"))
         nE.crossJoin(nH).crossJoin(nM).crossJoin(nV).crossJoin(nV2).crossJoin(nK)
+          .crossJoin(nW)
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
           .withColumn("recall_mp",
@@ -1086,6 +1098,8 @@ object NorthStarQueries {
             col("n_hits_ivf2").cast("double") / col("n_exact").cast("double"))
           .withColumn("recall_kmeans",
             col("n_hits_kmeans").cast("double") / col("n_exact").cast("double"))
+          .withColumn("recall_kmw",
+            col("n_hits_kmw").cast("double") / col("n_exact").cast("double"))
       },
       "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
@@ -1115,19 +1129,26 @@ object NorthStarQueries {
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
+        s"${sqlKmeansCtes(64, 20, KM_ITERS, "w")}, " +
+        "lvw AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM wprobe l JOIN whome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3), " +
         "e AS (SELECT count(*) AS n_exact FROM ex), " +
         "h AS (SELECT count(*) AS n_hits FROM ex JOIN ls USING (a, b)), " +
         "m AS (SELECT count(*) AS n_hits_mp FROM ex JOIN lm USING (a, b)), " +
         "v AS (SELECT count(*) AS n_hits_ivf FROM ex JOIN lv USING (a, b)), " +
         "v2 AS (SELECT count(*) AS n_hits_ivf2 FROM ex JOIN lv2 USING (a, b)), " +
-        "vk AS (SELECT count(*) AS n_hits_kmeans FROM ex JOIN lvk USING (a, b)) " +
-        "SELECT n_exact, n_hits, n_hits_mp, n_hits_ivf, n_hits_ivf2, n_hits_kmeans, " +
+        "vk AS (SELECT count(*) AS n_hits_kmeans FROM ex JOIN lvk USING (a, b)), " +
+        "vw AS (SELECT count(*) AS n_hits_kmw FROM ex JOIN lvw USING (a, b)) " +
+        "SELECT n_exact, n_hits, n_hits_mp, n_hits_ivf, n_hits_ivf2, n_hits_kmeans, n_hits_kmw, " +
         "CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall, " +
         "CAST(n_hits_mp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_mp, " +
         "CAST(n_hits_ivf AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf, " +
         "CAST(n_hits_ivf2 AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivf2, " +
-        "CAST(n_hits_kmeans AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_kmeans " +
-        "FROM e, h, m, v, v2, vk"),
+        "CAST(n_hits_kmeans AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_kmeans, " +
+        "CAST(n_hits_kmw AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_kmw " +
+        "FROM e, h, m, v, v2, vk, vw"),
 
     Q("q_ann_tuning",
       // Recall-aware operating-point table: one row per ANN config with
@@ -1170,6 +1191,10 @@ object NorthStarQueries {
             .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
             .select((col("mh") - col("n")).as("n_cands"))
         val id = "vec_id"; val v = "embedding"
+        val wideAssign = Similarity.ivfKmeansAssignRanked(e, id, v, 64,
+          KM_ITERS, DIMS, 20)
+        def wide(p: Int): DataFrame =
+          wideAssign.filter(col("rank") <= p).drop("rank")
         val rows = Seq(
           cfgRow("lsh", PLANES, 0,
             Similarity.topKLsh(e, id, v, 3, PLANES, DIMS).select("a", "b"), lshCands),
@@ -1190,6 +1215,16 @@ object NorthStarQueries {
           cfgRow("ivf_kmeans", 16, 4,
             Similarity.topKIvfKmeans(e, id, v, 3, 16, KM_ITERS, DIMS, 4).select("a", "b"),
             ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 4))),
+          // 64-cell wide frontier: ONE training (checkpointed centroids)
+          // probed 20-deep; the 16-probe row is a rank slice of it.
+          // These are the ≥0.75-recall-under-half-cost operating points
+          // (probe-measured 0.779 @ 25% and 0.834 @ 31%).
+          cfgRow("ivf_kmeans", 64, 16,
+            Similarity.topKFromAssign(wide(16), id, v, 3).select("a", "b"),
+            ivfCands(wide(16))),
+          cfgRow("ivf_kmeans", 64, 20,
+            Similarity.topKFromAssign(wide(20), id, v, 3).select("a", "b"),
+            ivfCands(wide(20))),
           // IVF-PQ + rerank: same candidates as ivf_kmeans(16,4), but
           // n_cands here = the PQ shortlist size — the pairs whose
           // float vectors are ACTUALLY exact-scored (the config's real
@@ -1234,6 +1269,10 @@ object NorthStarQueries {
           s"lvt AS (${top3("tprobe", "thome", "cell")}), " +
           s"${sqlKmeansCtes(16, 4, KM_ITERS, "u")}, " +
           s"lvu AS (${top3("uprobe", "uhome", "cell")}), " +
+          s"${sqlKmeansCtes(64, 20, KM_ITERS, "w")}, " +
+          "wprobe16 AS (SELECT vec_id, embedding, cell FROM wranked WHERE cr <= 16), " +
+          s"lvw AS (${top3("wprobe16", "whome", "cell")}), " +
+          s"lvy AS (${top3("wprobe", "whome", "cell")}), " +
           s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "uqe")}, " +
           "ppair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, (" +
           (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
@@ -1263,6 +1302,8 @@ object NorthStarQueries {
           s"ck AS (${cellCost("kprobe", "khome")}), " +
           s"ct AS (${cellCost("tprobe", "thome")}), " +
           s"cu AS (${cellCost("uprobe", "uhome")}), " +
+          s"cw AS (${cellCost("wprobe16", "whome")}), " +
+          s"cy AS (${cellCost("wprobe", "whome")}), " +
           "h1 AS (SELECT count(*) AS n_hits FROM ex JOIN ls USING (a, b)), " +
           "h2 AS (SELECT count(*) AS n_hits FROM ex JOIN lm USING (a, b)), " +
           "h3 AS (SELECT count(*) AS n_hits FROM ex JOIN lv1 USING (a, b)), " +
@@ -1270,7 +1311,9 @@ object NorthStarQueries {
           "h5 AS (SELECT count(*) AS n_hits FROM ex JOIN lvk USING (a, b)), " +
           "h6 AS (SELECT count(*) AS n_hits FROM ex JOIN lvt USING (a, b)), " +
           "h7 AS (SELECT count(*) AS n_hits FROM ex JOIN lvu USING (a, b)), " +
-          "h8 AS (SELECT count(*) AS n_hits FROM ex JOIN lvp USING (a, b)) " +
+          "h8 AS (SELECT count(*) AS n_hits FROM ex JOIN lvp USING (a, b)), " +
+          "h9 AS (SELECT count(*) AS n_hits FROM ex JOIN lvw USING (a, b)), " +
+          "h10 AS (SELECT count(*) AS n_hits FROM ex JOIN lvy USING (a, b)) " +
           "SELECT method, param, probes, n_hits, n_cands, " +
           "CAST(n_hits AS DOUBLE) / CAST((SELECT n_exact FROM e) AS DOUBLE) AS recall FROM (" +
           s"SELECT 'lsh' AS method, CAST($PLANES AS BIGINT) AS param, CAST(0 AS BIGINT) AS probes, n_hits, n_cands FROM h1, clsh " +
@@ -1280,6 +1323,8 @@ object NorthStarQueries {
           "UNION ALL SELECT 'ivf_kmeans', 16, 2, n_hits, n_cands FROM h5, ck " +
           "UNION ALL SELECT 'ivf_kmeans', 8, 2, n_hits, n_cands FROM h6, ct " +
           "UNION ALL SELECT 'ivf_kmeans', 16, 4, n_hits, n_cands FROM h7, cu " +
+          "UNION ALL SELECT 'ivf_kmeans', 64, 16, n_hits, n_cands FROM h9, cw " +
+          "UNION ALL SELECT 'ivf_kmeans', 64, 20, n_hits, n_cands FROM h10, cy " +
           s"UNION ALL SELECT 'ivf_pq', $PQ_RERANK, 4, n_hits, n_cands FROM h8, cp" +
           ") ORDER BY method, param, probes"
       }),
