@@ -225,9 +225,20 @@ object Similarity {
     * shape: train once, probe many). */
   def ivfKmeansAssignRanked(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int, dims: Int, nProbe: Int): DataFrame = {
+    val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("q"))
+    ivfAssignFromCentroids(emb, idCol, vecCol,
+      kmeansCentroids(embQ, idCol, nCells, iters, dims), nProbe)
+  }
+
+  /** Assignment against an EXISTING centroid table (cid, integer cq) —
+    * the serving half of the index lifecycle: centroids are trained
+    * once ([[kmeansCentroids]]), persisted (e.g.
+    * [[graft.sources.Sinks.toBucketedTable]]), and every later batch or
+    * query is ONE broadcast-centroid scan with no Lloyd rounds in the
+    * plan. Returns (idCol, vecCol, cell, isHome, rank). */
+  def ivfAssignFromCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nProbe: Int): DataFrame = {
     val embQ = emb.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("q"))
-    val cents = kmeansCentroids(embQ.select(col(idCol), col("q")), idCol,
-      nCells, iters, dims)
     val scoredCells = embQ.crossJoin(broadcast(cents))
       .withColumn("s",
         dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /

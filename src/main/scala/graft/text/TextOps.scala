@@ -369,6 +369,17 @@ object TextOps {
    *
    * Returns the surviving subset of `batch` (original columns).
    */
+  /** The standing LSH band-key index of a corpus — (idCol, band, key)
+    * — the thing a production pipeline TRAINS ONCE and persists (e.g.
+    * [[graft.sources.Sinks.toBucketedTable]] bucketed by band), then
+    * appends each accepted batch's bands to. [[dedupIncremental]]
+    * accepts the loaded table directly; nothing recomputes corpus
+    * signatures at probe time. */
+  def bandIndex(corpus: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, numBands: Int, rowsPerBand: Int): DataFrame =
+    lshBandsArr(minhashSigArray(corpus, idCol, textCol, k, numHashes),
+      idCol, numBands, rowsPerBand)
+
   def dedupIncremental(batch: DataFrame, corpusBands: DataFrame,
       idCol: String, textCol: String, k: Int, numHashes: Int,
       numBands: Int, rowsPerBand: Int, bucketCap: Int): DataFrame = {

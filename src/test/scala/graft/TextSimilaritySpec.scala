@@ -196,6 +196,70 @@ class TextSimilaritySpec extends SparkSpec {
     assert(first.feature.toSeq == again.feature.toSeq)
   }
 
+  test("materialized band index: incremental dedup probes it with zero index-side exchanges") {
+    import graft.sources.Sinks
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    // train once: compute the corpus band index and persist it bucketed
+    // by band (the "pay the signature pass once" production shape)
+    val idx = TextOps.bandIndex(corpus, "doc_id", "text", 3, 12, 4, 3)
+    Sinks.toBucketedTable(idx, "band_idx", 8, Seq("band"))
+    try {
+      val loaded = spark.table("band_idx")
+      // semantics: probing the persisted index = computing it inline
+      val fromTable = TextOps.dedupIncremental(batch, loaded,
+          "doc_id", "text", 3, 12, 4, 3, 1024)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val inline = TextOps.dedupIncremental(batch, idx,
+          "doc_id", "text", 3, 12, 4, 3, 1024)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fromTable == inline && fromTable.nonEmpty)
+      // plan shape: the corpus-vs-batch probe scans the index IN PLACE —
+      // batch keys broadcast, no shuffle exchange anywhere in the probe
+      // (at 100 TB the index side is the whole corpus; shuffling it per
+      // daily batch would be the job's entire cost)
+      val batchKeys = TextOps.bandIndex(batch, "doc_id", "text", 3, 12, 4, 3)
+        .select(col("doc_id").as("__b"), col("band"), col("key"))
+      val probe = loaded.join(broadcast(batchKeys), Seq("band", "key"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"index-side probe must not shuffle:\n$plan")
+      // the probe reads the PERSISTED table (no signature recompute);
+      // bucketed reading itself is rightly skipped by the planner here —
+      // the broadcast probe doesn't need co-location, only scan-in-place
+      assert(plan.contains("band_idx"), s"probe must scan the persisted index:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"batch keys must broadcast:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS band_idx")
+    }
+  }
+
+  test("materialized ANN index: assignment against persisted centroids, no retraining") {
+    import graft.sources.Sinks
+    import graft.ml.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // train once, persist the (tiny) centroid table
+    val cents = Similarity.kmeansCentroids(
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q")),
+      "vec_id", 8, 2, 64)
+    Sinks.toBucketedTable(cents, "ann_centroids", 4, Seq("cid"))
+    try {
+      val loaded = spark.table("ann_centroids")
+      // serving: assign + top-k against the LOADED centroids — same
+      // result as the train-inline path, no Lloyd rounds in the plan
+      val servedAssign = Similarity.ivfAssignFromCentroids(
+        emb, "vec_id", "embedding", loaded, 2).drop("rank")
+      val served = Similarity.topKFromAssign(servedAssign, "vec_id", "embedding", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val inline = Similarity.topKIvfKmeans(emb, "vec_id", "embedding", 3, 8, 2, 64, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(served == inline && served.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_centroids")
+    }
+  }
+
   test("multimodal real image decode: javax.imageio PNG round-trip is exact") {
     // encode → decode through the real in-JDK codec must return the
     // source pixels bit-exactly (PNG is lossless for 8-bit gray) — the
