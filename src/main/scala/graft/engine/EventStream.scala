@@ -752,16 +752,34 @@ object EventStream {
   }
 
   /**
-   * Zip (`ops/combine.py:219-261`): positional pairing — equi-join on the
-   * per-key occurrence index; inner join ends at the shortest source.
+   * Zip (`ops/combine.py:219-261`): positional pairing on the per-key
+   * occurrence index; inner semantics end at the shortest source.
+   *
+   * Encoding: tag + union, ONE window pass stamps the per-(key, source)
+   * occurrence index, and ONE (key, index) aggregation pivots each pair
+   * onto a single row (`max(when(src=...))` — exactly one row per
+   * (key, index, source), so the "aggregate" is a deterministic pick).
+   * Two full-data exchanges total; the previous per-side index windows
+   * + equi-join shape paid four. Presence counters give the inner-join
+   * cut without relying on payload nullability.
    */
   def zip(a: EventStream, b: EventStream, idxAs: String): EventStream = {
-    val ad = a.df.withColumn(idxAs, row_number().over(a.w).cast("long"))
-    val bd = b.df.withColumn(idxAs, row_number().over(b.w).cast("long"))
-    val joinCols = a.keys :+ idxAs
-    val bCols = bd.columns.diff(joinCols)
-    val bRenamed = bCols.foldLeft(bd)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
-    a.derive(ad.join(bRenamed, joinCols, "inner"))
+    val bCols = b.df.columns.diff(a.keys)
+    val bR = bCols.foldLeft(b.df)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    val u = a.df.withColumn("__zsrc", lit(0))
+      .unionByName(bR.withColumn("__zsrc", lit(1)), allowMissingColumns = true)
+    val wIdx = Window.partitionBy((a.keys :+ "__zsrc").map(col): _*)
+      .orderBy(coalesce(col(a.seqCol), col(s"${b.seqCol}_r")))
+    val stamped = u.withColumn(idxAs, row_number().over(wIdx).cast("long"))
+    val aData = a.df.columns.diff(a.keys)
+    val aggs = (aData.map(c => max(when(col("__zsrc") === 0, col(c))).as(c)) ++
+      bCols.map(c => max(when(col("__zsrc") === 1, col(s"${c}_r"))).as(s"${c}_r")) :+
+      count(when(col("__zsrc") === 0, lit(1))).as("__za") :+
+      count(when(col("__zsrc") === 1, lit(1))).as("__zb")).toSeq
+    a.derive(stamped.groupBy((a.keys :+ idxAs).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__za") === 1 && col("__zb") === 1)
+      .drop("__za", "__zb"))
   }
 
   /**
