@@ -1624,6 +1624,73 @@ object NorthStarQueries {
         "(SELECT doc_id, unnest(fps) AS fp FROM tokfp) " +
         "JOIN documents USING (doc_id) GROUP BY source ORDER BY source"),
 
+    Q("q_corpus_report",
+      // The per-source dashboard a curation run actually reads before
+      // mixing: mass (docs/tokens/chars), vocabulary (types, type/token
+      // ratio), exact-duplicate contamination (content-hash) and
+      // near-duplicate contamination (minhash bands, drop = non-lowest
+      // id of a candidate pair) — ONE declarative plan: a corpus-wide
+      // content-hash groupBy, a token-fingerprint aggregate, the capped
+      // LSH band pipeline, then three ~|sources|-row joins. Integers
+      // plus single IEEE divisions — hash-exact across engines.
+      (s, d) => {
+        val dd = docs(s, d)
+        val hashed = dd.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__ntok"),
+          length(col("text")).cast("long").as("__nch"),
+          md5(col("text")).as("__h"))
+        val hc = hashed.groupBy("__h").agg(count(lit(1)).as("__n"))
+        val mass = hashed.join(hc, "__h").groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("__ntok").as("n_tokens"),
+          sum("__nch").as("n_chars"),
+          sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        val vocab = dd.select(col("source"),
+            explode(TextOps.tokenFingerprints(TextOps.tokens(col("text")))).as("fp"))
+          .groupBy("source").agg(countDistinct("fp").as("n_types"))
+        val bands = TextOps.lshBandsArr(
+          TextOps.minhashSigArray(dd, "doc_id", "text", K, H),
+          "doc_id", BANDS, R)
+        val nearDropped = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
+          .select(col("b").as("doc_id")).distinct()
+        val near = dd.join(nearDropped, Seq("doc_id"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("n_neardup_docs"))
+        mass.join(vocab, Seq("source"))
+          .join(near, Seq("source"), "left")
+          .na.fill(0L, Seq("n_neardup_docs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("n_types"),
+            (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+            col("n_dup_docs"),
+            (col("n_dup_docs").cast("double") / col("n_docs").cast("double")).as("dup_frac"),
+            col("n_neardup_docs"),
+            (col("n_neardup_docs").cast("double") / col("n_docs").cast("double")).as("neardup_frac"))
+          .orderBy("source")
+      },
+      s"WITH $MINHASH_CANDS, " +
+        "hd AS (SELECT doc_id, source, md5(text) AS h, length(text) AS nch " +
+        "FROM documents), " +
+        "hcnt AS (SELECT h, count(*) AS n FROM hd GROUP BY h), " +
+        "mass AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(toks)) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(nch) AS BIGINT) AS n_chars, " +
+        "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs " +
+        "FROM hd JOIN hcnt USING (h) JOIN tok USING (doc_id) GROUP BY source), " +
+        "vt AS (SELECT source, CAST(count(DISTINCT fp) AS BIGINT) AS n_types " +
+        "FROM (SELECT doc_id, unnest(fps) AS fp FROM tokfp) " +
+        "JOIN documents USING (doc_id) GROUP BY source), " +
+        "nd AS (SELECT DISTINCT b AS doc_id FROM cand), " +
+        "nr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_neardup_docs " +
+        "FROM documents JOIN nd USING (doc_id) GROUP BY source) " +
+        "SELECT source, n_docs, n_tokens, n_chars, n_types, " +
+        "CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr, n_dup_docs, " +
+        "CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac, " +
+        "CAST(COALESCE(n_neardup_docs, 0) AS BIGINT) AS n_neardup_docs, " +
+        "CAST(COALESCE(n_neardup_docs, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE) " +
+        "AS neardup_frac " +
+        "FROM mass JOIN vt USING (source) LEFT JOIN nr USING (source) " +
+        "ORDER BY source"),
+
     Q("q_pack_sequences",
       // Sequence packing: each source shard's docs concatenated in id
       // order and cut into exact 32-token training rows (last row per
