@@ -405,53 +405,159 @@ object Streaming {
     }
   }
 
-  case class SpawnedEv(user_id: Long, tsUs: Long, pseq: Long, c: String)
+  case class SpawnedEv(user_id: Long, tsUs: Long, pseq: Long, j: Long, c: String)
   case class MergedChild(user_id: Long, tsUs: Long, pseq: Long, c: String,
       outseq: Long)
 
+  // ================= streaming higher-order (emap family) =================
+  // Each live parent row spawns a bounded child sequence on the executor
+  // (`flatMap` — fully parallel, stateless, the live analogue of the
+  // batch explode); a keyed small-state scan then applies the family's
+  // join rule (`ops/transform.py:291-346`). Per-key event-time-ordered
+  // delivery across micro-batches is assumed (as for [[ConcatProcessor]])
+  // — append mode cannot retract already-emitted children.
+
   /**
-   * Streaming Mergemap (`ops/transform.py:321-325`) — the first
-   * higher-order live operator: each parent row spawns a bounded child
-   * sequence on the executor (`flatMap` — fully parallel, stateless, the
-   * live analogue of the batch explode), and a keyed O(1)-state scan
-   * assigns the per-key merge order by child event time — the same
+   * Streaming Mergemap (`ops/transform.py:321-325`): children of all
+   * parents interleave in child event-time order — the same
    * (child_ts, parent_seq) rule the batch
    * [[graft.engine.EventStream.emapMerge]] window evaluates. State per
-   * key is ONE counter; per-key event-time-ordered delivery across
-   * micro-batches is assumed (as for [[ConcatProcessor]]) — a child
-   * whose event time lands before an already-sequenced child keeps
-   * arrival order rather than retroactively renumbering (append mode
-   * cannot retract).
+   * key is ONE counter.
    */
   def mergemapStream(parents: Dataset[Ev],
       spawn: Ev => Seq[SpawnedEv]): Dataset[MergedChild] = {
     val spark = parents.sparkSession
     import spark.implicits._
-    parents.flatMap(spawn(_))
-      .groupByKey(_.user_id)
-      .transformWithState(new MergeSeqProcessor, TimeMode.None(),
-        OutputMode.Append())
+    spawned(parents, spawn)
+      .transformWithState(
+        new SpawnSeqProcessor(r => (r.tsUs, r.pseq, r.j)),
+        TimeMode.None(), OutputMode.Append())
   }
 
-  /** Keyed running merge-order counter for [[mergemapStream]]. */
-  class MergeSeqProcessor extends StatefulProcessor[Long, SpawnedEv, MergedChild] {
+  /**
+   * Streaming Chainmap (`ops/transform.py:328-332`): child stream i is
+   * drained fully before i+1 — batch order (parent_seq, child_idx)
+   * ([[graft.engine.EventStream.emapChain]]). With bounded spawns a
+   * parent's children all arrive with it, so the chain order is exact
+   * whenever parents arrive in creation order.
+   */
+  def chainmapStream(parents: Dataset[Ev],
+      spawn: Ev => Seq[SpawnedEv]): Dataset[MergedChild] = {
+    val spark = parents.sparkSession
+    import spark.implicits._
+    spawned(parents, spawn)
+      .transformWithState(
+        new SpawnSeqProcessor(r => (r.pseq, r.j, r.tsUs)),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /**
+   * Streaming Concatmap (`ops/transform.py:335-339`): child k is
+   * disconnected at the first emission of ANY later child — a row
+   * passes iff `ts <= kill(k)` where kill(k) = min first-child-emission
+   * time over parents q > k, the batch
+   * [[graft.engine.EventStream.emapConcat]] rule (a row at the kill
+   * instant passes). State per key: each parent's first child event
+   * time (bounded by parent count) + the output counter.
+   */
+  def concatmapStream(parents: Dataset[Ev],
+      spawn: Ev => Seq[SpawnedEv]): Dataset[MergedChild] = {
+    val spark = parents.sparkSession
+    import spark.implicits._
+    spawned(parents, spawn)
+      .transformWithState(new SpawnKillProcessor(nextOnly = false),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /**
+   * Streaming Switchmap (`ops/transform.py:342-346`): the batch
+   * encoding ([[graft.engine.EventStream.emapSwitch]]) — child k is
+   * truncated at the NEXT parent's first child emission (`ts <= nxt`
+   * passes; valid when children first emit at creation, the reference's
+   * shape). Divergence note shared with batch: a parent that spawns
+   * NOTHING leaves the previous child untruncated in the batch
+   * encoding; live, an empty spawn simply never registers, so the kill
+   * falls through to the next spawning parent — avoid empty spawns.
+   */
+  def switchmapStream(parents: Dataset[Ev],
+      spawn: Ev => Seq[SpawnedEv]): Dataset[MergedChild] = {
+    val spark = parents.sparkSession
+    import spark.implicits._
+    spawned(parents, spawn)
+      .transformWithState(new SpawnKillProcessor(nextOnly = true),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private def spawned(parents: Dataset[Ev], spawn: Ev => Seq[SpawnedEv]) = {
+    val spark = parents.sparkSession
+    import spark.implicits._
+    parents.flatMap(spawn(_)).groupByKey(_.user_id)
+  }
+
+  /** Keyed running output counter over `order`-sorted spawned children
+    * — the sequencing half shared by merge/chain. */
+  class SpawnSeqProcessor(order: SpawnedEv => (Long, Long, Long))
+      extends StatefulProcessor[Long, SpawnedEv, MergedChild] {
     @transient private var st: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       import implicits._
       st = getHandle.getValueState[Long](
-        "mergeseq", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+        "spawnseq", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
     }
 
     override def handleInputRows(
         key: Long, rows: Iterator[SpawnedEv], timers: TimerValues): Iterator[MergedChild] = {
       var n = if (st.exists()) st.get() else 0L
-      val out = rows.toSeq.sortBy(r => (r.tsUs, r.pseq, r.c)).map { r =>
+      val out = rows.toSeq.sortBy(order).map { r =>
         n += 1
         MergedChild(r.user_id, r.tsUs, r.pseq, r.c, n)
       }
       st.update(n)
       out.iterator
+    }
+  }
+
+  /** Kill-boundary filter + output counter for concatmap/switchmap.
+    * State: (per-parent first child event time, counter). `nextOnly`
+    * false = concat rule (kill = min first over ALL later parents);
+    * true = switch rule (kill = first of the IMMEDIATELY next spawning
+    * parent). Rows process in (ts, pseq, j) scan order, so a row at the
+    * kill instant is checked before its killer registers — the batch
+    * tie rule. */
+  class SpawnKillProcessor(nextOnly: Boolean)
+      extends StatefulProcessor[Long, SpawnedEv, MergedChild] {
+    @transient private var st: ValueState[(Seq[(Long, Long)], Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[(Seq[(Long, Long)], Long)](
+        "spawnkill",
+        implicitly[org.apache.spark.sql.Encoder[(Seq[(Long, Long)], Long)]],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[SpawnedEv], timers: TimerValues): Iterator[MergedChild] = {
+      var (firsts, n) =
+        if (st.exists()) { val (f, c) = st.get(); (f.toMap, c) }
+        else (Map.empty[Long, Long], 0L)
+      val out = Seq.newBuilder[MergedChild]
+      rows.toSeq.sortBy(r => (r.tsUs, r.pseq, r.j)).foreach { r =>
+        val laters = firsts.keys.filter(_ > r.pseq)
+        val kill =
+          if (laters.isEmpty) None
+          else if (nextOnly) Some(firsts(laters.min))
+          else Some(laters.map(firsts).min)
+        firsts = firsts.updated(r.pseq,
+          math.min(firsts.getOrElse(r.pseq, Long.MaxValue), r.tsUs))
+        if (kill.forall(r.tsUs <= _)) {
+          n += 1
+          out += MergedChild(r.user_id, r.tsUs, r.pseq, r.c, n)
+        }
+      }
+      st.update((firsts.toSeq, n))
+      out.result().iterator
     }
   }
 

@@ -344,11 +344,13 @@ class StreamingSpec extends SparkSpec {
       val a = new Streaming.EventBus(spark)
       val b = new Streaming.EventBus(spark)
       val out = Streaming.concatStream(Seq(a.eventsTyped, b.eventsTyped))
-      val q = out.toDF().writeStream.format("memory").queryName("concat_out")
-        .outputMode("append").start()
-      // batch 1: e1's first five ticks, e2's first tick (at 70ms)
+      // batch 1: e1's first five ticks, e2's first tick (at 70ms) — both
+      // enqueued BEFORE start so they land in ONE micro-batch (emitting
+      // after start races the trigger, which can split them)
       a.emit((0 until 5).map(i => Ev(1L, i * 20_000L, i.toDouble)): _*)
       b.emit(Ev(1L, 70_000L, 100.0))
+      val q = out.toDF().writeStream.format("memory").queryName("concat_out")
+        .outputMode("append").start()
       q.processAllAvailable()
       val afterB1 = spark.table("concat_out").orderBy("tsUs")
         .collect().map(_.getDouble(2)).toList
@@ -365,58 +367,95 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Parity harness for the live emap family: batch golden via the
+    * children-array encoding, live via spawn across TWO micro-batches
+    * (parents 0..n-2, then parent n-1 — the keyed state must continue,
+    * not reset). The last marble's children must land after every
+    * earlier child so event-time-ordered cross-batch delivery holds. */
+  private def emapParity(
+      marbles: Seq[String], sink: String,
+      batchOp: graft.engine.EventStream => graft.engine.EventStream,
+      liveOp: (org.apache.spark.sql.Dataset[Ev], Ev => Seq[Streaming.SpawnedEv]) =>
+        org.apache.spark.sql.Dataset[Streaming.MergedChild]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def kids(v: Int): Seq[(Long, Long, String)] =
+      graft.sources.Sources.marbleRows(marbles(v)).map { case (j, ts, c) =>
+        (j, ts + v * 1000000L, c) }
+    val n = marbles.size
+    // guard: the last parent's children come after every earlier child
+    assert(kids(n - 1).map(_._2).min > (0 until n - 1).flatMap(kids(_)).map(_._2).max)
+    val rows = marbles.indices.map { v =>
+      Row(v.toLong, new java.sql.Timestamp(1704067200000L + v * 1000L),
+        kids(v).map { case (j, ts, c) => Row(j, ts, c) })
+    }
+    val schema = StructType(Seq(
+      StructField("seq", LongType),
+      StructField("ts", TimestampType),
+      StructField("children", ArrayType(StructType(Seq(
+        StructField("j", LongType),
+        StructField("cts", LongType),
+        StructField("c", StringType)))))))
+    val exp = batchOp(graft.engine.EventStream(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows), schema),
+        keys = Nil))
+      .df.orderBy("__outseq").select("__child.c")
+      .collect().map(_.getString(0)).toSeq
+    val bus = new Streaming.EventBus(spark)
+    val spawn = (e: Ev) => {
+      val v = e.value.toInt
+      graft.sources.Sources.marbleRows(marbles(v)).map { case (j, ts, c) =>
+        Streaming.SpawnedEv(e.user_id, ts + v * 1000000L, v.toLong, j, c) }
+    }
+    val q = liveOp(bus.eventsTyped, spawn).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    bus.emit((0 until n - 1).map(v => Ev(1L, v * 1_000_000L, v.toDouble)): _*)
+    q.processAllAvailable()
+    bus.emit(Ev(1L, (n - 1) * 1_000_000L, (n - 1).toDouble))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).orderBy("outseq")
+      .collect().map(_.getString(3)).toSeq
+    assert(got == exp, s"live $sink != batch golden")
+  }
+
+  private val mergeMarbles = Seq(
+    "A   B    C    D",
+    "_1   2  3    4",
+    "__K   L     M   N",
+    "__                   X  Y")
+  private val chainMarbles = Seq(
+    "A    B    C    D",
+    "_       1    2    3    4",
+    "__                  K    L     M   N",
+    "__                                    X  Y")
+
   test("streaming mergemap matches batch emapMerge on marble goldens across micro-batches") {
     withRocksDb {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      // reference marbles (transform_test.py:117-127) plus a 4th parent
-      // whose children all land after every earlier child — it arrives
-      // in micro-batch 2, so the keyed counter must continue, not reset.
-      val marbles = Seq(
-        "A   B    C    D",
-        "_1   2  3    4",
-        "__K   L     M   N",
-        "__                   X  Y")
-      def kids(v: Int): Seq[(Long, Long, String)] =
-        graft.sources.Sources.marbleRows(marbles(v)).map { case (j, ts, c) =>
-          (j, ts + v * 1000000L, c) }
-      // batch golden: the same children through EventStream.emapMerge
-      val rows = marbles.indices.map { v =>
-        Row(v.toLong, new java.sql.Timestamp(1704067200000L + v * 1000L),
-          kids(v).map { case (j, ts, c) => Row(j, ts, c) })
-      }
-      val schema = StructType(Seq(
-        StructField("seq", LongType),
-        StructField("ts", TimestampType),
-        StructField("children", ArrayType(StructType(Seq(
-          StructField("j", LongType),
-          StructField("cts", LongType),
-          StructField("c", StringType)))))))
-      val exp = graft.engine.EventStream(
-          spark.createDataFrame(spark.sparkContext.parallelize(rows), schema),
-          keys = Nil)
-        .emapMerge(col("children"), "cts")
-        .df.orderBy("__outseq").select("__child.c")
-        .collect().map(_.getString(0)).toSeq
-      // guard: batch-2 children really do come after every batch-1 child
-      assert(kids(3).map(_._2).min > (0 to 2).flatMap(kids(_)).map(_._2).max)
-      val bus = new Streaming.EventBus(spark)
-      val spawn = (e: Ev) => {
-        val v = e.value.toInt
-        graft.sources.Sources.marbleRows(marbles(v)).map { case (_, ts, c) =>
-          Streaming.SpawnedEv(e.user_id, ts + v * 1000000L, v.toLong, c) }
-      }
-      val out = Streaming.mergemapStream(bus.eventsTyped, spawn)
-      val q = out.toDF().writeStream.format("memory").queryName("mm_out")
-        .outputMode("append").start()
-      bus.emit((0 to 2).map(v => Ev(1L, v * 1_000_000L, v.toDouble)): _*)
-      q.processAllAvailable()
-      bus.emit(Ev(1L, 3_000_000L, 3.0))
-      q.processAllAvailable()
-      q.stop()
-      val got = spark.table("mm_out").orderBy("outseq")
-        .collect().map(_.getString(3)).toSeq
-      assert(got == exp)
+      emapParity(mergeMarbles, "mm_out",
+        _.emapMerge(col("children"), "cts"), Streaming.mergemapStream)
+    }
+  }
+
+  test("streaming chainmap matches batch emapChain across micro-batches") {
+    withRocksDb {
+      emapParity(chainMarbles, "cm_out",
+        _.emapChain(col("children"), "j"), Streaming.chainmapStream)
+    }
+  }
+
+  test("streaming concatmap matches batch emapConcat across micro-batches") {
+    withRocksDb {
+      emapParity(chainMarbles, "ccm_out",
+        _.emapConcat(col("children"), "cts"), Streaming.concatmapStream)
+    }
+  }
+
+  test("streaming switchmap matches batch emapSwitch across micro-batches") {
+    withRocksDb {
+      emapParity(chainMarbles, "sm_out",
+        _.emapSwitch(col("children"), "cts"), Streaming.switchmapStream)
     }
   }
 
