@@ -61,9 +61,11 @@ object Similarity {
     * dwarfed the actual scan (and would recompile per plan at scale).
     * The fold order (0 + x0·c0 + x1·c1 + …) is the same IEEE sequence
     * the DuckDB oracle executes. */
-  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val coef = lit((0 until dims).map(d => planeCoef(j, d).toDouble).toArray)
+      val coef = lit((0 until dims).map(d =>
+        planeCoef(planeOffset + j, d).toDouble).toArray)
       val proj = dot(vec, coef)
       when(proj > 0, 1L << j).otherwise(0L)
     }
@@ -554,6 +556,43 @@ object Similarity {
     val scored = pairs.select(
       col("x.id").as("a"), col("y.id").as("b"),
       (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("a", "rank", "b")
+  }
+
+  /**
+   * Multi-table LSH: L INDEPENDENT hyperplane sets (table t uses planes
+   * t·nPlanes .. t·nPlanes+nPlanes-1), candidates = pairs sharing ANY
+   * table's bucket. Recall compounds roughly as 1-(1-r)^L while
+   * candidate cost grows ~linearly in L — the classic training-free
+   * recall lever. Exactly-once float work: candidate pairs are
+   * dedup'd across tables BEFORE the cosine, so a pair caught by many
+   * tables is scored once.
+   *
+   * Scale shape: per-(table, bucket) groupBy (keyed shuffle), pair
+   * explosion inside buckets, one distinct (second keyed shuffle), one
+   * ranking window. No all-pairs term, no training, no driver state.
+   */
+  def topKLshMulti(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int, dims: Int, nTables: Int): DataFrame = {
+    val tables = array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        lshBucket(col(vecCol), nPlanes, dims, t * nPlanes).as("bucket"))): _*)
+    val bucketed = emb.select(col(idCol), col(vecCol), explode(tables).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val pairs = bucketed
+      .groupBy("t", "bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+    val scored = pairs.select(col("a"), col("b"),
+      (dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("cos"))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)

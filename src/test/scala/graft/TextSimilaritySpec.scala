@@ -184,6 +184,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.size == got.toSet.size)
   }
 
+  test("multi-table LSH: 1 table ≡ single-table; tables only add recall") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // table 0 uses plane offset 0, so L=1 degenerates to the single-table op
+    val one = rows(Similarity.topKLshMulti(emb, "vec_id", "embedding", 3, 4, 64, 1))
+    val single = rows(Similarity.topKLsh(emb, "vec_id", "embedding", 3, 4, 64))
+    assert(one == single)
+    // candidates are monotone in L, and top-k recall vs exact inherits that
+    val exact = rows(Similarity.topK(emb, "vec_id", "embedding", 3))
+      .map(t => (t._1, t._3))
+    def hits(tables: Int) =
+      rows(Similarity.topKLshMulti(emb, "vec_id", "embedding", 3, 4, 64, tables))
+        .map(t => (t._1, t._3)).intersect(exact).size
+    assert(hits(4) >= hits(2))
+    // exactly-once: no repeated (a, rank) keys
+    val got = Similarity.topKLshMulti(emb, "vec_id", "embedding", 3, 4, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.toSet.size)
+  }
+
   test("multimodal stub decode: schema and deterministic features") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(items, dims = 4)
