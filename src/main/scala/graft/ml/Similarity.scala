@@ -342,6 +342,18 @@ object Similarity {
    * over-weight crowded cells). Unassigned seeds keep (seed vector,
    * cnt 1): mean = the seed itself. Returns (cid, cq, cnt).
    */
+  /** Codebook-assignment score with a zero-norm guard: an all-zero
+    * centroid (possible when PQ trains on RESIDUALS — a singleton IVF
+    * cell's residual is exactly zero) scores 0 for every vector instead
+    * of 0/0, whose NaN-vs-NULL ordering diverges between engines. Where
+    * no zero centroid exists the guard never fires and the arithmetic
+    * is unchanged. */
+  private def cbScore(q: Column, cq: Column): Column = {
+    val qd = q.cast("array<double>")
+    val cd = cq.cast("array<double>")
+    when(dot(cd, cd) === lit(0.0), lit(0.0)).otherwise(dot(qd, cd) / norm(cd))
+  }
+
   private def pqCodebook(subQ: DataFrame, idCol: String, k: Int,
       iters: Int, subDim: Int): DataFrame = {
     var cents = subQ.orderBy(col(idCol)).limit(k)
@@ -349,9 +361,7 @@ object Similarity {
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val scored = subQ.crossJoin(broadcast(cents.select("cid", "cq")))
-        .withColumn("s",
-          dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-            norm(col("cq").cast("array<double>")))
+        .withColumn("s", cbScore(col("q"), col("cq")))
       val wV = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
       val assigned = scored.withColumn("__r", row_number().over(wV))
         .filter(col("__r") === 1)
@@ -436,9 +446,7 @@ object Similarity {
       val means = cb.select(col("cid"),
         transform(col("cq"), x => x.cast("double") / col("cnt")).as("mv"))
       val codes = subQ.crossJoin(broadcast(cb.select("cid", "cq")))
-        .withColumn("s",
-          dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-            norm(col("cq").cast("array<double>")))
+        .withColumn("s", cbScore(col("q"), col("cq")))
         .withColumn("__r", row_number().over(
           Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))))
         .filter(col("__r") === 1)
@@ -484,6 +492,170 @@ object Similarity {
     }
     val score = (0 until m).map(mi => col(s"t$mi")).reduce(_ + _) /
       (col("vna") * col("vnb"))
+    pairs.withColumn("pqcos", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))
+  }
+
+  /**
+   * Residual-encoded IVF-PQ top-k (the second half of Jégou et al. 2011
+   * §IV, FAISS's `IndexIVFPQ` default): PQ codebooks are trained on the
+   * RESIDUAL x − μ(cell(x)) instead of x itself. Residuals are far more
+   * isotropic than raw vectors (the IVF centroid has already absorbed
+   * the coarse structure), so the same m×pqK code budget spends its
+   * resolution on the part of x the cell id does not already encode.
+   *
+   * Determinism: the cell mean is the FLOOR-integer mean
+   * μ'[d] = floor(Σ q[d] / n) — distributed sums stay integer (exact,
+   * order-free) and the single floor-of-double-division is exact for
+   * the small rationals involved — so the residual q − μ' is an integer
+   * vector and the whole codebook pipeline reuses [[pqCodebook]]
+   * unchanged. Approximate dot uses the exact expansion
+   *   x̂a·x̂b = μ'a·μ'b + Σ_m (μ'a⊥cw_bm + μ'b⊥cw_am + cw_am·cw_bm)
+   * (cross-subspace codeword terms vanish: codewords live in disjoint
+   * subspaces), served from three broadcast table families: cell×cell
+   * (nCells²), cell×codeword (m·nCells·pqK), codeword×codeword
+   * (m·pqK²) — all tiny and training-time; pair scoring is 3m+1
+   * lookups, the float vector still never enters the cell shuffle.
+   */
+  def topKIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
+      m: Int, pqK: Int, pqIters: Int, rerank: Int = 0): DataFrame = {
+    val ranked = pqResidualRankedPairs(emb, idCol, vecCol,
+      nCells, kmIters, dims, nProbe, m, pqK, pqIters)
+    if (rerank <= 0)
+      ranked.filter(col("rank") <= k).select("a", "rank", "b")
+    else {
+      val short = ranked.filter(col("rank") <= rerank).select("a", "b")
+      val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+      val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      short.join(va, "a").join(vb, "b")
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select("a", "rank", "b")
+    }
+  }
+
+  /** All IVF candidates ranked by the residual-PQ table score.
+    * Mirrors [[pqRankedPairs]]; differs in the training input
+    * (integer residuals vs the home-cell floor mean) and the score
+    * (μμ + per-subspace μ·cw cross terms + cw·cw, fixed left-assoc
+    * order so the oracle replays the identical IEEE sequence). */
+  private def pqResidualRankedPairs(emb: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
+      m: Int, pqK: Int, pqIters: Int): DataFrame = {
+    val subDim = dims / m
+    val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
+
+    // train the coarse quantizer ONCE; assignment + probing reuse it
+    val cents = kmeansCentroids(embQ.select(col(idCol), col("qq").as("q")),
+      idCol, nCells, kmIters, dims)
+    val assign = ivfAssignFromCentroids(emb, idCol, vecCol, cents, nProbe)
+      .select(col(idCol), col("cell"), col("isHome"))
+    val home = assign.filter(col("isHome")).select(col(idCol), col("cell"))
+
+    // floor-integer cell means (exact in both engines; see Scaladoc)
+    val sumCols = (0 until dims).map(d => sum(element_at(col("qq"), d + 1)).as(s"s$d"))
+    val mu = embQ.join(home, idCol).groupBy("cell")
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select(col("cell"), array((0 until dims).map(d =>
+        floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("mu"))
+      .localCheckpoint(true)
+
+    // integer residual vs the HOME cell mean (zip_with is interpreted —
+    // fine for training; a codegen kernel would replace it at scale)
+    val resid = embQ.join(home, idCol).join(broadcast(mu), "cell")
+      .select(col(idCol), col("cell").as("hc"),
+        zip_with(col("qq"), col("mu"), (x, y) => x - y).as("rq"))
+      .localCheckpoint(true)
+
+    // cell×cell mean-dot table (nCells² rows, broadcast)
+    val tmm = mu.alias("l").crossJoin(broadcast(mu.alias("r")))
+      .select(col("l.cell").as("ha"), col("r.cell").as("hb"),
+        dot(col("l.mu").cast("array<double>"),
+          col("r.mu").cast("array<double>")).as("tmm"))
+      .localCheckpoint(true)
+
+    // per-subspace codebooks on residual slices + the two lookup tables
+    var codesWide: DataFrame = resid.select(col(idCol), col("hc"))
+    val ccT = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    val mcT = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    (0 until m).foreach { mi =>
+      val subR = resid.select(col(idCol),
+        slice(col("rq"), mi * subDim + 1, subDim).as("q"))
+      val cb = pqCodebook(subR, idCol, pqK, pqIters, subDim)
+      val means = cb.select(col("cid"),
+        transform(col("cq"), x => x.cast("double") / col("cnt")).as("mv"))
+        .localCheckpoint(true)
+      val codes = subR.crossJoin(broadcast(cb.select("cid", "cq")))
+        .withColumn("s", cbScore(col("q"), col("cq")))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))))
+        .filter(col("__r") === 1)
+        .select(col(idCol), col("cid").as(s"c$mi"))
+      codesWide = codesWide.join(codes, idCol)
+      ccT += means.alias("l").crossJoin(broadcast(means.alias("r")))
+        .select(col("l.cid").as("i"), col("r.cid").as("j"),
+          dot(col("l.mv"), col("r.mv")).as("t"))
+        .localCheckpoint(true)
+      mcT += mu.select(col("cell"),
+          slice(col("mu"), mi * subDim + 1, subDim).cast("array<double>").as("ms"))
+        .crossJoin(broadcast(means))
+        .select(col("cell"), col("cid").as("kc"),
+          dot(col("ms"), col("mv")).as("t"))
+        .localCheckpoint(true)
+    }
+
+    // per-vector approx norm ‖x̂‖ = √(μμ + Σ_m (μcw + μcw + cwcw)),
+    // summed in the same left-assoc order the pair score uses
+    var withVn = codesWide
+      .join(broadcast(tmm.filter(col("ha") === col("hb"))
+        .select(col("ha").as("hc"), col("tmm").as("nmm"))), "hc")
+    (0 until m).foreach { mi =>
+      withVn = withVn
+        .join(broadcast(mcT(mi).select(col("cell").as("hc"),
+          col("kc").as(s"c$mi"), col("t").as(s"nmc$mi"))), Seq("hc", s"c$mi"))
+        .join(broadcast(ccT(mi).filter(col("i") === col("j"))
+          .select(col("i").as(s"c$mi"), col("t").as(s"ncc$mi"))), s"c$mi")
+    }
+    val vn2 = (Seq(col("nmm")) ++ (0 until m).flatMap(mi =>
+      Seq(col(s"nmc$mi"), col(s"nmc$mi"), col(s"ncc$mi")))).reduce(_ + _)
+    val coded = withVn.withColumn("vn", sqrt(vn2))
+      .select(col(idCol) +: col("hc") +: col("vn") +:
+        (0 until m).map(mi => col(s"c$mi")): _*)
+
+    // exactly-once in-cell pair generation carrying codes, not vectors
+    val member = struct(
+      col(idCol).as("id") +: col("isHome") +: col("hc") +: col("vn") +:
+        (0 until m).map(mi => col(s"c$mi")): _*)
+    var pairs = assign.join(coded, idCol)
+      .groupBy("cell").agg(collect_list(member).as("ms"))
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
+      .select(Seq(
+        col("x.id").as("a"), col("y.id").as("b"),
+        col("x.hc").as("ha"), col("y.hc").as("hb"),
+        col("x.vn").as("vna"), col("y.vn").as("vnb")) ++
+        (0 until m).map(mi => col(s"x.c$mi").as(s"ca$mi")) ++
+        (0 until m).map(mi => col(s"y.c$mi").as(s"cb$mi")): _*)
+    pairs = pairs.join(broadcast(tmm), Seq("ha", "hb"))
+    (0 until m).foreach { mi =>
+      pairs = pairs
+        .join(broadcast(mcT(mi).select(col("cell").as("ha"),
+          col("kc").as(s"cb$mi"), col("t").as(s"tab$mi"))), Seq("ha", s"cb$mi"))
+        .join(broadcast(mcT(mi).select(col("cell").as("hb"),
+          col("kc").as(s"ca$mi"), col("t").as(s"tba$mi"))), Seq("hb", s"ca$mi"))
+        .join(broadcast(ccT(mi).select(col("i").as(s"ca$mi"),
+          col("j").as(s"cb$mi"), col("t").as(s"tcc$mi"))), Seq(s"ca$mi", s"cb$mi"))
+    }
+    val snum = (Seq(col("tmm")) ++ (0 until m).flatMap(mi =>
+      Seq(col(s"tab$mi"), col(s"tba$mi"), col(s"tcc$mi")))).reduce(_ + _)
+    val score = when(col("vna") * col("vnb") === lit(0.0), lit(0.0))
+      .otherwise(snum / (col("vna") * col("vnb")))
     pairs.withColumn("pqcos", score)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))

@@ -200,7 +200,11 @@ object NorthStarQueries {
     * diagonal, fixed-order sum). Requires sqlKmeansCtes's `kqe`. */
   private def sqlPqCtes(m: Int, subDim: Int, pqK: Int, iters: Int,
       qe: String = "kqe"): String = {
-    def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
+    // zero-norm guard mirrors Similarity.cbScore (all-zero RESIDUAL
+    // centroids are possible; NaN-vs-NULL 0/0 ordering diverges)
+    def score(q: String, c: String) =
+      s"CASE WHEN ${sqlDot(c, c)} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+        s"ELSE ${sqlDot(q, c)} / sqrt(${sqlDot(c, c)}) END"
     val sb = new StringBuilder
     for (mi <- 0 until m) {
       val lo = mi * subDim + 1
@@ -249,6 +253,48 @@ object NorthStarQueries {
     (0 until planes).map(j =>
       s"CASE WHEN ${sqlProj(off + j, "embedding")} > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+
+  /** Residual-PQ CTEs (Similarity.topKIvfPqResidual mirror). Requires
+    * sqlKmeansCtes's kqe/khome/kprobe; emits rsum/rmu (floor-integer
+    * cell means), rqe (integer residuals — feed to sqlPqCtes as `qe`);
+    * call AFTER sqlPqCtes to add rmm/rmc{mi}/rvn (the residual score
+    * tables + approx norms, same left-assoc sum order as the Spark
+    * side). */
+  private def sqlResidualPreCtes(): String = {
+    val sumList = (1 to DIMS).map(d => s"CAST(sum(e.q[$d]) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    "rsum AS MATERIALIZED (SELECT h.cell, " +
+      s"$sumList AS s, CAST(count(*) AS BIGINT) AS n " +
+      "FROM khome h JOIN kqe e USING (vec_id) GROUP BY h.cell), " +
+      "rmu AS MATERIALIZED (SELECT cell, list_transform(s, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT)) AS mu FROM rsum), " +
+      "rqe AS MATERIALIZED (SELECT e.vec_id, " +
+      "list_transform(list_zip(e.q, m.mu), p -> p[1] - p[2]) AS q " +
+      "FROM kqe e JOIN khome h USING (vec_id) JOIN rmu m ON m.cell = h.cell)"
+  }
+
+  private def sqlResidualTableCtes(m: Int, subDim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "rmm AS MATERIALIZED (SELECT l.cell AS ha, r.cell AS hb, " +
+      s"${sqlDot("l.mu", "r.mu")} AS t FROM rmu l, rmu r), "
+    for (mi <- 0 until m) {
+      val lo = mi * subDim + 1
+      val hi = (mi + 1) * subDim
+      sb ++= s"rmc$mi AS MATERIALIZED (SELECT c.cell, k.cid AS kc, " +
+        s"${sqlDot(s"c.mu[$lo:$hi]", "k.mv")} AS t FROM rmu c, pm$mi k), "
+    }
+    val vnSum = "mm.t" + (0 until m).map(mi =>
+      s" + mc$mi.t + mc$mi.t + cc$mi.t").mkString
+    sb ++= "rvn AS MATERIALIZED (SELECT p.vec_id, h.cell AS hc, " +
+      s"sqrt($vnSum) AS vn FROM pcod p " +
+      "JOIN khome h ON h.vec_id = p.vec_id " +
+      "JOIN rmm mm ON mm.ha = h.cell AND mm.hb = h.cell " +
+      (0 until m).map(mi =>
+        s"JOIN rmc$mi mc$mi ON mc$mi.cell = h.cell AND mc$mi.kc = p.c$mi " +
+          s"JOIN pt$mi cc$mi ON cc$mi.i = p.c$mi AND cc$mi.j = p.c$mi")
+        .mkString(" ") + ")"
+    sb.result()
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
@@ -967,6 +1013,49 @@ object NorthStarQueries {
         s"PARTITION BY s.a ORDER BY ${sqlCos("ea.embedding", "eb.embedding")} DESC, s.b) AS rank " +
         "FROM pshort s JOIN embeddings ea ON ea.vec_id = s.a " +
         "JOIN embeddings eb ON eb.vec_id = s.b) WHERE rank <= 3 ORDER BY a, rank"),
+
+    Q("q_ann_pq_residual",
+      // Residual-encoded IVF-PQ (Jégou et al. 2011 §IV, the FAISS
+      // IndexIVFPQ default): codebooks train on x − μ'(home cell)
+      // (floor-integer mean keeps every distributed sum integer-exact);
+      // pair scoring expands x̂a·x̂b = μμ + Σ_m (μ·cw + μ·cw + cw·cw)
+      // from three broadcast table families, so the float vector still
+      // never enters the cell shuffle. Probe-measured on THIS fixture:
+      // recall parity with raw-PQ q_ann_pq (0.10 vs 0.11 ADC, 0.47
+      // both at rerank-48) — the synthetic embeddings are near-
+      // isotropic, so the centroid absorbs little structure; on real
+      // clustered corpora residual encoding is the standard win.
+      (s, d) => Similarity.topKIvfPqResidual(emb(s, d), "vec_id", "embedding", 3,
+          16, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
+        .orderBy("a", "rank"),
+      {
+        val snum = "mm.t" + (0 until PQ_M).map(mi =>
+          s" + ab$mi.t + ba$mi.t + cc$mi.t").mkString
+        s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS)}, " +
+          s"${sqlResidualPreCtes()}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe")}, " +
+          s"${sqlResidualTableCtes(PQ_M, DIMS / PQ_M)}, " +
+          "rpair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, " +
+          "CASE WHEN la.vn * rb.vn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+          s"ELSE ($snum) / (la.vn * rb.vn) END AS pqcos " +
+          "FROM kprobe l JOIN khome r ON l.cell = r.cell AND l.vec_id <> r.vec_id " +
+          "JOIN khome hl ON hl.vec_id = l.vec_id " +
+          "JOIN pcod ca ON ca.vec_id = l.vec_id JOIN pcod cb ON cb.vec_id = r.vec_id " +
+          "JOIN rvn la ON la.vec_id = l.vec_id JOIN rvn rb ON rb.vec_id = r.vec_id " +
+          "JOIN rmm mm ON mm.ha = hl.cell AND mm.hb = r.cell " +
+          (0 until PQ_M).map(mi =>
+            s"JOIN rmc$mi ab$mi ON ab$mi.cell = hl.cell AND ab$mi.kc = cb.c$mi " +
+              s"JOIN rmc$mi ba$mi ON ba$mi.cell = r.cell AND ba$mi.kc = ca.c$mi " +
+              s"JOIN pt$mi cc$mi ON cc$mi.i = ca.c$mi AND cc$mi.j = cb.c$mi")
+            .mkString(" ") + "), " +
+          "rshort AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, " +
+          "row_number() OVER (PARTITION BY a ORDER BY pqcos DESC, b) AS r " +
+          s"FROM rpair) WHERE r <= $PQ_RERANK) " +
+          "SELECT a, rank, b FROM (SELECT s.a, s.b, row_number() OVER (" +
+          s"PARTITION BY s.a ORDER BY ${sqlCos("ea.embedding", "eb.embedding")} DESC, s.b) AS rank " +
+          "FROM rshort s JOIN embeddings ea ON ea.vec_id = s.a " +
+          "JOIN embeddings eb ON eb.vec_id = s.b) WHERE rank <= 3 ORDER BY a, rank"
+      }),
 
     Q("q_ann_lsh",
       (s, d) => Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)

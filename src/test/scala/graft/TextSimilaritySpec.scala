@@ -205,6 +205,24 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.size == got.toSet.size)
   }
 
+  test("residual PQ: exactly-once keys; unbounded rerank ≡ exact IVF") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val res = Similarity.topKIvfPqResidual(emb, "vec_id", "embedding", 3,
+      16, 2, 64, 4, 8, 16, 1, 48)
+    val keys = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(keys.size == keys.toSet.size)
+    // with the shortlist wider than any candidate set, the PQ score only
+    // orders the shortlist — exact rerank must reproduce the exact-cosine
+    // IVF result over the identical candidate pairs
+    val wide = rows(Similarity.topKIvfPqResidual(emb, "vec_id", "embedding", 3,
+      16, 2, 64, 4, 8, 16, 1, 1 << 20))
+    val ivf = rows(Similarity.topKIvfKmeans(emb, "vec_id", "embedding", 3,
+      16, 2, 64, 4))
+    assert(wide == ivf)
+  }
+
   test("multimodal stub decode: schema and deterministic features") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(items, dims = 4)
