@@ -539,6 +539,16 @@ object Similarity {
     }
   }
 
+  /** The residual-PQ shortlist (a, b) at `shortK` per query — the pairs
+    * whose float vectors a residual-PQ+rerank query actually touches
+    * (the config's honest exact-scored cost, as [[ivfPqShortlist]]). */
+  def ivfPqResidualShortlist(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
+      m: Int, pqK: Int, pqIters: Int, shortK: Int): DataFrame =
+    pqResidualRankedPairs(emb, idCol, vecCol, nCells, kmIters, dims, nProbe,
+      m, pqK, pqIters)
+      .filter(col("rank") <= shortK).select("a", "b")
+
   /** All IVF candidates ranked by the residual-PQ table score.
     * Mirrors [[pqRankedPairs]]; differs in the training input
     * (integer residuals vs the home-cell floor mean) and the score

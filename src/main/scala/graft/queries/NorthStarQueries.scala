@@ -199,7 +199,7 @@ object NorthStarQueries {
     * pcod (codes pivoted wide) and pvn (approx norm from the table
     * diagonal, fixed-order sum). Requires sqlKmeansCtes's `kqe`. */
   private def sqlPqCtes(m: Int, subDim: Int, pqK: Int, iters: Int,
-      qe: String = "kqe"): String = {
+      qe: String = "kqe", pfx: String = "p"): String = {
     // zero-norm guard mirrors Similarity.cbScore (all-zero RESIDUAL
     // centroids are possible; NaN-vs-NULL 0/0 ordering diverges)
     def score(q: String, c: String) =
@@ -211,33 +211,33 @@ object NorthStarQueries {
       val hi = (mi + 1) * subDim
       val sumList = (1 to subDim).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
         .mkString("[", ", ", "]")
-      sb ++= s"pe$mi AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM $qe), "
-      sb ++= s"pc${mi}_0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cq, CAST(1 AS BIGINT) AS cnt " +
-        s"FROM pe$mi ORDER BY vec_id LIMIT $pqK), "
+      sb ++= s"${pfx}e$mi AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM $qe), "
+      sb ++= s"${pfx}c${mi}_0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cq, CAST(1 AS BIGINT) AS cnt " +
+        s"FROM ${pfx}e$mi ORDER BY vec_id LIMIT $pqK), "
       for (t <- 0 until iters) {
-        sb ++= s"pa${mi}_$t AS MATERIALIZED (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
+        sb ++= s"${pfx}a${mi}_$t AS MATERIALIZED (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
           s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS r " +
-          s"FROM pe$mi e, pc${mi}_$t c) WHERE r = 1), "
-        sb ++= s"ps${mi}_$t AS MATERIALIZED (SELECT cell, $sumList AS nq, CAST(count(*) AS BIGINT) AS n " +
-          s"FROM pa${mi}_$t GROUP BY cell), "
-        sb ++= s"pc${mi}_${t + 1} AS MATERIALIZED (SELECT c.cid, coalesce(s.nq, c.cq) AS cq, " +
-          s"coalesce(s.n, c.cnt) AS cnt FROM pc${mi}_$t c LEFT JOIN ps${mi}_$t s ON c.cid = s.cell), "
+          s"FROM ${pfx}e$mi e, ${pfx}c${mi}_$t c) WHERE r = 1), "
+        sb ++= s"${pfx}s${mi}_$t AS MATERIALIZED (SELECT cell, $sumList AS nq, CAST(count(*) AS BIGINT) AS n " +
+          s"FROM ${pfx}a${mi}_$t GROUP BY cell), "
+        sb ++= s"${pfx}c${mi}_${t + 1} AS MATERIALIZED (SELECT c.cid, coalesce(s.nq, c.cq) AS cq, " +
+          s"coalesce(s.n, c.cnt) AS cnt FROM ${pfx}c${mi}_$t c LEFT JOIN ${pfx}s${mi}_$t s ON c.cid = s.cell), "
       }
-      sb ++= s"pm$mi AS MATERIALIZED (SELECT cid, list_transform(cq, x -> CAST(x AS DOUBLE) / cnt) AS mv " +
-        s"FROM pc${mi}_$iters), "
-      sb ++= s"pk$mi AS MATERIALIZED (SELECT vec_id, cid AS c$mi FROM (SELECT e.vec_id, c.cid, " +
+      sb ++= s"${pfx}m$mi AS MATERIALIZED (SELECT cid, list_transform(cq, x -> CAST(x AS DOUBLE) / cnt) AS mv " +
+        s"FROM ${pfx}c${mi}_$iters), "
+      sb ++= s"${pfx}k$mi AS MATERIALIZED (SELECT vec_id, cid AS c$mi FROM (SELECT e.vec_id, c.cid, " +
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS r " +
-        s"FROM pe$mi e, pc${mi}_$iters c) WHERE r = 1), "
-      sb ++= s"pt$mi AS MATERIALIZED (SELECT l.cid AS i, r.cid AS j, ${sqlDot("l.mv", "r.mv")} AS t " +
-        s"FROM pm$mi l, pm$mi r), "
+        s"FROM ${pfx}e$mi e, ${pfx}c${mi}_$iters c) WHERE r = 1), "
+      sb ++= s"${pfx}t$mi AS MATERIALIZED (SELECT l.cid AS i, r.cid AS j, ${sqlDot("l.mv", "r.mv")} AS t " +
+        s"FROM ${pfx}m$mi l, ${pfx}m$mi r), "
     }
-    sb ++= "pcod AS MATERIALIZED (SELECT pk0.vec_id, " +
-      (0 until m).map(mi => s"c$mi").mkString(", ") + " FROM pk0 " +
-      (1 until m).map(mi => s"JOIN pk$mi USING (vec_id)").mkString(" ") + "), "
-    sb ++= "pvn AS MATERIALIZED (SELECT p.vec_id, sqrt(" +
-      (0 until m).map(mi => s"d$mi.t").mkString(" + ") + ") AS vn FROM pcod p " +
+    sb ++= s"${pfx}cod AS MATERIALIZED (SELECT ${pfx}k0.vec_id, " +
+      (0 until m).map(mi => s"c$mi").mkString(", ") + s" FROM ${pfx}k0 " +
+      (1 until m).map(mi => s"JOIN ${pfx}k$mi USING (vec_id)").mkString(" ") + "), "
+    sb ++= s"${pfx}vn AS MATERIALIZED (SELECT p.vec_id, sqrt(" +
+      (0 until m).map(mi => s"d$mi.t").mkString(" + ") + s") AS vn FROM ${pfx}cod p " +
       (0 until m).map(mi =>
-        s"JOIN pt$mi d$mi ON d$mi.i = p.c$mi AND d$mi.j = p.c$mi").mkString(" ") + ")"
+        s"JOIN ${pfx}t$mi d$mi ON d$mi.i = p.c$mi AND d$mi.j = p.c$mi").mkString(" ") + ")"
     sb.result()
   }
 
@@ -260,20 +260,21 @@ object NorthStarQueries {
     * call AFTER sqlPqCtes to add rmm/rmc{mi}/rvn (the residual score
     * tables + approx norms, same left-assoc sum order as the Spark
     * side). */
-  private def sqlResidualPreCtes(): String = {
+  private def sqlResidualPreCtes(kpfx: String = "k"): String = {
     val sumList = (1 to DIMS).map(d => s"CAST(sum(e.q[$d]) AS BIGINT)")
       .mkString("[", ", ", "]")
     "rsum AS MATERIALIZED (SELECT h.cell, " +
       s"$sumList AS s, CAST(count(*) AS BIGINT) AS n " +
-      "FROM khome h JOIN kqe e USING (vec_id) GROUP BY h.cell), " +
+      s"FROM ${kpfx}home h JOIN ${kpfx}qe e USING (vec_id) GROUP BY h.cell), " +
       "rmu AS MATERIALIZED (SELECT cell, list_transform(s, " +
       "x -> CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT)) AS mu FROM rsum), " +
       "rqe AS MATERIALIZED (SELECT e.vec_id, " +
       "list_transform(list_zip(e.q, m.mu), p -> p[1] - p[2]) AS q " +
-      "FROM kqe e JOIN khome h USING (vec_id) JOIN rmu m ON m.cell = h.cell)"
+      s"FROM ${kpfx}qe e JOIN ${kpfx}home h USING (vec_id) JOIN rmu m ON m.cell = h.cell)"
   }
 
-  private def sqlResidualTableCtes(m: Int, subDim: Int): String = {
+  private def sqlResidualTableCtes(m: Int, subDim: Int,
+      pfx: String = "p", kpfx: String = "k"): String = {
     val sb = new StringBuilder
     sb ++= "rmm AS MATERIALIZED (SELECT l.cell AS ha, r.cell AS hb, " +
       s"${sqlDot("l.mu", "r.mu")} AS t FROM rmu l, rmu r), "
@@ -281,17 +282,17 @@ object NorthStarQueries {
       val lo = mi * subDim + 1
       val hi = (mi + 1) * subDim
       sb ++= s"rmc$mi AS MATERIALIZED (SELECT c.cell, k.cid AS kc, " +
-        s"${sqlDot(s"c.mu[$lo:$hi]", "k.mv")} AS t FROM rmu c, pm$mi k), "
+        s"${sqlDot(s"c.mu[$lo:$hi]", "k.mv")} AS t FROM rmu c, ${pfx}m$mi k), "
     }
     val vnSum = "mm.t" + (0 until m).map(mi =>
       s" + mc$mi.t + mc$mi.t + cc$mi.t").mkString
     sb ++= "rvn AS MATERIALIZED (SELECT p.vec_id, h.cell AS hc, " +
-      s"sqrt($vnSum) AS vn FROM pcod p " +
-      "JOIN khome h ON h.vec_id = p.vec_id " +
+      s"sqrt($vnSum) AS vn FROM ${pfx}cod p " +
+      s"JOIN ${kpfx}home h ON h.vec_id = p.vec_id " +
       "JOIN rmm mm ON mm.ha = h.cell AND mm.hb = h.cell " +
       (0 until m).map(mi =>
         s"JOIN rmc$mi mc$mi ON mc$mi.cell = h.cell AND mc$mi.kc = p.c$mi " +
-          s"JOIN pt$mi cc$mi ON cc$mi.i = p.c$mi AND cc$mi.j = p.c$mi")
+          s"JOIN ${pfx}t$mi cc$mi ON cc$mi.i = p.c$mi AND cc$mi.j = p.c$mi")
         .mkString(" ") + ")"
     sb.result()
   }
@@ -1351,7 +1352,34 @@ object NorthStarQueries {
               PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).select("a", "b"),
             Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS, DIMS, 4,
               PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
-              .agg(count(lit(1)).as("n_cands"))))
+              .agg(count(lit(1)).as("n_cands"))),
+          // residual-encoded PQ at the same (cells, probes, rerank)
+          // operating point — n_cands is its own exact-scored shortlist
+          cfgRow("ivf_pq_res", PQ_RERANK, 4,
+            Similarity.topKIvfPqResidual(e, id, v, 3, 16, KM_ITERS, DIMS, 4,
+              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).select("a", "b"),
+            Similarity.ivfPqResidualShortlist(e, id, v, 16, KM_ITERS, DIMS, 4,
+              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
+              .agg(count(lit(1)).as("n_cands"))),
+          // multi-table LSH: training-free recall lever; n_cands is the
+          // cross-table-dedup'd scored-pair count
+          cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES,
+            Similarity.topKLshMulti(e, id, v, 3, LSHM_PLANES, DIMS, LSHM_TABLES)
+              .select("a", "b"),
+            {
+              val mtb = e.select(col("vec_id"),
+                explode(array((0 until LSHM_TABLES).map(t =>
+                  struct(lit(t).as("t"),
+                    Similarity.lshBucket(col("embedding"), LSHM_PLANES, DIMS,
+                      t * LSHM_PLANES).as("bucket"))): _*)).as("tb"))
+                .select(col("vec_id"), col("tb.t").as("t"),
+                  col("tb.bucket").as("bucket"))
+              mtb.as("l").join(mtb.as("r"), Seq("t", "bucket"))
+                .filter(col("l.vec_id") =!= col("r.vec_id"))
+                .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+                .distinct()
+                .agg(count(lit(1)).as("n_cands"))
+            }))
         rows.reduce(_.unionByName(_)).crossJoin(nE)
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
@@ -1407,6 +1435,43 @@ object NorthStarQueries {
           "FROM pshort s JOIN embeddings ea ON ea.vec_id = s.a " +
           "JOIN embeddings eb ON eb.vec_id = s.b) WHERE rank <= 3), " +
           "cp AS (SELECT CAST(count(*) AS BIGINT) AS n_cands FROM pshort), " +
+          // residual-PQ at the same (16, 4, rerank) point: residuals vs
+          // the u-kmeans home cells, z-prefixed codebook instance
+          s"${sqlResidualPreCtes("u")}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", pfx = "z")}, " +
+          s"${sqlResidualTableCtes(PQ_M, DIMS / PQ_M, pfx = "z", kpfx = "u")}, " +
+          "zpair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, " +
+          "CASE WHEN la.vn * rb.vn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+          s"ELSE (${"mm.t" + (0 until PQ_M).map(mi => s" + ab$mi.t + ba$mi.t + cc$mi.t").mkString}) " +
+          "/ (la.vn * rb.vn) END AS pqcos " +
+          "FROM uprobe l JOIN uhome r ON l.cell = r.cell AND l.vec_id <> r.vec_id " +
+          "JOIN uhome hl ON hl.vec_id = l.vec_id " +
+          "JOIN zcod ca ON ca.vec_id = l.vec_id JOIN zcod cb ON cb.vec_id = r.vec_id " +
+          "JOIN rvn la ON la.vec_id = l.vec_id JOIN rvn rb ON rb.vec_id = r.vec_id " +
+          "JOIN rmm mm ON mm.ha = hl.cell AND mm.hb = r.cell " +
+          (0 until PQ_M).map(mi =>
+            s"JOIN rmc$mi ab$mi ON ab$mi.cell = hl.cell AND ab$mi.kc = cb.c$mi " +
+              s"JOIN rmc$mi ba$mi ON ba$mi.cell = r.cell AND ba$mi.kc = ca.c$mi " +
+              s"JOIN zt$mi cc$mi ON cc$mi.i = ca.c$mi AND cc$mi.j = cb.c$mi")
+            .mkString(" ") + "), " +
+          "zshort AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER (" +
+          s"PARTITION BY a ORDER BY pqcos DESC, b) AS r FROM zpair) WHERE r <= $PQ_RERANK), " +
+          "lvz AS (SELECT a, b FROM (SELECT s.a, s.b, row_number() OVER (" +
+          s"PARTITION BY s.a ORDER BY ${sqlCos("ea.embedding", "eb.embedding")} DESC, s.b) AS rank " +
+          "FROM zshort s JOIN embeddings ea ON ea.vec_id = s.a " +
+          "JOIN embeddings eb ON eb.vec_id = s.b) WHERE rank <= 3), " +
+          "cz AS (SELECT CAST(count(*) AS BIGINT) AS n_cands FROM zshort), " +
+          // multi-table LSH: candidates dedup'd across tables
+          (0 until LSHM_TABLES).map(t =>
+            s"SELECT vec_id, $t AS t, ${sqlBucket(LSHM_PLANES, t * LSHM_PLANES)} AS bucket FROM embeddings")
+            .mkString("mbt AS MATERIALIZED (", " UNION ALL ", "), ") +
+          "mcand AS MATERIALIZED (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b " +
+          "FROM mbt l JOIN mbt r USING (t, bucket) WHERE l.vec_id <> r.vec_id), " +
+          "lsmu AS (SELECT a, b FROM (SELECT c.a, c.b, row_number() OVER (" +
+          s"PARTITION BY c.a ORDER BY ${sqlCos("ea.embedding", "eb.embedding")} DESC, c.b) AS rank " +
+          "FROM mcand c JOIN embeddings ea ON ea.vec_id = c.a " +
+          "JOIN embeddings eb ON eb.vec_id = c.b) WHERE rank <= 3), " +
+          "cmu AS (SELECT CAST(count(*) AS BIGINT) AS n_cands FROM mcand), " +
           "nn AS (SELECT count(*) AS n FROM embeddings), " +
           "e AS (SELECT count(*) AS n_exact FROM ex), " +
           "clsh AS (SELECT CAST(sum(c*(c-1)) AS BIGINT) AS n_cands FROM " +
@@ -1430,7 +1495,9 @@ object NorthStarQueries {
           "h7 AS (SELECT count(*) AS n_hits FROM ex JOIN lvu USING (a, b)), " +
           "h8 AS (SELECT count(*) AS n_hits FROM ex JOIN lvp USING (a, b)), " +
           "h9 AS (SELECT count(*) AS n_hits FROM ex JOIN lvw USING (a, b)), " +
-          "h10 AS (SELECT count(*) AS n_hits FROM ex JOIN lvy USING (a, b)) " +
+          "h10 AS (SELECT count(*) AS n_hits FROM ex JOIN lvy USING (a, b)), " +
+          "h11 AS (SELECT count(*) AS n_hits FROM ex JOIN lvz USING (a, b)), " +
+          "h12 AS (SELECT count(*) AS n_hits FROM ex JOIN lsmu USING (a, b)) " +
           "SELECT method, param, probes, n_hits, n_cands, " +
           "CAST(n_hits AS DOUBLE) / CAST((SELECT n_exact FROM e) AS DOUBLE) AS recall FROM (" +
           s"SELECT 'lsh' AS method, CAST($PLANES AS BIGINT) AS param, CAST(0 AS BIGINT) AS probes, n_hits, n_cands FROM h1, clsh " +
@@ -1442,7 +1509,9 @@ object NorthStarQueries {
           "UNION ALL SELECT 'ivf_kmeans', 16, 4, n_hits, n_cands FROM h7, cu " +
           "UNION ALL SELECT 'ivf_kmeans', 64, 16, n_hits, n_cands FROM h9, cw " +
           "UNION ALL SELECT 'ivf_kmeans', 64, 20, n_hits, n_cands FROM h10, cy " +
-          s"UNION ALL SELECT 'ivf_pq', $PQ_RERANK, 4, n_hits, n_cands FROM h8, cp" +
+          s"UNION ALL SELECT 'ivf_pq', $PQ_RERANK, 4, n_hits, n_cands FROM h8, cp " +
+          s"UNION ALL SELECT 'ivf_pq_res', $PQ_RERANK, 4, n_hits, n_cands FROM h11, cz " +
+          s"UNION ALL SELECT 'lsh_multi', $LSHM_PLANES, $LSHM_TABLES, n_hits, n_cands FROM h12, cmu" +
           ") ORDER BY method, param, probes"
       }),
 
