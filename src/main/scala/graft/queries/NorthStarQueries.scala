@@ -5,6 +5,7 @@ import graft.ml.Similarity
 import graft.multimodal.Multimodal
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -1513,6 +1514,102 @@ object NorthStarQueries {
           s"UNION ALL SELECT 'ivf_pq_res', $PQ_RERANK, 4, n_hits, n_cands FROM h11, cz " +
           s"UNION ALL SELECT 'lsh_multi', $LSHM_PLANES, $LSHM_TABLES, n_hits, n_cands FROM h12, cmu" +
           ") ORDER BY method, param, probes"
+      }),
+
+    Q("q_knn_eval",
+      // Leave-one-out 3-NN label accuracy over the embeddings — the
+      // eval-set diagnostic a curation run uses to check an embedding
+      // space against a labeled sample. Vote = majority of the 3
+      // nearest labels, ties broken by best (nearest) rank then lowest
+      // label — fully deterministic. The exact-neighbor side is the
+      // O(n²) measurement harness (like q_ann_recall): at 100 TB it
+      // runs on the labeled eval sample, not the corpus; the serving
+      // path would feed the same vote from any bucketed top-k
+      // (topKFromAssign / topKLshMulti) unchanged.
+      (s, d) => {
+        val e = emb(s, d)
+        val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
+        val nbr = Similarity.topK(e, "vec_id", "embedding", 3)
+        val votes = nbr
+          .join(lbl.select(col("vec_id").as("b"), col("label").as("nlabel")), "b")
+          .groupBy("a", "nlabel")
+          .agg(count(lit(1)).as("cnt"), min(col("rank")).as("best"))
+        val wV = Window.partitionBy(col("a"))
+          .orderBy(col("cnt").desc, col("best"), col("nlabel"))
+        val pred = votes.withColumn("__r", row_number().over(wV))
+          .filter(col("__r") === 1)
+          .select(col("a").as("vec_id"), col("nlabel").as("pred"))
+        pred.join(lbl, "vec_id")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+          .withColumn("accuracy",
+            col("n_correct").cast("double") / col("n").cast("double"))
+          .orderBy("label")
+      },
+      "WITH nb AS (SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+        "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), " +
+        "v AS (SELECT nb.a, l.label AS nlabel, count(*) AS cnt, min(nb.rank) AS best " +
+        "FROM nb JOIN lb l ON l.vec_id = nb.b GROUP BY nb.a, l.label), " +
+        "p AS (SELECT a AS vec_id, nlabel AS pred FROM (SELECT a, nlabel, " +
+        "row_number() OVER (PARTITION BY a ORDER BY cnt DESC, best, nlabel) AS r FROM v) " +
+        "WHERE r = 1) " +
+        "SELECT l.label, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS accuracy " +
+        "FROM p JOIN lb l USING (vec_id) GROUP BY l.label ORDER BY label"),
+
+    Q("q_label_purity",
+      // Centroid-classifier purity: one INTEGER-SUM centroid per label
+      // (cosine is scale-invariant, so sums ≡ means — the same trick as
+      // the k-means path, zero divisions), every vector assigned to its
+      // argmax-cosine label centroid, per-label purity = fraction that
+      // come home. Unlike q_knn_eval this is the fully scalable shape:
+      // one map-side-combined groupBy for the 10-row centroid table,
+      // one broadcast scan for assignment — no pair term anywhere.
+      (s, d) => {
+        val e = emb(s, d)
+        val embQ = e.select(col("vec_id"), col("label").cast("long").as("label"),
+          Similarity.quantize(col("embedding")).as("q"))
+        val sumCols = (0 until DIMS).map(d2 =>
+          sum(element_at(col("q"), d2 + 1)).as(s"s$d2"))
+        val cents = embQ.groupBy("label")
+          .agg(sumCols.head, sumCols.tail: _*)
+          .select(col("label").as("clabel"),
+            array((0 until DIMS).map(d2 => col(s"s$d2")): _*).as("cq"))
+        val scored = embQ.crossJoin(broadcast(cents))
+          .withColumn("s",
+            Similarity.dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
+              Similarity.norm(col("cq").cast("array<double>")))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("s").desc, col("clabel"))
+        scored.withColumn("__r", row_number().over(wA)).filter(col("__r") === 1)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("clabel") === col("label"), 1L).otherwise(0L)).as("n_pure"))
+          .withColumn("purity",
+            col("n_pure").cast("double") / col("n").cast("double"))
+          .orderBy("label")
+      },
+      {
+        val sumList = (1 to DIMS).map(d2 => s"CAST(sum(q[$d2]) AS BIGINT)")
+          .mkString("[", ", ", "]")
+        "WITH qe AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+          "list_transform(embedding, " +
+          s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
+          "FROM embeddings), " +
+          s"ce AS (SELECT label AS clabel, $sumList AS cq FROM qe GROUP BY label), " +
+          "asg AS (SELECT vec_id, label, clabel FROM (SELECT e.vec_id, e.label, c.clabel, " +
+          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.q", "c.cq")} / sqrt(${sqlDot("c.cq", "c.cq")}) DESC, c.clabel) AS r " +
+          "FROM qe e, ce c) WHERE r = 1) " +
+          "SELECT label, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_pure, " +
+          "CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS purity " +
+          "FROM asg GROUP BY label ORDER BY label"
       }),
 
     // ---------------- multimodal (opaque binary + typed metadata) ----------
