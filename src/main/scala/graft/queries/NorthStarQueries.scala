@@ -46,6 +46,7 @@ object NorthStarQueries {
   private val SPAN = 10        // span dedup width (tokens, non-overlapping)
   private val DSIR_B = 256     // DSIR hashed-feature buckets
   private val PACK_L = 32      // packed training-sequence length (tokens)
+  private val BPE_MERGES = 8   // BPE training rounds (q_bpe_train)
   private val LSHM_PLANES = 4  // multi-table LSH: planes per table
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
@@ -254,6 +255,43 @@ object NorthStarQueries {
     (0 until planes).map(j =>
       s"CASE WHEN ${sqlProj(off + j, "embedding")} > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+
+  /** BPE merge-learning CTEs (TextOps.bpeTrain mirror): s0 = one row
+    * per character, then `nMerges` unrolled rounds of pair-count →
+    * deterministic argmax → gaps-and-islands non-overlap rewrite. */
+  private def sqlBpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"$DOC_TOKS, "
+    sb ++= "wd AS (SELECT doc_id, unnest(toks) AS word, " +
+      "unnest(range(1, len(toks) + 1)) AS widx FROM tok), "
+    sb ++= "cp AS (SELECT doc_id, widx, word, " +
+      "unnest(range(1, length(word) + 1)) AS pos FROM wd), "
+    sb ++= "s0 AS MATERIALIZED (SELECT doc_id, CAST(widx AS BIGINT) AS widx, " +
+      "CAST(pos AS BIGINT) AS pos, substr(word, CAST(pos AS INT), 1) AS sym FROM cp), "
+    for (t <- 0 until nMerges) {
+      sb ++= s"m$t AS MATERIALIZED (SELECT doc_id, widx, pos, sym, " +
+        s"lead(sym) OVER (PARTITION BY doc_id, widx ORDER BY pos) AS nxt FROM s$t), "
+      sb ++= s"b$t AS MATERIALIZED (SELECT l, r, c FROM (SELECT sym AS l, nxt AS r, " +
+        "CAST(count(*) AS BIGINT) AS c, " +
+        "row_number() OVER (ORDER BY count(*) DESC, sym, nxt) AS rk " +
+        s"FROM m$t WHERE nxt IS NOT NULL GROUP BY sym, nxt) WHERE rk = 1), "
+      sb ++= s"f$t AS (SELECT m.doc_id, m.widx, m.pos, m.sym, m.nxt, " +
+        s"(m.sym = b.l AND m.nxt = b.r) AS ism FROM m$t m, b$t b), "
+      sb ++= s"g$t AS (SELECT *, CASE WHEN ism THEN pos - " +
+        "row_number() OVER (PARTITION BY doc_id, widx, ism ORDER BY pos) END AS isl " +
+        s"FROM f$t), "
+      sb ++= s"a$t AS (SELECT *, CASE WHEN ism THEN ((pos - " +
+        "min(pos) OVER (PARTITION BY doc_id, widx, isl)) % 2 = 0) " +
+        s"ELSE FALSE END AS app FROM g$t), "
+      sb ++= s"s${t + 1} AS MATERIALIZED (SELECT doc_id, widx, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id, widx ORDER BY pos) AS BIGINT) AS pos, " +
+        "CASE WHEN app THEN sym || nxt ELSE sym END AS sym FROM (SELECT *, " +
+        "coalesce(lag(app) OVER (PARTITION BY doc_id, widx ORDER BY pos), FALSE) AS cons " +
+        s"FROM a$t) WHERE NOT cons), "
+    }
+    val out = sb.result()
+    out.substring(0, out.length - 2)
+  }
 
   /** Residual-PQ CTEs (Similarity.topKIvfPqResidual mirror). Requires
     * sqlKmeansCtes's kqe/khome/kprobe; emits rsum/rmu (floor-integer
@@ -1515,6 +1553,20 @@ object NorthStarQueries {
           s"UNION ALL SELECT 'lsh_multi', $LSHM_PLANES, $LSHM_TABLES, n_hits, n_cands FROM h12, cmu" +
           ") ORDER BY method, param, probes"
       }),
+
+    Q("q_bpe_train",
+      // Tokenizer TRAINING on the cluster: 8 BPE merge rounds learned
+      // from the corpus (Sennrich et al. 2016), output = the merge
+      // table a tokenizer ships. All-integer counts, deterministic
+      // argmax, unrolled rounds — see TextOps.bpeTrain.
+      (s, d) => TextOps.bpeTrain(docs(s, d), "doc_id", "text", BPE_MERGES)
+        .orderBy("step"),
+      s"WITH ${sqlBpeCtes(BPE_MERGES)} " +
+        "SELECT step, lhs, rhs, pair_count FROM (" +
+        (0 until BPE_MERGES).map(t =>
+          s"SELECT CAST(${t + 1} AS BIGINT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$t")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY step"),
 
     Q("q_knn_eval",
       // Leave-one-out 3-NN label accuracy over the embeddings — the

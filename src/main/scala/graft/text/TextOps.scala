@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -588,5 +589,75 @@ object TextOps {
         sum(col("__c") * col("__raw")).as("w_den"))
       .select(col(idCol), col("w_num"), col("w_den"),
         (col("w_num").cast("double") / col("w_den").cast("double")).as("weight"))
+  }
+
+  /**
+   * BPE merge-rule learning (Sennrich et al. 2016, "Neural Machine
+   * Translation of Rare Words with Subword Units") — tokenizer TRAINING
+   * as a distributed query, not just tokenization. Words start as
+   * character sequences; each round counts adjacent symbol pairs over
+   * the whole corpus, picks the most frequent (ties → lexicographically
+   * smallest pair, fully deterministic), and rewrites every word with
+   * the merged symbol. Left-to-right non-overlap on runs (only (x,x)
+   * pairs can self-overlap) is the classic gaps-and-islands window:
+   * matches in a run apply at even offsets from the run head.
+   *
+   * Returns the learned rules: (step, lhs, rhs, pair_count) — the
+   * artifact a tokenizer ships. All-integer counts and string concat;
+   * the DuckDB oracle replays the identical rounds.
+   *
+   * Scale shape: state is one (doc, word, pos, sym) row per character —
+   * a narrow columnar table; each round is one map-side-combined pair
+   * count, one ~vocab²-row argmax (tiny single-partition sort, like the
+   * centroid tables), and per-word window passes (keyed by (doc, word),
+   * millions of small partitions — the shape Spark windows like).
+   * `nMerges` fixed rounds, each lineage-truncated via localCheckpoint —
+   * the Lloyd-unroll discipline that keeps it oracle-replicable. At
+   * 100 TB one trains on a corpus sample, exactly like the k-means
+   * centroids; the per-round plan is unchanged.
+   */
+  def bpeTrain(docsDf: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val wWord = Window.partitionBy(col("doc_id"), col("widx")).orderBy(col("pos"))
+    var st = docsDf
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("widx", "word")))
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        explode(sequence(lit(1L), length(col("word")).cast("long"))).as("pos"),
+        col("word"))
+      .select(col("doc_id"), col("widx"), col("pos"),
+        col("word").substr(col("pos").cast("int"), lit(1)).as("sym"))
+      .localCheckpoint(true)
+    val merges = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    (0 until nMerges).foreach { t =>
+      val m = st.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+      val best = m.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("sym"), col("nxt"))))
+        .filter(col("rk") === 1)
+        .select(col("sym").as("l"), col("nxt").as("r"), col("c"))
+        .localCheckpoint(true)
+      merges += best.select(lit((t + 1).toLong).as("step"),
+        col("l").as("lhs"), col("r").as("rhs"), col("c").as("pair_count"))
+      val f = m.crossJoin(broadcast(best.select("l", "r")))
+        .withColumn("ism", col("sym") === col("l") && col("nxt") === col("r"))
+      val g = f.withColumn("isl", when(col("ism"), col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id"), col("widx"),
+          col("ism")).orderBy(col("pos")))))
+      val a = g.withColumn("app", when(col("ism"),
+          ((col("pos") - min(col("pos")).over(Window.partitionBy(col("doc_id"),
+            col("widx"), col("isl")))) % 2) === 0)
+        .otherwise(lit(false)))
+      st = a.withColumn("cons",
+          coalesce(lag(col("app"), 1).over(wWord), lit(false)))
+        .filter(!col("cons"))
+        .withColumn("pos2", row_number().over(wWord).cast("long"))
+        .select(col("doc_id"), col("widx"), col("pos2").as("pos"),
+          when(col("app"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .localCheckpoint(true)
+    }
+    merges.reduce(_.unionByName(_)).orderBy("step")
   }
 }

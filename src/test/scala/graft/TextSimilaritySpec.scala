@@ -205,6 +205,23 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.size == got.toSet.size)
   }
 
+  test("BPE training: golden merges incl. the self-overlap run rule") {
+    import spark.implicits._
+    // "aaaa": (a,a) matches at 1,2,3 — non-overlap applies at 1 and 3,
+    // so the word becomes [aa, aa] and round 2 learns (aa, aa) once.
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(d, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+    // deterministic tie-break: "ab ab ba" — (a,b) and (b,a) both count 2
+    // ((a,b) twice across words, (b,a) once... construct a true tie:
+    // "ab" + "ba" → pairs (a,b)=1, (b,a)=1 → lexicographically (a,b) wins
+    val d2 = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val got2 = TextOps.bpeTrain(d2, "doc_id", "text", 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got2 == Seq(("a", "b")))
+  }
+
   test("residual PQ: exactly-once keys; unbounded rerank ≡ exact IVF") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) =
