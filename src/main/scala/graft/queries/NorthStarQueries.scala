@@ -1568,6 +1568,36 @@ object NorthStarQueries {
           .mkString(" UNION ALL ") +
         ") ORDER BY step"),
 
+    Q("q_bpe_apply",
+      // The APPLY half of BPE training: re-segment the corpus with the
+      // 8 learned rules and report per-source compression — how many
+      // chars one subword token covers, the number a tokenizer budget
+      // is planned around. Counts are integers; one final division.
+      (s, d) => {
+        val (s0, sN) = TextOps.bpeStates(docs(s, d), "doc_id", "text", BPE_MERGES)
+        val c0 = s0.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+        val cN = sN.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        docs(s, d).select(col("doc_id"), col("source"))
+          .join(c0, "doc_id").join(cN, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_char_syms"),
+            sum(col("ns")).as("n_subwords"))
+          .withColumn("chars_per_subword",
+            col("n_char_syms").cast("double") / col("n_subwords").cast("double"))
+          .orderBy("source")
+      },
+      s"WITH ${sqlBpeCtes(BPE_MERGES)}, " +
+        "c0 AS (SELECT doc_id, count(*) AS nc FROM s0 GROUP BY doc_id), " +
+        s"cn AS (SELECT doc_id, count(*) AS ns FROM s$BPE_MERGES GROUP BY doc_id) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(c0.nc) AS BIGINT) AS n_char_syms, " +
+        "CAST(sum(cn.ns) AS BIGINT) AS n_subwords, " +
+        "CAST(sum(c0.nc) AS DOUBLE) / CAST(sum(cn.ns) AS DOUBLE) AS chars_per_subword " +
+        "FROM documents d JOIN c0 ON c0.doc_id = d.doc_id " +
+        "JOIN cn ON cn.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
+
     Q("q_knn_eval",
       // Leave-one-out 3-NN label accuracy over the embeddings — the
       // eval-set diagnostic a curation run uses to check an embedding

@@ -617,9 +617,25 @@ object TextOps {
    * centroids; the per-round plan is unchanged.
    */
   def bpeTrain(docsDf: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int): DataFrame =
+    bpeEvolve(docsDf, idCol, textCol, nMerges)._3
+      .reduce(_.unionByName(_)).orderBy("step")
+
+  /** Initial and final BPE symbol states — the APPLY half: (s0, sN)
+    * where each is (doc_id, widx, pos, sym) rows; sN is the corpus
+    * re-segmented with the `nMerges` learned rules. */
+  def bpeStates(docsDf: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
+    val (s0, sN, _) = bpeEvolve(docsDf, idCol, textCol, nMerges)
+    (s0, sN)
+  }
+
+  /** The shared round evolution behind [[bpeTrain]]/[[bpeStates]]:
+    * returns (initial char state, final state, per-round merge rows). */
+  private def bpeEvolve(docsDf: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val wWord = Window.partitionBy(col("doc_id"), col("widx")).orderBy(col("pos"))
-    var st = docsDf
+    val s0 = docsDf
       .select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("widx", "word")))
       .select(col("doc_id"), col("widx").cast("long").as("widx"),
@@ -628,6 +644,7 @@ object TextOps {
       .select(col("doc_id"), col("widx"), col("pos"),
         col("word").substr(col("pos").cast("int"), lit(1)).as("sym"))
       .localCheckpoint(true)
+    var st = s0
     val merges = new scala.collection.mutable.ArrayBuffer[DataFrame]
     (0 until nMerges).foreach { t =>
       val m = st.withColumn("nxt", lead(col("sym"), 1).over(wWord))
@@ -658,6 +675,6 @@ object TextOps {
             .otherwise(col("sym")).as("sym"))
         .localCheckpoint(true)
     }
-    merges.reduce(_.unionByName(_)).orderBy("step")
+    (s0, st, merges.toSeq)
   }
 }
