@@ -1929,6 +1929,48 @@ object NorthStarQueries {
         "CAST(count(*) AS BIGINT) AS n_docs FROM documents " +
         "GROUP BY lang, split ORDER BY lang, split"),
 
+    Q("q_token_mix",
+      // Assemble a balanced training mix to a token budget — the op
+      // every pretraining run ends with, reduced to its deterministic
+      // core: per-source target = total_tokens div (2·n_sources) (a
+      // half-budget equal-share mix), docs admitted per source in
+      // multiplicative-hash order (the q_split hash — reproducible,
+      // append-stable, no RNG) until the source's cumulative tokens
+      // reach its target. Scale shape: one narrow token-count
+      // projection, one 2-value broadcast scalar, one per-source
+      // window cumsum (keyed shuffle), one aggregate. Weighted mixes
+      // swap the constant share for a per-source weight column.
+      (s, d) => {
+        val dd = docs(s, d).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+          (col("doc_id") * 2654435761L % 1000003L).as("h"))
+        val tot = dd.agg(sum(col("n_tok")).as("tt"),
+          countDistinct(col("source")).as("ns"))
+        val wSrc = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        dd.crossJoin(broadcast(tot))
+          .withColumn("tgt", expr("tt div (ns * 2)"))
+          .withColumn("cb", coalesce(sum(col("n_tok")).over(wSrc), lit(0L)))
+          .filter(col("cb") < col("tgt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("n_tok")).as("n_tokens_kept"),
+            max(col("tgt")).as("target_tokens"))
+          .orderBy("source")
+      },
+      s"WITH dd AS (SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n_tok, " +
+        "(doc_id * 2654435761) % 1000003 AS h FROM documents), " +
+        "tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS ns FROM dd), " +
+        "cum AS (SELECT dd.*, tt // (ns * 2) AS tgt, " +
+        "coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM dd, tot) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept, " +
+        "CAST(max(tgt) AS BIGINT) AS target_tokens " +
+        "FROM cum WHERE cb < tgt GROUP BY source ORDER BY source"),
+
     Q("q_source_overlap",
       // Cross-source contamination report: for every source pair, the
       // count of shared distinct 8-gram shingles and the overlap
