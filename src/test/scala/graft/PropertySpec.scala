@@ -312,4 +312,50 @@ class PropertySpec extends SparkSpec {
       assert(got == bursts)
     }
   }
+
+  test("BPE training equals a single-threaded reference on random corpora") {
+    // third opinion beyond the DuckDB oracle: the distributed merge
+    // learner must equal a direct left-to-right greedy implementation
+    // of the documented rules (count desc, lexicographic tiebreak,
+    // non-overlapping rewrite)
+    def refBpe(texts: Seq[String], nMerges: Int): Seq[(Long, String, String, Long)] = {
+      def toks(t: String): Seq[String] =
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      var words: Seq[Vector[String]] =
+        texts.flatMap(toks).map(_.map(_.toString).toVector)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (t <- 0 until nMerges) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach(w => w.indices.dropRight(1).foreach { i =>
+          val p = (w(i), w(i + 1)); counts(p) = counts.getOrElse(p, 0L) + 1
+        })
+        if (counts.nonEmpty) {
+          val ((bl, br), c) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((t + 1L, bl, br, c))
+          words = words.map { w =>
+            val b = Vector.newBuilder[String]; var i = 0
+            while (i < w.length) {
+              if (i + 1 < w.length && w(i) == bl && w(i + 1) == br) {
+                b += (bl + br); i += 2
+              } else { b += w(i); i += 1 }
+            }
+            b.result()
+          }
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.nonEmptyListOf(Gen.choose('a', 'c')).map(_.mkString)
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(docGen)) { (texts: List[String]) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextOps.bpeTrain(df, "doc_id", "text", 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == refBpe(texts, 4))
+    }
+  }
 }
