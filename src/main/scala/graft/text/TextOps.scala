@@ -617,9 +617,11 @@ object TextOps {
    * centroids; the per-round plan is unchanged.
    */
   def bpeTrain(docsDf: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame =
+      nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     bpeEvolve(docsDf, idCol, textCol, nMerges)._3
       .reduce(_.unionByName(_)).orderBy("step")
+  }
 
   /** Initial and final BPE symbol states — the APPLY half: (s0, sN)
     * where each is (doc_id, widx, pos, sym) rows; sN is the corpus

@@ -222,6 +222,38 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got2 == Seq(("a", "b")))
   }
 
+  test("BPE training: empty corpus and degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(empty, "doc_id", "text", 3).count() == 0)
+    // single-char words have no pairs — rounds dry out, no merge rows
+    val chars = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(chars, "doc_id", "text", 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrain(chars, "doc_id", "text", 0)
+    }
+  }
+
+  test("round-5 plan shapes: broadcasts where expected, no surprise joins") {
+    def plan(q: String): String =
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+    // label purity: ONE broadcast (the 10-row centroid table), no
+    // sort-merge join anywhere — the fully-scalable one-pass shape
+    val purity = plan("q_label_purity")
+    assert("BroadcastExchange".r.findAllIn(purity).size == 1)
+    assert(!purity.contains("SortMergeJoin"))
+    // token mix: the 2-value scalar is the only broadcast
+    val mix = plan("q_token_mix")
+    assert("BroadcastExchange".r.findAllIn(mix).size == 1)
+    assert(!mix.contains("SortMergeJoin"))
+    // multi-table LSH: pair generation via keyed shuffles only — no
+    // cartesian, no sort-merge join of the corpus against itself
+    val multi = plan("q_ann_lsh_multi")
+    assert(!multi.contains("CartesianProduct"))
+    assert(!multi.contains("SortMergeJoin"))
+  }
+
   test("residual PQ: exactly-once keys; unbounded rerank ≡ exact IVF") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) =
