@@ -392,7 +392,53 @@ object RelationalQueries {
         "(SELECT CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE " +
         "least(CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT), " +
         "CAST(19 AS BIGINT)) END AS bucket FROM events, b) " +
-        "GROUP BY bucket ORDER BY bucket")
+        "GROUP BY bucket ORDER BY bucket"),
+
+    Q("q_funnel",
+      // Sequential conversion funnel over the events stream: first
+      // signup → first view strictly after it (within 24 h) → first
+      // purchase strictly after that (within 24 h), per user; output is
+      // the step counts + conversion rates. Time lives in integer
+      // MICROSECONDS on both engines (unix_micros / epoch_us — the
+      // fixture's nanos truncate identically), so every comparison is
+      // integer-exact. Scale shape: three filtered min-aggregates
+      // chained by user_id equi-joins — all co-partitioned on the user
+      // key, no window over the full stream, no self cross term; the
+      // final counts are three 1-row aggregates.
+      (s, d) => {
+        val h = 86400000000L // 24 h in µs
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tu"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("tu").as("t1"))
+        val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+          .filter(col("tu") > col("t1") && col("tu") <= col("t1") + h)
+          .groupBy("user_id").agg(min("tu").as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("tu") > col("t2") && col("tu") <= col("t2") + h)
+          .groupBy("user_id").agg(min("tu").as("t3"))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_view_24h")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_24h")))
+          .withColumn("view_rate",
+            col("n_view_24h").cast("double") / col("n_signup").cast("double"))
+          .withColumn("purchase_rate",
+            col("n_purchase_24h").cast("double") / col("n_view_24h").cast("double"))
+      },
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events), " +
+        "s1 AS (SELECT user_id, min(tu) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id) " +
+        "WHERE event_type = 'view' AND tu > t1 AND tu <= t1 + 86400000000 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id) " +
+        "WHERE event_type = 'purchase' AND tu > t2 AND tu <= t2 + 86400000000 GROUP BY e.user_id), " +
+        "c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM s1), " +
+        "c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_view_24h FROM s2), " +
+        "c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_purchase_24h FROM s3) " +
+        "SELECT n_signup, n_view_24h, n_purchase_24h, " +
+        "CAST(n_view_24h AS DOUBLE) / CAST(n_signup AS DOUBLE) AS view_rate, " +
+        "CAST(n_purchase_24h AS DOUBLE) / CAST(n_view_24h AS DOUBLE) AS purchase_rate " +
+        "FROM c1, c2, c3")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap
