@@ -394,6 +394,52 @@ object RelationalQueries {
         "CAST(19 AS BIGINT)) END AS bucket FROM events, b) " +
         "GROUP BY bucket ORDER BY bucket"),
 
+    Q("q_props_stats",
+      // Typed extraction from the JSON props column (the schemaless
+      // side-channel every event pipeline carries): one projection
+      // parses k out, one tiny groupBy aggregates it — integer sums,
+      // exact. get_json_object / json_extract_string agree on scalar
+      // extraction.
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
+        "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    Q("q_retention",
+      // Cohort retention: users bucketed by the week of their FIRST
+      // event, counted once per (cohort, weeks-since) they were active
+      // in. Weeks are integer division of epoch microseconds — no
+      // calendar functions, so both engines agree exactly. Shape: one
+      // min-aggregate per user, one distinct (user, week) projection,
+      // one keyed join on user_id, one tiny groupBy.
+      (s, d) => {
+        val wk = 604800000000L // 7 days in µs
+        val e = Tables.events(s, d)
+          .select(col("user_id"),
+            expr(s"unix_micros(ts) div $wk").as("week"))
+        val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+        e.distinct().join(cohort, "user_id")
+          .select(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events), " +
+        "c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id) " +
+        "SELECT cohort_week, week - cohort_week AS week_offset, " +
+        "CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM e JOIN c USING (user_id) " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+
     Q("q_funnel",
       // Sequential conversion funnel over the events stream: first
       // signup → first view strictly after it (within 24 h) → first
