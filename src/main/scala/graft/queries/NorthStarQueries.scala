@@ -47,6 +47,7 @@ object NorthStarQueries {
   private val DSIR_B = 256     // DSIR hashed-feature buckets
   private val PACK_L = 32      // packed training-sequence length (tokens)
   private val BPE_MERGES = 8   // BPE training rounds (q_bpe_train)
+  private val BLOOM_BITS = 131072 // decontamination Bloom filter size
   private val LSHM_PLANES = 4  // multi-table LSH: planes per table
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
@@ -549,6 +550,35 @@ object NorthStarQueries {
         "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 10 AND doc_id NOT IN (" +
         "SELECT DISTINCT e.doc_id FROM edges e WHERE e.doc_id >= 10 AND e.sid IN (" +
         "SELECT sid FROM edges WHERE doc_id < 10)) ORDER BY doc_id"),
+
+    Q("q_decontam_bloom",
+      // Broadcast-sketch decontamination: the benchmark folds into a
+      // 16384-bit Bloom filter (63-bit words so shifts never touch the
+      // sign bit) — a few-KB broadcast NO MATTER how large the held-out
+      // set — and the corpus probe is two word lookups + bitmask tests
+      // per shingle. Deterministic false positives only; the oracle
+      // computes the identical filter. Compare q_decontaminate (exact
+      // semi-join form).
+      (s, d) => TextOps.decontaminateBloom(
+          docs(s, d).filter(col("doc_id") >= 10),
+          docs(s, d).filter(col("doc_id") < 10),
+          "doc_id", "text", K, BLOOM_BITS)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id"),
+      s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, $EDGES_DISTINCT, " +
+        "bpos AS (SELECT DISTINCT p FROM (" +
+        s"SELECT sid % $BLOOM_BITS AS p FROM edges WHERE doc_id < 10 " +
+        s"UNION ALL SELECT ((sid * 8191 + 127) % 1000000007) % $BLOOM_BITS FROM edges WHERE doc_id < 10)), " +
+        "bloom AS (SELECT p // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word " +
+        "FROM bpos GROUP BY p // 63), " +
+        s"cpos AS (SELECT DISTINCT doc_id, sid % $BLOOM_BITS AS pa, " +
+        s"((sid * 8191 + 127) % 1000000007) % $BLOOM_BITS AS pb FROM edges WHERE doc_id >= 10), " +
+        "hit AS (SELECT DISTINCT doc_id FROM cpos " +
+        "JOIN bloom ba ON ba.w = pa // 63 JOIN bloom bb ON bb.w = pb // 63 " +
+        "WHERE (ba.word & (CAST(1 AS BIGINT) << CAST(pa % 63 AS INT))) <> 0 " +
+        "AND (bb.word & (CAST(1 AS BIGINT) << CAST(pb % 63 AS INT))) <> 0) " +
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 10 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
 
     Q("q_redact",
       // PII-style scrubbing: digit runs become <NUM> and the redacted

@@ -257,6 +257,48 @@ object TextOps {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Bloom-filter decontamination — the broadcast-SKETCH form of
+   * [[decontaminate]]. Instead of shipping the benchmark's distinct
+   * shingle-id set into a join, the benchmark is folded into an
+   * `mBits`-bit Bloom filter: each sid sets two bit positions
+   * (sid mod m, and an independent affine rehash), stored as 63-bit
+   * words (shift ≤ 62 — the sign bit never moves, so `<<` agrees
+   * across engines). The word table is mBits/63 rows — a few KB
+   * broadcast no matter how large the benchmark — and the corpus
+   * probe is two broadcast lookups + a bitmask test per shingle.
+   * False positives only (classic Bloom rate, and DETERMINISTIC ones —
+   * the oracle computes the identical filter); never false negatives.
+   * bit_or aggregation is commutative, so shuffle order cannot change
+   * the filter.
+   */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int, mBits: Int): DataFrame = {
+    val P = 1000000007L
+    def p1(sid: Column) = sid % mBits
+    def p2(sid: Column) = ((sid * 8191L + 127L) % P) % mBits
+    val benchPos = shingleSidEdges(bench, idCol, textCol, k, dedup = true)
+      .select(explode(array(p1(col("sid")), p2(col("sid")))).as("p"))
+      .distinct()
+    val bloom = benchPos
+      .select(expr("p div 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+      .localCheckpoint(true)
+    val probe = shingleSidEdges(corpus, idCol, textCol, k, dedup = true)
+      .select(col(idCol), p1(col("sid")).as("pa"), p2(col("sid")).as("pb"))
+    val hit = probe
+      .join(broadcast(bloom.select(col("w").as("wa"), col("word").as("worda"))),
+        expr("pa div 63") === col("wa"))
+      .join(broadcast(bloom.select(col("w").as("wb"), col("word").as("wordb"))),
+        expr("pb div 63") === col("wb"))
+      .filter(
+        (col("worda").bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(pa % 63 AS INT))")) =!= 0L) &&
+        (col("wordb").bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(pb % 63 AS INT))")) =!= 0L))
+      .select(idCol).distinct()
+    corpus.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Signature as ONE array column `__hs` (no h0..hN unpack): the
     * compact form [[lshBandsArr]] consumes. Same values as
     * [[minhashSignaturesNarrow]]; docs with no shingles are dropped. */
