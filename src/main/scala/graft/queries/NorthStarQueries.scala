@@ -2001,6 +2001,55 @@ object NorthStarQueries {
         "CAST(max(tgt) AS BIGINT) AS target_tokens " +
         "FROM cum WHERE cb < tgt GROUP BY source ORDER BY source"),
 
+    Q("q_token_mix_weighted",
+      // The weighted form of q_token_mix: per-source INTEGER weights
+      // (here 3 shares for majority-English sources, 1 otherwise — any
+      // integer weight column slots in), per-source target =
+      // total_tokens · w div (2 · Σw), same hash-order admission. All
+      // integer arithmetic up to the final division-free admission.
+      (s, d) => {
+        val dd = docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+          (col("doc_id") * 2654435761L % 1000003L).as("h"))
+        val wLang = Window.partitionBy(col("source"))
+          .orderBy(col("n_lang").desc, col("lang"))
+        val srcW = dd.groupBy("source", "lang").agg(count(lit(1)).as("n_lang"))
+          .withColumn("__r", row_number().over(wLang)).filter(col("__r") === 1)
+          .select(col("source"),
+            when(col("lang") === "en", 3L).otherwise(1L).as("w"))
+        val tot = dd.agg(sum(col("n_tok")).as("tt"))
+          .crossJoin(srcW.agg(sum(col("w")).as("sw")))
+        val wSrc = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        dd.join(broadcast(srcW), "source").crossJoin(broadcast(tot))
+          .withColumn("tgt", expr("(tt * w) div (sw * 2)"))
+          .withColumn("cb", coalesce(sum(col("n_tok")).over(wSrc), lit(0L)))
+          .filter(col("cb") < col("tgt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("n_tok")).as("n_tokens_kept"),
+            max(col("w")).as("weight"),
+            max(col("tgt")).as("target_tokens"))
+          .orderBy("source")
+      },
+      s"WITH dd AS (SELECT doc_id, source, lang, CAST(len($TOKS) AS BIGINT) AS n_tok, " +
+        "(doc_id * 2654435761) % 1000003 AS h FROM documents), " +
+        "sw AS (SELECT source, CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS w FROM (" +
+        "SELECT source, lang, row_number() OVER (PARTITION BY source " +
+        "ORDER BY count(*) DESC, lang) AS r FROM dd GROUP BY source, lang) WHERE r = 1), " +
+        "tot AS (SELECT (SELECT CAST(sum(n_tok) AS BIGINT) FROM dd) AS tt, " +
+        "(SELECT CAST(sum(w) AS BIGINT) FROM sw) AS sw2), " +
+        "cum AS (SELECT dd.*, sw.w, (tt * w) // (sw2 * 2) AS tgt, " +
+        "coalesce(sum(n_tok) OVER (PARTITION BY dd.source ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb " +
+        "FROM dd JOIN sw ON sw.source = dd.source, tot) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept, " +
+        "CAST(max(w) AS BIGINT) AS weight, " +
+        "CAST(max(tgt) AS BIGINT) AS target_tokens " +
+        "FROM cum WHERE cb < tgt GROUP BY source ORDER BY source"),
+
     Q("q_source_overlap",
       // Cross-source contamination report: for every source pair, the
       // count of shared distinct 8-gram shingles and the overlap
