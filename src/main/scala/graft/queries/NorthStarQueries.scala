@@ -48,6 +48,7 @@ object NorthStarQueries {
   private val PACK_L = 32      // packed training-sequence length (tokens)
   private val BPE_MERGES = 8   // BPE training rounds (q_bpe_train)
   private val BLOOM_BITS = 131072 // decontamination Bloom filter size
+  private val SRC_CAP = 15     // per-source doc cap (q_source_cap)
   private val LSHM_PLANES = 4  // multi-table LSH: planes per table
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
@@ -2176,6 +2177,61 @@ object NorthStarQueries {
         "AS neardup_frac " +
         "FROM mass JOIN vt USING (source) LEFT JOIN nr USING (source) " +
         "ORDER BY source"),
+
+    Q("q_source_cap",
+      // Per-source quality cap (the RefinedWeb "top-N per domain" move):
+      // rank each source's docs by the q_quality score, keep the best
+      // SRC_CAP. One narrow quality projection + one per-source
+      // row_number window + filter — per-partition state is a single
+      // counter, so the shape holds at any corpus size; a skewed mega
+      // -source costs one fat partition, not a cross-source structure.
+      // The score double is the identical IEEE tree on both engines, so
+      // the rank order (and hash) is exact.
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val n = size(t).cast("long")
+        val sw = TextOps.stopwordHits(t, "en").cast("long")
+        val q = least(n.cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - sw.cast("double") / greatest(n, lit(1L)).cast("double"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        docs(s, d).select(col("doc_id"), col("source"), q.as("quality"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= SRC_CAP)
+          .orderBy("source", "rnk")
+      }, {
+        val hits = "len(list_filter(toks, x -> x IN (" +
+          TextOps.stopwords("en").map(w => s"'$w'").mkString(",") + ")))"
+        s"WITH $DOC_TOKS, h AS (SELECT doc_id, len(toks) AS n, $hits AS sw FROM tok), " +
+          "q AS (SELECT doc_id, source, " +
+          "least(CAST(n AS DOUBLE) / 100.0e0, CAST(1.0 AS DOUBLE)) * " +
+          "(CAST(1.0 AS DOUBLE) - CAST(sw AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) " +
+          "AS quality FROM h JOIN documents USING (doc_id)), " +
+          "r AS (SELECT doc_id, source, quality, row_number() OVER (" +
+          "PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk FROM q) " +
+          s"SELECT doc_id, source, quality, rnk FROM r WHERE rnk <= $SRC_CAP " +
+          "ORDER BY source, rnk"
+      }),
+
+    Q("q_normalize",
+      // CCNet normalization (Wenzek et al. 2020) as a checked transform:
+      // lowercase, digits → 0, strip punctuation, collapse whitespace —
+      // the canonical form the fuzzy-exact dedup pass hashes instead of
+      // raw text. Emits the md5 of the normalized form plus before/after
+      // char counts; chain `.groupBy("h")` for the dedup itself
+      // (q_dedup_exact's shape). Pure per-row codegen'd projection.
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        md5(TextOps.normalize(col("text"))).as("h"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(TextOps.normalize(col("text"))).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id"),
+      "WITH n AS (SELECT doc_id, length(text) AS nr, " +
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
+        "'[0-9]', '0', 'g'), '[^a-z0 ]', '', 'g'), ' +', ' ', 'g')) AS nt " +
+        "FROM documents) " +
+        "SELECT doc_id, md5(nt) AS h, CAST(nr AS BIGINT) AS n_chars_raw, " +
+        "CAST(length(nt) AS BIGINT) AS n_chars_norm FROM n ORDER BY doc_id"),
 
     Q("q_pack_sequences",
       // Sequence packing: each source shard's docs concatenated in id

@@ -37,6 +37,15 @@ object TextOps {
   def fingerprint(text: Column): Column =
     graft.functions.VectorFunctions.asciiPolyHash(text, 31L, 1000000007L)
 
+  /** CCNet-style text normalization (Wenzek et al. 2020): lowercase,
+    * digits → 0, strip everything outside [a-z0 ], collapse runs of
+    * spaces, trim. Exact dedup over the normalized form catches the
+    * case/punctuation/number variants that raw content hashing misses.
+    * Pure per-row projection — no shuffle, codegen'd regex. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(text), "[0-9]", "0"), "[^a-z0 ]", ""), " +", " "))
+
   // ------------------------------------------------------------------
   // Language ID: stopword-hit heuristic with a fixed priority tie-break.
   // ------------------------------------------------------------------
