@@ -49,6 +49,16 @@ object NorthStarQueries {
   private val BPE_MERGES = 8   // BPE training rounds (q_bpe_train)
   private val BLOOM_BITS = 131072 // decontamination Bloom filter size
   private val SRC_CAP = 15     // per-source doc cap (q_source_cap)
+  // Count-min sketch (q_heavy_hitters): D independent hash rows of W
+  // buckets, h_j(fp) = (fp·a_j + b_j) mod 1000003 mod W. W = 32 is
+  // deliberately tight for the 31-type fixture vocabulary so collisions
+  // (the sketch's overestimates) are actually exercised; production
+  // uses the same plan with W = 2^20+.
+  private val CMS_D = 4
+  private val CMS_W = 32
+  private val CMS_A = Seq(31L, 131L, 257L, 8191L)
+  private val CMS_B = Seq(7L, 101L, 1009L, 524287L)
+  private val CMS_TOPK = 20
   private val LSHM_PLANES = 4  // multi-table LSH: planes per table
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
@@ -2211,6 +2221,49 @@ object NorthStarQueries {
           "PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk FROM q) " +
           s"SELECT doc_id, source, quality, rnk FROM r WHERE rnk <= $SRC_CAP " +
           "ORDER BY source, rnk"
+      }),
+
+    Q("q_heavy_hitters",
+      // Count-min sketch (Cormode & Muthukrishnan 2005) heavy hitters:
+      // the token-frequency sketch is a FIXED D×W integer grid —
+      // mergeable, broadcastable, constant-size no matter the corpus —
+      // and each estimate is min over D cells, an upper bound on the
+      // true count. Output: the true top-K tokens with true vs sketch
+      // counts, so the sketch's collision error is measured in-query
+      // (the exact side is the yardstick; a production pipeline ships
+      // only the 4×32 grid). Shape: one token-fp groupBy feeds both
+      // sides; cells are a ≤ D·W-row aggregate with map-side combine.
+      (s, d) => {
+        val tf = docs(s, d)
+          .select(explode(TextOps.tokenFingerprints(
+            TextOps.tokens(col("text")))).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("n_true"))
+        def hashes = array((0 until CMS_D).map(j =>
+          struct(lit(j).as("r"),
+            ((col("fp") * CMS_A(j) + CMS_B(j)) % 1000003L % CMS_W).as("b"))): _*)
+        val cells = tf.select(explode(hashes).as("rb"), col("n_true"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(sum("n_true").as("cell"))
+        tf.orderBy(col("n_true").desc, col("fp")).limit(CMS_TOPK)
+          .select(col("fp"), col("n_true"), explode(hashes).as("rb"))
+          .select(col("fp"), col("n_true"),
+            col("rb.r").as("r"), col("rb.b").as("b"))
+          .join(broadcast(cells), Seq("r", "b"))
+          .groupBy("fp", "n_true").agg(min("cell").as("n_est"))
+          .orderBy(col("n_true").desc, col("fp"))
+      }, {
+        def hRows(src: String) = (0 until CMS_D).map(j =>
+          s"SELECT fp, n_true, $j AS r, " +
+            s"((fp*${CMS_A(j)}+${CMS_B(j)}) % 1000003) % $CMS_W AS b FROM $src")
+          .mkString(" UNION ALL ")
+        s"WITH $DOC_TOKS, $TOKFPS, " +
+          "tf AS MATERIALIZED (SELECT fp, CAST(count(*) AS BIGINT) AS n_true " +
+          "FROM (SELECT doc_id, unnest(fps) AS fp FROM tokfp) GROUP BY fp), " +
+          s"cells AS (SELECT r, b, CAST(sum(n_true) AS BIGINT) AS cell " +
+          s"FROM (${hRows("tf")}) GROUP BY r, b), " +
+          s"top AS (SELECT fp, n_true FROM tf ORDER BY n_true DESC, fp LIMIT $CMS_TOPK) " +
+          s"SELECT fp, n_true, min(cell) AS n_est FROM (${hRows("top")}) e " +
+          "JOIN cells USING (r, b) GROUP BY fp, n_true ORDER BY n_true DESC, fp"
       }),
 
     Q("q_normalize",

@@ -413,6 +413,41 @@ object RelationalQueries {
         "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    Q("q_anomaly_days",
+      // Daily-volume anomaly detection per event_type, INTEGER-exact:
+      // a (type, day) cell is anomalous iff |x − μ| > 2σ over that
+      // type's daily counts, tested as (x·D − S)² > 4·(D·Q − S²) with
+      // D = days, S = Σx, Q = Σx² — the z-score inequality cross-
+      // multiplied so no division or sqrt ever happens and both engines
+      // agree bit-for-bit. Shape: one (type, day) groupBy, one ~|types|
+      // -row stats aggregate broadcast back — the daily data-quality
+      // monitor over an event stream. (At extreme counts the integer
+      // squares near 2^63 — the production form keeps the same plan and
+      // compares the two sides as doubles.)
+      (s, d) => {
+        val dc = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+        val st = dc.groupBy("event_type").agg(
+          count(lit(1)).as("nd"), sum("n_events").as("sv"),
+          sum(col("n_events") * col("n_events")).as("qv"))
+        val dev = col("n_events") * col("nd") - col("sv")
+        dc.join(broadcast(st), "event_type")
+          .withColumn("is_anomaly",
+            dev * dev > lit(4L) * (col("nd") * col("qv") - col("sv") * col("sv")))
+          .select("event_type", "day", "n_events", "is_anomaly")
+          .orderBy("event_type", "day")
+      },
+      "WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd, " +
+        "CAST(sum(n) AS BIGINT) AS sv, CAST(sum(n*n) AS BIGINT) AS qv " +
+        "FROM dc GROUP BY 1) " +
+        "SELECT event_type, day, n AS n_events, " +
+        "(n*nd - sv)*(n*nd - sv) > 4*(nd*qv - sv*sv) AS is_anomaly " +
+        "FROM dc JOIN st USING (event_type) ORDER BY event_type, day"),
+
     Q("q_retention",
       // Cohort retention: users bucketed by the week of their FIRST
       // event, counted once per (cohort, weeks-since) they were active
