@@ -59,6 +59,10 @@ object NorthStarQueries {
   private val CMS_A = Seq(31L, 131L, 257L, 8191L)
   private val CMS_B = Seq(7L, 101L, 1009L, 524287L)
   private val CMS_TOPK = 20
+  // HyperLogLog numerator alpha_64 * m^2 * 2^27 (q_hll_distinct): the
+  // register sum is integer-scaled by 2^27 so this single double
+  // constant-and-divide is the only float op in the sketch.
+  private val HLL_NUM = 0.709 * 4096.0 * 134217728.0
   private val LSHM_PLANES = 4  // multi-table LSH: planes per table
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
@@ -1829,6 +1833,65 @@ object NorthStarQueries {
         "(SELECT u, sid FROM w ORDER BY u, sid LIMIT 64)), " +
         "e AS (SELECT count(*) AS n_exact FROM sids) " +
         "SELECT n_exact, n_kmv, CAST(n_kmv - 1 AS DOUBLE) / uk AS est FROM e, k"),
+
+    Q("q_hll_distinct",
+      // HyperLogLog (Flajolet et al. 2007) per-source distinct-shingle
+      // cardinality: each source's sketch is a FIXED 64-register grid of
+      // max leading-zero ranks — constant bytes per source no matter the
+      // corpus, mergeable by register-wise max, the COUNT(DISTINCT)
+      // companion to q_heavy_hitters' count-min grid. The mixing hash is
+      // sid*knuth mod 2^32 (exact in 64-bit); register = low 6 bits,
+      // rho = leading zeros of the remaining 26 via the binary-string
+      // length (identical bin() semantics in both engines — no log2).
+      // The register sum is kept INTEGER as sum(2^(27-rho)) scaled by
+      // 2^27, so the only float op is the one final alpha*m^2 division.
+      // Exact count rides along as the yardstick; raw HLL estimate only
+      // (the paper's small/large-range corrections need ln, which is
+      // not bit-reproducible across engines — documented, not hidden).
+      // Shape: one (source, register) groupBy then a ~64-row-per-source
+      // rollup; no distinct pass is needed because max() absorbs
+      // duplicate sids for free.
+      (s, d) => {
+        val tf = docs(s, d).select(col("source"),
+          explode(TextOps.shingleSidsFromFps(
+            TextOps.tokenFingerprints(TextOps.tokens(col("text"))), K))
+            .as("sid"))
+        val h = (col("sid") * 2654435761L + 104729L) % 4294967296L
+        val reg = tf
+          .select(col("source"), (h % 64).as("idx"), shiftright(h, 6).as("sfx"))
+          .select(col("source"), col("idx"),
+            when(col("sfx") === 0, lit(27))
+              .otherwise(lit(27) - length(bin(col("sfx")))).as("rho"))
+          .groupBy("source", "idx").agg(max("rho").as("mrho"))
+        val sk = reg.groupBy("source").agg(
+          count(lit(1)).as("registers_hit"),
+          (sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - mrho)")) +
+            (lit(64L) - count(lit(1))) * 134217728L).as("sum_scaled"))
+        val ex = tf.groupBy("source")
+          .agg(countDistinct("sid").as("n_exact"))
+        ex.join(broadcast(sk), "source")
+          .select(col("source"), col("n_exact"),
+            (lit(HLL_NUM) / col("sum_scaled").cast("double")).as("hll_est"),
+            col("registers_hit"))
+          .orderBy("source")
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, " +
+        "tf AS MATERIALIZED (SELECT d.source, s.sid FROM sh s " +
+        "JOIN documents d USING (doc_id)), " +
+        "hr AS (SELECT source, ((sid*2654435761 + 104729) % 4294967296) AS h " +
+        "FROM tf), " +
+        "reg AS (SELECT source, h % 64 AS idx, CASE WHEN h // 64 = 0 THEN 27 " +
+        "ELSE 27 - length(bin(h // 64)) END AS rho FROM hr), " +
+        "mreg AS (SELECT source, idx, max(rho) AS mrho FROM reg GROUP BY 1, 2), " +
+        "sk AS (SELECT source, CAST(count(*) AS BIGINT) AS registers_hit, " +
+        "CAST(sum(CAST(1 AS BIGINT) << (27 - mrho)) + " +
+        "(64 - count(*)) * 134217728 AS BIGINT) AS sum_scaled " +
+        "FROM mreg GROUP BY 1), " +
+        "ex AS (SELECT source, CAST(count(DISTINCT sid) AS BIGINT) AS n_exact " +
+        "FROM tf GROUP BY 1) " +
+        s"SELECT source, n_exact, $HLL_NUM / CAST(sum_scaled AS DOUBLE) " +
+        "AS hll_est, registers_hit FROM ex JOIN sk USING (source) " +
+        "ORDER BY source"),
 
     Q("q_dedup_spans",
       // Cross-doc span dedup (CCNet paragraph pass / Lee et al. 2022 at
