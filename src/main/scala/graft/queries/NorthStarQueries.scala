@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ml.Similarity
 import graft.multimodal.Multimodal
-import graft.text.TextOps
+import graft.text.{Sketches, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,10 +59,6 @@ object NorthStarQueries {
   private val CMS_A = Seq(31L, 131L, 257L, 8191L)
   private val CMS_B = Seq(7L, 101L, 1009L, 524287L)
   private val CMS_TOPK = 20
-  // HyperLogLog numerator alpha_64 * m^2 * 2^27 (q_hll_distinct): the
-  // register sum is integer-scaled by 2^27 so this single double
-  // constant-and-divide is the only float op in the sketch.
-  private val HLL_NUM = 0.709 * 4096.0 * 134217728.0
   private val LSHM_PLANES = 4  // multi-table LSH: planes per table
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
@@ -1856,22 +1852,12 @@ object NorthStarQueries {
           explode(TextOps.shingleSidsFromFps(
             TextOps.tokenFingerprints(TextOps.tokens(col("text"))), K))
             .as("sid"))
-        val h = (col("sid") * 2654435761L + 104729L) % 4294967296L
-        val reg = tf
-          .select(col("source"), (h % 64).as("idx"), shiftright(h, 6).as("sfx"))
-          .select(col("source"), col("idx"),
-            when(col("sfx") === 0, lit(27))
-              .otherwise(lit(27) - length(bin(col("sfx")))).as("rho"))
-          .groupBy("source", "idx").agg(max("rho").as("mrho"))
-        val sk = reg.groupBy("source").agg(
-          count(lit(1)).as("registers_hit"),
-          (sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - mrho)")) +
-            (lit(64L) - count(lit(1))) * 134217728L).as("sum_scaled"))
+        val reg = Sketches.hllRegisters(tf, Seq("source"), col("sid"))
+        val sk = Sketches.hllEstimate(reg, Seq("source"))
         val ex = tf.groupBy("source")
           .agg(countDistinct("sid").as("n_exact"))
         ex.join(broadcast(sk), "source")
-          .select(col("source"), col("n_exact"),
-            (lit(HLL_NUM) / col("sum_scaled").cast("double")).as("hll_est"),
+          .select(col("source"), col("n_exact"), col("hll_est"),
             col("registers_hit"))
           .orderBy("source")
       },
@@ -1889,7 +1875,7 @@ object NorthStarQueries {
         "FROM mreg GROUP BY 1), " +
         "ex AS (SELECT source, CAST(count(DISTINCT sid) AS BIGINT) AS n_exact " +
         "FROM tf GROUP BY 1) " +
-        s"SELECT source, n_exact, $HLL_NUM / CAST(sum_scaled AS DOUBLE) " +
+        s"SELECT source, n_exact, ${Sketches.HllNum} / CAST(sum_scaled AS DOUBLE) " +
         "AS hll_est, registers_hit FROM ex JOIN sk USING (source) " +
         "ORDER BY source"),
 
@@ -2301,12 +2287,9 @@ object NorthStarQueries {
           .select(explode(TextOps.tokenFingerprints(
             TextOps.tokens(col("text")))).as("fp"))
           .groupBy("fp").agg(count(lit(1)).as("n_true"))
-        def hashes = array((0 until CMS_D).map(j =>
-          struct(lit(j).as("r"),
-            ((col("fp") * CMS_A(j) + CMS_B(j)) % 1000003L % CMS_W).as("b"))): _*)
-        val cells = tf.select(explode(hashes).as("rb"), col("n_true"))
-          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-          .agg(sum("n_true").as("cell"))
+        def hashes = Sketches.cmsHashes(col("fp"), CMS_W, CMS_A, CMS_B)
+        val cells = Sketches.cmsGrid(tf, col("fp"), col("n_true"),
+          CMS_W, CMS_A, CMS_B)
         tf.orderBy(col("n_true").desc, col("fp")).limit(CMS_TOPK)
           .select(col("fp"), col("n_true"), explode(hashes).as("rb"))
           .select(col("fp"), col("n_true"),

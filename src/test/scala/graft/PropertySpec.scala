@@ -358,4 +358,66 @@ class PropertySpec extends SparkSpec {
       assert(got == refBpe(texts, 4))
     }
   }
+
+  test("HLL merge law: register-wise max of halves = whole; dup-insensitive") {
+    import spark.implicits._
+    import graft.text.Sketches
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, Seq("g"), col("sid"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { (ids: List[Long]) =>
+      val whole = ids.zipWithIndex
+        .map { case (v, i) => (if (i % 3 == 0) "a" else "b", v) }
+        .toDF("g", "sid")
+      val (pa, pb) = (whole.filter(col("sid") % 2 === 0),
+        whole.filter(col("sid") % 2 =!= 0))
+      assert(rows(Sketches.hllMerge(regs(pa), regs(pb), Seq("g")))
+        == rows(regs(whole)))
+      // duplicating every row must not move a single register
+      assert(rows(regs(whole.unionAll(whole))) == rows(regs(whole)))
+    }
+  }
+
+  test("HLL estimate lands near truth on a large distinct set") {
+    import spark.implicits._
+    import graft.text.Sketches
+    // 5000 distinct ids, m = 64: expected rel-error 1.04/sqrt(64) ≈ 13%.
+    // Ids are murmur-scrambled — the production inputs are polynomial
+    // text hashes, not arithmetic progressions (which the cheap
+    // multiplicative mixer is NOT robust to, by design: one 64-bit
+    // multiply per row; see Sketches.hllRegisters).
+    val df = (0 until 5000)
+      .map(i => ("g", (scala.util.hashing.MurmurHash3
+        .stringHash(i.toString).toLong & 0x7fffffffL) % 1000000007L))
+      .toDF("g", "sid")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, Seq("g"), col("sid")), Seq("g"))
+      .select("hll_est").head().getDouble(0)
+    assert(math.abs(est / 5000.0 - 1.0) < 0.4, s"estimate $est vs 5000")
+  }
+
+  test("CMS merge law: cell-wise sum of halves = whole; never underestimates") {
+    import spark.implicits._
+    import graft.text.Sketches
+    val (w, ha, hb) = (16, Seq(31L, 131L, 257L), Seq(7L, 101L, 1009L))
+    def grid(df: org.apache.spark.sql.DataFrame) = Sketches.cmsGrid(
+      df.groupBy("fp").agg(count(lit(1)).as("n")), col("fp"), col("n"), w, ha, hb)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 200L))) { (ids: List[Long]) =>
+      val whole = ids.toDF("fp")
+      val (pa, pb) = (whole.filter(col("fp") % 2 === 0),
+        whole.filter(col("fp") % 2 =!= 0))
+      assert(cells(Sketches.cmsMerge(grid(pa), grid(pb))) == cells(grid(whole)))
+      // point-query upper bound: min over rows >= true count, for every fp
+      val g = cells(grid(whole))
+      val truth = ids.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (fp, n) =>
+        val est = ha.indices.map(j =>
+          g((j, (fp * ha(j) + hb(j)) % 1000003L % w))).min
+        assert(est >= n, s"CMS underestimated fp=$fp: $est < $n")
+      }
+    }
+  }
 }
