@@ -714,6 +714,95 @@ object Streaming {
         })
   }
 
+  case class SketchIn(group: String, sid: Long)
+  case class HllReg(group: String, idx: Long, mrho: Int)
+  case class CmsUpd(r: Int, b: Long, wt: Long)
+
+  /**
+   * Live HyperLogLog register maintenance — the streaming form of
+   * [[graft.text.Sketches.hllRegisters]]. The stream is keyed by
+   * (group, register), so state per key is ONE integer (the max rho);
+   * registers only ever grow, and an update-mode row is emitted only
+   * when a register actually moves — after the initial ramp, a
+   * near-duplicate-heavy stream goes quiet on its own. This is the
+   * merge law run incrementally: every micro-batch is "merge the
+   * batch's partial register file into the standing one", which
+   * PropertySpec proves equals recomputing over history. State is
+   * bounded by groups × 64 forever — no watermark needed, nothing to
+   * evict. The rho arithmetic is the same mix-hash / binary-length
+   * sequence as the batch Column kernel (parity-tested).
+   */
+  def hllRegisterStream(rows: Dataset[SketchIn]): Dataset[HllReg] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.map { x =>
+      val h = (x.sid * 2654435761L + 104729L) % 4294967296L
+      val sfx = h >> 6
+      val rho =
+        if (sfx == 0L) 27 else 27 - java.lang.Long.toBinaryString(sfx).length
+      HllReg(x.group, h % 64, rho)
+    }.groupByKey(r => (r.group, r.idx))
+      .transformWithState(new HllRegProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  class HllRegProcessor
+      extends StatefulProcessor[(String, Long), HllReg, HllReg] {
+    @transient private var st: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[Int](
+        "mrho", implicitly[org.apache.spark.sql.Encoder[Int]], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: (String, Long), rows: Iterator[HllReg], timers: TimerValues): Iterator[HllReg] = {
+      val cur = if (st.exists()) st.get() else Int.MinValue
+      val merged = math.max(cur, rows.map(_.mrho).max)
+      if (merged > cur) {
+        st.update(merged)
+        Iterator.single(HllReg(key._1, key._2, merged))
+      } else Iterator.empty
+    }
+  }
+
+  /**
+   * Live count-min grid maintenance — the streaming form of
+   * [[graft.text.Sketches.cmsGrid]]. Each fingerprint fans out to its
+   * D (row, bucket) cells executor-side; the stream is keyed by CELL,
+   * so state per key is one counter and the hottest token only ever
+   * heats D counters, not a key group. Update mode emits the new cell
+   * value each time it moves; the latest row per cell IS the grid
+   * (cell-wise-sum merge law, run incrementally).
+   */
+  def cmsCellStream(fps: Dataset[(Long, Long)], w: Int,
+      a: Seq[Long], b: Seq[Long]): Dataset[CmsUpd] = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    fps.flatMap { case (fp, wt) =>
+      a.indices.map(j => CmsUpd(j, (fp * a(j) + b(j)) % 1000003L % w, wt))
+    }.groupByKey(c => (c.r, c.b))
+      .transformWithState(new CmsCellProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  class CmsCellProcessor
+      extends StatefulProcessor[(Int, Long), CmsUpd, CmsUpd] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[Long](
+        "cell", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[CmsUpd], timers: TimerValues): Iterator[CmsUpd] = {
+      val total = (if (st.exists()) st.get() else 0L) + rows.map(_.wt).sum
+      st.update(total)
+      Iterator.single(CmsUpd(key._1, key._2, total))
+    }
+  }
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

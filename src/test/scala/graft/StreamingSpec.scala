@@ -569,4 +569,60 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === Set((1L, 1_800_000L, 3.0), (1L, 6_000_000L, 9.0)))
   }
+
+  test("streaming sketches: incremental HLL/CMS state equals batch kernels") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.text.Sketches
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // HLL: per-(group, register) max-rho state, fed across two batches
+      val ids = (0 until 400).map(i => Streaming.SketchIn(
+        if (i % 3 == 0) "a" else "b",
+        scala.util.hashing.MurmurHash3.stringHash(i.toString).toLong & 0x7fffffffL))
+      val mem = MemoryStream[Streaming.SketchIn](spark, 1)
+      mem.addData(ids.take(150))
+      val q = Streaming.hllRegisterStream(mem.toDS()).toDF().writeStream
+        .format("memory").queryName("hll_out").outputMode("update").start()
+      q.processAllAvailable()
+      mem.addData(ids.drop(150))
+      q.processAllAvailable()
+      q.stop()
+      // registers only grow, so the final register file = max per key
+      val live = spark.table("hll_out").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getInt(2)))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).max) }
+      val batch = Sketches.hllRegisters(
+        ids.toDF("group", "sid"), Seq("group"), col("sid")).collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getInt(2))).toMap
+      assert(live == batch)
+
+      // CMS: per-cell counter state, same two-batch feed
+      val (w, ha, hb) = (16, Seq(31L, 131L, 257L), Seq(7L, 101L, 1009L))
+      val fps = (0 until 300).map(i => ((i % 37).toLong, 1L))
+      val mem2 = MemoryStream[(Long, Long)](spark, 1)
+      mem2.addData(fps.take(100))
+      val q2 = Streaming.cmsCellStream(mem2.toDS(), w, ha, hb).toDF().writeStream
+        .format("memory").queryName("cms_out").outputMode("update").start()
+      q2.processAllAvailable()
+      mem2.addData(fps.drop(100))
+      q2.processAllAvailable()
+      q2.stop()
+      val liveCells = spark.table("cms_out").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).max) }
+      val batchCells = Sketches.cmsGrid(
+        fps.toDF("fp", "wt").groupBy("fp").agg(sum("wt").as("n")),
+        col("fp"), col("n"), w, ha, hb).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(liveCells == batchCells)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
