@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -393,6 +394,63 @@ object RelationalQueries {
         "least(CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT), " +
         "CAST(19 AS BIGINT)) END AS bucket FROM events, b) " +
         "GROUP BY bucket ORDER BY bucket"),
+
+    Q("q_quantile_sketch",
+      // Quantiles read off the 20-bucket histogram grid as a CDF — the
+      // mergeable-sketch answer to percentiles at 100 TB: the grid is
+      // 20 integers (mergeable by cell-wise sum, same as q_histogram),
+      // and est(p) is the right edge of the first bucket whose
+      // cumulative count reaches the target rank ceil(p*n/100),
+      // computed with integer rank arithmetic and the same single
+      // width division as q_histogram. The exact rank quantile (global
+      // row_number — yardstick ONLY; the grid is the scale path) rides
+      // along, so the bucket-resolution error is measured in-query.
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val bounds = ev.agg(min("value").as("mn"), max("value").as("mx"),
+          count(lit(1)).as("n"))
+        val hist = ev.select("value").crossJoin(broadcast(bounds))
+          .select(when(col("mx") === col("mn"), lit(0L)).otherwise(least(
+            floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 20))
+              .cast("long"), lit(19L))).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("nb"))
+        val cum = hist.withColumn("cum",
+          sum("nb").over(Window.orderBy("bucket")))
+        val tgt = Seq(25L, 50L, 75L, 90L).toDF("p")
+          .crossJoin(broadcast(bounds))
+          .select(col("p"), expr("(p * n + 99) div 100").as("target"),
+            col("mn"), col("mx"))
+        val est = tgt.join(broadcast(cum), col("cum") >= col("target"))
+          .groupBy("p", "target", "mn", "mx").agg(min("bucket").as("mb"))
+          .select(col("p"), col("target"),
+            (col("mn") + (col("mb") + 1) * ((col("mx") - col("mn")) / 20))
+              .as("est"))
+        val ranked = ev.select("value", "seq").withColumn("rk",
+          row_number().over(Window.orderBy("value", "seq")))
+        val ex = ranked.join(broadcast(tgt.select("p", "target")),
+          col("rk") === col("target"))
+          .select(col("p"), col("value").as("exact"))
+        est.join(ex, "p").orderBy("p")
+      },
+      "WITH b AS (SELECT min(value) AS mn, max(value) AS mx, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events), " +
+        "hist AS (SELECT CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE " +
+        "least(CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT), " +
+        "CAST(19 AS BIGINT)) END AS bucket FROM events, b), " +
+        "hc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nb FROM hist " +
+        "GROUP BY bucket), " +
+        "cum AS (SELECT bucket, sum(nb) OVER (ORDER BY bucket) AS cum FROM hc), " +
+        "qs AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS p), " +
+        "tgt AS (SELECT p, (p * n + 99) // 100 AS target FROM qs, b), " +
+        "est AS (SELECT t.p, t.target, min(c.bucket) AS mb FROM tgt t " +
+        "JOIN cum c ON c.cum >= t.target GROUP BY t.p, t.target), " +
+        "ranked AS (SELECT value, row_number() OVER (ORDER BY value, event_id) " +
+        "AS rk FROM events), " +
+        "ex AS (SELECT t.p, r.value AS exact FROM tgt t JOIN ranked r " +
+        "ON r.rk = t.target) " +
+        "SELECT e.p, e.target, mn + (e.mb + 1) * ((mx - mn) / 20) AS est, " +
+        "x.exact FROM est e JOIN ex x ON e.p = x.p, b ORDER BY e.p"),
 
     Q("q_props_stats",
       // Typed extraction from the JSON props column (the schemaless
