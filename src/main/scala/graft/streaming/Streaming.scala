@@ -803,6 +803,54 @@ object Streaming {
     }
   }
 
+  case class DayCount(event_type: String, day: Long, n: Long)
+  case class DayFlag(event_type: String, day: Long, n: Long, is_anomaly: Boolean)
+
+  /**
+   * Live daily-volume anomaly monitor — the streaming form of
+   * `q_anomaly_days`, with the SAME cross-multiplied integer 2-sigma
+   * test ((x·D − S)² > 4·(D·Q − S²), no division or sqrt). Semantics
+   * are PREQUENTIAL by design: each day is judged against the stats of
+   * days seen SO FAR (including itself, matching the batch formula's
+   * treatment of the flagged cell), because a live monitor cannot see
+   * the future — whereas the batch query re-judges every day against
+   * full history. State per event type is three integers (count, sum,
+   * sum of squares); days are processed in day order within a batch,
+   * and per-key in-order delivery across batches is assumed, like the
+   * other keyed processors here.
+   */
+  def anomalyStream(days: Dataset[DayCount]): Dataset[DayFlag] = {
+    val spark = days.sparkSession
+    import spark.implicits._
+    days.groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  class AnomalyProcessor
+      extends StatefulProcessor[String, DayCount, DayFlag] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "volstats",
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[DayCount], timers: TimerValues): Iterator[DayFlag] = {
+      var (nd, sv, qv) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = rows.toSeq.sortBy(_.day).map { r =>
+        nd += 1; sv += r.n; qv += r.n * r.n
+        val dev = r.n * nd - sv
+        DayFlag(key, r.day, r.n, dev * dev > 4L * (nd * qv - sv * sv))
+      }
+      st.update((nd, sv, qv))
+      out.iterator
+    }
+  }
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -625,4 +625,53 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming anomaly monitor: prequential flags match scanLeft reference") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two types; type "a" has a large day-6 spike, "b" is flat. The
+      // prequential variance includes the spike itself, so a lone spike
+      // after n flat days clears 2-sigma only when n^2 > 4n, i.e. n >= 5
+      // prior days — hence six flat days before the outlier.
+      val counts = Seq(
+        Streaming.DayCount("a", 0, 10), Streaming.DayCount("a", 1, 11),
+        Streaming.DayCount("a", 2, 9), Streaming.DayCount("a", 3, 10),
+        Streaming.DayCount("a", 4, 10), Streaming.DayCount("a", 5, 11),
+        Streaming.DayCount("a", 6, 500), Streaming.DayCount("a", 7, 10),
+        Streaming.DayCount("b", 0, 5), Streaming.DayCount("b", 1, 5),
+        Streaming.DayCount("b", 2, 5), Streaming.DayCount("b", 3, 5))
+      // the same prequential rule, single-threaded
+      def ref(xs: Seq[Streaming.DayCount]): Map[(String, Long), Boolean] =
+        xs.groupBy(_.event_type).flatMap { case (t, ds) =>
+          var (nd, sv, qv) = (0L, 0L, 0L)
+          ds.sortBy(_.day).map { d =>
+            nd += 1; sv += d.n; qv += d.n * d.n
+            val dev = d.n * nd - sv
+            (t, d.day) -> (dev * dev > 4L * (nd * qv - sv * sv))
+          }
+        }
+      val mem = MemoryStream[Streaming.DayCount](spark, 1)
+      mem.addData(counts.filter(_.day < 3))
+      val q = Streaming.anomalyStream(mem.toDS()).toDF().writeStream
+        .format("memory").queryName("anom_out").outputMode("append").start()
+      q.processAllAvailable()
+      mem.addData(counts.filter(_.day >= 3))
+      q.processAllAvailable()
+      q.stop()
+      val live = spark.table("anom_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+      assert(live == ref(counts))
+      // the spike day must be flagged, its flat neighbours must not be
+      assert(live(("a", 6L)) && !live(("a", 5L)) && !live(("a", 7L)) && !live(("b", 2L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
