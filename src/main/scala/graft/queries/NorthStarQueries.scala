@@ -1196,6 +1196,52 @@ object NorthStarQueries {
           "WHERE rank <= 3 ORDER BY a, rank"
       }),
 
+    Q("q_ann_rrf",
+      // Reciprocal-rank fusion (Cormack et al. 2009) of two independent
+      // ANN rankings — the standard hybrid-search combiner: candidates
+      // from the training-free LSH table and the learned IVF partition
+      // are merged by score Σ 1/(60+rank), so a pair ranked by both
+      // retrievers beats a pair ranked high by one. Scale shape: both
+      // inputs are the already-bucketed top-k tables; fusion itself is
+      // ONE (a,b) equi-join + one per-query window — no new quadratic
+      // term, no re-scoring. The double score is bit-exact across
+      // engines: two integer-derived divisions summed in fixed order.
+      (s, d) => {
+        val lsh = Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
+          .select(col("a"), col("b"), col("rank").as("rl"))
+        val ivf = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2)
+          .select(col("a"), col("b"), col("rank").as("ri"))
+        val fused = lsh.join(ivf, Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            (coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("ri").cast("double")), lit(0.0)))
+              .as("rrf"))
+        val w = Window.partitionBy(col("a")).orderBy(col("rrf").desc, col("b"))
+        fused.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("a", "rank", "b", "rrf").orderBy("a", "rank")
+      },
+      s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket " +
+        "FROM embeddings), " +
+        "lshr AS MATERIALIZED (SELECT a, b, rank FROM (" +
+        "SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM bk l JOIN bk r USING (bucket) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3), " +
+        s"${sqlIvfCtes(16, 2)}, " +
+        "ivfr AS MATERIALIZED (SELECT a, b, rank FROM (" +
+        "SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3), " +
+        "f AS (SELECT a, b, " +
+        "coalesce(1e0 / (60e0 + CAST(lshr.rank AS DOUBLE)), 0e0) + " +
+        "coalesce(1e0 / (60e0 + CAST(ivfr.rank AS DOUBLE)), 0e0) AS rrf " +
+        "FROM lshr FULL OUTER JOIN ivfr USING (a, b)) " +
+        "SELECT a, rank, b, rrf FROM (SELECT a, b, rrf, " +
+        "row_number() OVER (PARTITION BY a ORDER BY rrf DESC, b) AS rank " +
+        "FROM f) WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_ann_quantized",
       // Int8-quantized brute-force top-3: per-vector scale max|x|/127,
       // q_i = floor(x_i / s) — float32 → int8 is the 4× byte cut every

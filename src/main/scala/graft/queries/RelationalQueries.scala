@@ -337,6 +337,70 @@ object RelationalQueries {
         "WHERE event_type = 'purchase') m " +
         "ON e.user_id = m.m_uid AND e.ts >= m.ts ORDER BY e.seq"),
 
+    Q("q_join_interval",
+      // Point-in-interval range join (graft.engine.IntervalJoin): for
+      // each user's daily activity window [first event, last event],
+      // count OTHER users' purchases that fall inside it — the
+      // "concurrent activity" join shape (ad impressions × campaign
+      // flights, trades × halts, events × sessions). Spark would plan
+      // the raw `BETWEEN` predicate as a broadcast-nested-loop; the
+      // operator bins both sides to 1-hour buckets so it becomes one
+      // equi-join shuffle with exactly-once pairs (a window spans ≤ 25
+      // buckets, a point exactly one). Time compares as integer micros.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tu"))
+        val iv = e.groupBy(col("user_id"), expr("tu div 86400000000").as("day"))
+          .agg(min("tu").as("lo"), max("tu").as("hi"))
+        val pts = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("tu"))
+        val matched = graft.engine.IntervalJoin
+          .pointsInIntervals(iv, pts, "lo", "hi", "tu", 3600000000L)
+          .filter(col("p_user") =!= col("user_id"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("__n"))
+        iv.join(matched, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), col("lo"), col("hi"),
+            coalesce(col("__n"), lit(0L)).as("n_other_purchases"))
+          .orderBy("user_id", "day")
+      },
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events), " +
+        "iv AS (SELECT user_id, tu // 86400000000 AS day, min(tu) AS lo, " +
+        "max(tu) AS hi FROM e GROUP BY 1, 2), " +
+        "p AS (SELECT user_id AS p_user, tu FROM e WHERE event_type = 'purchase') " +
+        "SELECT iv.user_id, iv.day, iv.lo, iv.hi, " +
+        "CAST(count(p.tu) AS BIGINT) AS n_other_purchases " +
+        "FROM iv LEFT JOIN p ON p.tu >= iv.lo AND p.tu <= iv.hi " +
+        "AND p.p_user <> iv.user_id " +
+        "GROUP BY iv.user_id, iv.day, iv.lo, iv.hi ORDER BY iv.user_id, iv.day"),
+
+    Q("q_join_salted",
+      // Skew-mitigated join + aggregation (graft.engine.Skew) as an
+      // oracle-checked query: events (5 event types over 10k rows — a
+      // hot-key distribution by construction) join a per-type weight
+      // dim that is, at the 100 TB analogue, too large to broadcast;
+      // saltedJoin spreads each hot key over 8 (key, salt) tasks and
+      // saltedSum merges exact integer partials. The salt never reaches
+      // the result — the oracle is the PLAIN join + group-by.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), cents("value").as("c"))
+        val dim = e.select("event_type").distinct()
+          .withColumn("w", length(col("event_type")).cast("long"))
+        val joined = graft.engine.Skew.saltedJoin(e, dim, Seq("event_type"), 8)
+          .withColumn("wc", col("c") * col("w"))
+        graft.engine.Skew
+          .saltedSum(joined, Seq("event_type"), col("wc"), "weighted_cents", 8)
+          .orderBy("event_type")
+      },
+      "WITH e AS (SELECT event_type, " +
+        s"${sqlCents("value")} AS c FROM events), " +
+        "dim AS (SELECT DISTINCT event_type, " +
+        "CAST(length(event_type) AS BIGINT) AS w FROM e) " +
+        "SELECT e.event_type, CAST(sum(e.c * dim.w) AS BIGINT) AS weighted_cents " +
+        "FROM e JOIN dim USING (event_type) " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
+
     Q("q_sample_hash",
       // Deterministic Bernoulli sampling by multiplicative hash — the
       // reproducible-across-engines (and across reruns at 100 TB) form

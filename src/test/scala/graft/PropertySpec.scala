@@ -134,6 +134,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interval join: bucketed pairs equal the nested-loop reference, exactly once") {
+    val genIv = Gen.nonEmptyListOf(for {
+      lo <- Gen.choose(0L, 200L); len <- Gen.choose(-3L, 40L)
+    } yield (lo, lo + len)) // len < 0 → empty interval, must match nothing
+    val genPt = Gen.nonEmptyListOf(Gen.choose(0L, 240L))
+    forAll(genIv, genPt) { (ivs: List[(Long, Long)], pts: List[Long]) =>
+      import spark.implicits._
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val points = pts.zipWithIndex.map { case (p, j) => (j.toLong, p) }
+        .toDF("pid", "p")
+      val got = graft.engine.IntervalJoin
+        .pointsInIntervals(intervals, points, "lo", "hi", "p", 16L)
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = for {
+        ((lo, hi), i) <- ivs.zipWithIndex
+        (p, j) <- pts.zipWithIndex
+        if p >= lo && p <= hi
+      } yield (i.toLong, j.toLong)
+      assert(got.sorted == want.map(identity).sorted) // equality ⇒ no duplicate pairs
+    }
+  }
+
   test("asof laws: row-preserving, match <= left ts, match is the max candidate") {
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 40)), Gen.nonEmptyListOf(Gen.choose(0, 40))) {
       (lts: List[Int], rts: List[Int]) =>
