@@ -851,6 +851,40 @@ object Streaming {
     }
   }
 
+  case class WindowJoinOut(user_id: Long, l_tsUs: Long, l_value: Double,
+      r_tsUs: Long, r_value: Double)
+
+  /**
+   * Live time-bounded stream-stream join — the streaming form of the
+   * batch point-in-interval join (graft.engine.IntervalJoin /
+   * q_join_interval) and the ad-tech attribution shape: every `right`
+   * row landing within `[left.ts, left.ts + horizonSec]` of a same-key
+   * `left` row emits a pair. This is Spark's NATIVE stream-stream
+   * equi-join with an event-time range condition — no custom state:
+   * the range bound plus the watermark lets Spark evict left rows once
+   * the watermark passes ts + horizon and right rows at the watermark,
+   * so state is bounded by the horizon, not history. Inner-join
+   * emission itself never waits on the watermark, so pairs straddling
+   * micro-batches appear as soon as both sides have arrived.
+   */
+  def windowJoinStream(left: Dataset[Ev], right: Dataset[Ev],
+      horizonSec: Long, watermark: String): Dataset[WindowJoinOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(col("user_id"),
+        timestamp_micros(col("tsUs")).as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_uid"),
+        timestamp_micros(col("tsUs")).as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("user_id") === col("r_uid") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECOND"))
+      .select(col("user_id"), unix_micros(col("l_ts")).as("l_tsUs"), col("l_value"),
+        unix_micros(col("r_ts")).as("r_tsUs"), col("r_value"))
+      .as[WindowJoinOut]
+  }
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

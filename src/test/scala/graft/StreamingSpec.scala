@@ -626,6 +626,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream window join: pairs within horizon, across micro-batches") {
+    withRocksDb {
+      val S = 1000000L // 1 s in µs
+      // Base offset keeps event times clear of epoch 0: Spark's
+      // initial watermark IS epoch 0, and a row landing exactly on the
+      // watermark is treated as late and dropped — a degenerate corner
+      // real event times never hit (probe-verified: at B = 0 the
+      // t=0 left row silently vanishes from the join state).
+      val B = 1000 * S
+      val l = new Streaming.EventBus(spark)
+      val r = new Streaming.EventBus(spark)
+      val out = Streaming.windowJoinStream(l.eventsTyped, r.eventsTyped, 10L, "30 seconds")
+      val q = out.toDF().writeStream.format("memory").queryName("wj_out")
+        .outputMode("append").start()
+      val L = Seq(Ev(1L, B, 1.0), Ev(2L, B + 5 * S, 3.0), Ev(1L, B + 20 * S, 2.0))
+      val R = Seq(
+        Ev(1L, B + 4 * S, 10.0),  // inside [0, 10s] of L(0)
+        Ev(2L, B + 3 * S, 20.0),  // before user 2's left row → no match
+        Ev(1L, B + 8 * S, 11.0),  // batch 2, still inside L(0)'s horizon
+        Ev(1L, B + 25 * S, 12.0), // inside [20s, 30s] of L(2)
+        Ev(1L, B + 31 * S, 13.0), // 1 s past L(2)'s horizon → no match
+        Ev(2L, B + 5 * S, 21.0))  // exactly at L(1)'s lower bound → match
+      // batch 1: two left rows, two right rows — one completed pair
+      l.emit(L.take(2): _*); r.emit(R.take(2): _*)
+      q.processAllAvailable()
+      assert(spark.table("wj_out").count() === 1,
+        "only the one completed pair may emit in batch 1")
+      // batch 2: a late right row pairs with a FIRST-batch left row
+      l.emit(L.drop(2): _*); r.emit(R.drop(2): _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("wj_out").collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+          row.getLong(3), row.getDouble(4))).toSet
+      val want = (for {
+        lv <- L; rv <- R
+        if lv.user_id == rv.user_id &&
+          rv.tsUs >= lv.tsUs && rv.tsUs <= lv.tsUs + 10 * S
+      } yield (lv.user_id, lv.tsUs, lv.value, rv.tsUs, rv.value)).toSet
+      assert(got == want)
+      assert(want.size == 4)
+    }
+  }
+
   test("streaming anomaly monitor: prequential flags match scanLeft reference") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
