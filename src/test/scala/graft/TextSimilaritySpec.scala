@@ -252,6 +252,16 @@ class TextSimilaritySpec extends SparkSpec {
     val multi = plan("q_ann_lsh_multi")
     assert(!multi.contains("CartesianProduct"))
     assert(!multi.contains("SortMergeJoin"))
+    // interval join: the range predicate must ride an equi-join on the
+    // bucket key — the raw BETWEEN would plan as BroadcastNestedLoop
+    val interval = plan("q_join_interval")
+    assert(!interval.contains("BroadcastNestedLoopJoin"))
+    assert(!interval.contains("CartesianProduct"))
+    assert(interval.contains("__bkt"))
+    // RRF fusion adds only the (a,b) join + per-query window on top of
+    // the two bucketed rankings — the corpus never self-joins raw
+    val rrf = plan("q_ann_rrf")
+    assert(!rrf.contains("CartesianProduct"))
   }
 
   test("residual PQ: exactly-once keys; unbounded rerank ≡ exact IVF") {
