@@ -852,7 +852,7 @@ object Streaming {
   }
 
   case class WindowJoinOut(user_id: Long, l_tsUs: Long, l_value: Double,
-      r_tsUs: Long, r_value: Double)
+      r_tsUs: Option[Long], r_value: Option[Double])
 
   /**
    * Live time-bounded stream-stream join — the streaming form of the
@@ -866,9 +866,16 @@ object Streaming {
    * so state is bounded by the horizon, not history. Inner-join
    * emission itself never waits on the watermark, so pairs straddling
    * micro-batches appear as soon as both sides have arrived.
+   *
+   * `joinType = "left_outer"` adds the attribution "no conversion"
+   * rows: a left row whose horizon closes with no match emits once,
+   * null-padded, when the watermark passes ts + horizon (outer rows
+   * MUST wait for the watermark — that is what proves no match can
+   * still arrive).
    */
   def windowJoinStream(left: Dataset[Ev], right: Dataset[Ev],
-      horizonSec: Long, watermark: String): Dataset[WindowJoinOut] = {
+      horizonSec: Long, watermark: String,
+      joinType: String = "inner"): Dataset[WindowJoinOut] = {
     val spark = left.sparkSession
     import spark.implicits._
     val l = left.select(col("user_id"),
@@ -879,7 +886,8 @@ object Streaming {
       .withWatermark("r_ts", watermark)
     l.join(r, col("user_id") === col("r_uid") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECOND"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECOND"),
+        joinType)
       .select(col("user_id"), unix_micros(col("l_ts")).as("l_tsUs"), col("l_value"),
         unix_micros(col("r_ts")).as("r_tsUs"), col("r_value"))
       .as[WindowJoinOut]

@@ -670,6 +670,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream LEFT OUTER window join: unmatched row null-pads after watermark") {
+    withRocksDb {
+      val S = 1000000L
+      val B = 1000 * S // clear of the epoch-0 initial watermark (see above)
+      val l = new Streaming.EventBus(spark)
+      val r = new Streaming.EventBus(spark)
+      val out = Streaming.windowJoinStream(l.eventsTyped, r.eventsTyped,
+        10L, "5 seconds", "left_outer")
+      val q = out.toDF().writeStream.format("memory").queryName("wjo_out")
+        .outputMode("append").start()
+      // user 1 converts inside the horizon; user 2 never does
+      l.emit(Ev(1L, B, 1.0), Ev(2L, B, 2.0))
+      r.emit(Ev(1L, B + 3 * S, 10.0))
+      q.processAllAvailable()
+      val matchedOnly = spark.table("wjo_out").collect()
+      assert(matchedOnly.length == 1 && !matchedOnly.head.isNullAt(3),
+        "the unmatched left row must NOT emit while its horizon is open")
+      // push the watermark past B + horizon: both inputs must advance
+      // (the query watermark is the min across them)
+      l.emit(Ev(9L, B + 100 * S, 0.0)); r.emit(Ev(9L, B + 100 * S, 0.0))
+      q.processAllAvailable()
+      // outer rows flush in the batch AFTER the watermark advances —
+      // drive one more (possibly empty-data) cycle
+      l.emit(Ev(9L, B + 101 * S, 0.0)); r.emit(Ev(9L, B + 101 * S, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("wjo_out")
+        .filter(col("user_id") === 2L).collect()
+      assert(rows.length == 1, "exactly one null-padded row for the non-converter")
+      assert(rows.head.isNullAt(3) && rows.head.isNullAt(4))
+      // and the matched pair stayed intact (no duplicate, no retraction)
+      val u1 = spark.table("wjo_out").filter(col("user_id") === 1L).collect()
+      assert(u1.length == 1 && u1.head.getLong(3) == B + 3 * S)
+    }
+  }
+
   test("streaming anomaly monitor: prequential flags match scanLeft reference") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
