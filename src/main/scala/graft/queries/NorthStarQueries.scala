@@ -1969,6 +1969,31 @@ object NorthStarQueries {
         "FROM segh JOIN st USING (h) WHERE c = 1 " +
         "GROUP BY doc_id, n_spans ORDER BY doc_id"),
 
+    Q("q_boilerplate",
+      // Per-source boilerplate removal (CCNet per-shard paragraph
+      // dedup, Wenzek et al. 2020): spans in ≥2 distinct docs of the
+      // SAME source are template chrome — every copy dropped; spans
+      // shared only ACROSS sources survive (q_dedup_spans covers
+      // those). Same one content-key shuffle as the span pair, keyed
+      // (source, md5) — sharper partitioning, strictly better skew.
+      (s, d) => TextOps.boilerplate(docs(s, d), "doc_id", "text",
+        "source", SPAN, minDocs = 2).orderBy("doc_id"),
+      s"WITH $DOC_TOKS, " +
+        "segs AS (SELECT doc_id, (len(toks) + 9) // 10 AS n_spans, " +
+        "unnest(list_transform(range(0, (len(toks) + 9) // 10), i -> " +
+        "struct_pack(pos := i, seg := array_to_string(" +
+        "toks[(i * 10 + 1):((i + 1) * 10)], ' ')))) AS sp " +
+        "FROM tok WHERE len(toks) > 0), " +
+        "sgs AS (SELECT s.doc_id, d.source, s.n_spans, sp.pos AS pos, " +
+        "sp.seg AS seg, md5(sp.seg) AS h FROM segs s " +
+        "JOIN documents d USING (doc_id)), " +
+        "st AS (SELECT source, h, count(DISTINCT doc_id) AS c " +
+        "FROM sgs GROUP BY source, h) " +
+        "SELECT doc_id, source, n_spans, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(seg, ' ' ORDER BY pos) AS clean_text " +
+        "FROM sgs JOIN st USING (source, h) WHERE c < 2 " +
+        "GROUP BY doc_id, source, n_spans ORDER BY doc_id"),
+
     Q("q_dsir_weights",
       // DSIR-style importance weight vs the lang='en' target slice over
       // 256 hashed token buckets, in integer-exact rational form

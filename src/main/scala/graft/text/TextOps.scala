@@ -501,17 +501,19 @@ object TextOps {
       s"$op stages work in __-prefixed columns; input already has: ${clash.mkString(", ")}")
   }
 
-  def spanDedup(docs: DataFrame, idCol: String, textCol: String, span: Int,
-                dropAll: Boolean = false): DataFrame = {
-    requireNoInternalCols(docs, "spanDedup")
-    val toked = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+  /** Shared span-cutting pass for the span operators: tokenize, cut
+    * into non-overlapping `span`-token segments, key each by its md5.
+    * `carry` names extra input columns to keep on every span row. */
+  private def spanCut(docs: DataFrame, idCol: String, textCol: String,
+      span: Int, carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select((col(idCol) +: carry.map(col)) :+ tokens(col(textCol)).as("__toks"): _*)
       .where(size(col("__toks")) > 0)
-      .select(col(idCol),
-        size(col("__toks")).as("__ntoks"),
+      .select((col(idCol) +: carry.map(col)) :+
+        size(col("__toks")).as("__ntoks") :+
         posexplode(transform(
           sequence(lit(0), ((size(col("__toks")) - 1) / span).cast("int")),
-          i => concat_ws(" ", slice(col("__toks"), i * span + 1, lit(span))))))
+          i => concat_ws(" ", slice(col("__toks"), i * span + 1, lit(span))))): _*)
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__seg")
       .withColumn("__nspans", ((col("__ntoks") + (span - 1)) / span).cast("long"))
       // Content key is a 128-bit digest, NOT the 31-poly fingerprint:
@@ -520,6 +522,11 @@ object TextOps {
       // at 38k distinct spans) that would silently delete unrelated
       // spans. md5's 2^128 space makes that probability negligible.
       .withColumn("__h", md5(col("__seg")))
+
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String, span: Int,
+                dropAll: Boolean = false): DataFrame = {
+    requireNoInternalCols(docs, "spanDedup")
+    val toked = spanCut(docs, idCol, textCol, span)
     val stats = toked.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__c"), min(col(idCol)).as("__keep"))
     toked.join(stats, "__h")
@@ -532,6 +539,39 @@ object TextOps {
           array_sort(collect_list(struct(col("__pos"), col("__seg")))),
           s => s.getField("__seg"))).as("dedup_text"))
       .select(col(idCol), col("__nspans").as("n_spans"), col("n_kept"), col("dedup_text"))
+  }
+
+  /**
+   * Per-group boilerplate removal (CCNet's per-shard paragraph dedup,
+   * Wenzek et al. 2020): a span occurring in ≥ `minDocs` DISTINCT docs
+   * of the SAME `groupCol` value (source/domain/shard) is boilerplate —
+   * navigation chrome, license footers, templated headers — and EVERY
+   * copy is dropped; spans repeated across different groups survive
+   * (that is spanDedup's job). Output mirrors spanDedup:
+   * (id, group, n_spans, n_kept, clean_text); a doc whose every span
+   * is group-boilerplate vanishes.
+   *
+   * Scale shape: identical to spanDedup with the content-key shuffle
+   * keyed on (group, md5) — the group key only SHARPENS partitioning
+   * (same span text in different groups no longer collides on one
+   * reducer), so the pass scales strictly better than the global one.
+   */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, span: Int, minDocs: Int): DataFrame = {
+    requireNoInternalCols(docs, "boilerplate")
+    val toked = spanCut(docs, idCol, textCol, span, carry = Seq(groupCol))
+    val stats = toked.groupBy(col(groupCol), col("__h"))
+      .agg(countDistinct(col(idCol)).as("__c"))
+    toked.join(stats, Seq(groupCol, "__h"))
+      .where(col("__c") < minDocs)
+      .groupBy(col(idCol), col(groupCol), col("__nspans"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          s => s.getField("__seg"))).as("clean_text"))
+      .select(col(idCol), col(groupCol), col("__nspans").as("n_spans"),
+        col("n_kept"), col("clean_text"))
   }
 
   // ------------------------------------------------------------------

@@ -503,6 +503,23 @@ class TextSimilaritySpec extends SparkSpec {
       (1L, 2L, 1L, "x y z")))
   }
 
+  test("boilerplate: same-source template spans drop everywhere, cross-source survive") {
+    // span=3, minDocs=2. Source A: docs 0,1 share template [a b c] →
+    // BOTH copies drop (no keeper); doc 1's [x y z] is unique in A and
+    // kept even though source B's doc 2 has the same span — the
+    // cross-source copy is NOT this operator's business.
+    val docs = docsDf(Seq("a b c d e f", "a b c x y z", "x y z"))
+      .withColumn("source", when(col("doc_id") < 2L, "A").otherwise("B"))
+    val got = TextOps.boilerplate(docs, "doc_id", "text", "source", 3, 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, "A", 2L, 1L, "d e f"),
+      (1L, "A", 2L, 1L, "x y z"),
+      (2L, "B", 1L, 1L, "x y z")))
+  }
+
   test("dsirWeights: integer-exact target/raw ratio per doc") {
     // fp("aa")=3104→bucket 32, fp("bb")=3136→64, fp("cc")=3168→96 (no
     // collisions). raw/tgt per bucket: 32:(2,1) 64:(2,1) 96:(2,0).
