@@ -496,6 +496,35 @@ object NorthStarQueries {
         "(PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored) " +
         "WHERE rank <= 3 ORDER BY doc_id, rank"),
 
+    Q("q_bm25",
+      // Okapi BM25 top-20 for a fixed 3-term probe query, idf in RSJ
+      // ratio form (log-free so every per-term score is the same short
+      // IEEE op sequence in both engines; ln is per-term monotone).
+      // Per-term scores sum in QUERY ORDER via pivot columns — the
+      // double addition order is deterministic at any parallelism.
+      (s, d) => TextOps.bm25(docs(s, d), "doc_id", "text",
+        Seq("spark", "stream", "hash"), 20),
+      s"WITH $DOC_TOKS, " +
+        "base AS (SELECT doc_id, len(toks) AS dl, toks FROM tok), " +
+        "stats AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(dl) AS BIGINT) AS sdl FROM base), " +
+        "t AS (SELECT doc_id, dl, unnest(toks) AS term FROM base), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t " +
+        "WHERE term IN ('spark', 'stream', 'hash') GROUP BY doc_id, dl, term), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT doc_id, term, " +
+        "((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + " +
+        "0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS s " +
+        "FROM tf JOIN df USING (term) CROSS JOIN stats), " +
+        "piv AS (SELECT doc_id, " +
+        "coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0) AS s0, " +
+        "coalesce(max(CASE WHEN term = 'stream' THEN s END), 0.0) AS s1, " +
+        "coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0) AS s2 " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, s0 + s1 + s2 AS bm25 FROM piv " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 20"),
+
     Q("q_token_quantiles",
       // Exact per-group quantiles by RANK SELECTION (lower median and
       // ceil-rank p90 of token counts per language) — integer outputs,

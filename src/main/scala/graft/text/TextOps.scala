@@ -574,6 +574,70 @@ object TextOps {
         col("n_kept"), col("clean_text"))
   }
 
+  /**
+   * BM25 retrieval scoring (Robertson et al., Okapi BM25) of every
+   * document against a fixed term query — the "find the docs most like
+   * this probe" primitive a curation pipeline uses for targeted quality
+   * slices and contamination hunts. k1 = 1.2, b = 0.75 (the standard
+   * constants), with the RSJ idf kept in RATIO form
+   * (N - df + 0.5)/(df + 0.5) instead of its log: every per-term score
+   * is then a short fixed sequence of IEEE mul/div ops that a parallel
+   * SQL oracle reproduces bit-exactly (the ln of classic BM25 is a
+   * per-term monotone reshaping; ranking by the ratio form is the same
+   * family of score, and cross-engine `ln` is not guaranteed
+   * bit-identical).
+   *
+   * Output: top `topK` rows (id, bm25) by score desc, id asc.
+   *
+   * Scale shape: one explode filtered to the |terms| query terms (the
+   * filter reaches the scan side of the explode), one map-side-combined
+   * (id, term) tf groupBy carrying dl, a |terms|-row df aggregate
+   * BROADCAST back, a per-doc pivot groupBy, and a TakeOrderedAndProject
+   * top-k — no global sort, no driver loop. Per-term scores are summed
+   * in QUERY ORDER via explicit pivot columns, not a shuffled sum(),
+   * so the double addition order is deterministic at any parallelism.
+   */
+  def bm25(docsDf: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], topK: Int): DataFrame = {
+    requireNoInternalCols(docsDf, "bm25")
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    val base = docsDf.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("__dl"),
+      tokens(col(textCol)).as("__toks"))
+    // 1-row corpus stats: N docs, total token count (integer-exact)
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl"))
+    val tf = base
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
+      .where(col("__term").isin(terms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    // df per query term = rows of tf per term (already one row per doc)
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val scored = tf
+      .join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5)))
+      .withColumn("__sat",
+        (col("__tf").cast("double") * lit(2.2)) /
+          (col("__tf").cast("double") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("__dl").cast("double") /
+              (col("__sdl").cast("double") / col("__n").cast("double"))))))
+      .withColumn("__s", col("__idf") * col("__sat"))
+    val pivCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("__term") === t, col("__s"))), lit(0.0))
+        .as(s"__s$i")
+    }
+    val piv = scored.groupBy(col(idCol)).agg(pivCols.head, pivCols.tail: _*)
+    piv
+      .withColumn("bm25",
+        terms.indices.map(i => col(s"__s$i")).reduceLeft(_ + _))
+      .select(col(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   // ------------------------------------------------------------------
   // Sequence packing: concatenate a shard's docs in id order and cut
   // the token stream into fixed-length training rows — the "pack"

@@ -520,6 +520,24 @@ class TextSimilaritySpec extends SparkSpec {
       (2L, "B", 1L, 1L, "x y z")))
   }
 
+  test("bm25: ratio-idf scoring ranks coverage over repetition; non-matching docs absent") {
+    // N=4, sdl=11, avgdl=2.75; df(spark)=df(hash)=2 → idf=(4-2+.5)/(2+.5)=1.
+    // sat(tf,dl) = 2.2·tf / (tf + 1.2·(0.25 + 0.75·dl/2.75)).
+    val docs = docsDf(Seq(
+      "spark hash",                // both terms, short → top
+      "spark spark spark spark",   // one term, saturated tf
+      "word word word",            // no query terms → absent
+      "hash word"))                // one term once
+    val got = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 3L))
+    val sat = (tf: Double, dl: Double) =>
+      2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * (dl / 2.75)))
+    assert(math.abs(got(0)._2 - 2 * sat(1, 2)) < 1e-12)
+    assert(math.abs(got(1)._2 - sat(4, 4)) < 1e-12)
+    assert(math.abs(got(2)._2 - sat(1, 2)) < 1e-12)
+  }
+
   test("dsirWeights: integer-exact target/raw ratio per doc") {
     // fp("aa")=3104→bucket 32, fp("bb")=3136→64, fp("cc")=3168→96 (no
     // collisions). raw/tgt per bucket: 32:(2,1) 64:(2,1) 96:(2,0).
