@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * PageRank in FIXED-POINT integer arithmetic (Page et al. 1999; the
+ * web-graph authority signal corpus-curation pipelines use to weight
+ * crawl domains, e.g. Common-Crawl host ranking). Damping 0.85 is the
+ * rational 85/100 applied with integer floor division to ranks scaled
+ * by `scale` (default 1e12), so EVERY operation is exact long math:
+ * results are bit-identical across engines, partitionings and retries —
+ * no floating-point sum-order nondeterminism, which a distributed
+ * double-precision PageRank cannot promise.
+ *
+ * Per iteration: r'(v) = (scale·15/100)/N  +  D/N  +  Σ_{u→v} d(u)/outdeg(u)
+ * where d(u) = r(u)·85/100 (all divisions floor) and D is the damped
+ * mass of dangling nodes (no out-edges), redistributed uniformly.
+ * Floors shave ≤1 unit per division (≤ N·iters total mass, invisible
+ * at scale=1e12); what matters is the result is deterministic.
+ *
+ * Scale shape: the edge set is one DataFrame reused every iteration —
+ * its hash-partitioning by src is planned ONCE and reused
+ * (ReusedExchange); each iteration adds one src-keyed join, one
+ * dst-keyed partial-agg shuffle and two broadcast 1-row scalars (N,
+ * dangling mass). Unrolling `iters` iterations keeps the whole thing a
+ * single declarative plan; at 100 TB you would checkpoint ranks every
+ * few iterations to cut lineage, exactly like any iterative Spark
+ * graph job.
+ */
+object PageRank {
+
+  /** Run `iters` PageRank iterations over (srcCol → dstCol) edges.
+    * Returns (node: long, pr: long) — pr in units of 1/scale. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nDf = nodes.agg(count(lit(1)).as("__n"))
+
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), expr(s"$scale div __n").as("pr"))
+    for (_ <- 1 to iters) {
+      val damped = ranks.join(deg, col("node") === col("src"), "left")
+        .select(col("node"), expr("(pr * 85) div 100").as("d"), col("outdeg"))
+      val dang = damped
+        .agg(coalesce(sum(when(col("outdeg").isNull, col("d"))), lit(0L))
+          .as("__dang"))
+      val inflow = damped.where(col("outdeg").isNotNull)
+        .join(e, col("node") === col("src"))
+        .select(col("dst"), expr("d div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(dang))
+        .select(col("node"),
+          (expr(s"(($scale * 15) div 100) div __n") +
+            expr("__dang div __n") +
+            coalesce(col("inflow"), lit(0L))).as("pr"))
+    }
+    ranks
+  }
+}

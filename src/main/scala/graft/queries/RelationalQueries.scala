@@ -24,6 +24,25 @@ object RelationalQueries {
 
   private case class Q(name: String, fn: QFn, sql: String)
 
+  /** One unrolled fixed-point PageRank iteration k (engine.PageRank
+    * mirror): damp by 85//100, pool dangling mass, split by outdeg,
+    * re-base. MATERIALIZED: each CTE is referenced downstream ≥2×,
+    * and DuckDB 1.0 inlines per reference (combinatorial re-exec). */
+  private def prIter(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"d$k AS MATERIALIZED (SELECT node, (pr * 85) // 100 AS d, outdeg " +
+      s"FROM $p LEFT JOIN deg ON node = src), " +
+      s"g$k AS MATERIALIZED (SELECT CAST(coalesce(sum(" +
+      s"CASE WHEN outdeg IS NULL THEN d END), 0) AS BIGINT) AS dang FROM d$k), " +
+      s"i$k AS MATERIALIZED (SELECT dst, CAST(sum(d // outdeg) AS BIGINT) " +
+      s"AS inflow FROM d$k JOIN e ON node = src WHERE outdeg IS NOT NULL " +
+      s"GROUP BY dst), " +
+      s"r$k AS MATERIALIZED (SELECT node, " +
+      s"((1000000000000 * 15) // 100) // n + dang // n + " +
+      s"coalesce(inflow, 0) AS pr " +
+      s"FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN i$k ON node = dst)"
+  }
+
   private def qs: Seq[Q] = Seq(
     Q("q_tpch1_pricing",
       // TPC-H Q1 shape: scan-heavy, pure partial-agg + tiny shuffle.
@@ -641,7 +660,34 @@ object RelationalQueries {
         "SELECT n_signup, n_view_24h, n_purchase_24h, " +
         "CAST(n_view_24h AS DOUBLE) / CAST(n_signup AS DOUBLE) AS view_rate, " +
         "CAST(n_purchase_24h AS DOUBLE) / CAST(n_view_24h AS DOUBLE) AS purchase_rate " +
-        "FROM c1, c2, c3")
+        "FROM c1, c2, c3"),
+
+    Q("q_pagerank",
+      // Fixed-point integer PageRank (3 iterations, damping 85/100)
+      // over the customer→supplier trade graph — the domain-authority
+      // weighting pass of a crawl-curation pipeline, exact in long
+      // arithmetic so engines/partitionings/retries agree bit-for-bit.
+      // Node ids namespace the bipartite sides: cust·2 / supp·2+1.
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.engine.PageRank.run(e, "src", "dst", iters = 3).orderBy("node")
+      },
+      "WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, " +
+        "l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem " +
+        "ON o_orderkey = l_orderkey), " +
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e " +
+        "UNION SELECT dst FROM e), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+        "FROM e GROUP BY src), " +
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+        "r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS pr " +
+        "FROM nodes CROSS JOIN nn), " +
+        (1 to 3).map(prIter).mkString(", ") + " " +
+        "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

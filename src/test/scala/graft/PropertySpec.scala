@@ -229,6 +229,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pageRank: fixed-point integer ranks match a single-threaded reference") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))) {
+      (es0: List[(Long, Long)]) =>
+        import spark.implicits._
+        val es = es0.distinct
+        val scale = 1000000000000L
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val n = nodes.size
+        val out = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+        // driver-side reference: identical floor-division recurrence
+        var r = nodes.map(_ -> scale / n).toMap
+        for (_ <- 1 to 3) {
+          val d = r.map { case (k, v) => k -> v * 85 / 100 }
+          val dang = nodes.filterNot(out.contains).map(d).sum
+          val base = (scale * 15 / 100) / n + dang / n
+          val inflow = es.groupBy(_._2).map { case (v, in) =>
+            v -> in.map(e => d(e._1) / out(e._1)).sum }
+          r = nodes.map(v => v -> (base + inflow.getOrElse(v, 0L))).toMap
+        }
+        val got = graft.engine.PageRank.run(es.toDF("a", "b"), "a", "b", 3)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+        assert(got == r)
+    }
+  }
+
   test("large-star/small-star components identical to min-label (random graphs)") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))) {
       (es: List[(Long, Long)]) =>
