@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
  * Floors shave ≤1 unit per division (≤ N·iters total mass, invisible
  * at scale=1e12); what matters is the result is deterministic.
  *
- * Scale shape: the edge set is one DataFrame reused every iteration —
- * its hash-partitioning by src is planned ONCE and reused
- * (ReusedExchange); each iteration adds one src-keyed join, one
- * dst-keyed partial-agg shuffle and two broadcast 1-row scalars (N,
- * dangling mass). Unrolling `iters` iterations keeps the whole thing a
- * single declarative plan; at 100 TB you would checkpoint ranks every
- * few iterations to cut lineage, exactly like any iterative Spark
- * graph job.
+ * Scale shape: edges/degrees/nodes are materialized ONCE
+ * (localCheckpoint, the same pattern as [[ConnectedComponents]]) and
+ * each iteration checkpoints its rank table — without this the damped
+ * subtree is referenced twice per iteration and the unrolled lineage
+ * DUPLICATES it exponentially (measured: 139 exchanges for 3
+ * iterations un-checkpointed vs ~3 per iteration checkpointed). Per
+ * iteration the executed work is one src-keyed join, one dst-keyed
+ * partial-agg shuffle and two broadcast 1-row scalars (N, dangling
+ * mass) — exactly the per-round cost of any iterative Spark graph job.
  */
 object PageRank {
 
@@ -36,14 +37,16 @@ object PageRank {
           iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     val nDf = nodes.agg(count(lit(1)).as("__n"))
 
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), expr(s"$scale div __n").as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val damped = ranks.join(deg, col("node") === col("src"), "left")
         .select(col("node"), expr("(pr * 85) div 100").as("d"), col("outdeg"))
@@ -60,6 +63,7 @@ object PageRank {
           (expr(s"(($scale * 15) div 100) div __n") +
             expr("__dang div __n") +
             coalesce(col("inflow"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
     }
     ranks
   }
