@@ -687,7 +687,34 @@ object RelationalQueries {
         "r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS pr " +
         "FROM nodes CROSS JOIN nn), " +
         (1 to 3).map(prIter).mkString(", ") + " " +
-        "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node")
+        "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"),
+
+    Q("q_zorder",
+      // Z-order (Morton) clustering key over (l_partkey, l_suppkey),
+      // bucketed by the curve's top bits: each bucket's min/max box is
+      // TIGHT in both dimensions — the property parquet footer stats
+      // exploit to skip files for predicates on either column
+      // (Delta/Iceberg ZORDER). Pure long shifts/masks, bit-identical
+      // in any 64-bit engine; the layout itself ships as
+      // Sinks.clusteredWrite(sortCols = z).
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select(
+          col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"))
+        l.withColumn("z", graft.functions.ZOrder.morton2(col("x"), col("y")))
+          .withColumn("bz", expr("z div 2097152"))
+          .groupBy("bz")
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy("bz")
+      },
+      "WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS x, " +
+        "CAST(l_suppkey AS BIGINT) AS y FROM lineitem), " +
+        s"zc AS (SELECT x, y, ${graft.functions.ZOrder.sqlMorton2("x", "y")} AS z FROM b) " +
+        "SELECT z // 2097152 AS bz, count(*) AS n, " +
+        "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+        "FROM zc GROUP BY bz ORDER BY bz")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

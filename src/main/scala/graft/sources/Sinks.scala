@@ -35,6 +35,29 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /**
+   * Size- and cluster-controlled parquet write: range-partition on
+   * `sortCols` into `nFiles` output tasks, sort within each, and cap
+   * rows per file. Files then carry DISJOINT sort-key ranges, so
+   * parquet min/max footer stats prune whole files for predicates on
+   * the leading sort column — and with a
+   * [[graft.functions.ZOrder.morton2]] key as the sort column, for
+   * box predicates on BOTH interleaved dimensions. At 100 TB file
+   * sizing is a first-order concern: unmanaged writes produce
+   * too-many-tiny or too-few-huge files, and either kills the read
+   * side (task-launch overhead vs no parallelism/skipping).
+   */
+  def clusteredWrite(df: DataFrame, path: String, sortCols: Seq[String],
+      nFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** Durable streaming sink: parquet append with checkpointed progress. */
   def streamToParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
     df.writeStream
