@@ -900,6 +900,46 @@ object NorthStarQueries {
         "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
         "ORDER BY jacc DESC, a, b LIMIT 100"),
 
+    Q("q_dedup_containment",
+      // ASYMMETRIC overlap: containment(A⊂B) = |sh(A)∩sh(B)| / |sh(A)|
+      // (Broder 1997's second resemblance measure). Catches the
+      // doc-contains-doc case symmetric Jaccard dilutes away — a long
+      // page quoting a short doc wholesale scores jacc ≈ |A|/|B| → 0
+      // but containment = 1. Same inverted-index skeleton as
+      // q_dedup_jaccard (shuffle on shingle id, never all-pairs); each
+      // unordered pair emits its two directions, thresholded at 0.8.
+      (s, d) => {
+        val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
+        val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val l = edges.select(col("doc_id").as("a"), col("sid"))
+        val r = edges.select(col("doc_id").as("b"), col("sid"))
+        val inter = l.join(r, "sid").filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        val sc = inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+        sc.select(explode(array(
+            struct(col("a").as("contained"), col("b").as("container"),
+              col("i"), (col("i").cast("double") / col("sza")).as("containment")),
+            struct(col("b").as("contained"), col("a").as("container"),
+              col("i"), (col("i").cast("double") / col("szb")).as("containment"))))
+            .as("r"))
+          .select("r.*")
+          .filter(col("containment") >= 0.8)
+          .orderBy("contained", "container")
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, $EDGES_DISTINCT, " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM edges GROUP BY doc_id), " +
+        "inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i FROM edges l " +
+        "JOIN edges r USING (sid) WHERE l.doc_id < r.doc_id GROUP BY a, b), " +
+        "sc AS (SELECT a, b, i, CAST(i AS DOUBLE) / sa.sz AS ca, " +
+        "CAST(i AS DOUBLE) / sb.sz AS cb FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b), " +
+        "dirs AS (SELECT a AS contained, b AS container, i, ca AS containment FROM sc " +
+        "UNION ALL SELECT b, a, i, cb FROM sc) " +
+        "SELECT contained, container, i, containment FROM dirs " +
+        "WHERE containment >= 0.8e0 ORDER BY contained, container"),
+
     Q("q_dup_ngram_frac",
       // Cross-document repeated n-gram fraction — the linear-cost proxy
       // for suffix-array substring dedup (Lee et al. 2022,

@@ -538,6 +538,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._2 - sat(1, 2)) < 1e-12)
   }
 
+  test("containment: doc-contains-doc scores 1.0 where jaccard dilutes") {
+    // doc 0's shingles are a strict subset of doc 1's: containment
+    // (0 in 1) = 1.0 while jaccard = 3/8. k=3 shingles.
+    val docs = docsDf(Seq(
+      "a b c d e",                  // shingles: abc bcd cde
+      "a b c d e f g h i j",        // shingles: abc..hij (8)
+      "x y z w"))                   // disjoint
+    val edges = TextOps.shingleSidEdges(docs, "doc_id", "text", 3, dedup = true)
+    val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 3L, 1L -> 8L, 2L -> 2L))
+    val l = edges.select(col("doc_id").as("a"), col("sid"))
+    val r = edges.select(col("doc_id").as("b"), col("sid"))
+    val inter = l.join(r, "sid").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(inter == Map((0L, 1L) -> 3L))
+    // containment(0⊂1) = 3/3 = 1.0; jaccard = 3/(3+8-3) = 0.375
+    assert(inter((0L, 1L)).toDouble / sizes(0L) == 1.0)
+  }
+
   test("dsirWeights: integer-exact target/raw ratio per doc") {
     // fp("aa")=3104→bucket 32, fp("bb")=3136→64, fp("cc")=3168→96 (no
     // collisions). raw/tgt per bucket: 32:(2,1) 64:(2,1) 96:(2,0).
