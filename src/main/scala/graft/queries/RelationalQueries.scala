@@ -333,6 +333,71 @@ object RelationalQueries {
         "count(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"),
 
+    Q("q_cube",
+      // Full cross-classification in one pass: CUBE adds the (ALL,
+      // status) slice ROLLUP lacks — all four grouping levels from a
+      // single scan + one expand+shuffle (4× row multiply before the
+      // partial agg, not four scans or a UNION).
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(cents("l_quantity")).as("sum_qty_c"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty_c"), col("n"))
+        .orderBy("rf", "ls"),
+      "SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+        "coalesce(l_linestatus, 'ALL') AS ls, " +
+        s"CAST(sum(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c, " +
+        "count(*) AS n FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+
+    Q("q_winsorize",
+      // Robust per-group stats: winsorized mean of events.value per
+      // event_type — clamp below the exact rank-selected p05 and above
+      // p95 (ceil-rank pick, integer cents, deterministic (cents, seq)
+      // tie order — no interpolation, no sketch), then ONE final
+      // division. The curation use: quality-score thresholds that one
+      // spam burst or logging glitch cannot drag. One keyed sort
+      // window + a broadcast per-group bounds table + one aggregate.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = EventQueries.ev(s, d).df
+          .select(col("event_type"), col("seq"), col("cents"))
+        val w = Window.partitionBy("event_type").orderBy("cents", "seq")
+        val ranked = e
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("r", expr("(n + 19) div 20"))
+        val bounds = ranked
+          .filter(col("rn") === col("r") || col("rn") === col("n") - col("r") + 1)
+          .groupBy("event_type")
+          .agg(min(col("cents")).as("lo_c"), max(col("cents")).as("hi_c"))
+        ranked.join(broadcast(bounds), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+            sum(least(greatest(col("cents"), col("lo_c")), col("hi_c")))
+              .as("wins_sum_c"))
+          .withColumn("wins_mean_c",
+            col("wins_sum_c").cast("double") / col("n").cast("double"))
+          .orderBy("event_type")
+      },
+      EventQueries.EV + ", " +
+        "ranked AS (SELECT event_type, cents, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY cents, seq) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM ev), " +
+        "bounds AS (SELECT event_type, min(cents) AS lo_c, max(cents) AS hi_c " +
+        "FROM ranked WHERE rn = (n + 19) // 20 OR rn = n - (n + 19) // 20 + 1 " +
+        "GROUP BY event_type) " +
+        "SELECT event_type, n, lo_c, hi_c, wins_sum_c, " +
+        "CAST(wins_sum_c AS DOUBLE) / CAST(n AS DOUBLE) AS wins_mean_c FROM " +
+        "(SELECT r.event_type, count(*) AS n, min(lo_c) AS lo_c, " +
+        "min(hi_c) AS hi_c, " +
+        "CAST(sum(least(greatest(cents, lo_c), hi_c)) AS BIGINT) AS wins_sum_c " +
+        "FROM ranked r JOIN bounds b ON r.event_type = b.event_type " +
+        "GROUP BY r.event_type) ORDER BY event_type"),
+
     Q("q_join_asof",
       // As-of join (graft.engine.AsofJoin): stamp each non-purchase
       // event with the user's latest purchase at-or-before it. One keyed
