@@ -36,6 +36,23 @@ object Sinks {
       .saveAsTable(table)
 
   /**
+   * Append into an existing bucketed table with the SAME bucket spec —
+   * the update step of an incremental index: after a daily batch is
+   * probed against the standing index (zero index-side shuffle, see
+   * TextOps.dedupIncremental), its own keys are appended so TOMORROW's
+   * batch sees today's documents. Each append adds one file set per
+   * bucket; periodic compaction (rewrite via [[toBucketedTable]])
+   * bounds file counts, exactly like any LSM-ish index maintenance.
+   */
+  def appendBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("append")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /**
    * Size- and cluster-controlled parquet write: range-partition on
    * `sortCols` into `nFiles` output tasks, sort within each, and cap
    * rows per file. Files then carry DISJOINT sort-key ranges, so

@@ -333,6 +333,35 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental index lifecycle: probe, append today's bands, tomorrow's re-ingest is caught") {
+    import graft.sources.Sinks
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(col("doc_id") % 3 === 0)
+    val day1 = all.filter(col("doc_id") % 3 === 1)
+    // day-2 batch: verbatim re-crawls of day-1 docs under new ids —
+    // the exact shape a crawler's revisit produces
+    val day2 = day1.filter(col("doc_id") < 60)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    Sinks.toBucketedTable(
+      TextOps.bandIndex(corpus, "doc_id", "text", 3, 12, 4, 3),
+      "inc_idx", 8, Seq("band"))
+    try {
+      def survivors(): Long = TextOps.dedupIncremental(day2,
+        spark.table("inc_idx"), "doc_id", "text", 3, 12, 4, 3, 1024).count()
+      val before = survivors()
+      assert(before > 0, "day-2 docs must not all collide with the corpus alone")
+      // the update step: append day-1's bands with the same bucket spec
+      Sinks.appendBucketed(
+        TextOps.bandIndex(day1, "doc_id", "text", 3, 12, 4, 3),
+        "inc_idx", 8, Seq("band"))
+      // identical text ⇒ identical signature ⇒ guaranteed band hit
+      assert(survivors() == 0L,
+        "after the append every re-crawled doc must be caught")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_idx")
+    }
+  }
+
   test("materialized ANN index: assignment against persisted centroids, no retraining") {
     import graft.sources.Sinks
     import graft.ml.Similarity
