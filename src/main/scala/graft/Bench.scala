@@ -23,7 +23,8 @@ object Bench {
     "q_tpch1_pricing", "q_tpch3_topn", "q_tpch5_nation_rev",
     "q_grouped_window",
     "q_token_stats", "q_dedup_exact", "q_dedup_minhash", "q_ann_lsh",
-    "q_join_interval")
+    "q_join_interval",
+    "q_bm25", "q_pagerank", "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
