@@ -39,10 +39,17 @@ object IntervalJoin {
     require(!(intervals.columns ++ points.columns).exists(_.startsWith("__")),
       "__-prefixed columns are reserved by pointsInIntervals")
     // `div` keeps the bucket id computation in exact integer arithmetic
-    // (a double division could round at bucket boundaries).
+    // (a double division could round at bucket boundaries). The hi >= lo
+    // guard matters twice: sequence() COUNTS DOWN on inverted bounds, so
+    // an empty interval would announce (lo-hi)/W descending buckets —
+    // for a wildly inverted row (lo=1e12, hi=0) that is millions of
+    // phantom copies all failing the exact filter; the guard emits an
+    // empty bucket array instead ("match nothing", same as the
+    // predicate's null/false semantics, at zero cost).
     val iv = intervals.withColumn("__bkt",
-      explode(sequence(expr(s"`$loCol` div ${bucketWidth}L"),
-        expr(s"`$hiCol` div ${bucketWidth}L"))))
+      explode(expr(s"CASE WHEN `$hiCol` >= `$loCol` THEN " +
+        s"sequence(`$loCol` div ${bucketWidth}L, `$hiCol` div ${bucketWidth}L) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END")))
     val pt = points.withColumn("__bkt", expr(s"`$ptCol` div ${bucketWidth}L"))
     iv.join(pt, Seq("__bkt"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))

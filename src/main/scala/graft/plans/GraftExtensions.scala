@@ -22,8 +22,12 @@ import graft.functions.{AsciiPolyHash, ShingleSids, VecDot}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    // Range joins: plan `lo <= p AND p <= hi` as the bucketed equi-join
+    // instead of BroadcastNestedLoopJoin (see RewriteIntervalJoin).
+    ext.injectOptimizerRule(_ => RewriteIntervalJoin())
+  }
 }
 
 object GraftExtensions {
