@@ -398,6 +398,44 @@ object RelationalQueries {
         "FROM ranked r JOIN bounds b ON r.event_type = b.event_type " +
         "GROUP BY r.event_type) ORDER BY event_type"),
 
+    Q("q_ohlc_bars",
+      // OHLC downsampling: hourly bars per event_type over events.value
+      // — the canonical event-stream reduction of the reference's home
+      // ecosystem (tick data → candles). open/close by deterministic
+      // (tu, seq) order via one keyed sort window (first_value +
+      // full-frame last_value), extremes and integer-cent volume by the
+      // following groupBy; bucket = tu div 3.6e9 (exact integer hour).
+      // Partition key is (type, hour), so parallelism GROWS with time
+      // span — no per-type serialization at scale.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = EventQueries.ev(s, d).df.select(
+          col("event_type"), col("seq"), col("cents"),
+          unix_micros(col("ts")).as("tu"))
+          .withColumn("bkt", expr("tu div 3600000000"))
+        val w = Window.partitionBy("event_type", "bkt").orderBy("tu", "seq")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        e.withColumn("open_c", first("cents").over(w))
+          .withColumn("close_c", last("cents").over(wf))
+          .groupBy("event_type", "bkt")
+          .agg(min(col("open_c")).as("open_c"),
+            max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+            min(col("close_c")).as("close_c"),
+            count(lit(1)).as("n"), sum(col("cents")).as("vol_c"))
+          .orderBy("event_type", "bkt")
+      },
+      EventQueries.EV + ", " +
+        "e AS (SELECT event_type, seq, cents, epoch_us(ts) AS tu, " +
+        "epoch_us(ts) // 3600000000 AS bkt FROM ev), " +
+        "wn AS (SELECT event_type, bkt, cents, " +
+        "first_value(cents) OVER (PARTITION BY event_type, bkt ORDER BY tu, seq) AS open_c, " +
+        "last_value(cents) OVER (PARTITION BY event_type, bkt ORDER BY tu, seq " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_c FROM e) " +
+        "SELECT event_type, bkt, min(open_c) AS open_c, max(cents) AS high_c, " +
+        "min(cents) AS low_c, min(close_c) AS close_c, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS vol_c FROM wn " +
+        "GROUP BY event_type, bkt ORDER BY event_type, bkt"),
+
     Q("q_join_asof",
       // As-of join (graft.engine.AsofJoin): stamp each non-purchase
       // event with the user's latest purchase at-or-before it. One keyed

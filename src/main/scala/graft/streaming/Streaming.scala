@@ -65,6 +65,27 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
   /**
+   * Live OHLC bars (tick stream → candles, the reference ecosystem's
+   * headline reduction): tumbling event-time windows per key with
+   * open/close picked by `min_by`/`max_by` over the (tsUs, seq)
+   * order — declarative aggregates, so this runs as a NATIVE streaming
+   * windowed aggregation (partial aggregation per micro-batch, state =
+   * one row per open bar, bars finalize and evict at the watermark).
+   * Expects columns (key, seq, tsUs, cents, ts); emits one row per
+   * (key, window) with integer-cent OHLC + volume, the same bar the
+   * batch q_ohlc_bars computes.
+   */
+  def ohlcBars(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("key"))
+      .agg(
+        min_by(col("cents"), struct(col("tsUs"), col("seq"))).as("open_c"),
+        max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+        max_by(col("cents"), struct(col("tsUs"), col("seq"))).as("close_c"),
+        count(lit(1)).as("n"), sum(col("cents")).as("vol_c"))
+
+  /**
    * Debounce (last-of-burst) with keyed state + event-time timeout:
    * buffer the newest row per user; when no row arrives within `gapSec`
    * (by watermark time), emit it stamped at burst_ts + gap.

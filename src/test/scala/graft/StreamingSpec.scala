@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((0L, 1L, 2L, 3.0), (10L, 1L, 1L, 3.0), (0L, 2L, 1L, 10.0)))
   }
 
+  test("streaming OHLC bars: open/close stable across micro-batches") {
+    val bus = new Streaming.EventBus(spark)
+    // batch 1 sets open (1s) and close (9s) of bar [0,10); batch 2
+    // inserts a MIDDLE tick (4s, new high) — open/close must not move —
+    // and opens bar [10,20)
+    bus.emit(Ev(1L, 1_000_000L, 10.0), Ev(1L, 9_000_000L, 11.0),
+      Ev(2L, 5_000_000L, 50.0))
+    bus.emit(Ev(1L, 4_000_000L, 12.5), Ev(1L, 12_000_000L, 20.0))
+    val in = bus.eventsTyped.toDF()
+      .select(col("user_id").as("key"), col("tsUs").as("seq"), col("tsUs"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+        timestamp_micros(col("tsUs")).as("ts"))
+    val got = Streaming.runToMemory(
+      Streaming.ohlcBars(in, "10 seconds", "0 seconds"),
+      "ohlc_out", OutputMode.Complete())
+      .select(col("window.start").cast("long").as("w"), col("key"),
+        col("open_c"), col("high_c"), col("low_c"), col("close_c"),
+        col("n"), col("vol_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got === Set(
+      (0L, 1L, 1000L, 1250L, 1000L, 1100L, 3L, 3350L),
+      (10L, 1L, 2000L, 2000L, 2000L, 2000L, 1L, 2000L),
+      (0L, 2L, 5000L, 5000L, 5000L, 5000L, 1L, 5000L)))
+  }
+
   test("streaming sample: latest value per key at each grid tick (ops/timing.py:187)") {
     val bus = new Streaming.EventBus(spark)
     bus.emit(
