@@ -436,6 +436,48 @@ object RelationalQueries {
         "CAST(sum(cents) AS BIGINT) AS vol_c FROM wn " +
         "GROUP BY event_type, bkt ORDER BY event_type, bkt"),
 
+    Q("q_resample_ffill",
+      // Gap-filled resampling (pandas resample().ffill(), Timescale
+      // time_bucket_gapfill): one row per (event_type, hour) on a
+      // regular grid spanning the corpus, carrying the last observed
+      // value forward; hours before a type's first tick stay NULL.
+      // Grid = distinct keys × broadcast 1-row hour bounds (no data
+      // shuffle to build it); the fill is ONE AsofJoin keyed window —
+      // no range join. Ticks pre-aggregated to unique (type, ts) by
+      // max so same-microsecond ticks resolve identically in any
+      // engine.
+      (s, d) => {
+        val e = EventQueries.ev(s, d).df
+          .select(col("event_type"), col("ts"), col("cents"))
+        val ticks = e.groupBy("event_type", "ts")
+          .agg(max(col("cents")).as("cents"))
+        val hb = e.agg(
+          expr("min(unix_micros(ts)) div 3600000000").as("h0"),
+          expr("max(unix_micros(ts)) div 3600000000").as("h1"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(broadcast(hb))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+          .withColumn("ts", timestamp_micros(expr("h * 3600000000")))
+        graft.engine.AsofJoin
+          .asofLeft(grid, ticks, "event_type", "ts", Seq("cents"), "fill_")
+          .select(col("event_type"), col("h"), col("fill_cents").as("fill_c"))
+          .orderBy("event_type", "h")
+      },
+      EventQueries.EV + ", " +
+        "ticks AS (SELECT event_type, ts, max(cents) AS cents FROM ev " +
+        "GROUP BY event_type, ts), " +
+        "hb AS (SELECT min(epoch_us(ts)) // 3600000000 AS h0, " +
+        "max(epoch_us(ts)) // 3600000000 AS h1 FROM ev), " +
+        "grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h " +
+        "FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN hb), " +
+        "g2 AS (SELECT event_type, h, make_timestamp(h * 3600000000) AS ts " +
+        "FROM grid) " +
+        "SELECT g2.event_type, g2.h, t.cents AS fill_c FROM g2 " +
+        "ASOF LEFT JOIN (SELECT event_type AS t_type, ts, cents FROM ticks) t " +
+        "ON g2.event_type = t.t_type AND g2.ts >= t.ts " +
+        "ORDER BY event_type, h"),
+
     Q("q_join_asof",
       // As-of join (graft.engine.AsofJoin): stamp each non-purchase
       // event with the user's latest purchase at-or-before it. One keyed
