@@ -47,6 +47,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/zorder").count() == (1L << 14))
   }
 
+  test("partitioned write: a day filter prunes partitions at the scan") {
+    val df = spark.range(2000).select(
+      (col("id") % 10).as("day"), col("id").as("v"))
+    df.write.mode("overwrite").partitionBy("day")
+      .parquet("/tmp/layout_spec/bydate")
+    val read = spark.read.parquet("/tmp/layout_spec/bydate")
+      .filter(col("day") === 3)
+    val plan = read.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning),
+    // not as a post-scan Filter over all partitions
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"day filter must prune partitions:\n$plan")
+    assert(read.count() == 200)
+    assert(read.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("day=3")))
+  }
+
   test("clusteredWrite: maxRecordsPerFile caps file row counts") {
     val df = spark.range(10000).select(col("id").as("k"))
     Sinks.clusteredWrite(df, "/tmp/layout_spec/sized", Seq("k"),

@@ -14,7 +14,9 @@ object ProbePlans5b {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    for (q <- Seq("q_boilerplate", "q_bm25", "q_pagerank")) {
+    for (q <- Seq("q_boilerplate", "q_bm25", "q_pagerank",
+        "q_dedup_containment", "q_cube", "q_winsorize", "q_zorder",
+        "q_ohlc_bars", "q_resample_ffill")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
       val nSp = "Exchange SinglePartition".r.findAllIn(plan).size
