@@ -436,6 +436,79 @@ object RelationalQueries {
         "CAST(sum(cents) AS BIGINT) AS vol_c FROM wn " +
         "GROUP BY event_type, bkt ORDER BY event_type, bkt"),
 
+    Q("q_twap",
+      // Within-bar time-weighted average (TWAP): each observed tick's
+      // value holds from its arrival to the next tick (or the bar
+      // edge), weighted in exact integer microseconds — Σ(dur·cents)
+      // ≤ bar_length·max_cents keeps the sum far inside long range,
+      // and the single final division is the only double op. Same
+      // (type, hour) window skeleton as q_ohlc_bars.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = EventQueries.ev(s, d).df.select(
+          col("event_type"), col("seq"), col("cents"),
+          unix_micros(col("ts")).as("tu"))
+          .withColumn("bkt", expr("tu div 3600000000"))
+        val w = Window.partitionBy("event_type", "bkt").orderBy("tu", "seq")
+        e.withColumn("nxt",
+            coalesce(lead(col("tu"), 1).over(w), expr("(bkt + 1) * 3600000000")))
+          .withColumn("dur", col("nxt") - col("tu"))
+          .groupBy("event_type", "bkt")
+          .agg(sum(col("dur")).as("held_us"),
+            sum(col("dur") * col("cents")).as("wsum"),
+            count(lit(1)).as("n"))
+          .withColumn("twap_c",
+            col("wsum").cast("double") / col("held_us").cast("double"))
+          .orderBy("event_type", "bkt")
+      },
+      EventQueries.EV + ", " +
+        "e AS (SELECT event_type, seq, cents, epoch_us(ts) AS tu, " +
+        "epoch_us(ts) // 3600000000 AS bkt FROM ev), " +
+        "wn AS (SELECT event_type, bkt, cents, " +
+        "coalesce(lead(tu, 1) OVER (PARTITION BY event_type, bkt " +
+        "ORDER BY tu, seq), (bkt + 1) * 3600000000) - tu AS dur FROM e) " +
+        "SELECT event_type, bkt, CAST(sum(dur) AS BIGINT) AS held_us, " +
+        "CAST(sum(dur * cents) AS BIGINT) AS wsum, count(*) AS n, " +
+        "CAST(CAST(sum(dur * cents) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) AS twap_c " +
+        "FROM wn GROUP BY event_type, bkt ORDER BY event_type, bkt"),
+
+    Q("q_drawdown",
+      // Maximum drawdown per event_type: running peak (cummax over the
+      // deterministic (tu, seq) order), per-row drawdown = peak − v in
+      // exact integer cents, then the single worst row picked by
+      // row_number over (dd desc, seq) — deterministic in any engine,
+      // no argmax tie ambiguity. Two keyed windows + one filter; no
+      // self-join, no global sort.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = EventQueries.ev(s, d).df.select(
+          col("event_type"), col("seq"), col("cents"),
+          unix_micros(col("ts")).as("tu"))
+        val w = Window.partitionBy("event_type").orderBy("tu", "seq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dd = e.withColumn("peak_c", max(col("cents")).over(w))
+          .withColumn("dd_c", col("peak_c") - col("cents"))
+        val pick = Window.partitionBy("event_type")
+          .orderBy(col("dd_c").desc, col("seq"))
+        dd.withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("peak_c"),
+            col("cents").as("trough_c"), col("dd_c"), col("seq").as("at_seq"))
+          .orderBy("event_type")
+      },
+      EventQueries.EV + ", " +
+        "e AS (SELECT event_type, seq, cents, epoch_us(ts) AS tu FROM ev), " +
+        "dd AS (SELECT event_type, seq, cents, " +
+        "max(cents) OVER (PARTITION BY event_type ORDER BY tu, seq " +
+        "ROWS UNBOUNDED PRECEDING) AS peak_c FROM e), " +
+        "rk AS (SELECT event_type, peak_c, cents AS trough_c, " +
+        "peak_c - cents AS dd_c, seq AS at_seq, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY peak_c - cents DESC, seq) AS rn FROM dd) " +
+        "SELECT event_type, peak_c, trough_c, dd_c, at_seq FROM rk " +
+        "WHERE rn = 1 ORDER BY event_type"),
+
     Q("q_resample_ffill",
       // Gap-filled resampling (pandas resample().ffill(), Timescale
       // time_bucket_gapfill): one row per (event_type, hour) on a
