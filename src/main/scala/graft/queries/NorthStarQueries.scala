@@ -940,6 +940,54 @@ object NorthStarQueries {
         "SELECT contained, container, i, containment FROM dirs " +
         "WHERE containment >= 0.8e0 ORDER BY contained, container"),
 
+    Q("q_collocations",
+      // PMI collocation mining (Church & Hanks 1990), log-free: ratio
+      // p(w1,w2)/(p(w1)p(w2)) = (c12·nu·nu)/(nb·c1·c2) computed as ONE
+      // fixed IEEE op sequence (c12·nu stays integer-exact first) —
+      // the ln of textbook PMI is monotone, so the top-k by ratio IS
+      // the top-k by PMI. The phrase-mining pass that feeds tokenizer
+      // vocab decisions and stop-phrase lists. Shape: one bigram
+      // explode + two tiny aggregates + two vocab joins + top-k.
+      (s, d) => {
+        val tk = docs(s, d).select(TextOps.tokens(col("text")).as("tk"))
+        val bg = tk.where(size(col("tk")) >= 2)
+          .select(slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+            slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))
+          .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+          .select(col("p.a").as("w1"), col("p.b").as("w2"))
+        val uni = docs(s, d).select(explode(TextOps.tokens(col("text"))).as("w"))
+        val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = uni.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(count(lit(1)).as("nu"))
+          .crossJoin(bg.agg(count(lit(1)).as("nb")))
+        c12.filter(col("c12") >= 5)
+          .join(c1.select(col("w").as("w1"), col("c").as("c1")), "w1")
+          .join(c1.select(col("w").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi_ratio",
+            (col("c12") * col("nu")).cast("double") * col("nu").cast("double") /
+              (col("nb").cast("double") *
+                (col("c1").cast("double") * col("c2").cast("double"))))
+          .select("w1", "w2", "c12", "c1", "c2", "pmi_ratio")
+          .orderBy(col("pmi_ratio").desc, col("w1"), col("w2")).limit(50)
+      },
+      s"WITH $DOC_TOKS, " +
+        "bg AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p " +
+        "FROM tok WHERE len(toks) >= 2), " +
+        "bgf AS MATERIALIZED (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg), " +
+        "uni AS MATERIALIZED (SELECT unnest(toks) AS w FROM tok), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2), " +
+        "c1 AS MATERIALIZED (SELECT w, count(*) AS c FROM uni GROUP BY w), " +
+        "tot AS (SELECT (SELECT count(*) FROM uni) AS nu, " +
+        "(SELECT count(*) FROM bgf) AS nb) " +
+        "SELECT w1, w2, c12, c1, c2, " +
+        "CAST(c12 * nu AS DOUBLE) * CAST(nu AS DOUBLE) / " +
+        "(CAST(nb AS DOUBLE) * (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS pmi_ratio " +
+        "FROM (SELECT c12.w1, c12.w2, c12.c12, a.c AS c1, b.c AS c2 FROM c12 " +
+        "JOIN c1 a ON c12.w1 = a.w JOIN c1 b ON c12.w2 = b.w WHERE c12 >= 5) " +
+        "CROSS JOIN tot ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50"),
+
     Q("q_dup_ngram_frac",
       // Cross-document repeated n-gram fraction — the linear-cost proxy
       // for suffix-array substring dedup (Lee et al. 2022,
