@@ -940,6 +940,74 @@ object NorthStarQueries {
         "SELECT contained, container, i, containment FROM dirs " +
         "WHERE containment >= 0.8e0 ORDER BY contained, container"),
 
+    Q("q_negatives",
+      // Deterministic contrastive negative sampling: 3 pseudo-random
+      // negatives per anchor via a Knuth multiplicative hash over a
+      // DENSE rank index (Sources.withGlobalSeq = range-repartition +
+      // zipWithIndex, the scale path for contiguous global ids — no
+      // single-partition window), self-hits bumped to the next index.
+      // No RNG state: stable under re-runs, retries and appends, which
+      // is what a training-pair generator must be.
+      (s, d) => {
+        val ids = graft.sources.Sources.withGlobalSeq(
+          docs(s, d).select(col("doc_id")), Seq(col("doc_id")), "idx")
+        val n = ids.agg(count(lit(1)).as("n"))
+        val neg = ids.crossJoin(broadcast(n))
+          .select(col("doc_id"), col("idx"), col("n"),
+            explode(expr("array(1L, 2L, 3L)")).as("k"))
+          .withColumn("nidx", expr("(idx * 2654435761 + k * 40503) % n"))
+          .withColumn("nidx",
+            expr("CASE WHEN nidx = idx THEN (nidx + 1) % n ELSE nidx END"))
+        neg.join(ids.select(col("idx").as("nidx"), col("doc_id").as("neg_doc_id")),
+            "nidx")
+          .select("doc_id", "k", "neg_doc_id")
+          .orderBy("doc_id", "k")
+      },
+      "WITH ids AS (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS idx " +
+        "FROM documents), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids), " +
+        "neg AS (SELECT doc_id, idx, n, unnest([1, 2, 3]) AS k " +
+        "FROM ids CROSS JOIN n), " +
+        "nx AS (SELECT doc_id, CAST(k AS BIGINT) AS k, " +
+        "(idx * 2654435761 + k * 40503) % n AS h, idx, n FROM neg), " +
+        "nz AS (SELECT doc_id, k, " +
+        "CASE WHEN h = idx THEN (h + 1) % n ELSE h END AS nidx FROM nx) " +
+        "SELECT nz.doc_id, nz.k, i.doc_id AS neg_doc_id FROM nz " +
+        "JOIN ids i ON nz.nidx = i.idx ORDER BY nz.doc_id, nz.k"),
+
+    Q("q_pareto_front",
+      // Per-language Pareto front (skyline) over (vocabulary richness,
+      // length): docs no other same-language doc dominates in BOTH
+      // distinct-token count and token count. One keyed sort window:
+      // scan in (rich desc, n_tokens desc, doc_id) order keeping rows
+      // whose n_tokens strictly exceeds the running max — duplicate
+      // points keep their first (lowest-id) representative. The
+      // corpus-curation use: the efficient frontier of "richest for
+      // their length" exemplar documents per language.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("rich"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("rich").desc, col("n_tokens").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.withColumn("pm", max(col("n_tokens")).over(w))
+          .filter(col("pm").isNull || col("n_tokens") > col("pm"))
+          .select("lang", "doc_id", "rich", "n_tokens")
+          .orderBy("lang", "doc_id")
+      },
+      s"WITH $DOC_TOKS, " +
+        "base AS (SELECT doc_id, lang, len(toks) AS n_tokens, " +
+        "len(list_distinct(toks)) AS rich FROM tok " +
+        "JOIN documents USING (doc_id)), " +
+        "sc AS (SELECT *, max(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY rich DESC, n_tokens DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM base) " +
+        "SELECT lang, doc_id, rich, n_tokens FROM sc " +
+        "WHERE pm IS NULL OR n_tokens > pm ORDER BY lang, doc_id"),
+
     Q("q_collocations",
       // PMI collocation mining (Church & Hanks 1990), log-free: ratio
       // p(w1,w2)/(p(w1)p(w2)) = (c12·nu·nu)/(nb·c1·c2) computed as ONE
