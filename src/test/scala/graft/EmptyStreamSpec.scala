@@ -36,6 +36,24 @@ class EmptyStreamSpec extends SparkSpec {
     assert(listRows.length === 1 && listRows.head.getSeq[Long](listRows.head.length - 1).isEmpty)
   }
 
+  test("round-5 text/graph operators on empty input are empty, not throwing") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val noDocs = spark.createDataset(Seq.empty[(Long, String)]).toDF("doc_id", "text")
+    assert(graft.text.TextOps.bm25(noDocs, "doc_id", "text", Seq("a", "b"), 5).count() === 0)
+    assert(graft.text.TextOps.spanDedup(noDocs, "doc_id", "text", 3).count() === 0)
+    val noDocsSrc = noDocs.withColumn("source", lit("s"))
+    assert(graft.text.TextOps.boilerplate(
+      noDocsSrc, "doc_id", "text", "source", 3, 2).count() === 0)
+    implicit val encE = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val noEdges = spark.createDataset(Seq.empty[(Long, Long)]).toDF("a", "b")
+    assert(graft.engine.PageRank.run(noEdges, "a", "b", 2).count() === 0)
+    val noIv = spark.createDataset(Seq.empty[(Long, Long)]).toDF("lo", "hi")
+    val noPt = spark.createDataset(Seq.empty[(Long, Long)]).toDF("p", "pid")
+    assert(graft.engine.IntervalJoin.pointsInIntervals(
+      noIv, noPt, "lo", "hi", "p", 10L).count() === 0)
+  }
+
   test("combination ops with an empty side") {
     val nonEmpty = seqStream(Seq(1, 2, 3))
     assert(EventStream.zip(nonEmpty, empty, "i").df.count() === 0)
