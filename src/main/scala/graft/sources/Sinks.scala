@@ -53,6 +53,26 @@ object Sinks {
       .saveAsTable(table)
 
   /**
+   * Compact a bucketed table in place: read the accumulated append
+   * file sets and rewrite them as a SINGLE write's file set under the
+   * same bucket spec (staged through a temp table — a bucketed
+   * saveAsTable cannot overwrite its own input). Run periodically
+   * after [[appendBucketed]]: each append adds a full file set, so an
+   * index probed daily accretes files linearly in batch count;
+   * compaction resets that to one write's worth (per-bucket file count
+   * bounded by the writer's task count, not by append history) — the
+   * LSM maintenance cycle in miniature.
+   */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+      nBuckets: Int, bucketCols: Seq[String]): Unit = {
+    val tmp = s"${table}__compact"
+    toBucketedTable(spark.table(table), tmp, nBuckets, bucketCols)
+    // the staged copy is materialized; now rebuild the target from it
+    toBucketedTable(spark.table(tmp), table, nBuckets, bucketCols)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+  }
+
+  /**
    * Size- and cluster-controlled parquet write: range-partition on
    * `sortCols` into `nFiles` output tasks, sort within each, and cap
    * rows per file. Files then carry DISJOINT sort-key ranges, so

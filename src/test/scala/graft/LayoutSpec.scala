@@ -64,6 +64,31 @@ class LayoutSpec extends SparkSpec {
       .forall(_.getString(0).contains("day=3")))
   }
 
+  test("compactBucketed: appends accumulate file sets, compaction restores one") {
+    val mk = (lo: Int, hi: Int) => spark.range(lo, hi)
+      .select((col("id") % 7).as("band"), col("id").as("key"))
+    Sinks.toBucketedTable(mk(0, 100), "cmp_idx", 4, Seq("band"))
+    try {
+      Sinks.appendBucketed(mk(100, 200), "cmp_idx", 4, Seq("band"))
+      Sinks.appendBucketed(mk(200, 300), "cmp_idx", 4, Seq("band"))
+      def files(): Long = spark.table("cmp_idx")
+        .select(input_file_name()).distinct().count()
+      val before = files()
+      val content = spark.table("cmp_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Sinks.compactBucketed(spark, "cmp_idx", 4, Seq("band"))
+      // three writes' file sets collapse to one write's worth: file
+      // count no longer scales with append history
+      assert(files() * 3 <= before,
+        s"compaction must collapse the per-append file sets: $before -> ${files()}")
+      assert(spark.table("cmp_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == content)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmp_idx")
+      spark.sql("DROP TABLE IF EXISTS cmp_idx__compact")
+    }
+  }
+
   test("clusteredWrite: maxRecordsPerFile caps file row counts") {
     val df = spark.range(10000).select(col("id").as("k"))
     Sinks.clusteredWrite(df, "/tmp/layout_spec/sized", Seq("k"),
