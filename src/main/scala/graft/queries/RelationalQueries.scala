@@ -772,6 +772,61 @@ object RelationalQueries {
         "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    Q("q_anomaly_mad",
+      // Robust companion to q_anomaly_days: median absolute deviation
+      // replaces μ/σ, so one crazy day cannot inflate the threshold
+      // that should have flagged it (the masking failure of
+      // moment-based detectors). Integer-exact throughout: lower-median
+      // rank selection for med and MAD, and the normal-consistency
+      // 3σ-equivalent test |x − med|·10000 > 44478·mad (3·1.4826
+      // scaled to ppm) cross-multiplied so no division, sqrt or double
+      // appears. MAD = 0 (over half the days at the median) flags any
+      // deviation — the standard MAD caveat, intended. Two keyed rank
+      // windows + two broadcast per-type tables.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dc = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+        val wP = Window.partitionBy("event_type")
+        val w1 = wP.orderBy("n_events", "day")
+        val med = dc
+          .withColumn("rn", row_number().over(w1))
+          .withColumn("dd", count(lit(1)).over(wP))
+          .filter(col("rn") === expr("(dd + 1) div 2"))
+          .select(col("event_type"), col("n_events").as("med"))
+        val dev = dc.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("n_events") - col("med")))
+        val w2 = wP.orderBy("dev", "day")
+        val mad = dev
+          .withColumn("rn", row_number().over(w2))
+          .withColumn("dd", count(lit(1)).over(wP))
+          .filter(col("rn") === expr("(dd + 1) div 2"))
+          .select(col("event_type"), col("dev").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("is_anomaly", col("dev") * 10000 > col("mad") * 44478)
+          .select("event_type", "day", "n_events", "med", "mad", "is_anomaly")
+          .orderBy("event_type", "day")
+      },
+      "WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n_events FROM events GROUP BY event_type, day), " +
+        "m AS (SELECT event_type, n_events AS med FROM " +
+        "(SELECT event_type, n_events, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY n_events, day) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS dd FROM dc) " +
+        "WHERE rn = (dd + 1) // 2), " +
+        "dev AS (SELECT dc.event_type, day, n_events, med, " +
+        "abs(n_events - med) AS dev FROM dc JOIN m ON dc.event_type = m.event_type), " +
+        "md AS (SELECT event_type, dev AS mad FROM " +
+        "(SELECT event_type, dev, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS dd FROM dev) " +
+        "WHERE rn = (dd + 1) // 2) " +
+        "SELECT dev.event_type, day, n_events, med, mad, " +
+        "dev * 10000 > mad * 44478 AS is_anomaly FROM dev " +
+        "JOIN md ON dev.event_type = md.event_type ORDER BY dev.event_type, day"),
+
     Q("q_anomaly_days",
       // Daily-volume anomaly detection per event_type, INTEGER-exact:
       // a (type, day) cell is anomalous iff |x − μ| > 2σ over that
