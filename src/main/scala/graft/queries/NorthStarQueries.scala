@@ -940,6 +940,39 @@ object NorthStarQueries {
         "SELECT contained, container, i, containment FROM dirs " +
         "WHERE containment >= 0.8e0 ORDER BY contained, container"),
 
+    Q("q_gini",
+      // Gini coefficient of per-document token mass within each source
+      // (corpus balance: 0 = every doc contributes equally, →1 = a few
+      // docs dominate) via the sorted-rank rational form
+      // G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) — integer numerator and
+      // denominator from one rank window + one aggregate, ONE final
+      // division. The mixing diagnostic read next to q_source_stats.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("x"))
+        val w = Window.partitionBy("source").orderBy("x", "doc_id")
+        base.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("i") * col("x")).as("six"))
+          .withColumn("gini",
+            (lit(2L) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+              (col("n") * col("sx")).cast("double"))
+          .orderBy("source")
+      },
+      s"WITH $DOC_TOKS, " +
+        "base AS (SELECT doc_id, source, len(toks) AS x FROM tok " +
+        "JOIN documents USING (doc_id)), " +
+        "rk AS (SELECT source, x, CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY x, doc_id) AS BIGINT) AS i FROM base) " +
+        "SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(i * x) AS BIGINT) AS six, " +
+        "CAST(2 * CAST(sum(i * x) AS BIGINT) - (count(*) + 1) * " +
+        "CAST(sum(x) AS BIGINT) AS DOUBLE) / " +
+        "CAST(count(*) * CAST(sum(x) AS BIGINT) AS DOUBLE) AS gini " +
+        "FROM rk GROUP BY source ORDER BY source"),
+
     Q("q_negatives",
       // Deterministic contrastive negative sampling: 3 pseudo-random
       // negatives per anchor via a Knuth multiplicative hash over a

@@ -772,6 +772,45 @@ object RelationalQueries {
         "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    Q("q_abtest",
+      // Two-proportion A/B evaluation, INTEGER-exact: users split by
+      // the deterministic assignment user_id % 2, outcome = converted
+      // (has a purchase). The pooled two-proportion z-test at 2σ is
+      // cross-multiplied to (c1·n2 − c2·n1)²·N > 4·n1·n2·C·(N − C)
+      // (N = n1+n2, C = c1+c2) so no division or sqrt appears and both
+      // engines agree bit-for-bit. (Near 2^63 the production form
+      // compares the two sides as doubles — same plan.) Shape: one
+      // per-user aggregate, one 2-row groupBy, one broadcast pivot row.
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+          .withColumn("variant", col("user_id") % 2)
+        val g = u.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        g.agg(
+            min(when(col("variant") === 0, col("n"))).as("n_a"),
+            min(when(col("variant") === 0, col("c"))).as("c_a"),
+            min(when(col("variant") === 1, col("n"))).as("n_b"),
+            min(when(col("variant") === 1, col("c"))).as("c_b"))
+          .withColumn("significant",
+            expr("(c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b) > " +
+              "4 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)"))
+      },
+      "WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY user_id), " +
+        "g AS (SELECT user_id % 2 AS variant, count(*) AS n, " +
+        "CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY variant), " +
+        "p AS (SELECT min(CASE WHEN variant = 0 THEN n END) AS n_a, " +
+        "min(CASE WHEN variant = 0 THEN c END) AS c_a, " +
+        "min(CASE WHEN variant = 1 THEN n END) AS n_b, " +
+        "min(CASE WHEN variant = 1 THEN c END) AS c_b FROM g) " +
+        "SELECT n_a, c_a, n_b, c_b, " +
+        "(c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b) > " +
+        "4 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b) AS significant " +
+        "FROM p"),
+
     Q("q_anomaly_mad",
       // Robust companion to q_anomaly_days: median absolute deviation
       // replaces μ/σ, so one crazy day cannot inflate the threshold
