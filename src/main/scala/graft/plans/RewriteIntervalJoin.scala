@@ -39,17 +39,43 @@ import org.apache.spark.sql.types.LongType
  * Null bounds/points produce a null sequence or bucket key and drop
  * out, matching the null semantics of the original predicate.
  *
+ * Fanout guard: the bucket width is a default, not a promise about the
+ * data — an interval spanning many widths (an id-range join hitting
+ * this pattern, an interval 10^6× the width) would explode to span/W
+ * bucket rows per interval, and a span over ~2^31 buckets makes
+ * sequence() itself throw. So the rewrite splits the interval side BY
+ * ROW on `hi div W - lo div W <= maxFanout`: narrow rows take the
+ * bucketed equi-join; wide rows keep the ORIGINAL join shape (the
+ * pre-rewrite fallback, quadratic but correct) and the two results are
+ * unioned. A query that ran before the rule can therefore never be
+ * made to fail or OOM by it — the rule only upgrades the rows it can
+ * provably bound. Null-bound rows pass neither filter and drop out,
+ * exactly as the original predicate (never true on null) dropped them.
+ *
  * Config: `spark.graft.intervalJoin.enabled` (default true),
  * `spark.graft.intervalJoin.bucketWidth` (default 3600000000 = one
  * hour in microseconds; any positive width is correct — width only
- * tunes the fanout/bucket-occupancy tradeoff).
+ * tunes the fanout/bucket-occupancy tradeoff),
+ * `spark.graft.intervalJoin.maxFanout` (default 4096 buckets per
+ * interval row before that row falls back to the original join).
  */
+object RewriteIntervalJoin {
+  /** Marks the wide-row fallback join so the rule never rewrites its
+    * own output on the next fixed-point iteration (the fallback is the
+    * original range-join shape, so it would re-match forever). */
+  private[plans] val FallbackTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.intervalJoin.fallback")
+}
+
 case class RewriteIntervalJoin() extends Rule[LogicalPlan] {
+  import RewriteIntervalJoin.FallbackTag
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.intervalJoin.enabled", "true").toBoolean
   private def width: Long =
     conf.getConfString("spark.graft.intervalJoin.bucketWidth", "3600000000").toLong
+  private def maxFanout: Long =
+    conf.getConfString("spark.graft.intervalJoin.maxFanout", "4096").toLong
 
   /** Normalize a comparison to (smaller, larger) for `smaller <= larger`. */
   private def asLe(e: Expression): Option[(Expression, Expression)] = e match {
@@ -91,10 +117,17 @@ case class RewriteIntervalJoin() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), _) =>
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if j.getTagValue(FallbackTag).isEmpty =>
         matchRange(cond, left, right) match {
           case Some((ivSide, ptSide, lo, hi, p)) =>
             val w = Literal(width, LongType)
+            // Per-row bucket span; null when either bound is null, so a
+            // null-bound row passes NEITHER branch filter below — which
+            // matches the original predicate (never true on null).
+            val span = Subtract(IntegralDivide(hi, w), IntegralDivide(lo, w))
+            val capL = Literal(maxFanout, LongType)
+            val narrowIv = Filter(LessThanOrEqual(span, capL), ivSide)
             // Sequence is TimeZoneAware: without an explicit zone the
             // expression never reports resolved post-analysis. It also
             // THROWS on inverted boundaries, so an empty or null-bound
@@ -112,13 +145,21 @@ case class RewriteIntervalJoin() extends Rule[LogicalPlan] {
               AttributeReference("__bkt_iv", LongType, nullable = false)()
             val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
-              generatorOutput = Seq(bktIv), child = ivSide)
+              generatorOutput = Seq(bktIv), child = narrowIv)
             val bktPtAlias = Alias(IntegralDivide(p, w), "__bkt_pt")()
             val proj = Project(ptSide.output :+ bktPtAlias, ptSide)
             val eq = Join(gen, proj, Inner,
               Some(EqualTo(bktIv, bktPtAlias.toAttribute)),
               JoinHint.NONE)
-            Project(j.output, Filter(cond, eq))
+            val bucketed = Project(j.output, Filter(cond, eq))
+            // Wide rows (span > cap): keep the pre-rewrite join shape —
+            // correct at any span, and rare by construction, so its
+            // nested-loop cost is bounded by the few rows that take it.
+            val wideIv = Filter(GreaterThan(span, capL), ivSide)
+            val wideJoin = Join(wideIv, ptSide, Inner, Some(cond), JoinHint.NONE)
+            wideJoin.setTagValue(FallbackTag, ())
+            val fallback = Project(j.output, wideJoin)
+            Union(Seq(bucketed, fallback))
           case None => j
         }
     }

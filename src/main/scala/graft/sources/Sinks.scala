@@ -62,14 +62,25 @@ object Sinks {
    * compaction resets that to one write's worth (per-bucket file count
    * bounded by the writer's task count, not by append history) — the
    * LSM maintenance cycle in miniature.
+   *
+   * Crash safety: write-new-then-swap, never overwrite-in-place. The
+   * full compacted copy is materialized under a UNIQUE temp name first
+   * (concurrent compactions of different tables can't collide), so a
+   * failure before the swap leaves the live table untouched, and a
+   * failure between the drop and the rename leaves the complete temp
+   * table on disk for manual recovery (its name is in the thrown
+   * error's stack — nothing is deleted until the swap succeeded).
+   * Single-writer per TABLE is assumed, as with any non-transactional
+   * catalog: two concurrent compactions of the SAME table race the
+   * drop/rename pair.
    */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
       nBuckets: Int, bucketCols: Seq[String]): Unit = {
-    val tmp = s"${table}__compact"
+    val tmp = s"${table}__compact_${java.util.UUID.randomUUID.toString.take(8)}"
     toBucketedTable(spark.table(table), tmp, nBuckets, bucketCols)
-    // the staged copy is materialized; now rebuild the target from it
-    toBucketedTable(spark.table(tmp), table, nBuckets, bucketCols)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // staged copy fully materialized; swap is the only destructive step
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /**

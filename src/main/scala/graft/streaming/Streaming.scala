@@ -757,7 +757,7 @@ object Streaming {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.map { x =>
-      val h = (x.sid * 2654435761L + 104729L) % 4294967296L
+      val h = (x.sid * 2654435761L + 104729L) & 0xFFFFFFFFL
       val sfx = h >> 6
       val rho =
         if (sfx == 0L) 27 else 27 - java.lang.Long.toBinaryString(sfx).length

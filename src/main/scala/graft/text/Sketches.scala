@@ -38,7 +38,12 @@ object Sketches {
    */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], id: Column): DataFrame = {
     val g = groupCols.map(col)
-    val h = (id * 2654435761L + 104729L) % 4294967296L
+    // Mask, not mod: id*knuth overflows Long for id > ~3.46e9 (or
+    // negative ids), and `% 2^32` of a negative Long is negative —
+    // giving a negative register index and a nonsense rho. The bitmask
+    // keeps h in [0, 2^32) for EVERY Long input and agrees with the mod
+    // exactly on the non-overflowing domain.
+    val h = (id * 2654435761L + 104729L).bitwiseAND(lit(4294967295L))
     df.select(g :+ (h % 64).as("idx") :+ shiftright(h, 6).as("sfx"): _*)
       .select(g :+ col("idx") :+
         when(col("sfx") === 0, lit(27))

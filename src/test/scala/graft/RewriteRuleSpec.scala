@@ -44,15 +44,25 @@ class RewriteRuleSpec extends SparkSpec {
     try {
       spark.conf.set("spark.graft.intervalJoin.bucketWidth", "64")
       val rePlan = joined.queryExecution.executedPlan.toString
-      assert(!rePlan.contains("BroadcastNestedLoopJoin"),
-        s"rule must remove the nested loop:\n$rePlan")
+      // The hot path is the bucketed equi-join; the only nested loop
+      // left is the wide-row fallback branch, whose input is filtered
+      // to span > maxFanout (empty here — every interval is narrow).
       assert(rePlan.contains("Generate explode"), s"bucket fanout missing:\n$rePlan")
+      assert(rePlan.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+        s"only the bounded fallback branch may nest-loop:\n$rePlan")
       assert(pairs(joined) == expect)
 
       // a width that misaligns with every interval still agrees (width
       // is a performance knob, never a correctness knob)
       spark.conf.set("spark.graft.intervalJoin.bucketWidth", "7")
       assert(pairs(joined) == expect)
+
+      // fanout guard: with a tiny cap EVERY interval routes through the
+      // wide-row fallback — results must still be identical (the guard
+      // trades plan shape, never rows)
+      spark.conf.set("spark.graft.intervalJoin.maxFanout", "0")
+      assert(pairs(joined) == expect)
+      spark.conf.unset("spark.graft.intervalJoin.maxFanout")
 
       // kill switch restores the built-in plan
       spark.conf.set("spark.graft.intervalJoin.enabled", "false")
