@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Storage hygiene for iterative algorithms built on eager
+ * `localCheckpoint` ([[PageRank]], [[ConnectedComponents]]): each
+ * checkpoint pins its partitions in executor storage, and the Dataset
+ * API offers no way to free them — `Dataset.unpersist` only touches the
+ * cache manager, not the checkpoint's backing RDD. A loop that
+ * checkpoints per round therefore leaks one RDD's worth of storage per
+ * round PER CALL, which on a long-lived session (a bench loop, a
+ * scheduled re-rank, a notebook) accumulates until memory pressure
+ * evicts live blocks (measured: PageRank at sf0.1 degraded 2.6s → 8.7s
+ * over six calls purely from dead checkpoint blocks).
+ *
+ * The scope tracks the persistent-RDD ids each checkpoint creates (the
+ * id set diff around the eager materialization) and frees the
+ * intermediates once the loop's result no longer references them.
+ * IMPORTANT: a localCheckpoint's lineage is TRUNCATED — unpersisting
+ * one makes it unrecomputable — so only ids provably dead may be freed:
+ * a returned plan that still references a checkpoint lazily (e.g. a
+ * final projection over the node table) must keep it via `keep`.
+ *
+ * Id-diffing assumes no concurrent persist calls in the same session
+ * during the loop (true of driver-sequential jobs); a racing persist
+ * would at worst be unpersisted and lazily recomputed, never corrupted.
+ */
+private[graft] final class CheckpointScope(sc: SparkContext) {
+  private var seen = sc.getPersistentRDDs.keySet.toSet
+  private var owned = List.empty[Int]
+  private var lastIds = List.empty[Int]
+
+  /** Eagerly localCheckpoint `df`, recording the RDD ids it pinned. */
+  def ckpt(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    val now = sc.getPersistentRDDs.keySet.toSet
+    lastIds = (now -- seen).toList
+    owned = lastIds ::: owned
+    seen = now
+    out
+  }
+
+  /** Ids pinned by the most recent [[ckpt]] call. */
+  def last: List[Int] = lastIds
+
+  /** Unpersist the given owned ids now (they must be dead). */
+  def free(ids: List[Int]): Unit = {
+    val rdds = sc.getPersistentRDDs
+    ids.foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+    owned = owned.filterNot(ids.contains)
+  }
+
+  /** Unpersist every checkpoint this scope made except `keep`. */
+  def freeAllBut(keep: List[Int]): Unit = free(owned.filterNot(keep.contains))
+}

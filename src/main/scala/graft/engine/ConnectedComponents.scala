@@ -41,33 +41,41 @@ object ConnectedComponents {
   def runWithRounds(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val a = edges.columns(0)
     val b = edges.columns(1)
+    // free each round's dead predecessor as soon as the convergence
+    // probe has consumed it ([[CheckpointScope]]: unfreed checkpoints
+    // accumulate across calls and degrade a long-lived session)
+    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
+    var labels = scope.ckpt(sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
+    var labelIds = scope.last
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src").as("n")).agg(min(col("comp")).as("nbr"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
-        .select(col("node"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      val next = scope.ckpt(labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp")))
+      val nextIds = scope.last
       changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
         .filter(col("comp") =!= col("old")).count()
+      scope.free(labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
     // A silent non-converged return would hand downstream dedup WRONG
     // labels (documents kept/dropped against the wrong cluster) with no
     // signal — fail loudly instead. Long-diameter graphs should use
     // [[runStar]], which converges in O(log n) rounds.
-    if (changed > 0)
+    if (changed > 0) {
+      scope.freeAllBut(Nil)
       throw new IllegalStateException(
         s"ConnectedComponents.run did not converge in $maxIter rounds " +
           s"($changed labels still changing); raise maxIter or use runStar " +
           "for high-diameter graphs")
+    }
     (labels, iter)
   }
 
@@ -101,15 +109,20 @@ object ConnectedComponents {
   def runStarWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val a = edges.columns(0)
     val b = edges.columns(1)
-    val nodes = edges.select(col(a).as("node"))
+    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
+    // `nodes` must OUTLIVE this call: the returned label plan joins it
+    // lazily, and a localCheckpoint is unrecomputable once freed — so
+    // its ids (and the final edge set's) are excluded from the cleanup
+    val nodes = scope.ckpt(edges.select(col(a).as("node"))
       .union(edges.select(col(b).as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     // Orient big→small; drop self-loops and duplicates. The orientation
     // is an invariant both phases preserve (each emitted edge (x, m)
     // has m strictly below x).
-    var e = edges.filter(col(a) =!= col(b))
+    var e = scope.ckpt(edges.filter(col(a) =!= col(b))
       .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct())
+    var eIds = scope.last
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -121,19 +134,24 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
       val smins = large.groupBy("u").agg(min(col("v")).as("m"))
-      val small = large.join(smins, "u")
+      val small = scope.ckpt(large.join(smins, "u")
         .select(col("v").as("x"), col("m"))
         .union(smins.select(col("u").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct())
+      val smallIds = scope.last
       changed = small.except(e).count() + e.except(small).count()
+      scope.free(eIds)
       e = small
+      eIds = smallIds
       iter += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      scope.freeAllBut(Nil)
       throw new IllegalStateException(
         s"ConnectedComponents.runStar did not converge in $maxIter rounds")
+    }
     val stars = e.select(col("u").as("node"), col("v").as("comp"))
     val labels = nodes.join(stars, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
