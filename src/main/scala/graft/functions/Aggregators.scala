@@ -187,33 +187,10 @@ object Aggregators {
   def throttleDynAdmit(tsUs: Column, maximum: Column, intervalUs: Column): Column =
     udaf(new ThrottleDynAgg).apply(tsUs, maximum, intervalUs)
 
-  /**
-   * Switch (`ops/combine.py:104-139`): rows arrive in event-time order
-   * tagged with a source id. A row passes iff its source holds activity
-   * or steals it; the previously-active source is removed permanently.
-   *
-   * Key reduction (keeps the buffer O(1) instead of carrying the removed
-   * set): only ever-active sources get removed, so a non-active source
-   * that emits is un-removed exactly when this is its FIRST emission —
-   * which is a plain `row_number() == 1` column computed beforehand.
-   * Verified against the reference's switch/switchmap golden tests.
-   */
-  case class SwitchBuf(active: Long, pass: Boolean)
-  class SwitchAgg extends Aggregator[(Long, Boolean), SwitchBuf, Boolean] {
-    def zero: SwitchBuf = SwitchBuf(Long.MinValue, pass = false)
-    def reduce(b: SwitchBuf, in: (Long, Boolean)): SwitchBuf = {
-      val (src, isFirst) = in
-      val pass = src == b.active || isFirst
-      SwitchBuf(if (pass) src else b.active, pass)
-    }
-    def merge(a: SwitchBuf, b: SwitchBuf): SwitchBuf =
-      throw new UnsupportedOperationException("order-sensitive scan")
-    def finish(b: SwitchBuf): Boolean = b.pass
-    def bufferEncoder: Encoder[SwitchBuf] = Encoders.product[SwitchBuf]
-    def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
-  }
-  def switchPass(src: Column, isFirst: Column): Column =
-    udaf(new SwitchAgg).apply(src, isFirst)
+  // (The switch scan that lived here as a custom Aggregator reduced to
+  // built-in window expressions — see EventStream.switch: the holder
+  // only changes at steal rows, so `last(if(isFirst, src)) IGNORE NULLS`
+  // over the preceding frame replaces the O(1)-state udaf entirely.)
 
   /**
    * Bounded k-smallest collector: `collect_list` whose buffer can never
