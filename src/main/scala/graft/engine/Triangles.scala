@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Triangle counting and local clustering coefficients over an
+ * undirected edge list — the graph-density signal a corpus-curation
+ * pipeline reads off its near-duplicate / co-occurrence graphs (are
+ * candidate clusters cliquish or chains?), and the classic test of
+ * whether a distributed engine survives the "curse of the last
+ * reducer" (Suri & Vassilvitskii, WWW'11).
+ *
+ * Algorithm: degree-oriented node-iterator. Orient every undirected
+ * edge from its lower endpoint to its higher endpoint under the total
+ * order (degree, id); enumerate wedges as pairs of out-neighbors; a
+ * wedge closes iff its (order-sorted) endpoint pair is itself an
+ * oriented edge. Each triangle is found EXACTLY once (its three
+ * vertices are totally ordered; the wedge centered at the minimum is
+ * the unique witness), so no post-hoc division by 3.
+ *
+ * Scale shape: orientation bounds every out-degree by O(√m) — a
+ * celebrity node of degree 10^6 contributes wedges only as the CENTER
+ * for its few HIGHER-ordered neighbors, not deg² pairs — so the wedge
+ * self-join is O(m^1.5) total work spread evenly across keys instead
+ * of concentrated in the last reducer. The plan is three keyed
+ * shuffles (degree agg, wedge self-join on src, closure equi-join on
+ * the endpoint pair); all integer arithmetic, deterministic.
+ */
+object Triangles {
+
+  /**
+   * Per-node triangle participation over an undirected edge list
+   * (column names positional; self-loops and duplicate/reversed edges
+   * are canonicalized away).
+   *
+   * @return (node, d, tri): undirected degree and the number of
+   *         triangles the node belongs to — every node of the edge
+   *         list appears, tri = 0 included.
+   */
+  def perNode(edges: DataFrame): DataFrame = {
+    val a = edges.columns(0)
+    val b = edges.columns(1)
+    val ed = edges.filter(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .distinct()
+    val deg = ed.select(col("u").as("node")).union(ed.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient by the (degree, id) total order; carry the head's degree so
+    // wedge enumeration can compare order without re-joining degrees
+    val j = ed
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val uLess = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = j.select(
+      when(uLess, col("u")).otherwise(col("v")).as("src"),
+      when(uLess, col("v")).otherwise(col("u")).as("dst"),
+      when(uLess, col("dv")).otherwise(col("du")).as("dd"))
+    // wedges centered at src: out-neighbor pairs in order; the closing
+    // edge, if present, is oriented exactly (b → c) by construction
+    val o1 = o.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val o2 = o.select(col("src"), col("dst").as("c"), col("dd").as("dc"))
+    val tris = o1.join(o2, Seq("src"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
+    val corners = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("tri"), lit(0L)).as("tri"))
+  }
+
+  /**
+   * [[perNode]] plus the local clustering coefficient
+   * cc = 2·tri / (d·(d−1)) — integer operands, ONE final double
+   * division (hash-exact across engines); 0.0 for degree-1 nodes.
+   */
+  def clusteringCoeff(edges: DataFrame): DataFrame =
+    perNode(edges).withColumn("cc",
+      when(col("d") >= 2,
+        (col("tri") * 2).cast("double") / (col("d") * (col("d") - 1)).cast("double"))
+        .otherwise(lit(0.0)))
+}

@@ -1026,7 +1026,55 @@ object RelationalQueries {
         s"zc AS (SELECT x, y, ${graft.functions.ZOrder.sqlMorton2("x", "y")} AS z FROM b) " +
         "SELECT z // 2097152 AS bz, count(*) AS n, " +
         "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
-        "FROM zc GROUP BY bz ORDER BY bz")
+        "FROM zc GROUP BY bz ORDER BY bz"),
+
+    Q("q_triangles",
+      // Degree-oriented triangle count + local clustering coefficient
+      // (Suri & Vassilvitskii, WWW'11) over the order co-purchase graph
+      // (orders linked by a shared part; parts in more than 25 orders
+      // excluded as promiscuous hubs — an EXPLICIT predicate, mirrored
+      // in the oracle, not a silent cap). How cliquish is the affinity
+      // graph — chains or communities? Orientation by (degree, id)
+      // bounds the wedge fanout at O(sqrt(m)) per node, so the O(m^1.5)
+      // wedge join spreads evenly instead of piling on hub reducers.
+      // cc is integer operands with ONE final division — hash-exact.
+      (s, d) => {
+        val po = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+          .distinct()
+        val keep = po.groupBy("p").agg(count(lit(1)).as("c"))
+          .filter(col("c") <= 25).select("p")
+        val ed = po.join(keep, "p")
+          .join(po.withColumnRenamed("o", "o2"), "p")
+          .filter(col("o") < col("o2"))
+          .select(col("o"), col("o2"))
+        graft.engine.Triangles.clusteringCoeff(ed).orderBy("node")
+      },
+      "WITH po AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, " +
+        "l_orderkey AS o FROM lineitem), " +
+        "keep AS MATERIALIZED (SELECT p FROM po GROUP BY p " +
+        "HAVING count(*) <= 25), " +
+        "ed AS MATERIALIZED (SELECT DISTINCT a.o AS u, b.o AS v " +
+        "FROM po a JOIN keep USING (p) JOIN po b USING (p) WHERE a.o < b.o), " +
+        "deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d " +
+        "FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) " +
+        "GROUP BY node), " +
+        "o AS MATERIALIZED (SELECT " +
+        "CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS src, " +
+        "CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS dst, " +
+        "CASE WHEN (da.d, e.u) < (db.d, e.v) THEN db.d ELSE da.d END AS dd " +
+        "FROM ed e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v), " +
+        "tri AS MATERIALIZED (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z " +
+        "FROM o o1 JOIN o o2 ON o1.src = o2.src " +
+        "AND (o1.dd, o1.dst) < (o2.dd, o2.dst) " +
+        "JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst), " +
+        "corners AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS tri " +
+        "FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri " +
+        "UNION ALL SELECT z FROM tri) GROUP BY node) " +
+        "SELECT node, d, coalesce(tri, 0) AS tri, " +
+        "CASE WHEN d >= 2 THEN CAST(coalesce(tri, 0) * 2 AS DOUBLE) / " +
+        "CAST(d * (d - 1) AS DOUBLE) ELSE 0.0 END AS cc " +
+        "FROM deg LEFT JOIN corners USING (node) ORDER BY node")
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

@@ -468,4 +468,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("triangles: known graphs and a brute-force random cross-check") {
+    import spark.implicits._
+    def got(es: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+      graft.engine.Triangles.perNode(es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // K4: every node degree 3, in 3 triangles (4 triangles total)
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(got(k4) == Map(0L -> (3L, 3L), 1L -> (3L, 3L), 2L -> (3L, 3L), 3L -> (3L, 3L)))
+    // path graph: no triangles; duplicate/reversed/self edges are noise
+    assert(got(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (1L, 1L), (0L, 1L))) ==
+      Map(0L -> (1L, 0L), 1L -> (2L, 0L), 2L -> (2L, 0L), 3L -> (1L, 0L)))
+    // two triangles sharing edge (1,2): shared endpoints count both
+    assert(got(Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))) ==
+      Map(0L -> (2L, 1L), 1L -> (3L, 2L), 2L -> (3L, 2L), 3L -> (2L, 1L)))
+    // random graphs vs brute-force triple enumeration
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) {
+      (es: List[(Long, Long)]) =>
+        val canon = es.filter(e => e._1 != e._2)
+          .map(e => (e._1 min e._2, e._1 max e._2)).toSet
+        val nodes = canon.flatMap(e => Seq(e._1, e._2)).toList.sorted
+        def adj(x: Long, y: Long) = canon((x min y, x max y))
+        val expect = nodes.map { v =>
+          val tri = (for {
+            x <- nodes; y <- nodes
+            if x < y && adj(v, x) && adj(v, y) && adj(x, y)
+          } yield 1).size.toLong
+          v -> (nodes.count(u => u != v && adj(v, u)).toLong, tri)
+        }.toMap
+        if (canon.nonEmpty) assert(got(canon.toSeq) == expect)
+    }
+  }
 }
