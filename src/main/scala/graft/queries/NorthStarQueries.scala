@@ -780,6 +780,33 @@ object NorthStarQueries {
       "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n " +
         "FROM documents GROUP BY h ORDER BY keeper"),
 
+    Q("q_dedup_editdist",
+      // Short-text/near-verbatim dedup by EXACT edit distance, made
+      // tractable by offset double-blocking: candidates must share a
+      // (lang, length-band) block under EITHER of two bandings shifted
+      // by half a band — so near-dups straddling a band boundary are
+      // still caught (no recall cliff at band edges) — then a bounded
+      // Levenshtein over the 80-char prefix decides. The all-pairs
+      // O(n²) collapses to in-block pairs; distance cost is O(80²) per
+      // pair regardless of document size.
+      (s, d) => TextOps.editDistancePairs(docs(s, d), "doc_id", "text",
+          blockCol = "lang", lenCol = "n_chars", bandWidth = 50,
+          prefixLen = 80, maxDist = 20)
+        .orderBy("id_a", "id_b"),
+      "WITH dd AS MATERIALIZED (SELECT doc_id, lang, " +
+        "substr(text, 1, 80) AS t, n_chars FROM documents), " +
+        "c0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.t AS ta, b.t AS tb FROM dd a JOIN dd b ON a.lang = b.lang " +
+        "AND a.n_chars // 50 = b.n_chars // 50 AND a.doc_id < b.doc_id), " +
+        "c1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.t AS ta, b.t AS tb FROM dd a JOIN dd b ON a.lang = b.lang " +
+        "AND (a.n_chars + 25) // 50 = (b.n_chars + 25) // 50 " +
+        "AND a.doc_id < b.doc_id), " +
+        "cand AS (SELECT DISTINCT id_a, id_b, ta, tb FROM " +
+        "(SELECT * FROM c0 UNION ALL SELECT * FROM c1)) " +
+        "SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS dist " +
+        "FROM cand WHERE levenshtein(ta, tb) <= 20 ORDER BY id_a, id_b"),
+
     Q("q_dedup_minhash",
       // Array-keyed band pipeline: signature stays ONE array column and
       // band keys are raw slices — same buckets as the oracle's

@@ -1074,7 +1074,28 @@ object RelationalQueries {
         "SELECT node, d, coalesce(tri, 0) AS tri, " +
         "CASE WHEN d >= 2 THEN CAST(coalesce(tri, 0) * 2 AS DOUBLE) / " +
         "CAST(d * (d - 1) AS DOUBLE) ELSE 0.0 END AS cc " +
-        "FROM deg LEFT JOIN corners USING (node) ORDER BY node")
+        "FROM deg LEFT JOIN corners USING (node) ORDER BY node"),
+
+    Q("q_profile",
+      // Single-pass data-quality profile (the Deequ shape): per numeric
+      // column of lineitem — rows, nulls, exact NDV, min, max — from
+      // ONE aggregation over the table (per-column metric structs
+      // exploded after the agg; the exact multi-distinct goes through
+      // Expand with map-side partial aggregation). Values normalized to
+      // DOUBLE: exact for BIGINTs below 2^53 and for parquet doubles,
+      // so the profile row type is uniform and hash-exact.
+      (s, d) => graft.sources.Profiler.profile(
+        Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count(x) AS BIGINT) AS n_null, " +
+          s"CAST(count(DISTINCT x) AS BIGINT) AS ndv, " +
+          s"min(x) AS min_v, max(x) AS max_v " +
+          s"FROM (SELECT CAST($c AS DOUBLE) AS x FROM lineitem)")
+        .mkString("", " UNION ALL ", " ORDER BY col_name"))
   )
 
   lazy val queries: Map[String, QFn] = qs.map(q => q.name -> q.fn).toMap

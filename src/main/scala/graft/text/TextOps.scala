@@ -834,4 +834,46 @@ object TextOps {
     }
     (s0, st, merges.toSeq)
   }
+
+  /**
+   * Edit-distance near-duplicate pairs with offset double-blocking —
+   * the short-text / title dedup pass (where shingle-Jaccard is too
+   * coarse): candidate pairs must share a (blockCol, length-band)
+   * block, then an exact Levenshtein over a bounded prefix decides.
+   *
+   * Blocking is the scale lever: the all-pairs O(n²) collapses to the
+   * in-block pairs of a (blockCol, len/bandWidth) partition. A single
+   * banding misses true pairs whose lengths straddle a band boundary,
+   * so a SECOND banding shifted by bandWidth/2 is unioned in — any two
+   * docs within bandWidth/2 chars of each other share at least one of
+   * the two bands (the classic multi-probe trick, one extra shuffle,
+   * no recall cliff at band edges). Candidates are deduped before the
+   * Levenshtein so each pair pays the O(prefix²) distance once.
+   *
+   * Levenshtein runs on `substr(text, 1, prefixLen)` — bounded cost
+   * per pair regardless of document size, identical semantics in
+   * Spark (codegen'd) and the DuckDB oracle.
+   *
+   * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, lenCol: String, bandWidth: Int, prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    require(bandWidth >= 2, "bandWidth must be >= 2 (half-offset banding)")
+    val half = bandWidth / 2
+    def banded(off: Int): DataFrame = {
+      val d = docs.select(col(blockCol).as("__blk"),
+        floor((col(lenCol) + off) / bandWidth).cast("long").as("__band"),
+        col(idCol).as("__id"), col(textCol).substr(1, prefixLen).as("__t"))
+      d.join(d.select(col("__blk"), col("__band"), col("__id").as("__id2"),
+          col("__t").as("__t2")), Seq("__blk", "__band"))
+        .filter(col("__id") < col("__id2"))
+        .select(col("__id"), col("__id2"), col("__t"), col("__t2"))
+    }
+    banded(0).union(banded(half))
+      .dropDuplicates("__id", "__id2")
+      .withColumn("dist", levenshtein(col("__t"), col("__t2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__id").as("id_a"), col("__id2").as("id_b"), col("dist"))
+  }
 }

@@ -647,4 +647,44 @@ class TextSimilaritySpec extends SparkSpec {
     assert(resized.width == 32 && resized.height == 32)
     assert(resized.payload.length == 32 * 32 / 64)
   }
+
+  test("editDistancePairs: offset banding catches boundary straddlers") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    // docs 0/1: 1 edit apart but lengths 49 vs 51 — DIFFERENT bands under
+    // the base banding (49/50=0, 51/50=1); the half-offset banding
+    // ((49+25)/50 = (51+25)/50 = 1) must still pair them.
+    val a = "x" * 49
+    val b = "x" * 48 + "yz"          // len 51, dist 2 vs a's prefix
+    val far = "q" * 50               // same bands, far in edit distance
+    val other = "x" * 49             // other lang: never a candidate
+    val df = spark.createDataset(Seq(
+      (0L, a, "en", a.length.toLong), (1L, b, "en", b.length.toLong),
+      (2L, far, "en", far.length.toLong), (3L, other, "de", other.length.toLong)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextOps.editDistancePairs(df, "doc_id", "text",
+        blockCol = "lang", lenCol = "n_chars", bandWidth = 50,
+        prefixLen = 80, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((0L, 1L, 2)))
+    // each candidate pair is evaluated once despite appearing in both bandings
+    val allPairs = TextOps.editDistancePairs(df, "doc_id", "text",
+        "lang", "n_chars", 50, 80, 1000)
+      .groupBy("id_a", "id_b").count().filter(col("count") > 1).count()
+    assert(allPairs == 0)
+  }
+
+  test("Profiler.profile: one row per column, exact metrics") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    val df = spark.createDataset(Seq((1L, 2.5), (2L, 2.5), (3L, -1.0)))
+      .toDF("k", "v")
+      .withColumn("v", when(col("k") === 3, lit(null)).otherwise(col("v")))
+    val rows = graft.sources.Profiler.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows("k") == ((3L, 0L, 3L, 1.0, 3.0)))
+    assert(rows("v") == ((3L, 1L, 1L, 2.5, 2.5)))
+  }
 }
