@@ -411,6 +411,69 @@ object MultiplicityStats {
   }
 }
 
+/**
+ * Per-row query-term counter: `array<string>` tokens → `array<long>`
+ * occurrence counts, one slot per query term. Replaces the
+ * explode-filter-groupBy term-frequency stage of ranked retrieval
+ * (BM25/tf-idf for a FIXED probe query) with a single narrow codegen'd
+ * pass — the token array never leaves its row, so the whole tf stage
+ * is scan-shaped: no Generate fanout, no (doc, term) shuffle. Document
+ * frequencies follow as one global aggregate over `counts[i] > 0`.
+ * Terms are compared as UTF8String bytes (exact match, same as the
+ * `term IN (...)` filter it replaces).
+ */
+case class TermCounts(child: Expression, terms: Seq[String])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "term_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"term_counts needs ARRAY<STRING>, got $other")
+    }
+
+  @transient private lazy val utf8Terms: Array[org.apache.spark.unsafe.types.UTF8String] =
+    terms.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TermCounts.kernel(input.asInstanceOf[ArrayData], utf8Terms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", utf8Terms,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TermCounts.kernel($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  /** Called from generated code (static forwarder, see ShingleSids). */
+  def kernel(arr: ArrayData,
+      terms: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    val counts = new Array[Long](terms.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      while (j < terms.length) {
+        if (terms(j).equals(t)) { counts(j) += 1; j = terms.length }
+        else j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(counts)
+  }
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
@@ -436,4 +499,8 @@ object VectorFunctions {
   /** `[n, n_distinct, top_multiplicity]` of an id array as a `Column`. */
   def multStats(ids: Column): Column =
     ColumnBridge.column(MultiplicityStats(ColumnBridge.expression(ids)))
+
+  /** Per-row occurrence counts of the given query terms as a `Column`. */
+  def termCounts(toks: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(toks), terms))
 }

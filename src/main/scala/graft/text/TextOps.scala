@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
-  /** Lowercase alphanumeric tokens. */
+  /** Lowercase alphanumeric tokens. `array_remove(…, "")`, not a
+    * `filter(length > 0)` lambda: the `+`-quantified delimiter means
+    * empty strings only arise at the array edges, so removal is the
+    * same token list — but array_remove is whole-stage-codegen'd while
+    * the higher-order filter is interpreted (~1 µs/element of lambda
+    * dispatch on EVERY text query's hot path). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), x => length(x) > 0)
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** Word k-grams ("shingles") joined by spaces. Guarded: Spark's
     * `sequence(1, 0)` would count DOWN, so short docs get an empty array. */
@@ -601,36 +606,36 @@ object TextOps {
            terms: Seq[String], topK: Int): DataFrame = {
     requireNoInternalCols(docsDf, "bm25")
     require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    // ONE narrow pass: per-row term counts via the TermCounts codegen
+    // kernel — no Generate fanout, no (doc, term) shuffle. Everything
+    // global (N, total length, per-term document frequency) is a single
+    // 1-row aggregate broadcast back; per-term scores are the SAME IEEE
+    // op sequence as before (and as the oracle), summed in query order.
     val base = docsDf.select(col(idCol),
-      size(tokens(col(textCol))).cast("long").as("__dl"),
       tokens(col(textCol)).as("__toks"))
-    // 1-row corpus stats: N docs, total token count (integer-exact)
-    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl"))
-    val tf = base
-      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
-      .where(col("__term").isin(terms: _*))
-      .groupBy(col(idCol), col("__dl"), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
-    // df per query term = rows of tf per term (already one row per doc)
-    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    val scored = tf
-      .join(broadcast(dfreq), "__term")
-      .crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
-          (col("__df").cast("double") + lit(0.5)))
-      .withColumn("__sat",
-        (col("__tf").cast("double") * lit(2.2)) /
-          (col("__tf").cast("double") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * (col("__dl").cast("double") /
-              (col("__sdl").cast("double") / col("__n").cast("double"))))))
-      .withColumn("__s", col("__idf") * col("__sat"))
-    val pivCols = terms.zipWithIndex.map { case (t, i) =>
-      coalesce(max(when(col("__term") === t, col("__s"))), lit(0.0))
-        .as(s"__s$i")
+      .select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
+        graft.functions.VectorFunctions.termCounts(col("__toks"), terms).as("__tc"))
+    val statAggs = Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl")) ++
+      terms.indices.map(i =>
+        sum(when(col("__tc")(i) > 0, lit(1L)).otherwise(lit(0L))).as(s"__df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val hasAny = terms.indices.map(i => col("__tc")(i) > 0).reduceLeft(_ || _)
+    val scores = terms.indices.map { i =>
+      val tf = col("__tc")(i)
+      val idf = ((col("__n") - col(s"__df$i")).cast("double") + lit(0.5)) /
+        (col(s"__df$i").cast("double") + lit(0.5))
+      val sat = (tf.cast("double") * lit(2.2)) /
+        (tf.cast("double") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("__dl").cast("double") /
+            (col("__sdl").cast("double") / col("__n").cast("double")))))
+      (idf * sat).as(s"__s$i")
     }
-    val piv = scored.groupBy(col(idCol)).agg(pivCols.head, pivCols.tail: _*)
-    piv
+    base
+      // only docs containing ≥1 query term are candidates (a zero-term
+      // doc scored 0.0 must not pad the top-k, same as the pivot shape)
+      .filter(hasAny)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol) +: scores: _*)
       .withColumn("bm25",
         terms.indices.map(i => col(s"__s$i")).reduceLeft(_ + _))
       .select(col(idCol), col("bm25"))

@@ -9,11 +9,11 @@ object PrBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
-    for (i <- 1 to 6) {
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_pagerank")
+    for (i <- 1 to 4; nm <- names) {
       val t0 = System.nanoTime()
-      val n = all("q_pagerank")(spark, sfDir).count()
-      val rdds = spark.sparkContext.getPersistentRDDs.size
-      println(f"pass $i: ${(System.nanoTime()-t0)/1e9}%.2f s  rows=$n  persistentRDDs=$rdds")
+      val n = all(nm)(spark, sfDir).count()
+      println(f"pass $i $nm: ${(System.nanoTime()-t0)/1e9}%.2f s  rows=$n")
     }
     spark.stop()
   }
