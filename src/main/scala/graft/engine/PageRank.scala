@@ -19,41 +19,52 @@ import org.apache.spark.sql.functions._
  * Floors shave ≤1 unit per division (≤ N·iters total mass, invisible
  * at scale=1e12); what matters is the result is deterministic.
  *
+ * [[runPersonalized]] is the same recursion with the teleport (and
+ * dangling) mass restricted to a SEED set (Haveliwala, WWW'02): random
+ * surfers restart only at trusted nodes, so rank measures proximity to
+ * the seeds — the "expand from a trusted domain list" primitive of
+ * crawl curation. `run` is exactly the seeds-equal-all special case.
+ *
  * Scale shape — per iteration exactly ONE shuffle executes:
  *
- *  - `outdeg` is STATIC, so it is attached to the rank table once at
- *    init instead of re-joined every round (`ranks` carries
- *    (node, outdeg, pr)); the old per-iteration ranks⋈deg shuffle is
- *    gone entirely.
- *  - N is static and the dangling mass D is one row per round: both are
- *    driver-side Long scalars (a count at init, a 1-row agg per round),
- *    folded into the plan as literals — no broadcast exchange per
- *    iteration, and the floor math `(scale·15/100)/N` / `D/N` on driver
- *    Longs is identical to the engine's integral divide on positives.
+ *  - `outdeg` (and seed membership) is STATIC, attached to the rank
+ *    table once at init instead of re-joined every round.
+ *  - N, |S| and the per-round dangling mass are driver-side Long
+ *    scalars folded into the plan as literals — no broadcast exchange
+ *    per iteration; driver floor division on positive Longs is
+ *    identical to the engine's integral divide.
  *  - Partitionings are ALIGNED and localCheckpoint preserves them:
- *    edges are hash-partitioned by src once; the rank table is born
- *    hash-partitioned by node (and each round's output inherits node
- *    partitioning from the rebase join). The contribution join
- *    (node = src) and the rebase join (node = dst) therefore need no
- *    exchange on either side — the only shuffle left per round is the
- *    groupBy(dst) partial-agg that pools inflow, which is the
- *    irreducible data movement of PageRank.
- *  - Each round's rank table is localCheckpoint'ed (same pattern as
- *    [[ConnectedComponents]]): it is read twice (dangling scalar +
- *    contribution join) and feeds the next round — without the cut the
- *    unrolled lineage duplicates the damped subtree exponentially
- *    (measured: 139 exchanges for 3 un-checkpointed iterations).
+ *    edges hash-partitioned by src once, the rank table born
+ *    node-partitioned; the contribution join and the rebase join need
+ *    no exchange, leaving the inflow groupBy(dst) as the only shuffle.
+ *  - Each round's rank table is localCheckpoint'ed and dead rounds are
+ *    freed via [[CheckpointScope]] — without the cut the unrolled
+ *    lineage duplicates the damped subtree exponentially (measured:
+ *    139 exchanges for 3 un-checkpointed iterations).
  */
 object PageRank {
 
   /** Run `iters` PageRank iterations over (srcCol → dstCol) edges.
     * Returns (node: long, pr: long) — pr in units of 1/scale. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iters: Int, scale: Long = 1000000000000L): DataFrame = {
+          iters: Int, scale: Long = 1000000000000L): DataFrame =
+    core(edges, srcCol, dstCol, None, iters, scale)
+
+  /**
+   * Personalized PageRank: teleport and dangling mass go ONLY to the
+   * seed nodes (uniformly over the seeds present in the graph; seeds
+   * absent from the edge list are ignored). Initial rank is uniform
+   * over the seeds, 0 elsewhere.
+   *
+   * @param seeds one-column DataFrame of seed node ids
+   */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame =
+    core(edges, srcCol, dstCol, Some(seeds), iters, scale)
+
+  private def core(edges: DataFrame, srcCol: String, dstCol: String,
+      seedsOpt: Option[DataFrame], iters: Int, scale: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    // Checkpoint hygiene via [[CheckpointScope]]: free every
-    // intermediate checkpoint at return, keep only the result's blocks
-    // (unfreed intermediates measurably degrade repeated runs).
     val scope = new CheckpointScope(edges.sparkSession.sparkContext)
     def ckpt(df: DataFrame): DataFrame = scope.ckpt(df)
     // repartition-then-dedup is ONE shuffle: HashPartitioning(src)
@@ -63,25 +74,34 @@ object PageRank {
     val e = ckpt(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .repartition(col("src")).dropDuplicates("src", "dst"))
-    // distinct leaves nodes hash-partitioned by node; the left join
-    // against deg (partitioned by src from the partition-local groupBy)
-    // aligns on both keys, so base is born node-partitioned — no
-    // explicit repartition needed (checkpoint pins the partitioning)
+    // distinct leaves nodes hash-partitioned by node; the left joins
+    // against deg (partitioned by src) and the broadcast seed flag keep
+    // that, so base is born node-partitioned (checkpoint pins it)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val base = ckpt(nodes.join(deg, col("node") === col("src"), "left")
-      .select(col("node"), col("outdeg")))
-    val n = base.count()
-    // no nodes: every iteration is vacuous (driver division by N would
-    // throw where the old in-plan `div` simply never ran on zero rows)
-    if (n == 0) {
+    val withSeed = seedsOpt match {
+      case Some(s) =>
+        val sd = s.select(col(s.columns(0)).cast("long").as("node"))
+          .distinct().withColumn("__seed", lit(true))
+        nodes.join(broadcast(sd), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__seed"), lit(false)).as("is_seed"))
+      case None => nodes.select(col("node"), lit(true).as("is_seed"))
+    }
+    val base = ckpt(withSeed.join(deg, col("node") === col("src"), "left")
+      .select(col("node"), col("is_seed"), col("outdeg")))
+    val nSeed = base.where(col("is_seed")).count()
+    // no nodes at all: vacuous (driver division by |S| would throw
+    // where the old in-plan `div` simply never ran on zero rows)
+    if (base.count() == 0) {
       val out = ckpt(base.select(col("node"), lit(0L).as("pr")))
       scope.freeAllBut(scope.last)
       return out
     }
+    require(nSeed > 0, "personalized PageRank needs at least one seed present in the graph")
 
-    var ranks = ckpt(base.withColumn("pr", lit(scale / n)))
+    var ranks = ckpt(base.withColumn("pr",
+      when(col("is_seed"), lit(scale / nSeed)).otherwise(lit(0L))))
     for (_ <- 1 to iters) {
       // dangling mass: 1-row agg → driver Long (no broadcast exchange);
       // ranks is already materialized so this is a narrow re-scan
@@ -92,12 +112,13 @@ object PageRank {
         .join(e, col("node") === col("src"))
         .select(col("dst"), expr("((pr * 85) div 100) div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
-      // rebase: floor((scale·15/100)/N) + floor(D/N) are positive-Long
-      // driver divisions — identical to the engine's `div` on the same
-      // operands — so the distributed part is just the inflow coalesce
+      // rebase: floor((scale·15/100)/|S|) + floor(D/|S|) are positive-
+      // Long driver divisions — identical to the engine's `div` on the
+      // same operands — landing only on seeds; non-seeds keep inflow
       ranks = ckpt(base.join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"), col("outdeg"),
-          (lit(scale * 15 / 100 / n + dang / n) +
+        .select(col("node"), col("is_seed"), col("outdeg"),
+          (when(col("is_seed"), lit(scale * 15 / 100 / nSeed + dang / nSeed))
+            .otherwise(lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("pr")))
     }
     // the final ranks checkpoint is the return value; every other

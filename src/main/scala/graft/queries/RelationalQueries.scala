@@ -43,6 +43,24 @@ object RelationalQueries {
       s"FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN i$k ON node = dst)"
   }
 
+  /** One unrolled PERSONALIZED PageRank iteration k: teleport + dangling
+    * mass land only on seed nodes, uniformly over |S| (engine
+    * `PageRank.runPersonalized` mirror; same floor-division math). */
+  private def prIterP(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"d$k AS MATERIALIZED (SELECT node, (pr * 85) // 100 AS d, outdeg " +
+      s"FROM $p LEFT JOIN deg ON node = src), " +
+      s"g$k AS MATERIALIZED (SELECT CAST(coalesce(sum(" +
+      s"CASE WHEN outdeg IS NULL THEN d END), 0) AS BIGINT) AS dang FROM d$k), " +
+      s"i$k AS MATERIALIZED (SELECT dst, CAST(sum(d // outdeg) AS BIGINT) " +
+      s"AS inflow FROM d$k JOIN e ON node = src WHERE outdeg IS NOT NULL " +
+      s"GROUP BY dst), " +
+      s"r$k AS MATERIALIZED (SELECT node, is_seed, " +
+      s"CASE WHEN is_seed THEN ((1000000000000 * 15) // 100) // ns + dang // ns " +
+      s"ELSE 0 END + coalesce(inflow, 0) AS pr " +
+      s"FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN i$k ON node = dst)"
+  }
+
   private def qs: Seq[Q] = Seq(
     Q("q_tpch1_pricing",
       // TPC-H Q1 shape: scan-heavy, pure partial-agg + tiny shuffle.
@@ -999,6 +1017,41 @@ object RelationalQueries {
         "r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS pr " +
         "FROM nodes CROSS JOIN nn), " +
         (1 to 3).map(prIter).mkString(", ") + " " +
+        "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"),
+
+    Q("q_pagerank_seeded",
+      // Personalized PageRank (Haveliwala, WWW'02): teleport + dangling
+      // mass restart ONLY at seed nodes — suppliers of nation 0 — so
+      // rank measures proximity to the trusted seeds (the "expand from
+      // a trusted domain list" primitive of crawl curation). Same
+      // fixed-point integer recursion as q_pagerank, bit-exact.
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        graft.engine.PageRank.runPersonalized(e, "src", "dst", seeds, iters = 3)
+          .orderBy("node")
+      },
+      "WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, " +
+        "l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem " +
+        "ON o_orderkey = l_orderkey), " +
+        "sd AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node " +
+        "FROM supplier WHERE s_nationkey = 0), " +
+        "nodes AS MATERIALIZED (SELECT node, " +
+        "(node IN (SELECT node FROM sd)) AS is_seed FROM " +
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+        "FROM e GROUP BY src), " +
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ns " +
+        "FROM nodes WHERE is_seed), " +
+        "r0 AS MATERIALIZED (SELECT node, is_seed, " +
+        "CASE WHEN is_seed THEN 1000000000000 // ns ELSE 0 END AS pr " +
+        "FROM nodes CROSS JOIN nn), " +
+        (1 to 3).map(prIterP).mkString(", ") + " " +
         "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"),
 
     Q("q_zorder",

@@ -251,6 +251,13 @@ class PropertySpec extends SparkSpec {
         val got = graft.engine.PageRank.run(es.toDF("a", "b"), "a", "b", 3)
           .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
         assert(got == r)
+        // personalized with seeds = every node is EXACTLY uniform PageRank
+        // (|S| = N makes the teleport term identical)
+        val allSeeds = nodes.toDF("node")
+        val ppr = graft.engine.PageRank
+          .runPersonalized(es.toDF("a", "b"), "a", "b", allSeeds, 3)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+        assert(ppr == got)
     }
   }
 
