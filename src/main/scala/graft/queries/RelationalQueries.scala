@@ -1021,9 +1021,10 @@ object RelationalQueries {
 
     Q("q_pagerank_seeded",
       // Personalized PageRank (Haveliwala, WWW'02): teleport + dangling
-      // mass restart ONLY at seed nodes — suppliers of nation 0 — so
-      // rank measures proximity to the trusted seeds (the "expand from
-      // a trusted domain list" primitive of crawl curation). Same
+      // mass restart ONLY at seed nodes — the five lowest supplier ids,
+      // a stand-in trusted list that is non-empty at every SF — so rank
+      // measures proximity to the trusted seeds (the "expand from a
+      // trusted domain list" primitive of crawl curation). Same
       // fixed-point integer recursion as q_pagerank, bit-exact.
       (s, d) => {
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
@@ -1031,7 +1032,7 @@ object RelationalQueries {
         val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
-        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+        val seeds = Tables.supplier(s, d).filter(col("s_suppkey") <= 5)
           .select((col("s_suppkey") * 2 + 1).as("node"))
         graft.engine.PageRank.runPersonalized(e, "src", "dst", seeds, iters = 3)
           .orderBy("node")
@@ -1040,7 +1041,7 @@ object RelationalQueries {
         "l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem " +
         "ON o_orderkey = l_orderkey), " +
         "sd AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node " +
-        "FROM supplier WHERE s_nationkey = 0), " +
+        "FROM supplier WHERE s_suppkey <= 5), " +
         "nodes AS MATERIALIZED (SELECT node, " +
         "(node IN (SELECT node FROM sd)) AS is_seed FROM " +
         "(SELECT src AS node FROM e UNION SELECT dst FROM e)), " +
