@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * HITS hubs-and-authorities (Kleinberg, JACM'99) in fixed-point integer
+ * arithmetic — the natural ranking for BIPARTITE interaction graphs
+ * (buyers→sellers, crawlers→hosts, queries→documents), where PageRank's
+ * single score conflates the two roles: a hub is good because it points
+ * at good authorities, an authority because good hubs point at it.
+ *
+ * Per iteration (mutual recursion, L1-normalized):
+ *
+ *   auth'(v) = Σ_{u→v} hub(u)      then  auth = (auth' · scale) / Σ auth'
+ *   hub'(u)  = Σ_{u→v} auth(v)     then  hub  = (hub'  · scale) / Σ hub'
+ *
+ * with every division a floor — all-Long math, bit-identical across
+ * engines, partitionings and retries. L1 (not the classical L2)
+ * because the sum needs no square root, keeping the recursion closed
+ * over the integers; the fixed point only differs by per-round scaling,
+ * which normalization absorbs.
+ *
+ * Overflow discipline: with the default scale 10^6, normalized scores
+ * are ≤ scale, so a raw sum is ≤ max-degree·scale and the normalization
+ * product is ≤ max-degree·scale² — safe in a signed 64-bit Long while
+ * max-degree < 2^63/scale² ≈ 9.2·10^6. For graphs with hotter hubs,
+ * lower `scale` (precision trades against headroom exactly).
+ *
+ * Scale shape mirrors [[PageRank]]: edges checkpointed once,
+ * hash-partitioned by src; each iteration is two keyed partial-agg
+ * shuffles (auth by dst, hub by src) plus two 1-row sums collected as
+ * driver literals; per-round rank tables are checkpointed and dead
+ * rounds freed via [[CheckpointScope]].
+ */
+object Hits {
+
+  /** Run `iters` HITS iterations over (srcCol → dstCol) edges.
+    * Returns (node, hub, auth) — scores in units of 1/scale, L1 sums
+    * equal to ~scale each (floors shave ≤1 unit per node). */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
+    val e = scope.ckpt(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst"))
+    val nodes = scope.ckpt(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    // no edges: no nodes either — every score table is empty
+    if (e.head(1).isEmpty) {
+      val out = scope.ckpt(nodes
+        .select(col("node"), lit(0L).as("hub"), lit(0L).as("auth")))
+      scope.freeAllBut(scope.last)
+      return out
+    }
+
+    // scale >= node count guarantees the largest normalized score is
+    // >= 1, so the per-round L1 sums can never floor to zero (which
+    // would divide by zero next round); it is also the precision floor
+    val nNodes = nodes.count()
+    require(scale >= nNodes,
+      s"scale ($scale) must be >= node count ($nNodes): L1-normalized " +
+        "integer scores need scale units of mass to spread over the nodes")
+
+    // hub starts uniform at `scale`; auth is derived before first use
+    var ranks = scope.ckpt(nodes.withColumn("hub", lit(scale)))
+    for (_ <- 1 to iters) {
+      // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
+      // driver-literal floor divisions below are safe
+      val authRaw = ranks.join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("araw"))
+      val aSum = authRaw.agg(coalesce(sum(col("araw")), lit(0L)))
+        .head.getLong(0)
+      val auth = authRaw.select(col("dst").as("anode"),
+        expr(s"(araw * $scale) div $aSum").as("auth"))
+      val hubRaw = auth.join(e, col("anode") === col("dst"))
+        .select(col("src"), col("auth"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hraw"))
+      val hSum = hubRaw.agg(coalesce(sum(col("hraw")), lit(0L)))
+        .head.getLong(0)
+      val hub = hubRaw.select(col("src").as("hnode"),
+        expr(s"(hraw * $scale) div $hSum").as("hub2"))
+      ranks = scope.ckpt(nodes
+        .join(auth.withColumnRenamed("anode", "node"), Seq("node"), "left")
+        .join(hub.withColumnRenamed("hnode", "node"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hub2"), lit(0L)).as("hub"),
+          coalesce(col("auth"), lit(0L)).as("auth")))
+    }
+    scope.freeAllBut(scope.last)
+    ranks.select("node", "hub", "auth")
+  }
+}

@@ -43,6 +43,26 @@ object RelationalQueries {
       s"FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN i$k ON node = dst)"
   }
 
+  /** One unrolled L1-normalized integer HITS iteration k (engine
+    * `Hits.run` mirror): auth from hub over in-edges, normalize, hub
+    * from the NEW auth over out-edges, normalize — floors throughout. */
+  private def hitsIter(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"a${k}r AS MATERIALIZED (SELECT dst, CAST(sum(hub) AS BIGINT) AS araw " +
+      s"FROM $p JOIN e ON node = src GROUP BY dst), " +
+      s"as$k AS MATERIALIZED (SELECT CAST(sum(araw) AS BIGINT) AS s FROM a${k}r), " +
+      s"a$k AS MATERIALIZED (SELECT dst, " +
+      s"CAST((araw * 1000000) // s AS BIGINT) AS auth FROM a${k}r CROSS JOIN as$k), " +
+      s"h${k}r AS MATERIALIZED (SELECT src, CAST(sum(auth) AS BIGINT) AS hraw " +
+      s"FROM a$k JOIN e USING (dst) GROUP BY src), " +
+      s"hs$k AS MATERIALIZED (SELECT CAST(sum(hraw) AS BIGINT) AS s FROM h${k}r), " +
+      s"r$k AS MATERIALIZED (SELECT node, " +
+      s"coalesce(CAST((hraw * 1000000) // hs$k.s AS BIGINT), 0) AS hub, " +
+      s"coalesce(auth, 0) AS auth " +
+      s"FROM nodes CROSS JOIN hs$k LEFT JOIN a$k ON node = dst " +
+      s"LEFT JOIN h${k}r ON node = src)"
+  }
+
   /** One unrolled PERSONALIZED PageRank iteration k: teleport + dangling
     * mass land only on seed nodes, uniformly over |S| (engine
     * `PageRank.runPersonalized` mirror; same floor-division math). */
@@ -1018,6 +1038,32 @@ object RelationalQueries {
         "FROM nodes CROSS JOIN nn), " +
         (1 to 3).map(prIter).mkString(", ") + " " +
         "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"),
+
+    Q("q_hits",
+      // HITS hubs/authorities (Kleinberg JACM'99), L1-normalized
+      // fixed-point integer form — the right ranking for the BIPARTITE
+      // trade graph, where PageRank's single score conflates roles:
+      // customers are hubs (good because they buy from good suppliers),
+      // suppliers are authorities. 3 mutual-recursion rounds, every
+      // division a floor over Longs — bit-exact across engines.
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.engine.Hits.run(e, "src", "dst", iters = 3).orderBy("node")
+      },
+      "WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, " +
+        "l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem " +
+        "ON o_orderkey = l_orderkey), " +
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e " +
+        "UNION SELECT dst FROM e), " +
+        "r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS hub, " +
+        "CAST(0 AS BIGINT) AS auth FROM nodes), " +
+        (1 to 3).map(hitsIter).mkString(", ") + " " +
+        "SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth " +
+        "FROM r3 ORDER BY node"),
 
     Q("q_pagerank_seeded",
       // Personalized PageRank (Haveliwala, WWW'02): teleport + dangling

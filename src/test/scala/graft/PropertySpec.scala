@@ -261,6 +261,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hits: integer hub/auth match a single-threaded reference") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))) {
+      (es0: List[(Long, Long)]) =>
+        import spark.implicits._
+        val es = es0.distinct
+        val scale = 1000L
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        // driver-side reference: same L1-normalized floor recursion
+        var hub = nodes.map(_ -> scale).toMap
+        var auth = nodes.map(_ -> 0L).toMap
+        for (_ <- 1 to 3) {
+          val araw = es.groupBy(_._2).map { case (v, in) =>
+            v -> in.map(e => hub(e._1)).sum }
+          val aSum = araw.values.sum
+          auth = nodes.map(v => v -> araw.get(v).map(_ * scale / aSum).getOrElse(0L)).toMap
+          val hraw = es.groupBy(_._1).map { case (u, out) =>
+            u -> out.map(e => auth(e._2)).sum }
+          val hSum = hraw.values.sum
+          hub = nodes.map(v => v -> hraw.get(v).map(_ * scale / hSum).getOrElse(0L)).toMap
+        }
+        val got = graft.engine.Hits.run(es.toDF("a", "b"), "a", "b", 3, scale)
+          .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+        assert(got == nodes.map(v => v -> (hub(v), auth(v))).toMap)
+    }
+  }
+
   test("large-star/small-star components identical to min-label (random graphs)") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))) {
       (es: List[(Long, Long)]) =>
