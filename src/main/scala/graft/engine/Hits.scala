@@ -27,11 +27,22 @@ import org.apache.spark.sql.functions._
  * max-degree < 2^63/scale² ≈ 9.2·10^6. For graphs with hotter hubs,
  * lower `scale` (precision trades against headroom exactly).
  *
- * Scale shape mirrors [[PageRank]]: edges checkpointed once,
- * hash-partitioned by src; each iteration is two keyed partial-agg
- * shuffles (auth by dst, hub by src) plus two 1-row sums collected as
- * driver literals; per-round rank tables are checkpointed and dead
- * rounds freed via [[CheckpointScope]].
+ * Scale shape mirrors [[PageRank]], with two HITS-specific twists:
+ *
+ *  - the edge table is checkpointed TWICE, once hash-partitioned by src
+ *    (the auth pass joins ranks on node = src) and once by dst (the hub
+ *    pass joins the fresh auth on node = dst) — two static layouts
+ *    bought once instead of re-shuffling the edges by dst every round;
+ *  - the per-round raw score tables (one row per scored node — graph-
+ *    node-sized, not edge-sized) are checkpointed BEFORE their L1 sums
+ *    are collected: the sum, the normalization and the rebase then all
+ *    read the materialized aggregate instead of re-executing the
+ *    edge-sized join+agg chain once per consumer (the un-checkpointed
+ *    form measured ~3× the work per round).
+ *
+ * Per round that leaves: two keyed partial-agg shuffles (the mutual
+ * recursion's irreducible data movement), two 1-row driver sums, and a
+ * node-aligned rebase join; dead rounds freed via [[CheckpointScope]].
  */
 object Hits {
 
@@ -45,6 +56,7 @@ object Hits {
     val e = scope.ckpt(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .repartition(col("src")).dropDuplicates("src", "dst"))
+    val eByDst = scope.ckpt(e.repartition(col("dst")))
     val nodes = scope.ckpt(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
@@ -66,18 +78,24 @@ object Hits {
 
     // hub starts uniform at `scale`; auth is derived before first use
     var ranks = scope.ckpt(nodes.withColumn("hub", lit(scale)))
+    var ranksIds = scope.last
     for (_ <- 1 to iters) {
       // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
-      // driver-literal floor divisions below are safe
-      val authRaw = ranks.join(e, col("node") === col("src"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("araw"))
+      // driver-literal floor divisions below are safe. Raw aggregates
+      // are node-sized — checkpoint them so the sum, the normalization
+      // and the rebase all read the materialized table instead of
+      // re-running the edge-sized join+agg once per consumer.
+      val authRaw = scope.ckpt(ranks.join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("araw")))
+      val authRawIds = scope.last
       val aSum = authRaw.agg(coalesce(sum(col("araw")), lit(0L)))
         .head.getLong(0)
       val auth = authRaw.select(col("dst").as("anode"),
         expr(s"(araw * $scale) div $aSum").as("auth"))
-      val hubRaw = auth.join(e, col("anode") === col("dst"))
+      val hubRaw = scope.ckpt(auth.join(eByDst, col("anode") === col("dst"))
         .select(col("src"), col("auth"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("hraw"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hraw")))
+      val hubRawIds = scope.last
       val hSum = hubRaw.agg(coalesce(sum(col("hraw")), lit(0L)))
         .head.getLong(0)
       val hub = hubRaw.select(col("src").as("hnode"),
@@ -88,6 +106,10 @@ object Hits {
         .select(col("node"),
           coalesce(col("hub2"), lit(0L)).as("hub"),
           coalesce(col("auth"), lit(0L)).as("auth")))
+      // previous round's ranks and this round's raw aggregates are dead
+      // once the new ranks table is materialized
+      scope.free(ranksIds ::: authRawIds ::: hubRawIds)
+      ranksIds = scope.last
     }
     scope.freeAllBut(scope.last)
     ranks.select("node", "hub", "auth")
