@@ -877,8 +877,14 @@ object TextOps {
     }
     banded(0).union(banded(half))
       .dropDuplicates("__id", "__id2")
-      .withColumn("dist", levenshtein(col("__t"), col("__t2")))
-      .filter(col("dist") <= maxDist)
+      // |len(a)-len(b)| lower-bounds the edit distance — a free integer
+      // prefilter before the real distance; the thresholded levenshtein
+      // then runs the BANDED O(len·maxDist) algorithm (returns -1 past
+      // the threshold) instead of the full O(len²) table, exact within
+      // the threshold — identical kept pairs and distances.
+      .filter(abs(length(col("__t")) - length(col("__t2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__t"), col("__t2"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("__id").as("id_a"), col("__id2").as("id_b"), col("dist"))
   }
 }
