@@ -1139,12 +1139,14 @@ object RelationalQueries {
       // wedge join spreads evenly instead of piling on hub reducers.
       // cc is integer operands with ONE final division — hash-exact.
       (s, d) => {
+        // repartition(p) + partition-local dedup: ONE shuffle, and the
+        // self-join below is then co-partitioned on p — no re-exchange
         val po = Tables.lineitem(s, d)
           .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
-          .distinct()
+          .repartition(col("p")).dropDuplicates("p", "o")
         val keep = po.groupBy("p").agg(count(lit(1)).as("c"))
           .filter(col("c") <= 25).select("p")
-        val ed = po.join(keep, "p")
+        val ed = po.join(broadcast(keep), "p")
           .join(po.withColumnRenamed("o", "o2"), "p")
           .filter(col("o") < col("o2"))
           .select(col("o"), col("o2"))
