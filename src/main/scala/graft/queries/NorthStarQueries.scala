@@ -142,6 +142,21 @@ object NorthStarQueries {
 
   /** Minhash band CTEs ending in `cand` = candidate pairs (a < b) —
     * shared by q_dedup_minhash and q_dedup_clusters. */
+  /** One unrolled clamped-seed label-propagation round (engine
+    * `LabelPropagation.run` mirror): majority label among labeled
+    * neighbors, ties to the smallest label, seeds never change. */
+  private def lpIter(k: Int): String = {
+    val p = s"l${k - 1}"
+    s"v$k AS MATERIALIZED (SELECT s.src AS node, l.label, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM sym s JOIN $p l ON s.dst = l.node " +
+      s"WHERE l.label IS NOT NULL GROUP BY 1, 2), " +
+      s"p$k AS MATERIALIZED (SELECT node, label FROM (SELECT node, label, " +
+      s"row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk " +
+      s"FROM v$k) WHERE rk = 1), " +
+      s"l$k AS MATERIALIZED (SELECT n.node, n.seed, " +
+      s"coalesce(n.seed, p.label) AS label FROM l0 n LEFT JOIN p$k p USING (node))"
+  }
+
   private lazy val MINHASH_CANDS: String = {
     val sigCols = (0 until H).map(j =>
       s"min((sid * ${TextOps.aCoef(j)} + ${TextOps.bCoef(j)}) % ${TextOps.P}) AS h$j")
@@ -806,6 +821,33 @@ object NorthStarQueries {
         "(SELECT * FROM c0 UNION ALL SELECT * FROM c1)) " +
         "SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS dist " +
         "FROM cand WHERE levenshtein(ta, tb) <= 20 ORDER BY id_a, id_b"),
+
+    Q("q_label_spread",
+      // Semi-supervised label propagation (Zhu & Ghahramani '02):
+      // every third doc is a trusted seed carrying its lang label;
+      // two synchronous clamped-seed majority rounds spread it over
+      // the minhash near-dup graph (ties -> smallest label, fully
+      // deterministic). The "spread expensive annotations" primitive:
+      // quality tiers / license classes ride the similarity graph.
+      (s, d) => {
+        val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
+        val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+        val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
+        val seeds = docs(s, d).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"))
+        graft.engine.LabelPropagation.run(cand.select("a", "b"), seeds, iters = 2)
+          .orderBy("node")
+      },
+      s"WITH RECURSIVE $MINHASH_CANDS, " +
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand " +
+        "UNION SELECT b, a FROM cand), " +
+        "lnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym), " +
+        "sd AS MATERIALIZED (SELECT doc_id AS node, min(lang) AS seed " +
+        "FROM documents WHERE doc_id % 3 = 0 GROUP BY doc_id), " +
+        "l0 AS MATERIALIZED (SELECT node, seed, seed AS label " +
+        "FROM lnodes LEFT JOIN sd USING (node)), " +
+        (1 to 2).map(lpIter).mkString(", ") + " " +
+        "SELECT node, label FROM l2 ORDER BY node"),
 
     Q("q_dedup_minhash",
       // Array-keyed band pipeline: signature stays ONE array column and

@@ -502,6 +502,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: hop-per-round reach, clamped seeds, min-label ties") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+    def lp(es: Seq[(Long, Long)], sd: Seq[(Long, String)], iters: Int) =
+      graft.engine.LabelPropagation.run(es.toDF("a", "b"),
+          spark.createDataset(sd).toDF("node", "label"), iters)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // path 0-1-2-3, seed at 0: labels reach one hop per round
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(lp(path, Seq(0L -> "a"), 1) ==
+      Map(0L -> Some("a"), 1L -> Some("a"), 2L -> None, 3L -> None))
+    assert(lp(path, Seq(0L -> "a"), 2) ==
+      Map(0L -> Some("a"), 1L -> Some("a"), 2L -> Some("a"), 3L -> None))
+    // equal votes break to the smallest label; seeds never change
+    val vee = Seq((0L, 2L), (1L, 2L), (0L, 1L))
+    assert(lp(vee, Seq(0L -> "b", 1L -> "a"), 1) ==
+      Map(0L -> Some("b"), 1L -> Some("a"), 2L -> Some("a")))
+    // majority wins over the tie-break order
+    val star = Seq((0L, 9L), (1L, 9L), (2L, 9L))
+    assert(lp(star, Seq(0L -> "z", 1L -> "z", 2L -> "a"), 1)(9L) == Some("z"))
+  }
+
   test("triangles: known graphs and a brute-force random cross-check") {
     import spark.implicits._
     def got(es: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
