@@ -885,6 +885,50 @@ object NorthStarQueries {
         "SELECT node AS doc_id, min(comp) AS cluster FROM walk " +
         "GROUP BY node ORDER BY doc_id"),
 
+    Q("q_dedup_keep_best",
+      // Policy-driven keeper selection: per duplicate cluster keep the
+      // LONGEST version (ties -> smallest doc_id), not the min-id —
+      // the policy production dedup actually runs (the fullest
+      // extraction of a page wins). Every document appears: docs
+      // outside any candidate pair are singleton clusters of
+      // themselves. One window + one aggregate over the cluster labels.
+      (s, d) => {
+        val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
+        val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+        val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
+        val cc = graft.engine.ConnectedComponents.run(cand)
+          .select(col("node").as("doc_id"), col("comp"))
+        val lab = docs(s, d).select(col("doc_id"), col("n_chars"))
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+        lab.withColumn("rk", row_number().over(
+            Window.partitionBy(col("cluster"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            max(when(col("rk") === 1, col("doc_id"))).as("keeper"),
+            max(when(col("rk") === 1, col("n_chars"))).as("keeper_chars"))
+          .orderBy("cluster")
+      },
+      s"WITH RECURSIVE $MINHASH_CANDS, " +
+        "e2 AS (SELECT a AS src, b AS dst FROM cand " +
+        "UNION ALL SELECT b AS src, a AS dst FROM cand), " +
+        "walk(node, comp) AS (" +
+        "SELECT DISTINCT src, src FROM e2 " +
+        "UNION " +
+        "SELECT e2.src, w.comp FROM e2 JOIN walk w ON w.node = e2.dst), " +
+        "cc AS MATERIALIZED (SELECT node AS doc_id, min(comp) AS comp " +
+        "FROM walk GROUP BY node), " +
+        "lab AS MATERIALIZED (SELECT d.doc_id, d.n_chars, " +
+        "coalesce(cc.comp, d.doc_id) AS cluster " +
+        "FROM documents d LEFT JOIN cc USING (doc_id)), " +
+        "rked AS (SELECT *, row_number() OVER (PARTITION BY cluster " +
+        "ORDER BY n_chars DESC, doc_id) AS rk FROM lab) " +
+        "SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "max(CASE WHEN rk = 1 THEN doc_id END) AS keeper, " +
+        "max(CASE WHEN rk = 1 THEN n_chars END) AS keeper_chars " +
+        "FROM rked GROUP BY cluster ORDER BY cluster"),
+
     Q("q_dedup_simhash",
       // Fused per-row kernel: tokens → deduped fingerprints → bit votes →
       // signature, one narrow pass (no explode, no shuffle).
