@@ -1039,6 +1039,31 @@ object RelationalQueries {
         (1 to 3).map(prIter).mkString(", ") + " " +
         "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"),
 
+    Q("q_gen_source",
+      // The graft-events DataSource V2 end-to-end: a seq-band probe is
+      // pushed INTO the source (accepted filters narrow the generated
+      // range; partitions outside the band are never planned — the DSv2
+      // analogue of row-group skipping), and the aggregate runs over
+      // rows the source generated deterministically. The oracle
+      // REGENERATES the identical table from the published integer
+      // formulas — no parquet in common, only math.
+      (s, d) => s.read.format("graft-events")
+        .option("rows", "50000").option("partitions", "8").load()
+        .filter(col("seq") >= 10000 && col("seq") < 40000)
+        .groupBy("type_id")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("type_id"),
+      "WITH g AS (SELECT seq, " +
+        "((seq * 2654435761 + 104729) % 1000003) % 1000 AS user_id, " +
+        "((seq * 40503 + 17) % 97) % 5 AS type_id, " +
+        "(seq * 31 + 7) % 100000 AS cents " +
+        "FROM range(10000, 40000) t(seq)) " +
+        "SELECT type_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM g GROUP BY type_id ORDER BY type_id"),
+
     Q("q_hits",
       // HITS hubs/authorities (Kleinberg JACM'99), L1-normalized
       // fixed-point integer form — the right ranking for the BIPARTITE

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The graft-events DataSource V2: deterministic generation, filter
+  * pushdown, source-level partition pruning, column pruning. */
+class DataSourceV2Spec extends SparkSpec {
+
+  private def reader(rows: Long, parts: Int = 8) =
+    spark.read.format("graft-events")
+      .option("rows", rows.toString).option("partitions", parts.toString)
+
+  test("deterministic generation matches the published formulas") {
+    val got = reader(100, 4).load().orderBy("seq").collect()
+    assert(got.length == 100)
+    got.foreach { r =>
+      val s = r.getLong(0)
+      assert(r.getLong(1) == graft.sources.v2.GenEventsSource.userId(s, 1000))
+      assert(r.getLong(2) == graft.sources.v2.GenEventsSource.typeId(s))
+      assert(r.getLong(3) == graft.sources.v2.GenEventsSource.cents(s))
+    }
+    // same options -> identical bytes on re-read (retry determinism)
+    assert(reader(100, 4).load().collect().toSet ==
+      reader(100, 4).load().collect().toSet)
+  }
+
+  test("seq filters push down and prune input partitions at the source") {
+    // 80 rows over 8 partitions of 10; seq >= 70 must plan ONE partition
+    val df = reader(80, 8).load().filter(col("seq") >= 70)
+    assert(df.rdd.getNumPartitions == 1, "tail probe must plan 1 partition")
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(seq,70)"), s"pushdown missing:\n$plan")
+    // a two-sided band plans only the covering partitions, rows exact
+    val band = reader(80, 8).load()
+      .filter(col("seq") >= 25 && col("seq") < 55)
+    assert(band.rdd.getNumPartitions == 4)       // [20,30) ... [50,60) cover 25..54
+    assert(band.count() == 30)
+    assert(band.agg(min("seq"), max("seq")).collect().head.toSeq == Seq(25L, 54L))
+    // an empty band plans nothing
+    assert(reader(80, 8).load().filter(col("seq") > 100).rdd.getNumPartitions == 0)
+  }
+
+  test("non-seq filters stay residual and still evaluate correctly") {
+    val df = reader(1000, 4).load().filter(col("cents") % 2 === 1)
+    val expect = (0L until 1000L)
+      .count(s => graft.sources.v2.GenEventsSource.cents(s) % 2 == 1)
+    assert(df.count() == expect)
+  }
+
+  test("column pruning reaches the reader (ReadSchema)") {
+    val df = reader(100, 2).load().select("cents")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=cents"), s"not pruned:\n$plan")
+    assert(df.agg(sum("cents")).collect().head.getLong(0) ==
+      (0L until 100L).map(graft.sources.v2.GenEventsSource.cents).sum)
+  }
+}
