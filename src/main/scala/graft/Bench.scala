@@ -45,11 +45,25 @@ object Bench {
     SparkEntry.entry(spark).count()
 
     val all = SparkEntry.queries
-    def pass(): Seq[(String, Double, Long)] = headline.filter(all.contains).map { name =>
+    // static shuffle count of the final plan (hash/range/single-partition
+    // exchanges; broadcasts and AQE reuse excluded) — the
+    // shuffle-efficiency signal next to the wall-clock one. Counted on
+    // the SAME DataFrame the timed pass executed, after the timer stops.
+    def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition").map(k => p.sliding(k.length).count(_ == k)).sum
+    }
+    def pass(): Seq[(String, Double, Long, Int)] = headline.filter(all.contains).map { name =>
       val t0 = System.nanoTime()
-      val n = try all(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val df = try all(name)(spark, sfDir) catch { case _: Throwable => null }
+      val n = if (df == null) -1L
+        else try df.count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, n)
+      // plan stringification happens AFTER the timer stops
+      val ex = if (df == null || n < 0) -1
+        else try shuffleCount(df) catch { case _: Throwable => -1 }
+      (name, sec, n, ex)
     }
     // Two passes: the first execution of each query JIT-compiles its
     // whole-stage-codegen classes — a fixed cost a long-lived cluster
@@ -78,13 +92,14 @@ object Bench {
     val zipRate = rate("q_zip")
     val slideRate = rate("q_arraymean")
 
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val qsCold = cold.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qsCold = cold.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qsEx = results.map { case (k, _, _, e) => s""""$k":$e""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalCold = cold.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""value_cold":$totalCold,"queries_cold":$qsCold,""" +
+        s""""value_cold":$totalCold,"queries_cold":$qsCold,"shuffles":$qsEx,""" +
         s""""n_queries":${results.size},"events_rows":$nEvents,""" +
         s""""pipeline_events_per_sec":$pipelineRate,""" +
         s""""reference_pipeline_events_per_sec":52489,""" +
