@@ -24,7 +24,11 @@ object Bench {
     "q_grouped_window",
     "q_token_stats", "q_dedup_exact", "q_dedup_minhash", "q_ann_lsh",
     "q_join_interval",
-    "q_bm25", "q_pagerank", "q_zorder")
+    "q_bm25", "q_pagerank", "q_zorder",
+    // round-6 additions: graph analytics + the DSv2 source (NOTE for
+    // round-over-round reads: totals grew by these queries' cost —
+    // compare common-query sums, as SCALE.md documents)
+    "q_hits", "q_triangles", "q_gen_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -859,6 +859,11 @@ object TextOps {
    * per pair regardless of document size, identical semantics in
    * Spark (codegen'd) and the DuckDB oracle.
    *
+   * Recall guarantee: edit distance lower-bounds length difference, so
+   * the two bandings catch EVERY pair with dist <= bandWidth/2; with
+   * maxDist > bandWidth/2, pairs whose lengths differ by more than
+   * bandWidth/2 can be missed (widen bandWidth to keep the guarantee).
+   *
    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
