@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape — per iteration exactly ONE shuffle executes:
  *
- *  - `outdeg` (and seed membership) is STATIC, attached to the rank
+ *  - out-weight (and seed membership) is STATIC, attached to the rank
  *    table once at init instead of re-joined every round.
  *  - N, |S| and the per-round dangling mass are driver-side Long
  *    scalars folded into the plan as literals — no broadcast exchange
@@ -48,7 +48,7 @@ object PageRank {
     * Returns (node: long, pr: long) — pr in units of 1/scale. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int, scale: Long = 1000000000000L): DataFrame =
-    core(edges, srcCol, dstCol, None, iters, scale)
+    core(edges, srcCol, dstCol, None, None, iters, scale)
 
   /**
    * Personalized PageRank: teleport and dangling mass go ONLY to the
@@ -60,26 +60,54 @@ object PageRank {
    */
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame =
-    core(edges, srcCol, dstCol, Some(seeds), iters, scale)
+    core(edges, srcCol, dstCol, Some(seeds), None, iters, scale)
+
+  /**
+   * Weighted PageRank: a node's damped mass splits over its out-edges
+   * proportionally to integer edge weights — contribution over (u→v)
+   * is d(u)·w(u,v) / W(u) with W(u) the node's total out-weight (all
+   * floors). Duplicate (src, dst) rows SUM their weights. The uniform
+   * variant is exactly weight ≡ 1 (then d·1/W = d/outdeg, the same
+   * per-edge floor). Overflow envelope: per-edge weight must satisfy
+   * w < 2^63/scale (≈ 9.2·10^6 at the default scale).
+   *
+   * @param weightCol positive integer edge-weight column
+   */
+  def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, scale: Long = 1000000000000L): DataFrame =
+    core(edges, srcCol, dstCol, None, Some(weightCol), iters, scale)
 
   private def core(edges: DataFrame, srcCol: String, dstCol: String,
-      seedsOpt: Option[DataFrame], iters: Int, scale: Long): DataFrame = {
+      seedsOpt: Option[DataFrame], weightOpt: Option[String],
+      iters: Int, scale: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val scope = new CheckpointScope(edges.sparkSession.sparkContext)
     def ckpt(df: DataFrame): DataFrame = scope.ckpt(df)
-    // repartition-then-dedup is ONE shuffle: HashPartitioning(src)
+    // repartition-then-aggregate is ONE shuffle: HashPartitioning(src)
     // already satisfies the (src,dst) clustered distribution, so the
-    // dedup aggregate runs partition-local and the edge table comes out
-    // hash-partitioned by src — exactly what the contribution join needs
-    val e = ckpt(edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .repartition(col("src")).dropDuplicates("src", "dst"))
+    // dedup / weight-sum aggregate runs partition-local and the edge
+    // table comes out hash-partitioned by src — exactly what the
+    // contribution join needs
+    val e = ckpt(weightOpt match {
+      case Some(w) =>
+        edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"), col(w).cast("long").as("w"))
+          .repartition(col("src"))
+          .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      case None =>
+        edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+          .repartition(col("src")).dropDuplicates("src", "dst")
+          .withColumn("w", lit(1L))
+    })
     // distinct leaves nodes hash-partitioned by node; the left joins
     // against deg (partitioned by src) and the broadcast seed flag keep
     // that, so base is born node-partitioned (checkpoint pins it)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // total out-weight; with weight ≡ 1 this IS the out-degree, and the
+    // per-edge floor below reduces to the classic d div outdeg
+    val deg = e.groupBy("src").agg(sum(col("w")).as("outw"))
     val withSeed = seedsOpt match {
       case Some(s) =>
         val sd = s.select(col(s.columns(0)).cast("long").as("node"))
@@ -89,7 +117,7 @@ object PageRank {
       case None => nodes.select(col("node"), lit(true).as("is_seed"))
     }
     val base = ckpt(withSeed.join(deg, col("node") === col("src"), "left")
-      .select(col("node"), col("is_seed"), col("outdeg")))
+      .select(col("node"), col("is_seed"), col("outw")))
     val nSeed = base.where(col("is_seed")).count()
     // no nodes at all: vacuous (driver division by |S| would throw
     // where the old in-plan `div` simply never ran on zero rows)
@@ -105,18 +133,19 @@ object PageRank {
     for (_ <- 1 to iters) {
       // dangling mass: 1-row agg → driver Long (no broadcast exchange);
       // ranks is already materialized so this is a narrow re-scan
-      val dang = ranks.where(col("outdeg").isNull)
+      val dang = ranks.where(col("outw").isNull)
         .agg(coalesce(sum(expr("(pr * 85) div 100")), lit(0L)))
         .head.getLong(0)
-      val inflow = ranks.where(col("outdeg").isNotNull)
+      val inflow = ranks.where(col("outw").isNotNull)
         .join(e, col("node") === col("src"))
-        .select(col("dst"), expr("((pr * 85) div 100) div outdeg").as("c"))
+        .select(col("dst"),
+          expr("(((pr * 85) div 100) * w) div outw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
       // rebase: floor((scale·15/100)/|S|) + floor(D/|S|) are positive-
       // Long driver divisions — identical to the engine's `div` on the
       // same operands — landing only on seeds; non-seeds keep inflow
       ranks = ckpt(base.join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"), col("is_seed"), col("outdeg"),
+        .select(col("node"), col("is_seed"), col("outw"),
           (when(col("is_seed"), lit(scale * 15 / 100 / nSeed + dang / nSeed))
             .otherwise(lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("pr")))

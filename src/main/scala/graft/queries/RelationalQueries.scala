@@ -63,6 +63,24 @@ object RelationalQueries {
       s"LEFT JOIN h${k}r ON node = src)"
   }
 
+  /** One unrolled WEIGHTED PageRank iteration k (engine
+    * `PageRank.runWeighted` mirror): damped mass splits over out-edges
+    * proportionally to integer weights, (d·w) // W(u) per edge. */
+  private def prIterW(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"d$k AS MATERIALIZED (SELECT node, (pr * 85) // 100 AS d, outw " +
+      s"FROM $p LEFT JOIN deg ON node = src), " +
+      s"g$k AS MATERIALIZED (SELECT CAST(coalesce(sum(" +
+      s"CASE WHEN outw IS NULL THEN d END), 0) AS BIGINT) AS dang FROM d$k), " +
+      s"i$k AS MATERIALIZED (SELECT dst, CAST(sum((d * w) // outw) AS BIGINT) " +
+      s"AS inflow FROM d$k JOIN e ON node = src WHERE outw IS NOT NULL " +
+      s"GROUP BY dst), " +
+      s"r$k AS MATERIALIZED (SELECT node, " +
+      s"((1000000000000 * 15) // 100) // n + dang // n + " +
+      s"coalesce(inflow, 0) AS pr " +
+      s"FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN i$k ON node = dst)"
+  }
+
   /** One unrolled PERSONALIZED PageRank iteration k: teleport + dangling
     * mass land only on seed nodes, uniformly over |S| (engine
     * `PageRank.runPersonalized` mirror; same floor-division math). */
@@ -1063,6 +1081,36 @@ object RelationalQueries {
         "CAST(sum(cents) AS BIGINT) AS sum_cents, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
         "FROM g GROUP BY type_id ORDER BY type_id"),
+
+    Q("q_pagerank_weighted",
+      // Weighted PageRank: damped mass splits over out-edges by TRADE
+      // INTENSITY (lineitem multiplicity of each cust→supp pair), not
+      // uniformly — a high-volume supplier outranks an incidental one.
+      // Duplicate edge rows sum their weights inside the engine, so the
+      // raw join IS the weighted edge list. Same fixed-point floors.
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .withColumn("w", lit(1L))
+        graft.engine.PageRank.runWeighted(e, "src", "dst", "w", iters = 3)
+          .orderBy("node")
+      },
+      "WITH e AS MATERIALIZED (SELECT o_custkey * 2 AS src, " +
+        "l_suppkey * 2 + 1 AS dst, CAST(count(*) AS BIGINT) AS w " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1, 2), " +
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e " +
+        "UNION SELECT dst FROM e), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw " +
+        "FROM e GROUP BY src), " +
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+        "r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS pr " +
+        "FROM nodes CROSS JOIN nn), " +
+        (1 to 3).map(prIterW).mkString(", ") + " " +
+        "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"),
 
     Q("q_hits",
       // HITS hubs/authorities (Kleinberg JACM'99), L1-normalized

@@ -258,6 +258,13 @@ class PropertySpec extends SparkSpec {
           .runPersonalized(es.toDF("a", "b"), "a", "b", allSeeds, 3)
           .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
         assert(ppr == got)
+        // weighted with unit weights on the distinct edge list is EXACTLY
+        // uniform PageRank ((d·1)/W = d/outdeg, same per-edge floor)
+        val wpr = graft.engine.PageRank
+          .runWeighted(es.toDF("a", "b").withColumn("w", lit(1L)),
+            "a", "b", "w", 3)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+        assert(wpr == got)
     }
   }
 

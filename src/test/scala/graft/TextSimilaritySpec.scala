@@ -675,6 +675,44 @@ class TextSimilaritySpec extends SparkSpec {
     assert(allPairs == 0)
   }
 
+  test("editDistancePairs: recall guarantee vs brute force (dist <= bandWidth/2)") {
+    import org.apache.spark.sql.Encoders
+    // classic DP edit distance, driver-side reference
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // deterministic pseudo-random corpus: clusters of perturbed strings
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.fill(6)(rnd.alphanumeric.filter(_.isLower).take(20 + rnd.nextInt(40)).mkString)
+    val docsSeq = bases.zipWithIndex.flatMap { case (s, i) =>
+      Seq(s) ++ Seq.fill(2) {
+        val drop = rnd.nextInt(4)
+        s.drop(drop) + rnd.alphanumeric.filter(_.isLower).take(rnd.nextInt(5)).mkString
+      }
+    }
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+      Encoders.STRING, Encoders.scalaLong)
+    val df = spark.createDataset(docsSeq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", t.length.toLong) })
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val W = 16
+    val maxDist = W / 2   // inside the guarantee envelope
+    val got = TextOps.editDistancePairs(df, "doc_id", "text", "lang", "n_chars",
+        bandWidth = W, prefixLen = 100, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expect = (for {
+      i <- docsSeq.indices; j <- docsSeq.indices if i < j
+      d = lev(docsSeq(i), docsSeq(j)) if d <= maxDist
+    } yield (i.toLong, j.toLong) -> d).toMap
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(expect.nonEmpty, "fixture must contain true near-dup pairs")
+  }
+
   test("Profiler.profile: one row per column, exact metrics") {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
