@@ -54,7 +54,8 @@ class GenEventsSource extends TableProvider with DataSourceRegister {
     new GenEventsTable(
       properties.asScala.getOrElse("rows", "100000").toLong,
       properties.asScala.getOrElse("partitions", "8").toInt,
-      properties.asScala.getOrElse("users", "1000").toLong)
+      properties.asScala.getOrElse("users", "1000").toLong,
+      properties.asScala.getOrElse("rowsPerBatch", "1000").toLong)
 }
 
 object GenEventsSource {
@@ -72,19 +73,23 @@ object GenEventsSource {
   def cents(seq: Long): Long = (seq * 31L + 7L) % 100000L
 }
 
-private[v2] class GenEventsTable(rows: Long, partitions: Int, users: Long)
+private[v2] class GenEventsTable(rows: Long, partitions: Int, users: Long,
+    rowsPerBatch: Long)
     extends Table with SupportsRead {
-  require(rows >= 0 && partitions >= 1 && users >= 1,
-    s"invalid graft-events options: rows=$rows partitions=$partitions users=$users")
+  require(rows >= 0 && partitions >= 1 && users >= 1 && rowsPerBatch >= 1,
+    s"invalid graft-events options: rows=$rows partitions=$partitions " +
+      s"users=$users rowsPerBatch=$rowsPerBatch")
   override def name(): String = s"graft-events($rows)"
   override def schema(): StructType = GenEventsSource.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenEventsScanBuilder(rows, partitions, users)
+    new GenEventsScanBuilder(rows, partitions, users, rowsPerBatch)
 }
 
-private[v2] class GenEventsScanBuilder(rows: Long, partitions: Int, users: Long)
+private[v2] class GenEventsScanBuilder(rows: Long, partitions: Int, users: Long,
+    rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -125,14 +130,18 @@ private[v2] class GenEventsScanBuilder(rows: Long, partitions: Int, users: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new GenEventsScan(lo, hi, rows, partitions, users, required, accepted)
+    new GenEventsScan(lo, hi, rows, partitions, users, rowsPerBatch,
+      required, accepted)
 }
 
 private[v2] class GenEventsScan(lo: Long, hi: Long, rows: Long,
-    partitions: Int, users: Long, required: StructType,
+    partitions: Int, users: Long, rowsPerBatch: Long, required: StructType,
     pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GenEventsMicroBatchStream(rows, partitions, users, rowsPerBatch, required)
   override def description(): String =
     s"graft-events rows=$rows seq=[$lo,$hi] " +
       s"cols=${required.fieldNames.mkString(",")} " +
@@ -158,6 +167,59 @@ private[v2] class GenEventsScan(lo: Long, hi: Long, rows: Long,
 
 private[v2] case class GenEventsPartition(start: Long, end: Long)
   extends InputPartition
+
+/** Offset = the exclusive upper seq bound emitted so far. */
+private[v2] case class GenEventsOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/**
+ * Micro-batch form of the generator (the rate-source shape with
+ * deterministic CONTENT): each trigger emits the next `rowsPerBatch`
+ * seqs until `rows` are out, so a restarted query resumes from the
+ * checkpointed offset with identical bytes — replayable source
+ * semantics from pure math, no external storage.
+ */
+private[v2] class GenEventsMicroBatchStream(rows: Long, partitions: Int,
+    users: Long, rowsPerBatch: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // the watermark of generated data: each trigger makes rowsPerBatch
+  // more seqs "available", so Spark's committed end offsets always
+  // equal what was actually emitted (returning `rows` at once would
+  // commit data the batch never contained). After a restart the first
+  // trigger(s) may plan empty batches until `available` catches the
+  // checkpointed start — commit() fast-forwards it to make that one
+  // trigger at most.
+  private var available = 0L
+  override def initialOffset(): Offset = GenEventsOffset(0L)
+  override def latestOffset(): Offset = {
+    available = (available + rowsPerBatch).min(rows)
+    GenEventsOffset(available)
+  }
+  override def deserializeOffset(json: String): Offset =
+    GenEventsOffset(json.toLong)
+  override def commit(end: Offset): Unit =
+    available = available.max(end.asInstanceOf[GenEventsOffset].pos)
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenEventsOffset].pos
+    val e = end.asInstanceOf[GenEventsOffset].pos.min(rows)
+    if (s >= e) return Array.empty
+    val span = e - s
+    val per = (span + partitions - 1) / partitions
+    (0 until partitions).iterator
+      .map(i => (s + i * per, (s + (i + 1) * per - 1).min(e - 1)))
+      .filter { case (ps, pe) => ps <= pe }
+      .map { case (ps, pe) => GenEventsPartition(ps, pe): InputPartition }
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenEventsReaderFactory(users, required)
+}
 
 private[v2] class GenEventsReaderFactory(users: Long, required: StructType)
     extends PartitionReaderFactory {

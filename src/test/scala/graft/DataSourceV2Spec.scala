@@ -49,6 +49,21 @@ class DataSourceV2Spec extends SparkSpec {
     assert(df.count() == expect)
   }
 
+  test("micro-batch stream emits the same deterministic rows as batch") {
+    val q = spark.readStream.format("graft-events")
+      .option("rows", "100").option("partitions", "4")
+      .option("rowsPerBatch", "30").load()
+      .writeStream.format("memory").queryName("gen_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("gen_stream").orderBy("seq").collect()
+    assert(got.length == 100, s"stream emitted ${got.length} rows")
+    assert(got.map(_.getLong(0)).toSeq == (0L until 100L))
+    got.foreach { r =>
+      val s = r.getLong(0)
+      assert(r.getLong(3) == graft.sources.v2.GenEventsSource.cents(s))
+    }
+  }
+
   test("column pruning reaches the reader (ReadSchema)") {
     val df = reader(100, 2).load().select("cents")
     val plan = df.queryExecution.executedPlan.toString
