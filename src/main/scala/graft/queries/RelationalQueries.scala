@@ -99,6 +99,18 @@ object RelationalQueries {
       s"FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN i$k ON node = dst)"
   }
 
+  /** One unrolled multi-source BFS hop k (engine `Bfs.run` mirror):
+    * frontier = nodes first reached at k-1; anything they touch that
+    * is still unlabeled gets dist k. */
+  private def bfsIter(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"f$k AS MATERIALIZED (SELECT DISTINCT e.dst AS node " +
+      s"FROM e JOIN $p p ON e.src = p.node AND p.dist = ${k - 1}), " +
+      s"r$k AS MATERIALIZED (SELECT p.node, " +
+      s"CAST(coalesce(p.dist, CASE WHEN f.node IS NOT NULL THEN $k END) " +
+      s"AS BIGINT) AS dist FROM $p p LEFT JOIN f$k f USING (node))"
+  }
+
   private def qs: Seq[Q] = Seq(
     Q("q_tpch1_pricing",
       // TPC-H Q1 shape: scan-heavy, pure partial-agg + tiny shuffle.
@@ -1173,6 +1185,38 @@ object RelationalQueries {
         "FROM nodes CROSS JOIN nn), " +
         (1 to 3).map(prIterP).mkString(", ") + " " +
         "SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"),
+
+    Q("q_bfs_hops",
+      // Multi-source BFS hop distance (TrustRank-style distance gate):
+      // how many trade hops separate every node of the customer↔supplier
+      // graph from a trusted seed list (the five lowest supplier ids)?
+      // Frontier expansion — one co-partitioned join + one dst-dedup
+      // exchange per hop — 3 hops; dist is exact integer hops, null if
+      // unreached. The curation use: keep/weight documents within k
+      // hops of vetted domains.
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val seeds = Tables.supplier(s, d).filter(col("s_suppkey") <= 5)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        graft.engine.Bfs.run(e, seeds, maxHops = 3).orderBy("node")
+      },
+      "WITH raw AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, " +
+        "l_suppkey * 2 + 1 AS v FROM orders JOIN lineitem " +
+        "ON o_orderkey = l_orderkey), " +
+        "e AS MATERIALIZED (SELECT u AS src, v AS dst FROM raw " +
+        "UNION SELECT v, u FROM raw), " +
+        "sd AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node " +
+        "FROM supplier WHERE s_suppkey <= 5), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e), " +
+        "r0 AS MATERIALIZED (SELECT n.node, " +
+        "CAST(CASE WHEN s.node IS NOT NULL THEN 0 END AS BIGINT) AS dist " +
+        "FROM nodes n LEFT JOIN sd s USING (node)), " +
+        (1 to 3).map(bfsIter).mkString(", ") + " " +
+        "SELECT node, dist FROM r3 ORDER BY node"),
 
     Q("q_zorder",
       // Z-order (Morton) clustering key over (l_partkey, l_suppkey),

@@ -268,6 +268,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bfs: hop distances match a single-threaded reference; path golden") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))) {
+      (es0: List[(Long, Long)]) =>
+        import spark.implicits._
+        val es = es0.filter(e => e._1 != e._2)
+        if (es.nonEmpty) {
+          val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+            .map { case (k, v) => k -> v.map(_._2).toSet }
+          val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+          val seeds = nodes.filter(_ <= 3)
+          // driver-side BFS, 3 hops
+          var dist = nodes.map(v => v -> (if (seeds.contains(v)) Some(0L) else None)).toMap
+          for (k <- 1L to 3L) {
+            val frontier = dist.collect { case (v, Some(d)) if d == k - 1 => v }
+            val reached = frontier.flatMap(adj.getOrElse(_, Set.empty)).toSet
+            dist = dist.map { case (v, d) =>
+              v -> d.orElse(if (reached(v)) Some(k) else None) }
+          }
+          val got = graft.engine.Bfs.run(es.toDF("a", "b"), seeds.toDF("node"), 3)
+            .collect().map(r => r.getLong(0) ->
+              (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+          assert(got == dist)
+        }
+    }
+    // path 1-2-3-4-5, seed 1, 2 hops: 0,1,2,null,null
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = graft.engine.Bfs.run(path, Seq(1L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> None, 5L -> None))
+  }
+
   test("hits: integer hub/auth match a single-threaded reference") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))) {
       (es0: List[(Long, Long)]) =>
