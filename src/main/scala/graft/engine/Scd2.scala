@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Slowly-changing-dimension type-2 merge (Kimball) — the dimension-
+ * maintenance primitive of a warehouse/training-metadata pipeline:
+ * apply a CDC batch of new attribute values to a versioned dimension,
+ * closing the validity interval of changed rows and opening a new
+ * current row, while no-op updates (same value) create NO new version.
+ *
+ * Contract: `dim` carries one or more versions per key; rows with
+ * `validTo IS NULL` are current, all others are immutable history.
+ * `updates` carries (key, tracked..., eff). Multiple updates for a key
+ * in one batch collapse deterministically to the latest by `eff`
+ * (ties by tracked-value struct order) — the standard "latest CDC
+ * event wins within a batch" rule.
+ *
+ * Scale shape: history passes through untouched (narrow filter); the
+ * merge itself is ONE left join of the current slice against the
+ * collapsed batch — broadcast when the batch is small (the daily-CDC
+ * norm; `broadcastUpdates = true`), a keyed shuffle join otherwise —
+ * and the two output rows of a changed key are produced by a single
+ * array+explode over that join, so the join is executed once, not once
+ * per output branch. No driver data, no window.
+ */
+object Scd2 {
+
+  /**
+   * @param dim       versioned dimension: key, tracked..., validFrom,
+   *                  validTo (null = current row)
+   * @param updates   CDC batch: key, tracked..., effCol
+   * @param key       join key column name
+   * @param tracked   attribute columns whose change opens a new version
+   * @param effCol    update effective-time column (same type as
+   *                  validFrom/validTo)
+   * @return the merged dimension with the same schema as `dim`
+   */
+  def merge(dim: DataFrame, updates: DataFrame, key: String,
+            tracked: Seq[String], effCol: String,
+            validFrom: String = "valid_from", validTo: String = "valid_to",
+            broadcastUpdates: Boolean = true): DataFrame = {
+    require(tracked.nonEmpty, "need at least one tracked column")
+    val outCols = dim.columns.toSeq
+    // latest-wins collapse of the batch: max(struct(eff, tracked...))
+    // is deterministic for any arrival order
+    val collapsed = updates.groupBy(col(key))
+      .agg(max(struct((effCol +: tracked).map(col): _*)).as("__u"))
+      .select(col(key) +: ((effCol +: tracked)
+        .map(c => col(s"__u.$c").as(s"__u_$c"))): _*)
+    val u = if (broadcastUpdates) broadcast(collapsed) else collapsed
+    val hist = dim.filter(col(validTo).isNotNull)
+    val cur = dim.filter(col(validTo).isNull)
+    // null-safe "any tracked attribute differs"
+    val changed = col(s"__u_$effCol").isNotNull &&
+      tracked.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+    def asRow(cols: Map[String, org.apache.spark.sql.Column]) =
+      struct(outCols.map(c => cols.getOrElse(c, col(c)).as(c)): _*)
+    val keepRow = asRow(Map.empty)
+    val closedRow = asRow(Map(validTo -> col(s"__u_$effCol")))
+    val openedRow = asRow(
+      tracked.map(c => c -> col(s"__u_$c")).toMap ++
+        Map(validFrom -> col(s"__u_$effCol"),
+          validTo -> lit(null).cast(dim.schema(validTo).dataType)))
+    val merged = cur.join(u, Seq(key), "left")
+      .select(explode(when(changed, array(closedRow, openedRow))
+        .otherwise(array(keepRow))).as("__r"))
+      .select(outCols.map(c => col(s"__r.$c").as(c)): _*)
+    hist.unionByName(merged)
+  }
+}

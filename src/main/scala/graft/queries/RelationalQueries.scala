@@ -1218,6 +1218,51 @@ object RelationalQueries {
         (1 to 3).map(bfsIter).mkString(", ") + " " +
         "SELECT node, dist FROM r3 ORDER BY node"),
 
+    Q("q_scd2",
+      // Slowly-changing-dimension type-2 merge (Kimball): a CDC batch
+      // of new segment labels — derived from 1997 order activity —
+      // lands on the customer dimension; changed keys close their old
+      // validity interval at the effective date and open a new current
+      // row, no-op updates (already-MACHINERY keys drawing a MACHINERY
+      // update) create NO new version. One broadcast join, the two
+      // rows of a changed key from a single array+explode.
+      (s, d) => {
+        val cur = Tables.customer(s, d).select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+          lit("1992-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val u = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("n"),
+            max(to_date(col("o_orderdate"))).as("eff"))
+          .select(col("k"),
+            when(col("n") % 5 === 0, lit("MACHINERY"))
+              .otherwise(lit("PREMIUM")).as("segment"),
+            col("eff"))
+        graft.engine.Scd2.merge(cur, u, "k", Seq("segment"), "eff")
+          .orderBy("k", "valid_from")
+      },
+      "WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS segment, " +
+        "DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to " +
+        "FROM customer), " +
+        "u AS (SELECT o_custkey AS k, " +
+        "CASE WHEN count(*) % 5 = 0 THEN 'MACHINERY' ELSE 'PREMIUM' END AS nseg, " +
+        "max(CAST(o_orderdate AS DATE)) AS eff FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey), " +
+        "j AS MATERIALIZED (SELECT cur.k, cur.segment, cur.valid_from, " +
+        "cur.valid_to, u.nseg, u.eff FROM cur LEFT JOIN u USING (k)) " +
+        "SELECT k, segment, valid_from, valid_to FROM j " +
+        "WHERE eff IS NULL OR nseg = segment " +
+        "UNION ALL SELECT k, segment, valid_from, eff AS valid_to FROM j " +
+        "WHERE eff IS NOT NULL AND nseg <> segment " +
+        "UNION ALL SELECT k, nseg AS segment, eff AS valid_from, " +
+        "CAST(NULL AS DATE) AS valid_to FROM j " +
+        "WHERE eff IS NOT NULL AND nseg <> segment " +
+        "ORDER BY k, valid_from"),
+
     Q("q_zorder",
       // Z-order (Morton) clustering key over (l_partkey, l_suppkey),
       // bucketed by the curve's top bits: each bucket's min/max box is

@@ -89,6 +89,37 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("scd2 merge: closes changed rows, keeps no-ops, history untouched, batch collapses latest-wins") {
+    import spark.implicits._
+    val dim = Seq(
+      // k=1: history row + current A (will change to B)
+      (1L, "Z", "2000-01-01", Option("2001-01-01")),
+      (1L, "A", "2001-01-01", None),
+      // k=2: current B, no-op update (B again)
+      (2L, "B", "2000-01-01", None),
+      // k=3: current C, no update at all
+      (3L, "C", "2000-01-01", None))
+      .toDF("k", "attr", "vf", "vt")
+      .select(col("k"), col("attr"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"))
+    val updates = Seq(
+      (1L, "X", "2002-05-01"), // superseded by the later 2002-06-01 row
+      (1L, "B", "2002-06-01"),
+      (2L, "B", "2002-06-01"))
+      .toDF("k", "attr", "eff")
+      .select(col("k"), col("attr"), col("eff").cast("date").as("eff"))
+    val got = graft.engine.Scd2.merge(dim, updates, "k", Seq("attr"), "eff")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSet
+    assert(got == Set(
+      (1L, "Z", "2000-01-01", Some("2001-01-01")),   // history untouched
+      (1L, "A", "2001-01-01", Some("2002-06-01")),   // closed at eff
+      (1L, "B", "2002-06-01", None),                 // new current (latest update wins)
+      (2L, "B", "2000-01-01", None),                 // no-op: unchanged
+      (3L, "C", "2000-01-01", None)))                // no update: unchanged
+  }
+
   test("clusteredWrite: maxRecordsPerFile caps file row counts") {
     val df = spark.range(10000).select(col("id").as("k"))
     Sinks.clusteredWrite(df, "/tmp/layout_spec/sized", Seq("k"),
