@@ -273,6 +273,31 @@ object RelationalQueries {
       s"SELECT o_orderkey, ${sqlCents("o_totalprice")} AS total_c FROM orders " +
         "ORDER BY total_c DESC, o_orderkey LIMIT 20"),
 
+    Q("q_topk_group",
+      // Per-GROUP top-k (the "best k documents per source" shape):
+      // five highest-balance customers per nation, deterministic
+      // tie-break by key. The rank-filter pair triggers Spark's
+      // WindowGroupLimit pushdown (asserted in RewriteRuleSpec): each
+      // partition keeps only its local top-k BEFORE the shuffle, so
+      // the exchange carries k·partitions rows per group, not the
+      // whole table — the property that makes per-group top-k viable
+      // over 100 TB where a full window sort would not be.
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey"),
+          col("c_custkey"), cents("c_acctbal").as("bal_c"))
+        c.withColumn("rn", row_number().over(
+            Window.partitionBy("c_nationkey")
+              .orderBy(col("bal_c").desc, col("c_custkey"))))
+          .filter(col("rn") <= 5)
+          .orderBy("c_nationkey", "rn")
+      },
+      "SELECT * FROM (SELECT c_nationkey, c_custkey, bal_c, " +
+        "row_number() OVER (PARTITION BY c_nationkey " +
+        "ORDER BY bal_c DESC, c_custkey) AS rn " +
+        "FROM (SELECT c_nationkey, c_custkey, " +
+        s"${sqlCents("c_acctbal")} AS bal_c FROM customer)) " +
+        "WHERE rn <= 5 ORDER BY c_nationkey, rn"),
+
     Q("q_setops",
       // Customers ordering in 1995 but not in 1996 (EXCEPT).
       (s, d) => {

@@ -90,4 +90,21 @@ class RewriteRuleSpec extends SparkSpec {
       spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("per-group top-k: rank filter triggers WindowGroupLimit pushdown") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1000).select((col("id") % 7).as("g"), col("id").as("v"))
+    val topk = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc)))
+      .filter(col("rn") <= 3)
+    // partial (pre-shuffle) + final group-limit: the exchange carries
+    // only k rows per group per input partition, not the whole table
+    assert(topk.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val got = topk.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (0L until 7L).flatMap { g =>
+      val vs = (0L until 1000L).filter(_ % 7 == g).sortBy(-_).take(3)
+      vs.zipWithIndex.map { case (v, i) => (g, v, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
 }
