@@ -644,6 +644,84 @@ object RelationalQueries {
         "ON g2.event_type = t.t_type AND g2.ts >= t.ts " +
         "ORDER BY event_type, h"),
 
+    Q("q_interpolate",
+      // Linear interpolation on a regular grid (pandas interpolate(),
+      // Timescale interpolate()): each (event_type, hour) grid point
+      // gets the straight-line value between its surrounding ticks,
+      // NULL outside the observed span (no extrapolation). Weight form
+      // (prev·(next_tm-tm) + next·(tm-prev_tm)) div (next_tm-prev_tm)
+      // keeps every operand nonnegative, so integer division is
+      // engine-agnostic (no floor-vs-truncate edge). ONE keyed
+      // union-window scan: both IGNORE-NULLS range frames share the
+      // same partitioning and sort — no join, no range join.
+      (s, d) => {
+        val e = EventQueries.ev(s, d).df
+          .select(col("event_type"), col("ts"), col("cents"))
+        val ticks = e.groupBy(col("event_type"),
+            expr("unix_micros(ts)").as("tm"))
+          .agg(max(col("cents")).as("c"))
+        val hb = e.agg(
+          expr("min(unix_micros(ts)) div 3600000000").as("h0"),
+          expr("max(unix_micros(ts)) div 3600000000").as("h1"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(broadcast(hb))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+          .withColumn("tm", expr("h * 3600000000"))
+        val comb = ticks.select(col("event_type"), col("tm"), col("c"),
+            lit(null).cast("long").as("h"))
+          .unionByName(grid.select(col("event_type"), col("tm"),
+            lit(null).cast("long").as("c"), col("h")))
+        val wPrev = Window.partitionBy("event_type").orderBy("tm")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("event_type").orderBy("tm")
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        comb
+          .withColumn("prev_c", last(col("c"), ignoreNulls = true).over(wPrev))
+          .withColumn("prev_tm",
+            last(when(col("c").isNotNull, col("tm")), ignoreNulls = true).over(wPrev))
+          .withColumn("next_c", first(col("c"), ignoreNulls = true).over(wNext))
+          .withColumn("next_tm",
+            first(when(col("c").isNotNull, col("tm")), ignoreNulls = true).over(wNext))
+          .filter(col("h").isNotNull)
+          .withColumn("interp_c",
+            when(col("prev_tm").isNull || col("next_tm").isNull,
+              lit(null).cast("long"))
+              .when(col("next_tm") === col("prev_tm"), col("prev_c"))
+              .otherwise(expr("(prev_c * (next_tm - tm) + next_c * (tm - prev_tm)) " +
+                "div (next_tm - prev_tm)")))
+          .select(col("event_type"), col("h"), col("interp_c"))
+          .orderBy("event_type", "h")
+      },
+      EventQueries.EV + ", " +
+        "ticks AS (SELECT event_type, epoch_us(ts) AS tm, max(cents) AS c " +
+        "FROM ev GROUP BY 1, 2), " +
+        "hb AS (SELECT min(epoch_us(ts)) // 3600000000 AS h0, " +
+        "max(epoch_us(ts)) // 3600000000 AS h1 FROM ev), " +
+        "grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h " +
+        "FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN hb), " +
+        "comb AS (SELECT event_type, tm, c, CAST(NULL AS BIGINT) AS h " +
+        "FROM ticks UNION ALL SELECT event_type, h * 3600000000 AS tm, " +
+        "CAST(NULL AS BIGINT) AS c, h FROM grid), " +
+        "w AS (SELECT event_type, tm, h, " +
+        "last_value(c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY tm " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c, " +
+        "last_value(CASE WHEN c IS NOT NULL THEN tm END IGNORE NULLS) " +
+        "OVER (PARTITION BY event_type ORDER BY tm " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_tm, " +
+        "first_value(c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY tm " +
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c, " +
+        "first_value(CASE WHEN c IS NOT NULL THEN tm END IGNORE NULLS) " +
+        "OVER (PARTITION BY event_type ORDER BY tm " +
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_tm " +
+        "FROM comb) " +
+        "SELECT event_type, h, CAST(CASE " +
+        "WHEN prev_tm IS NULL OR next_tm IS NULL THEN NULL " +
+        "WHEN next_tm = prev_tm THEN prev_c " +
+        "ELSE (prev_c * (next_tm - tm) + next_c * (tm - prev_tm)) " +
+        "// (next_tm - prev_tm) END AS BIGINT) AS interp_c " +
+        "FROM w WHERE h IS NOT NULL ORDER BY event_type, h"),
+
     Q("q_join_asof",
       // As-of join (graft.engine.AsofJoin): stamp each non-purchase
       // event with the user's latest purchase at-or-before it. One keyed
