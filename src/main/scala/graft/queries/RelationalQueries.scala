@@ -329,6 +329,63 @@ object RelationalQueries {
         "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_rev_c " +
         "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"),
 
+    Q("q_tpch4_late",
+      // TPC-H Q4 shape: priority count of Q1-1996 orders with at least
+      // one LATE line item (shipped > 60 days after the order date) —
+      // an EXISTS decorrelated to a LEFT SEMI join whose condition
+      // carries a non-equi residual alongside the key. The semi join
+      // stops probing an order at its first late item: no fanout, no
+      // dedup pass.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      "SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o.o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    Q("q_tpch18_bigqty",
+      // TPC-H Q18 shape (large-volume customers): orders whose total
+      // quantity exceeds 250 units, joined back to customer/order
+      // attributes. The HAVING list is a small derived set — broadcast
+      // to both probe joins, so the only full shuffle is the lineitem
+      // per-order aggregation.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val big = l.groupBy(col("l_orderkey").as("bk"))
+          .agg(sum(cents("l_quantity")).as("sum_qty_c"))
+          .filter(col("sum_qty_c") > 250 * 100L)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        o.join(broadcast(big), o("o_orderkey") === col("bk"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("o_date"),
+            cents("o_totalprice").as("total_c"), col("sum_qty_c"))
+          .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
+      },
+      "SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
+        s"${sqlCents("o_totalprice")} AS total_c, sum_qty_c " +
+        "FROM orders JOIN (SELECT l_orderkey AS bk, " +
+        s"CAST(sum(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c " +
+        "FROM lineitem GROUP BY l_orderkey HAVING " +
+        s"CAST(sum(${sqlCents("l_quantity")}) AS BIGINT) > 25000) b " +
+        "ON o_orderkey = b.bk " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY sum_qty_c DESC, o_orderkey"),
+
     Q("q_tpch17_smallqty",
       // TPC-H Q17 shape: correlated scalar subquery (revenue from
       // line items under 20% of their part's average quantity),
@@ -1071,6 +1128,38 @@ object RelationalQueries {
         "SELECT event_type, day, n AS n_events, " +
         "(n*nd - sv)*(n*nd - sv) > 4*(nd*qv - sv*sv) AS is_anomaly " +
         "FROM dc JOIN st USING (event_type) ORDER BY event_type, day"),
+
+    Q("q_markov",
+      // First-order Markov transition matrix over per-user event
+      // sequences (the session-model / next-action-prediction
+      // estimator): count every (from_type → to_type) adjacency in seq
+      // order, then row-normalize. ONE keyed window (lead over user_id)
+      // + one pair groupBy; n and n_from are exact BIGINTs and the
+      // probability is a single int/int IEEE division — deterministic.
+      (s, d) => {
+        val e = EventQueries.ev(s, d).df
+          .select("user_id", "seq", "event_type")
+        val t = e.withColumn("to_type", lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy("seq")))
+          .filter(col("to_type").isNotNull)
+        t.groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("n_from",
+            sum(col("n")).over(Window.partitionBy("from_type")))
+          .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+          .orderBy("from_type", "to_type")
+      },
+      EventQueries.EV + ", " +
+        "t AS (SELECT event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY seq) AS to_type FROM ev), " +
+        "c AS (SELECT event_type AS from_type, to_type, " +
+        "CAST(count(*) AS BIGINT) AS n FROM t WHERE to_type IS NOT NULL " +
+        "GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from, " +
+        "CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY from_type) " +
+        "AS BIGINT) AS DOUBLE) AS p " +
+        "FROM c ORDER BY from_type, to_type"),
 
     Q("q_retention",
       // Cohort retention: users bucketed by the week of their FIRST
