@@ -118,10 +118,13 @@ object PageRank {
     }
     val base = ckpt(withSeed.join(deg, col("node") === col("src"), "left")
       .select(col("node"), col("is_seed"), col("outw")))
-    val nSeed = base.where(col("is_seed")).count()
+    // ONE action for both scalars (node count + seed count)
+    val cnts = base.agg(count(lit(1)),
+      coalesce(sum(when(col("is_seed"), lit(1L))), lit(0L))).head
+    val nSeed = cnts.getLong(1)
     // no nodes at all: vacuous (driver division by |S| would throw
     // where the old in-plan `div` simply never ran on zero rows)
-    if (base.count() == 0) {
+    if (cnts.getLong(0) == 0) {
       val out = ckpt(base.select(col("node"), lit(0L).as("pr")))
       scope.freeAllBut(scope.last)
       return out
@@ -131,22 +134,26 @@ object PageRank {
     var ranks = ckpt(base.withColumn("pr",
       when(col("is_seed"), lit(scale / nSeed)).otherwise(lit(0L))))
     for (_ <- 1 to iters) {
-      // dangling mass: 1-row agg → driver Long (no broadcast exchange);
-      // ranks is already materialized so this is a narrow re-scan
-      val dang = ranks.where(col("outw").isNull)
-        .agg(coalesce(sum(expr("(pr * 85) div 100")), lit(0L)))
-        .head.getLong(0)
+      // dangling mass: 1-row agg over the materialized ranks table,
+      // kept IN-PLAN as a broadcast scalar — the iteration schedules
+      // ONE action (the checkpoint), not a separate driver head() per
+      // round; the broadcast of one row costs nothing at any scale
+      val dangDf = ranks.where(col("outw").isNull)
+        .agg(coalesce(sum(expr("(pr * 85) div 100")), lit(0L)).as("__dang"))
       val inflow = ranks.where(col("outw").isNotNull)
         .join(e, col("node") === col("src"))
         .select(col("dst"),
           expr("(((pr * 85) div 100) * w) div outw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
-      // rebase: floor((scale·15/100)/|S|) + floor(D/|S|) are positive-
-      // Long driver divisions — identical to the engine's `div` on the
-      // same operands — landing only on seeds; non-seeds keep inflow
+      // rebase: floor((scale·15/100)/|S|) is a positive-Long driver
+      // division (identical to the engine's `div`); floor(D/|S|) is the
+      // engine's `div` on the broadcast dangling scalar — both landing
+      // only on seeds; non-seeds keep inflow
       ranks = ckpt(base.join(inflow, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangDf))
         .select(col("node"), col("is_seed"), col("outw"),
-          (when(col("is_seed"), lit(scale * 15 / 100 / nSeed + dang / nSeed))
+          (when(col("is_seed"), lit(scale * 15 / 100 / nSeed) +
+            expr(s"__dang div ${nSeed}L"))
             .otherwise(lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("pr")))
     }
