@@ -41,8 +41,9 @@ import org.apache.spark.sql.functions._
  *    form measured ~3× the work per round).
  *
  * Per round that leaves: two keyed partial-agg shuffles (the mutual
- * recursion's irreducible data movement), two 1-row driver sums, and a
- * node-aligned rebase join; dead rounds freed via [[CheckpointScope]].
+ * recursion's irreducible data movement), two in-plan broadcast 1-row
+ * L1 sums (no driver round-trip), and a node-aligned rebase join; dead
+ * rounds freed via [[CheckpointScope]].
  */
 object Hits {
 
@@ -81,25 +82,29 @@ object Hits {
     var ranksIds = scope.last
     for (_ <- 1 to iters) {
       // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
-      // driver-literal floor divisions below are safe. Raw aggregates
+      // floor divisions below are safe. Raw aggregates
       // are node-sized — checkpoint them so the sum, the normalization
       // and the rebase all read the materialized table instead of
       // re-running the edge-sized join+agg once per consumer.
       val authRaw = scope.ckpt(ranks.join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("araw")))
       val authRawIds = scope.last
-      val aSum = authRaw.agg(coalesce(sum(col("araw")), lit(0L)))
-        .head.getLong(0)
-      val auth = authRaw.select(col("dst").as("anode"),
-        expr(s"(araw * $scale) div $aSum").as("auth"))
+      // L1 sums stay IN-PLAN as broadcast 1-row scalars over the
+      // materialized raw tables — no per-round driver head(); the
+      // engine's `div` on positive Longs is the same floor the old
+      // driver-literal form applied
+      val aSumDf = authRaw.agg(coalesce(sum(col("araw")), lit(0L)).as("__asum"))
+      val auth = authRaw.crossJoin(broadcast(aSumDf))
+        .select(col("dst").as("anode"),
+          expr(s"(araw * $scale) div __asum").as("auth"))
       val hubRaw = scope.ckpt(auth.join(eByDst, col("anode") === col("dst"))
         .select(col("src"), col("auth"))
         .groupBy(col("src")).agg(sum(col("auth")).as("hraw")))
       val hubRawIds = scope.last
-      val hSum = hubRaw.agg(coalesce(sum(col("hraw")), lit(0L)))
-        .head.getLong(0)
-      val hub = hubRaw.select(col("src").as("hnode"),
-        expr(s"(hraw * $scale) div $hSum").as("hub2"))
+      val hSumDf = hubRaw.agg(coalesce(sum(col("hraw")), lit(0L)).as("__hsum"))
+      val hub = hubRaw.crossJoin(broadcast(hSumDf))
+        .select(col("src").as("hnode"),
+          expr(s"(hraw * $scale) div __hsum").as("hub2"))
       ranks = scope.ckpt(nodes
         .join(auth.withColumnRenamed("anode", "node"), Seq("node"), "left")
         .join(hub.withColumnRenamed("hnode", "node"), Seq("node"), "left")
