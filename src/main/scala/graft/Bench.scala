@@ -28,7 +28,9 @@ object Bench {
     // round-6 additions: graph analytics + the DSv2 source (NOTE for
     // round-over-round reads: totals grew by these queries' cost —
     // compare common-query sums, as SCALE.md documents)
-    "q_hits", "q_triangles", "q_gen_source")
+    "q_hits", "q_triangles", "q_gen_source",
+    // round-6 wave-3: warehouse maintenance + windowed analytics
+    "q_topk_group", "q_scd2", "q_interpolate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

