@@ -781,4 +781,41 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("scd2 over a CDC stream: foreachBatch fold equals sequential batch merges") {
+    // the production shape: each micro-batch of CDC events lands on the
+    // versioned dimension via Scd2.merge; localCheckpoint cuts the fold's
+    // lineage so batch N's plan does not replay batches 1..N-1
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def dated(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("attr"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"))
+    var dim = dated(Seq(
+      (1L, "A", "2000-01-01", Option.empty[String]),
+      (2L, "B", "2000-01-01", Option.empty[String])).toDF("k", "attr", "vf", "vt"))
+    val mem = MemoryStream[(Long, String, String)](spark, 1)
+    val q = mem.toDS().toDF("k", "attr", "eff")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.select(col("k"), col("attr"), col("eff").cast("date").as("eff"))
+        dim = graft.engine.Scd2.merge(dim, b, "k", Seq("attr"), "eff")
+          .localCheckpoint()
+        ()
+      }.start()
+    mem.addData((1L, "X", "2001-06-01"))
+    q.processAllAvailable()
+    mem.addData((1L, "Y", "2002-06-01"), (2L, "B", "2002-06-01"))
+    q.processAllAvailable()
+    q.stop()
+    val got = dim.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    // two sequential merges: A closed by X, X closed by Y, Y current;
+    // k=2's no-op update leaves B's original row untouched
+    assert(got == Set(
+      (1L, "A", "2000-01-01", Some("2001-06-01")),
+      (1L, "X", "2001-06-01", Some("2002-06-01")),
+      (1L, "Y", "2002-06-01", None),
+      (2L, "B", "2000-01-01", None)))
+  }
 }
