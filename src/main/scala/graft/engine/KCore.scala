@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * k-core membership by iterative peeling (Seidman 1983; the
+ * link-farm / dense-community signal of web-graph curation — a page's
+ * coreness separates organically-linked content from sparse spam
+ * periphery, complementing [[PageRank]]'s authority and
+ * [[Triangles]]' local density).
+ *
+ * Synchronous peeling: each round removes every node whose CURRENT
+ * degree in the surviving subgraph is < k; removing a node lowers its
+ * neighbors' degrees, so peeling cascades. `run` executes a FIXED
+ * number of rounds — deterministic plan, bit-identical across engines
+ * — and returns each surviving node with its degree inside the
+ * surviving subgraph. A fixture where round R equals round R-1 has
+ * converged, and the result IS the k-core (the spec asserts this on
+ * the test graphs; the paired oracle unrolls the same R rounds).
+ *
+ * Scale shape, per round:
+ *  - degree = one partial-agg shuffle over the surviving symmetrized
+ *    edges (map-side combine applies);
+ *  - survivor filter is a narrow pass over the degree table;
+ *  - edge restriction = two semi-joins against the survivor set — the
+ *    src side co-partitioned with the edge table's pinned layout, the
+ *    dst side one keyed exchange. Nothing is broadcast: the survivor
+ *    set is node-sized and at web scale does not fit an executor.
+ * Each round's edge table is checkpointed (lineage cut — the peel is
+ * a chain of joins otherwise) and dead rounds freed via
+ * [[CheckpointScope]]. Work shrinks monotonically: every round's
+ * input is the previous round's surviving edge cut.
+ */
+object KCore {
+
+  /**
+   * @param edges  two-column undirected edge list (names positional;
+   *               self-loops and duplicates canonicalized away)
+   * @param k      minimum within-subgraph degree to survive
+   * @param rounds number of peeling rounds (>= 1); converged when a
+   *               round removes nothing
+   * @return (node, d) for nodes surviving `rounds` rounds, with d the
+   *         node's degree inside the surviving subgraph
+   */
+  def run(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val a = edges.columns(0)
+    val b = edges.columns(1)
+    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
+    var e = scope.ckpt(
+      edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+        .union(edges.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src")).dropDuplicates("src", "dst"))
+    var eIds = scope.last
+    for (_ <- 1 to rounds) {
+      // degree in the CURRENT surviving subgraph (symmetrized edges:
+      // count per src IS the undirected degree)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("src").as("node"))
+      val next = scope.ckpt(e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst"))
+      val nextIds = scope.last
+      scope.free(eIds)
+      e = next
+      eIds = nextIds
+    }
+    scope.freeAllBut(eIds)
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+  }
+}

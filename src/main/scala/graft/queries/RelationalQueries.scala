@@ -111,6 +111,16 @@ object RelationalQueries {
       s"AS BIGINT) AS dist FROM $p p LEFT JOIN f$k f USING (node))"
   }
 
+  /** One unrolled k-core peeling round r (engine `KCore.run` mirror):
+    * degrees over the surviving subgraph, survivors keep src AND dst. */
+  private def kcoreIter(r: Int, k: Int): String = {
+    val p = s"e${r - 1}"
+    s"d$r AS MATERIALIZED (SELECT src, count(*) AS d FROM $p GROUP BY src), " +
+      s"k$r AS MATERIALIZED (SELECT src AS node FROM d$r WHERE d >= $k), " +
+      s"e$r AS MATERIALIZED (SELECT e.src, e.dst FROM $p e " +
+      s"JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node)"
+  }
+
   private def qs: Seq[Q] = Seq(
     Q("q_tpch1_pricing",
       // TPC-H Q1 shape: scan-heavy, pure partial-agg + tiny shuffle.
@@ -1409,6 +1419,32 @@ object RelationalQueries {
         "FROM nodes n LEFT JOIN sd s USING (node)), " +
         (1 to 3).map(bfsIter).mkString(", ") + " " +
         "SELECT node, dist FROM r3 ORDER BY node"),
+
+    Q("q_kcore",
+      // 8-core of the trade graph by iterative peeling (Seidman 1983):
+      // drop every node with fewer than 8 surviving trade partners,
+      // cascade, report survivors with their in-core degree — the
+      // dense-community / link-farm signal next to PageRank's authority
+      // and the triangle density. 3 rounds (fixture converges in 2;
+      // the third proves the fixpoint). Per round: one degree
+      // partial-agg + two survivor semi-joins, work shrinking with the
+      // surviving edge cut.
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.engine.KCore.run(e, k = 8, rounds = 3).orderBy("node")
+      },
+      "WITH raw AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, " +
+        "l_suppkey * 2 + 1 AS v FROM orders JOIN lineitem " +
+        "ON o_orderkey = l_orderkey), " +
+        "e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM raw " +
+        "UNION SELECT v, u FROM raw), " +
+        (1 to 3).map(kcoreIter(_, 8)).mkString(", ") + " " +
+        "SELECT src AS node, count(*) AS d FROM e3 " +
+        "GROUP BY src ORDER BY node"),
 
     Q("q_scd2",
       // Slowly-changing-dimension type-2 merge (Kimball): a CDC batch

@@ -302,6 +302,41 @@ class PropertySpec extends SparkSpec {
       4L -> None, 5L -> None))
   }
 
+  test("kcore: fixed-round peeling matches a single-threaded reference; cascade golden") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))) {
+      (es0: List[(Long, Long)]) =>
+        import spark.implicits._
+        val es = es0.filter(e => e._1 != e._2)
+          .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+        if (es.nonEmpty) {
+          val k = 2; val rounds = 4
+          var cur = (es ++ es.map(_.swap)).toSet
+          for (_ <- 1 to rounds) {
+            val deg = cur.groupBy(_._1).map { case (n, v) => n -> v.size }
+            val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+            cur = cur.filter(e => keep(e._1) && keep(e._2))
+          }
+          val want = cur.groupBy(_._1)
+            .map { case (n, v) => n -> v.size.toLong }
+          val got = graft.engine.KCore.run(es.toDF("a", "b"), k, rounds)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == want)
+        }
+    }
+    // path 1-2-3-4-5 under k=2: endpoints peel first, the cascade
+    // dissolves the rest a round later — fixed rounds expose the
+    // cascade step by step
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(graft.engine.KCore.run(path, 2, 1).count() == 3) // 2,3,4 left
+    assert(graft.engine.KCore.run(path, 2, 2).count() == 0) // all gone
+    // triangle plus a tail under k=2: the triangle survives, tail peels
+    val triTail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = graft.engine.KCore.run(triTail, 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("hits: integer hub/auth match a single-threaded reference") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))) {
       (es0: List[(Long, Long)]) =>
