@@ -61,6 +61,7 @@ object Hits {
     val nodes = scope.ckpt(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
+    val nodesIds = scope.last
     // no edges: no nodes either — every score table is empty
     if (e.head(1).isEmpty) {
       val out = scope.ckpt(nodes
@@ -77,16 +78,23 @@ object Hits {
       s"scale ($scale) must be >= node count ($nNodes): L1-normalized " +
         "integer scores need scale units of mass to spread over the nodes")
 
-    // hub starts uniform at `scale`; auth is derived before first use
-    var ranks = scope.ckpt(nodes.withColumn("hub", lit(scale)))
-    var ranksIds = scope.last
+    // The recursion itself only ever consumes the HUB table (nodes
+    // absent from it have hub 0 and contribute nothing to any sum, so
+    // the inner contribution join is exact without them) — the full
+    // (node, hub, auth) rebase is assembled ONCE after the last round,
+    // not materialized per round. Per round that leaves exactly two
+    // checkpoint actions (the two raw partial-aggs).
+    var hub = scope.ckpt(nodes.withColumn("hub", lit(scale)))
+    var hubIds = scope.last
+    var auth: DataFrame = null
+    var authIds = List.empty[Int]
     for (_ <- 1 to iters) {
       // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
-      // floor divisions below are safe. Raw aggregates
-      // are node-sized — checkpoint them so the sum, the normalization
-      // and the rebase all read the materialized table instead of
-      // re-running the edge-sized join+agg once per consumer.
-      val authRaw = scope.ckpt(ranks.join(e, col("node") === col("src"))
+      // floor divisions below are safe. Raw aggregates are node-sized —
+      // checkpoint them so the in-plan sum and every downstream reader
+      // see the materialized table instead of re-running the edge-sized
+      // join+agg per consumer.
+      val authRaw = scope.ckpt(hub.join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("araw")))
       val authRawIds = scope.last
       // L1 sums stay IN-PLAN as broadcast 1-row scalars over the
@@ -94,29 +102,33 @@ object Hits {
       // engine's `div` on positive Longs is the same floor the old
       // driver-literal form applied
       val aSumDf = authRaw.agg(coalesce(sum(col("araw")), lit(0L)).as("__asum"))
-      val auth = authRaw.crossJoin(broadcast(aSumDf))
+      val authN = authRaw.crossJoin(broadcast(aSumDf))
         .select(col("dst").as("anode"),
           expr(s"(araw * $scale) div __asum").as("auth"))
-      val hubRaw = scope.ckpt(auth.join(eByDst, col("anode") === col("dst"))
+      val hubRaw = scope.ckpt(authN.join(eByDst, col("anode") === col("dst"))
         .select(col("src"), col("auth"))
         .groupBy(col("src")).agg(sum(col("auth")).as("hraw")))
       val hubRawIds = scope.last
       val hSumDf = hubRaw.agg(coalesce(sum(col("hraw")), lit(0L)).as("__hsum"))
-      val hub = hubRaw.crossJoin(broadcast(hSumDf))
-        .select(col("src").as("hnode"),
-          expr(s"(hraw * $scale) div __hsum").as("hub2"))
-      ranks = scope.ckpt(nodes
-        .join(auth.withColumnRenamed("anode", "node"), Seq("node"), "left")
-        .join(hub.withColumnRenamed("hnode", "node"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("hub2"), lit(0L)).as("hub"),
-          coalesce(col("auth"), lit(0L)).as("auth")))
-      // previous round's ranks and this round's raw aggregates are dead
-      // once the new ranks table is materialized
-      scope.free(ranksIds ::: authRawIds ::: hubRawIds)
-      ranksIds = scope.last
+      val hubN = hubRaw.crossJoin(broadcast(hSumDf))
+        .select(col("src").as("node"),
+          expr(s"(hraw * $scale) div __hsum").as("hub"))
+      // the previous round's tables are dead once this round's raw
+      // aggregates are materialized (hubN/authN are narrow views over
+      // this round's checkpoints)
+      scope.free(hubIds ::: authIds)
+      hub = hubN; hubIds = hubRawIds
+      auth = authN; authIds = authRawIds
     }
-    scope.freeAllBut(scope.last)
-    ranks.select("node", "hub", "auth")
+    val out = nodes
+      .join(auth.withColumnRenamed("anode", "node"), Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+    // the returned plan reads nodes + the final round's raw tables
+    // lazily — keep those, free the edge layouts and anything else
+    scope.freeAllBut(nodesIds ::: authIds ::: hubIds)
+    out
   }
 }
