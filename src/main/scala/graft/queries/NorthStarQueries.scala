@@ -956,11 +956,16 @@ object NorthStarQueries {
       (s, d) => {
         val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
         val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+        // cand feeds both the doc prune and the pair semi-join, pruned
+        // feeds sizes + both self-join sides — materialize each once or
+        // the minhash chain re-executes per consumer (triangles lesson)
         val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
+          .localCheckpoint()
         val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
         val candDocs = cand
           .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
         val pruned = edges.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
         val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = pruned.select(col("doc_id").as("a"), col("sid"))
         val r = pruned.select(col("doc_id").as("b"), col("sid"))
