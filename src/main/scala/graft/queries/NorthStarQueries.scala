@@ -997,7 +997,9 @@ object NorthStarQueries {
       // n-gram Jaccard via inverted-index join (the scale shape: shuffle
       // on shingle, never all-pairs); top-100 most similar pairs.
       (s, d) => {
+        // edges feeds sizes + both self-join sides — materialize once
         val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
+          .localCheckpoint()
         val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = edges.select(col("doc_id").as("a"), col("sid"))
         val r = edges.select(col("doc_id").as("b"), col("sid"))
@@ -1027,7 +1029,11 @@ object NorthStarQueries {
       // q_dedup_jaccard (shuffle on shingle id, never all-pairs); each
       // unordered pair emits its two directions, thresholded at 0.8.
       (s, d) => {
+        // edges feeds sizes + both self-join sides — materialize once
+        // (triangles lesson: Spark re-executes the shingle build per
+        // consumer otherwise)
         val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
+          .localCheckpoint()
         val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = edges.select(col("doc_id").as("a"), col("sid"))
         val r = edges.select(col("doc_id").as("b"), col("sid"))
