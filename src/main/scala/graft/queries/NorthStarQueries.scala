@@ -1603,8 +1603,9 @@ object NorthStarQueries {
       // How much ranking fidelity does int8 give up? Quantized top-3 vs
       // exact float top-3: integer hit counts + one final division.
       (s, d) => {
+        // exact feeds the count and the semi-join — one O(n^2) run, not two
         val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
-          .select("a", "b")
+          .select("a", "b").localCheckpoint()
         val quant = Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
@@ -1633,8 +1634,9 @@ object NorthStarQueries {
       // so the double is bit-identical across engines. The O(n²) side
       // is the measurement harness, not the serving path.
       (s, d) => {
+        // exact feeds all seven hit counts — one O(n^2) run, not seven
         val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
-          .select("a", "b")
+          .select("a", "b").localCheckpoint()
         val lsh = Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
           .select("a", "b")
         val mp = Similarity.topKLshMp(emb(s, d), "vec_id", "embedding", 3,
@@ -1746,7 +1748,11 @@ object NorthStarQueries {
       // final division — hash-exact across engines.
       (s, d) => {
         val e = emb(s, d)
+        // exact feeds one semi-join per config row (11 of them) — ONE
+        // O(n^2) run; same for the shared LSH bucket table and the wide
+        // 64-cell assignment (4 consumers)
         val exact = Similarity.topK(e, "vec_id", "embedding", 3).select("a", "b")
+          .localCheckpoint()
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nTot = e.agg(count(lit(1)).as("n"))
         def cfgRow(method: String, p1: Int, p2: Int, approx: DataFrame,
@@ -1760,6 +1766,7 @@ object NorthStarQueries {
         // ordered scored-pair counts per config (x≠y meetings)
         val bk = e.select(col("vec_id"),
           Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
+          .localCheckpoint()
         val lshCands = bk.groupBy("bucket").agg(count(lit(1)).as("c"))
           .agg(sum(col("c") * (col("c") - 1)).as("n_cands"))
         val copies = bk.select(col("vec_id"),
@@ -1778,7 +1785,7 @@ object NorthStarQueries {
             .select((col("mh") - col("n")).as("n_cands"))
         val id = "vec_id"; val v = "embedding"
         val wideAssign = Similarity.ivfKmeansAssignRanked(e, id, v, 64,
-          KM_ITERS, DIMS, 20)
+          KM_ITERS, DIMS, 20).localCheckpoint()
         def wide(p: Int): DataFrame =
           wideAssign.filter(col("rank") <= p).drop("rank")
         val rows = Seq(
