@@ -708,11 +708,17 @@ object NorthStarQueries {
         val clean = TextOps.decontaminate(
           all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10),
           "doc_id", "text", K)
+        // eligible feeds the keeper agg AND the survivor join; surv
+        // feeds the minhash chain AND the final anti-join — materialize
+        // each once or the quality+decontamination chain re-executes
+        // per consumer (triangles lesson)
         val eligible = clean.join(repKeep, "doc_id").select("doc_id", "text")
+          .localCheckpoint()
         val keeper = eligible
           .groupBy(md5(col("text").cast("binary")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
         val surv = eligible.join(keeper.select("doc_id"), "doc_id")
+          .localCheckpoint()
         val bands = TextOps.lshBandsArr(
           TextOps.minhashSigArray(surv, "doc_id", "text", K, H), "doc_id", BANDS, R)
         val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
