@@ -662,8 +662,11 @@ object NorthStarQueries {
           TextOps.langGuess(
             TextOps.stopwordHits(t, "en"), TextOps.stopwordHits(t, "es"),
             TextOps.stopwordHits(t, "de"), TextOps.stopwordHits(t, "fr")).as("guess"))
+        // filtered feeds the keeper agg and the stats join — one
+        // tokenize+langid pass, not two
         val filtered = enriched
           .filter(col("guess") === "en" && col("n_tokens") >= 20)
+          .localCheckpoint()
         val keep = filtered
           .groupBy(md5(col("text").cast("binary")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
