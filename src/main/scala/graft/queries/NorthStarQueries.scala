@@ -1326,6 +1326,51 @@ object NorthStarQueries {
         "CAST(greatest(coalesce(n_bigrams, 0), 1) AS DOUBLE) AS commonness " +
         "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"),
 
+    Q("q_ppl_buckets",
+      // CCNet's head/middle/tail artifact (Wenzek et al. 2020): per
+      // language, rank documents by LM quality (the corpus-bigram
+      // commonness proxy above) and cut into equal thirds with ntile —
+      // head = most fluent third, the slice CCNet trains on first.
+      // Deterministic: the rank order ties on doc_id, ntile's
+      // equal-split semantics match across engines, every mass count
+      // is an exact BIGINT. One score pass + one keyed rank window +
+      // a tiny groupBy.
+      (s, d) => {
+        val sc = TextOps.bigramCommonness(docs(s, d), "doc_id", "text")
+          .select("doc_id", "commonness")
+        val dd = docs(s, d).select("doc_id", "lang", "n_chars")
+        dd.join(sc, "doc_id")
+          .withColumn("bkt", ntile(3).over(
+            Window.partitionBy("lang")
+              .orderBy(col("commonness").desc, col("doc_id"))).cast("long"))
+          .groupBy("lang", "bkt")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("bucket",
+            when(col("bkt") === 1, "head").when(col("bkt") === 2, "middle")
+              .otherwise("tail"))
+          .select("lang", "bkt", "bucket", "n_docs", "sum_chars")
+          .orderBy("lang", "bkt")
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, " +
+        "bg2 AS (SELECT doc_id, unnest(CASE WHEN len(fps) >= 2 THEN " +
+        "list_transform(range(1, len(fps)), i -> " +
+        "((fps[CAST(i AS INT)] % 1000000007) * 8191 + fps[CAST(i + 1 AS INT)]) % 1000000007) " +
+        "ELSE CAST([] AS BIGINT[]) END) AS sid FROM tokfp), " +
+        "cf AS (SELECT sid, count(*) AS cf FROM bg2 GROUP BY sid), " +
+        "per AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(cf) AS BIGINT) AS sum_cf FROM bg2 JOIN cf USING (sid) " +
+        "GROUP BY doc_id), " +
+        "sc AS (SELECT d.doc_id, d.lang, d.n_chars, " +
+        "CAST(coalesce(sum_cf, 0) AS DOUBLE) / " +
+        "CAST(greatest(coalesce(n_bigrams, 0), 1) AS DOUBLE) AS commonness " +
+        "FROM documents d LEFT JOIN per USING (doc_id)), " +
+        "b AS (SELECT lang, n_chars, CAST(ntile(3) OVER (PARTITION BY lang " +
+        "ORDER BY commonness DESC, doc_id) AS BIGINT) AS bkt FROM sc) " +
+        "SELECT lang, bkt, CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM b GROUP BY lang, bkt ORDER BY lang, bkt"),
+
     Q("q_dedup_cosine",
       // Threshold 0.4 yields real near-dup pairs on the synthetic
       // embeddings (0.8 matched zero rows — a vacuous green).
