@@ -69,6 +69,13 @@ object Bench {
       // plan stringification happens AFTER the timer stops
       val ex = if (df == null || n < 0) -1
         else try shuffleCount(df) catch { case _: Throwable => -1 }
+      // free the query's leftover localCheckpoints (returned plans pin
+      // them; ContextCleaner only reclaims on driver GC, so 60+ query
+      // executions otherwise accumulate dead blocks in executor
+      // storage — the CheckpointScope failure mode, measured 2.6→8.7s).
+      // Outside the timer: a resident cluster amortizes this.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, sec, n, ex)
     }
     // Two passes: the first execution of each query JIT-compiles its
