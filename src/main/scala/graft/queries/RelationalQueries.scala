@@ -1446,6 +1446,55 @@ object RelationalQueries {
         "SELECT src AS node, count(*) AS d FROM e3 " +
         "GROUP BY src ORDER BY node"),
 
+    Q("q_graph_curation",
+      // Composed graph-curation pass — the chain a crawl pipeline runs
+      // as ONE job: build the trade graph, PEEL to the 8-core (drop the
+      // sparse spam periphery), then rank the surviving dense core with
+      // fixed-point PageRank and keep the top 20 authorities. Each
+      // stage is the audited standalone shape (q_kcore, q_pagerank);
+      // composing them stays declarative — the core's node set
+      // restricts the directed edges via two semi-joins, no driver
+      // materialization between stages.
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val core = graft.engine.KCore.run(e, k = 8, rounds = 2)
+          .select("node")
+        val coreE = e
+          .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        graft.engine.PageRank.run(coreE, "src", "dst", iters = 2)
+          .orderBy(col("pr").desc, col("node")).limit(20)
+      },
+      "WITH raw AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, " +
+        "l_suppkey * 2 + 1 AS v FROM orders JOIN lineitem " +
+        "ON o_orderkey = l_orderkey), " +
+        "ke0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM raw " +
+        "UNION SELECT v, u FROM raw), " +
+        (1 to 2).map { r =>
+          s"kd$r AS MATERIALIZED (SELECT src, count(*) AS d FROM ke${r - 1} " +
+            s"GROUP BY src), " +
+            s"kk$r AS MATERIALIZED (SELECT src AS node FROM kd$r WHERE d >= 8), " +
+            s"ke$r AS MATERIALIZED (SELECT e.src, e.dst FROM ke${r - 1} e " +
+            s"JOIN kk$r a ON e.src = a.node JOIN kk$r b ON e.dst = b.node)"
+        }.mkString(", ") + ", " +
+        "surv AS MATERIALIZED (SELECT DISTINCT src AS node FROM ke2), " +
+        "e AS MATERIALIZED (SELECT r.u AS src, r.v AS dst FROM raw r " +
+        "JOIN surv a ON r.u = a.node JOIN surv b ON r.v = b.node), " +
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e " +
+        "UNION SELECT dst FROM e), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+        "FROM e GROUP BY src), " +
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+        "r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS pr " +
+        "FROM nodes CROSS JOIN nn), " +
+        (1 to 2).map(prIter).mkString(", ") + " " +
+        "SELECT node, CAST(pr AS BIGINT) AS pr FROM r2 " +
+        "ORDER BY pr DESC, node LIMIT 20"),
+
     Q("q_scd2",
       // Slowly-changing-dimension type-2 merge (Kimball): a CDC batch
       // of new segment labels — derived from 1997 order activity —
