@@ -1842,6 +1842,12 @@ object NorthStarQueries {
           KM_ITERS, DIMS, 20).localCheckpoint()
         def wide(p: Int): DataFrame =
           wideAssign.filter(col("rank") <= p).drop("rank")
+        // 16-cell rows share ONE training the same way (the probe depth
+        // is a rank slice, not a retrain)
+        val a16 = Similarity.ivfKmeansAssignRanked(e, id, v, 16,
+          KM_ITERS, DIMS, 4).localCheckpoint()
+        def a16p(p: Int): DataFrame =
+          a16.filter(col("rank") <= p).drop("rank")
         val rows = Seq(
           cfgRow("lsh", PLANES, 0,
             Similarity.topKLsh(e, id, v, 3, PLANES, DIMS).select("a", "b"), lshCands),
@@ -1854,14 +1860,14 @@ object NorthStarQueries {
             Similarity.topKIvf(e, id, v, 3, 16, 2).select("a", "b"),
             ivfCands(Similarity.ivfAssign(e, id, v, 16, 2))),
           cfgRow("ivf_kmeans", 16, 2,
-            Similarity.topKIvfKmeans(e, id, v, 3, 16, KM_ITERS, DIMS, 2).select("a", "b"),
-            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 2))),
+            Similarity.topKFromAssign(a16p(2), id, v, 3).select("a", "b"),
+            ivfCands(a16p(2))),
           cfgRow("ivf_kmeans", 8, 2,
             Similarity.topKIvfKmeans(e, id, v, 3, 8, KM_ITERS, DIMS, 2).select("a", "b"),
             ivfCands(Similarity.ivfKmeansAssign(e, id, v, 8, KM_ITERS, DIMS, 2))),
           cfgRow("ivf_kmeans", 16, 4,
-            Similarity.topKIvfKmeans(e, id, v, 3, 16, KM_ITERS, DIMS, 4).select("a", "b"),
-            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 16, KM_ITERS, DIMS, 4))),
+            Similarity.topKFromAssign(a16p(4), id, v, 3).select("a", "b"),
+            ivfCands(a16p(4))),
           // 64-cell wide frontier: ONE training (checkpointed centroids)
           // probed 20-deep; the 16-probe row is a rank slice of it.
           // These are the ≥0.75-recall-under-half-cost operating points
