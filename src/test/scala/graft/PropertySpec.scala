@@ -302,6 +302,48 @@ class PropertySpec extends SparkSpec {
       4L -> None, 5L -> None))
   }
 
+  test("scd2: random CDC batches fold to the single-threaded dimension history") {
+    // 3 batches at strictly increasing effective dates (the CDC arrival
+    // order), random (key, value) rows inside each — within-batch
+    // latest-wins ties on eff break by the tracked-value struct max,
+    // which the simulator mirrors
+    val batchGen = Gen.listOf(Gen.zip(Gen.choose(1L, 4L), Gen.oneOf("A", "B", "C")))
+    forAll(Gen.listOfN(3, batchGen)) { (batches: List[List[(Long, String)]]) =>
+      import spark.implicits._
+      val keys = (1L to 4L)
+      // simulator state: key -> (value, validFrom); closed history rows
+      var cur = keys.map(k => k -> ("Z", "2000-01-01")).toMap
+      var hist = List.empty[(Long, String, String, Option[String])]
+      var dim = keys.map(k => (k, "Z", "2000-01-01", Option.empty[String]))
+        .toDF("k", "attr", "vf", "vt")
+        .select(col("k"), col("attr"), col("vf").cast("date").as("valid_from"),
+          col("vt").cast("date").as("valid_to"))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val eff = s"2001-01-0${i + 1}"
+        if (b.nonEmpty) {
+          val bdf = b.toDF("k", "attr")
+            .select(col("k"), col("attr"), lit(eff).cast("date").as("eff"))
+          dim = graft.engine.Scd2.merge(dim, bdf, "k", Seq("attr"), "eff")
+            .localCheckpoint()
+          // simulator: same latest-wins collapse (max value per key at
+          // this batch's shared eff), then close-on-change
+          b.groupBy(_._1).foreach { case (k, rows) =>
+            val v = rows.map(_._2).max
+            val (cv, cf) = cur(k)
+            if (v != cv) {
+              hist ::= (k, cv, cf, Some(eff))
+              cur += k -> (v, eff)
+            }
+          }
+        }
+      }
+      val want = (hist ++ cur.toList.map { case (k, (v, f)) => (k, v, f, None) }).toSet
+      val got = dim.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+      assert(got == want)
+    }
+  }
+
   test("kcore: fixed-round peeling matches a single-threaded reference; cascade golden") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))) {
       (es0: List[(Long, Long)]) =>
