@@ -396,6 +396,76 @@ object RelationalQueries {
         "JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY sum_qty_c DESC, o_orderkey"),
 
+    Q("q_tpch14_promo",
+      // TPC-H Q14 shape (promotion effect): the share of one month's
+      // revenue from PROMO parts. Part dimension broadcast; numerator
+      // and denominator are exact integer-cents sums from ONE
+      // aggregation pass, the percentage one final IEEE division.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        val p = Tables.part(s, d).select("p_partkey", "p_type")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+              .otherwise(lit(0L))).as("promo_c2"),
+            sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+              .as("total_c2"))
+          .withColumn("promo_pct",
+            col("promo_c2").cast("double") * 100.0 / col("total_c2").cast("double"))
+      },
+      "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+        s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) " +
+        "ELSE 0 END) AS BIGINT) AS promo_c2, " +
+        s"CAST(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) " +
+        "AS BIGINT) AS total_c2, " +
+        "CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+        s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) " +
+        "ELSE 0 END) AS BIGINT) AS DOUBLE) * 100.0 / " +
+        s"CAST(CAST(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) " +
+        "AS BIGINT) AS DOUBLE) AS promo_pct " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-09-01' " +
+        "AND l_shipdate < TIMESTAMP '1995-10-01'"),
+
+    Q("q_tpch19_disjunct",
+      // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+      // an OR of brand/size/quantity conjunctions — the pattern that
+      // tests whether the common join key survives predicate pushdown
+      // while the residual OR evaluates post-join. Part broadcast, one
+      // aggregation, exact cents.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select(col("l_partkey"), cents("l_quantity").as("qty_c"),
+            cents("l_extendedprice").as("ep_c"), cents("l_discount").as("dc_c"))
+        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("qty_c").between(100L, 2000L)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("qty_c").between(500L, 2500L)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("qty_c").between(1000L, 4000L))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .agg(sum(col("ep_c") * (lit(100L) - col("dc_c"))).as("revenue_c2"),
+            count(lit(1)).as("n"))
+      },
+      "SELECT CAST(sum(ep_c * (100 - dc_c)) AS BIGINT) AS revenue_c2, " +
+        "count(*) AS n FROM (SELECT l_partkey, " +
+        s"${sqlCents("l_quantity")} AS qty_c, " +
+        s"${sqlCents("l_extendedprice")} AS ep_c, " +
+        s"${sqlCents("l_discount")} AS dc_c FROM lineitem) l " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 " +
+        "AND qty_c BETWEEN 100 AND 2000) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 " +
+        "AND qty_c BETWEEN 500 AND 2500) " +
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 " +
+        "AND qty_c BETWEEN 1000 AND 4000)"),
+
     Q("q_tpch17_smallqty",
       // TPC-H Q17 shape: correlated scalar subquery (revenue from
       // line items under 20% of their part's average quantity),
