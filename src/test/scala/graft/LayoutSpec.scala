@@ -118,6 +118,14 @@ class LayoutSpec extends SparkSpec {
       (1L, "B", "2002-06-01", None),                 // new current (latest update wins)
       (2L, "B", "2000-01-01", None),                 // no-op: unchanged
       (3L, "C", "2000-01-01", None)))                // no update: unchanged
+    // the large-batch path (keyed shuffle join instead of broadcast)
+    // produces the identical dimension
+    val got2 = graft.engine.Scd2
+      .merge(dim, updates, "k", Seq("attr"), "eff", broadcastUpdates = false)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSet
+    assert(got2 == got)
   }
 
   test("clusteredWrite: maxRecordsPerFile caps file row counts") {
