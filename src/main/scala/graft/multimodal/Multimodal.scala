@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
  *
  * IMAGES are decoded for real: `decodeImage` runs the in-JDK
  * `javax.imageio` PNG/BMP codec and features come from actual decoded
- * pixels. Audio/video decode remains STUBBED (`stubDecode`) because no
- * audio/video libraries ship in this environment; swapping in a real
- * demuxer is a one-function change and nothing in the plan changes.
+ * pixels. AUDIO is decoded for real too: `decodeWav` runs the in-JDK
+ * `javax.sound.sampled` WAV/PCM codec. Only VIDEO decode remains
+ * STUBBED (`stubDecode`) — no video demuxer ships in the JDK; swapping
+ * one in is a one-function change and nothing in the plan changes.
  *
  * Scale notes: binary payloads ride the normal columnar path (parquet
  * BINARY), decode is embarrassingly parallel per partition, and feature
@@ -150,6 +151,84 @@ object Multimodal {
         lit(64).as("width"),
         lit(64).as("height"))
       .as[MediaItem]
+  }
+
+  /** Deterministic 16-bit PCM samples for a doc: sample i is
+    * ((ascii(md5hex[i mod 32]) * 997 + i * 131) mod 65536) − 32768 —
+    * pure ASCII-hex arithmetic both engines replicate exactly, with the
+    * multipliers chosen so the wrap mixes signs (zero crossings are
+    * non-vacuous). */
+  def docSamples(text: String, n: Int): Array[Short] = {
+    val h = md5Hex(text)
+    Array.tabulate(n)(i =>
+      (((h.charAt(i % 32).toInt * 997 + i * 131) % 65536) - 32768).toShort)
+  }
+
+  /** Encode samples as a REAL WAV (RIFF container, 16-bit PCM LE mono)
+    * via the in-JDK `javax.sound.sampled` writer. PCM is lossless, so
+    * decode(encode(s)) == s — the invariant `q_multimodal_audio`'s
+    * oracle leans on. */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled._
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: WAV payload → PCM
+    * 16-bit samples. Throws on undecodable bytes — corrupt audio fails
+    * loudly, like [[decodeImage]]. */
+  def decodeWav(payload: Array[Byte]): Array[Short] = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"expected 16-bit mono LE PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    Array.tabulate(bytes.length / 2)(i =>
+      ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort)
+  }
+
+  /** Audio corpus: one real WAV per document, samples derived from the
+    * doc's md5 so the oracle can reproduce them codec-free. */
+  def fromDocumentsWav(spark: SparkSession, dir: String, n: Int = 256): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaItem(id, "audio", encodeWav(docSamples(text, n)), n, 1)
+      }
+  }
+
+  /** Zero-crossing counts per `segs` equal segments of the REAL decoded
+    * audio — the classic cheap audio activity feature. A crossing at
+    * sample i (i ≥ 1, sign(s_i) ≠ sign(s_{i−1}) with 0 counted
+    * nonnegative) lands in segment i·segs/n. Exact integer counts. */
+  def audioZeroCrossings(items: Dataset[MediaItem], segs: Int = 8): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val s = decodeWav(m.payload)
+        val out = new Array[Long](segs)
+        var i = 1
+        while (i < s.length) {
+          if ((s(i) < 0) != (s(i - 1) < 0)) out(i * segs / s.length) += 1L
+          i += 1
+        }
+        (m.media_id, out)
+      }
+    }.toDF("media_id", "crossings")
   }
 
   /** Lowercase-hex md5, identical to DuckDB's `md5(text)`. */

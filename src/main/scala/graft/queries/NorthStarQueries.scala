@@ -2255,6 +2255,38 @@ object NorthStarQueries {
         "SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY b) AS hist " +
         "FROM hist GROUP BY media_id ORDER BY media_id"),
 
+    Q("q_multimodal_audio",
+      // REAL audio decode: one 256-sample WAV per doc (PCM derived from
+      // md5(text) so the oracle reproduces it codec-free), decoded back
+      // through the in-JDK javax.sound.sampled codec in the batched
+      // mapPartitions stage; features = zero-crossing counts per 8
+      // segments of the ACTUAL decoded samples. PCM is lossless, so any
+      // codec/plumbing corruption = hash mismatch vs the oracle's
+      // direct sample math.
+      (s, d) => graft.multimodal.Multimodal
+        .audioZeroCrossings(
+          graft.multimodal.Multimodal.fromDocumentsWav(s, d, 256), 8)
+        .select(col("media_id"),
+          concat_ws(",", transform(col("crossings"),
+            c => c.cast("string"))).as("zc"))
+        .orderBy("media_id"),
+      "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents), " +
+        "v AS (SELECT media_id, i, " +
+        "((ascii(substr(h, CAST((i % 32) + 1 AS INT), 1)) * 997 + i * 131) " +
+        "% 65536) - 32768 AS s " +
+        "FROM (SELECT media_id, h, unnest(range(0, 256)) AS i FROM m)), " +
+        "x AS (SELECT media_id, i, s, " +
+        "lag(s) OVER (PARTITION BY media_id ORDER BY i) AS p FROM v), " +
+        "c AS (SELECT media_id, (i * 8) // 256 AS seg, " +
+        "CAST(sum(CASE WHEN p IS NOT NULL AND ((s < 0) <> (p < 0)) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n FROM x GROUP BY 1, 2), " +
+        "g AS (SELECT media_id, ss AS seg FROM m, " +
+        "(SELECT unnest(range(0, 8)) AS ss)), " +
+        "hist AS (SELECT g.media_id, g.seg, coalesce(c.n, 0) AS n " +
+        "FROM g LEFT JOIN c USING (media_id, seg)) " +
+        "SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY seg) AS zc " +
+        "FROM hist GROUP BY media_id ORDER BY media_id"),
+
     Q("q_distinct_kmv",
       // KMV (k-minimum-values) distinct sketch: estimate = (k-1)/u_k
       // over the k smallest hash-uniforms of the distinct token ids —

@@ -632,6 +632,16 @@ class TextSimilaritySpec extends SparkSpec {
     assert(viaPq == viaKm)
   }
 
+  test("multimodal audio: WAV encode/decode round-trips through the real codec") {
+    import graft.multimodal.Multimodal
+    val samples = Multimodal.docSamples("some document text", 256)
+    assert(samples.exists(_ < 0) && samples.exists(_ >= 0)) // signs mixed
+    val wav = Multimodal.encodeWav(samples)
+    assert(new String(wav.take(4), "ASCII") == "RIFF") // real container
+    assert(Multimodal.decodeWav(wav).toSeq == samples.toSeq) // lossless
+    intercept[Exception](Multimodal.decodeWav(Array[Byte](1, 2, 3))) // loud failure
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
