@@ -231,6 +231,86 @@ object Multimodal {
     }.toDF("media_id", "crossings")
   }
 
+  /** Deterministic gray pixels for frame `f` of a doc's video: pixel i
+    * is `(ascii(md5hex[(i+f) mod 32]) * 31 + f * 7) mod 256`. */
+  def docFramePixels(text: String, side: Int, frame: Int): Array[Int] = {
+    val h = md5Hex(text)
+    Array.tabulate(side * side)(i =>
+      (h.charAt((i + frame) % 32).toInt * 31 + frame * 7) % 256)
+  }
+
+  /** Encode gray frames as a REAL YUV4MPEG2 (Y4M) stream — the plain
+    * uncompressed video container of mjpegtools/ffmpeg (`Cmono` = luma
+    * plane only): textual stream header, then `FRAME\n` + raw plane per
+    * frame. Raw planes are lossless, so decode(encode(fs)) == fs. */
+  def encodeY4m(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    baos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("ASCII"))
+    frames.foreach { f =>
+      baos.write("FRAME\n".getBytes("ASCII"))
+      f.foreach(p => baos.write(p & 0xff))
+    }
+    baos.toByteArray
+  }
+
+  /** REAL video demux: parse the Y4M stream header (magic, W/H tags)
+    * and FRAME markers, returning the decoded gray planes. Throws on
+    * anything that is not a mono Y4M stream — corrupt video fails
+    * loudly, like [[decodeImage]] / [[decodeWav]]. */
+  def decodeY4m(payload: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    val nl = payload.indexOf('\n'.toByte)
+    require(nl > 0, "missing Y4M stream header")
+    val header = new String(payload, 0, nl, "ASCII")
+    val tags = header.split(" ")
+    require(tags(0) == "YUV4MPEG2", s"not a Y4M stream: $header")
+    val w = tags.collectFirst { case t if t.startsWith("W") => t.tail.toInt }
+      .getOrElse(sys.error("Y4M header missing W tag"))
+    val h = tags.collectFirst { case t if t.startsWith("H") => t.tail.toInt }
+      .getOrElse(sys.error("Y4M header missing H tag"))
+    require(tags.contains("Cmono"), "only mono (luma-plane) Y4M supported")
+    val frameBytes = w * h
+    val frames = Seq.newBuilder[Array[Int]]
+    var pos = nl + 1
+    while (pos < payload.length) {
+      val fnl = payload.indexOf('\n'.toByte, pos)
+      require(fnl > 0 && new String(payload, pos, fnl - pos, "ASCII")
+        .startsWith("FRAME"), "expected FRAME marker")
+      require(payload.length >= fnl + 1 + frameBytes, "truncated frame")
+      frames += Array.tabulate(frameBytes)(i => payload(fnl + 1 + i) & 0xff)
+      pos = fnl + 1 + frameBytes
+    }
+    (w, h, frames.result())
+  }
+
+  /** Video corpus: one real Y4M stream per document (`nFrames` mono
+    * frames), pixels derived from the doc's md5 so the oracle can
+    * reproduce them container-free. */
+  def fromDocumentsY4m(spark: SparkSession, dir: String, side: Int = 16,
+      nFrames: Int = 4): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaItem(id, "video",
+          encodeY4m((0 until nFrames).map(docFramePixels(text, side, _)),
+            side, side), side, side)
+      }
+  }
+
+  /** Per-frame luma mass of the REAL demuxed video — the cheap scene /
+    * brightness profile. Exact integer sums of actual decoded planes,
+    * one row per (media_id, frame_idx). */
+  def videoFrameLuma(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      val (_, _, frames) = decodeY4m(m.payload)
+      frames.zipWithIndex.map { case (f, i) =>
+        (m.media_id, i.toLong, f.foldLeft(0L)(_ + _))
+      }
+    }.toDF("media_id", "frame_idx", "sum_luma")
+  }
+
   /** Lowercase-hex md5, identical to DuckDB's `md5(text)`. */
   def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -2287,6 +2287,28 @@ object NorthStarQueries {
         "SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY seg) AS zc " +
         "FROM hist GROUP BY media_id ORDER BY media_id"),
 
+    Q("q_multimodal_video",
+      // REAL video demux: one YUV4MPEG2 stream per doc (4 mono 16×16
+      // frames, pixels derived from md5(text) so the oracle reproduces
+      // them container-free), demuxed by an actual Y4M parser (stream
+      // header + FRAME markers) in the flatMap stage; features =
+      // per-frame luma mass of the ACTUAL decoded planes — exact
+      // BIGINTs, any container/plumbing corruption = hash mismatch.
+      (s, d) => graft.multimodal.Multimodal
+        .videoFrameLuma(
+          graft.multimodal.Multimodal.fromDocumentsY4m(s, d, 16, 4))
+        .orderBy("media_id", "frame_idx"),
+      "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents), " +
+        "px AS (SELECT media_id, f, " +
+        "(ascii(substr(h, CAST(((i + f) % 32) + 1 AS INT), 1)) * 31 + f * 7) " +
+        "% 256 AS p " +
+        "FROM (SELECT media_id, h, i, ff AS f FROM " +
+        "(SELECT media_id, h, unnest(range(0, 256)) AS i FROM m), " +
+        "(SELECT unnest(range(0, 4)) AS ff))) " +
+        "SELECT media_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST(sum(p) AS BIGINT) AS sum_luma " +
+        "FROM px GROUP BY media_id, f ORDER BY media_id, frame_idx"),
+
     Q("q_distinct_kmv",
       // KMV (k-minimum-values) distinct sketch: estimate = (k-1)/u_k
       // over the k smallest hash-uniforms of the distinct token ids —

@@ -642,6 +642,17 @@ class TextSimilaritySpec extends SparkSpec {
     intercept[Exception](Multimodal.decodeWav(Array[Byte](1, 2, 3))) // loud failure
   }
 
+  test("multimodal video: Y4M encode/demux round-trips; corrupt streams fail loudly") {
+    import graft.multimodal.Multimodal
+    val frames = (0 until 3).map(Multimodal.docFramePixels("doc text", 8, _))
+    val y4m = Multimodal.encodeY4m(frames, 8, 8)
+    assert(new String(y4m.take(9), "ASCII") == "YUV4MPEG2")
+    val (w, h, got) = Multimodal.decodeY4m(y4m)
+    assert(w == 8 && h == 8 && got.map(_.toSeq) == frames.map(_.toSeq))
+    intercept[Exception](Multimodal.decodeY4m("JUNKSTREAM\n".getBytes("ASCII")))
+    intercept[Exception](Multimodal.decodeY4m(y4m.dropRight(5))) // truncated frame
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
