@@ -123,17 +123,43 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: metadata transform + deterministic payload rewrite
-    * (truncate/pad to the target byte budget — a real scaler replaces
-    * only this kernel; the plan shape is an embarrassingly parallel
-    * `map`). */
+  /** REAL image resize: decode via the actual codec, nearest-neighbor
+    * sample (own integer loop — no AWT filtering nondeterminism:
+    * out(x,y) = in(x·w/w2, y·h/h2), floor division), re-encode as PNG.
+    * Deterministic pixel-for-pixel, so the oracle reproduces the
+    * resized image from the pixel formula alone. */
+  def resizeImageNn(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "javax.imageio could not decode image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = img.getRaster.getSample(x * w / w2, y * h / h2, 0)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(out, w2, h2)
+  }
+
+  /** Resize stub for OPAQUE payloads (audio/video byte budgets):
+    * metadata transform + deterministic payload rewrite (truncate/pad
+    * to the target byte budget). Images go through the REAL
+    * [[resizeImageNn]] codec path instead. */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.map { m =>
-      val budget = math.max(1, w * h / 64)
-      val p = if (m.payload.length >= budget) m.payload.take(budget)
-              else m.payload ++ Array.fill[Byte](budget - m.payload.length)(0)
-      MediaItem(m.media_id, m.media_type, p, w, h)
+      if (m.media_type == "image") {
+        MediaItem(m.media_id, m.media_type, resizeImageNn(m.payload, w, h), w, h)
+      } else {
+        val budget = math.max(1, w * h / 64)
+        val p = if (m.payload.length >= budget) m.payload.take(budget)
+                else m.payload ++ Array.fill[Byte](budget - m.payload.length)(0)
+        MediaItem(m.media_id, m.media_type, p, w, h)
+      }
     }
   }
 

@@ -2287,6 +2287,34 @@ object NorthStarQueries {
         "SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY seg) AS zc " +
         "FROM hist GROUP BY media_id ORDER BY media_id"),
 
+    Q("q_multimodal_resize",
+      // REAL image resize: the 16×16 PNGs are decoded, nearest-neighbor
+      // downsampled to 8×8 with pure integer sampling (out(x,y) =
+      // in(2x,2y)), re-encoded, decoded AGAIN, and histogrammed — the
+      // full decode→transform→encode→decode loop through the actual
+      // codec. The oracle reproduces the resized pixels from the md5
+      // formula alone, so any resampling/codec drift = hash mismatch.
+      (s, d) => Multimodal
+        .extractFeatures(Multimodal.resize(
+          Multimodal.fromDocumentsPng(s, d, 16), 8, 8), 8)
+        .toDF()
+        .select(col("media_id"),
+          concat_ws(",", transform(col("feature"),
+            f => f.cast("int").cast("string"))).as("hist"))
+        .orderBy("media_id"),
+      "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents), " +
+        "g AS (SELECT media_id, h, (2 * y) * 16 + 2 * x AS i FROM m, " +
+        "(SELECT unnest(range(0, 8)) AS x), (SELECT unnest(range(0, 8)) AS y)), " +
+        "v AS (SELECT media_id, " +
+        "((ascii(substr(h, CAST((i % 32) + 1 AS INT), 1)) * 7) % 256) // 32 AS b " +
+        "FROM g), " +
+        "c AS (SELECT media_id, b, count(*) AS n FROM v GROUP BY media_id, b), " +
+        "gr AS (SELECT media_id, bb AS b FROM m, (SELECT unnest(range(0, 8)) AS bb)), " +
+        "hist AS (SELECT gr.media_id, gr.b, coalesce(c.n, 0) AS n " +
+        "FROM gr LEFT JOIN c USING (media_id, b)) " +
+        "SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY b) AS hist " +
+        "FROM hist GROUP BY media_id ORDER BY media_id"),
+
     Q("q_multimodal_video",
       // REAL video demux: one YUV4MPEG2 stream per doc (4 mono 16×16
       // frames, pixels derived from md5(text) so the oracle reproduces

@@ -653,6 +653,15 @@ class TextSimilaritySpec extends SparkSpec {
     intercept[Exception](Multimodal.decodeY4m(y4m.dropRight(5))) // truncated frame
   }
 
+  test("multimodal image resize: real NN downsample equals direct pixel sampling") {
+    import graft.multimodal.Multimodal
+    val px = Multimodal.docPixels("resize me", 16)
+    val png = Multimodal.encodePng(px, 16, 16)
+    val small = Multimodal.decodeImage(Multimodal.resizeImageNn(png, 8, 8))
+    val want = Array.tabulate(64)(i => px((2 * (i / 8)) * 16 + 2 * (i % 8)))
+    assert(small.toSeq == want.toSeq)
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
