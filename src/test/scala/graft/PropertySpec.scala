@@ -379,6 +379,23 @@ class PropertySpec extends SparkSpec {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("graph edge cases: empty seeds, unreachable seeds, empty graphs") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // BFS with no seeds (or seeds absent from the graph): every node
+    // present, every dist null
+    val noSeeds = graft.engine.Bfs.run(path, Seq.empty[Long].toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(noSeeds == Map(1L -> true, 2L -> true, 3L -> true))
+    val absent = graft.engine.Bfs.run(path, Seq(99L).toDF("node"), 2)
+      .collect().map(r => r.isNullAt(1))
+    assert(absent.length == 3 && absent.forall(identity))
+    // k-core on an empty edge list: empty result, no crash
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.engine.KCore.run(empty, 2, 2).count() == 0)
+    assert(graft.engine.Bfs.run(empty, Seq(1L).toDF("node"), 1).count() == 0)
+  }
+
   test("hits: integer hub/auth match a single-threaded reference") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))) {
       (es0: List[(Long, Long)]) =>
