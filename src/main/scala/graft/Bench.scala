@@ -29,8 +29,9 @@ object Bench {
     // round-over-round reads: totals grew by these queries' cost —
     // compare common-query sums, as SCALE.md documents)
     "q_hits", "q_triangles", "q_gen_source",
-    // round-6 wave-3: warehouse maintenance + windowed analytics
-    "q_topk_group", "q_scd2", "q_interpolate")
+    // round-6 wave-3: warehouse maintenance + windowed analytics +
+    // real-codec multimodal decode
+    "q_topk_group", "q_scd2", "q_interpolate", "q_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
