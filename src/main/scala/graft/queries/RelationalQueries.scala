@@ -121,6 +121,21 @@ object RelationalQueries {
       s"JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node)"
   }
 
+  /** One unrolled Bellman-Ford relaxation round k (engine `Sssp.run`
+    * mirror): labeled nodes push dist+w over out-edges, per-dst min,
+    * merge with the standing label. */
+  private def ssspIter(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"f$k AS MATERIALIZED (SELECT e.dst AS node, " +
+      s"CAST(min(p.dist + e.w) AS BIGINT) AS nd " +
+      s"FROM e JOIN $p p ON e.src = p.node AND p.dist IS NOT NULL " +
+      s"GROUP BY e.dst), " +
+      s"r$k AS MATERIALIZED (SELECT p.node, " +
+      s"CAST(CASE WHEN p.dist IS NULL THEN f.nd WHEN f.nd IS NULL " +
+      s"THEN p.dist ELSE least(p.dist, f.nd) END AS BIGINT) AS dist " +
+      s"FROM $p p LEFT JOIN f$k f USING (node))"
+  }
+
   private def qs: Seq[Q] = Seq(
     Q("q_tpch1_pricing",
       // TPC-H Q1 shape: scan-heavy, pure partial-agg + tiny shuffle.
@@ -1515,6 +1530,41 @@ object RelationalQueries {
         (1 to 3).map(kcoreIter(_, 8)).mkString(", ") + " " +
         "SELECT src AS node, count(*) AS d FROM e3 " +
         "GROUP BY src ORDER BY node"),
+
+    Q("q_sssp",
+      // Weighted shortest paths (Bellman-Ford, 3 relaxation rounds):
+      // cheapest trade route from the trusted seed suppliers, edge cost
+      // = the pair's trade multiplicity (a congestion reading), graph
+      // symmetrized so multi-hop routes exist. Exact Long distances;
+      // null = no route within 3 edges. The weighted companion of
+      // q_bfs_hops: hops answer "how far", this answers "how costly".
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val ew = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("u"),
+            (col("l_suppkey") * 2 + 1).as("v"))
+          .agg(count(lit(1)).as("w"))
+        val sym = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
+          .unionByName(ew.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        val seeds = Tables.supplier(s, d).filter(col("s_suppkey") <= 5)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        graft.engine.Sssp.run(sym, seeds, rounds = 3).orderBy("node")
+      },
+      "WITH ew AS MATERIALIZED (SELECT o_custkey * 2 AS u, " +
+        "l_suppkey * 2 + 1 AS v, CAST(count(*) AS BIGINT) AS w " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1, 2), " +
+        "e AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM ew " +
+        "UNION ALL SELECT v, u, w FROM ew), " +
+        "sd AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node " +
+        "FROM supplier WHERE s_suppkey <= 5), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e), " +
+        "r0 AS MATERIALIZED (SELECT n.node, " +
+        "CAST(CASE WHEN s.node IS NOT NULL THEN 0 END AS BIGINT) AS dist " +
+        "FROM nodes n LEFT JOIN sd s USING (node)), " +
+        (1 to 3).map(ssspIter).mkString(", ") + " " +
+        "SELECT node, dist FROM r3 ORDER BY node"),
 
     Q("q_graph_curation",
       // Composed graph-curation pass — the chain a crawl pipeline runs

@@ -379,6 +379,46 @@ class PropertySpec extends SparkSpec {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("sssp: Bellman-Ford distances match a single-threaded reference; weighted golden") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L),
+      Gen.choose(1L, 9L)))) { (es0: List[(Long, Long, Long)]) =>
+      import spark.implicits._
+      val es = es0.filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        // duplicate directed edges keep the minimum weight
+        val ew = es.groupBy(e => (e._1, e._2))
+          .map { case ((u, v), rs) => (u, v, rs.map(_._3).min) }.toList
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val seeds = nodes.filter(_ <= 2)
+        var dist: Map[Long, Option[Long]] =
+          nodes.map(v => v -> (if (seeds.contains(v)) Some(0L) else None)).toMap
+        for (_ <- 1 to 3) {
+          val relaxed = ew.flatMap { case (u, v, w) =>
+            dist(u).map(d => v -> (d + w)) }
+            .groupBy(_._1).map { case (v, c) => v -> c.map(_._2).min }
+          dist = dist.map { case (v, d) =>
+            v -> ((d, relaxed.get(v)) match {
+              case (None, nd) => nd
+              case (Some(x), None) => Some(x)
+              case (Some(x), Some(y)) => Some(math.min(x, y))
+            })
+          }
+        }
+        val got = graft.engine.Sssp
+          .run(es.toDF("a", "b", "w"), seeds.toDF("node"), 3)
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got == dist)
+      }
+    }
+    // golden: 1 -10-> 2 -1-> 3 and 1 -20-> 3: two-hop route wins
+    import spark.implicits._
+    val g = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 20L)).toDF("a", "b", "w")
+    val got = graft.engine.Sssp.run(g, Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
+  }
+
   test("graph edge cases: empty seeds, unreachable seeds, empty graphs") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
