@@ -340,8 +340,15 @@ object RelationalQueries {
       // over ship order — the canonical 100 TB-safe window (keyed).
       (s, d) => {
         val l = Tables.lineitem(s, d)
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture (and
+        // sf0.1 has a real (suppkey, shipdate, orderkey, linenumber)
+        // collision), so ep_c joins the sort key: rows identical on the
+        // full key are then interchangeable and the running-sum output
+        // MULTISET is engine-order-independent
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("ep_c"))
           .rowsBetween(Long.MinValue, 0)
         l.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             col("l_shipdate"), cents("l_extendedprice").as("ep_c"))
@@ -351,7 +358,8 @@ object RelationalQueries {
       },
       s"SELECT l_suppkey, l_orderkey, l_linenumber, ${sqlCents("l_extendedprice")} AS ep_c, " +
         s"CAST(sum(${sqlCents("l_extendedprice")}) OVER (PARTITION BY l_suppkey " +
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_rev_c " +
+        s"ORDER BY l_shipdate, l_orderkey, l_linenumber, ${sqlCents("l_extendedprice")} " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_rev_c " +
         "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"),
 
     Q("q_tpch4_late",
