@@ -1745,6 +1745,25 @@ object RelationalQueries {
         "CAST(d * (d - 1) AS DOUBLE) ELSE 0.0 END AS cc " +
         "FROM deg LEFT JOIN corners USING (node) ORDER BY node"),
 
+    Q("q_profile_strings",
+      // The string half of the data-quality gate: per VARCHAR column of
+      // documents — rows, nulls, empties, exact NDV, lexicographic
+      // min/max, total and max length — from ONE aggregation (same
+      // explode-after-agg shape as q_profile). All metrics exact
+      // BIGINTs/strings.
+      (s, d) => graft.sources.Profiler.profileStrings(
+        graft.Tables.documents(s, d), Seq("lang", "source", "text")),
+      Seq("lang", "source", "text").map(c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count(x) AS BIGINT) AS n_null, " +
+          s"CAST(coalesce(sum(CASE WHEN x = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty, " +
+          s"CAST(count(DISTINCT x) AS BIGINT) AS ndv, " +
+          s"min(x) AS min_v, max(x) AS max_v, " +
+          s"CAST(coalesce(sum(coalesce(len(x), 0)), 0) AS BIGINT) AS sum_len, " +
+          s"CAST(coalesce(max(coalesce(len(x), 0)), 0) AS BIGINT) AS max_len " +
+          s"FROM (SELECT CAST($c AS VARCHAR) AS x FROM documents)")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")),
+
     Q("q_profile",
       // Single-pass data-quality profile (the Deequ shape): per numeric
       // column of lineitem — rows, nulls, exact NDV, min, max — from

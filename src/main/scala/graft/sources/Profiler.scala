@@ -48,4 +48,39 @@ object Profiler {
       .select(col("m.*"))
       .orderBy("col_name")
   }
+
+  /** Profile the given STRING columns — the other half of the quality
+    * gate: per column, row count, null count, empty-string count, exact
+    * distinct count, lexicographic min/max, total and max length. Same
+    * one-aggregation scale shape as [[profile]]; all metrics are exact
+    * BIGINTs or strings, hash-exact vs the oracle. */
+  def profileStrings(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(
+        count(s).as(s"__cnt_$c"),
+        sum(when(s === "", 1L).otherwise(0L)).as(s"__emp_$c"),
+        countDistinct(s).as(s"__ndv_$c"),
+        min(s).as(s"__min_$c"),
+        max(s).as(s"__max_$c"),
+        sum(coalesce(length(s).cast("long"), lit(0L))).as(s"__len_$c"),
+        max(coalesce(length(s).cast("long"), lit(0L))).as(s"__maxlen_$c"))
+    }
+    val metricRows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        coalesce(col(s"__emp_$c"), lit(0L)).as("n_empty"),
+        col(s"__ndv_$c").as("ndv"),
+        col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"),
+        coalesce(col(s"__len_$c"), lit(0L)).as("sum_len"),
+        coalesce(col(s"__maxlen_$c"), lit(0L)).as("max_len"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(metricRows: _*)).as("m"))
+      .select(col("m.*"))
+      .orderBy("col_name")
+  }
 }

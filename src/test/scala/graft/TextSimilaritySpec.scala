@@ -755,4 +755,16 @@ class TextSimilaritySpec extends SparkSpec {
     assert(rows("k") == ((3L, 0L, 3L, 1.0, 3.0)))
     assert(rows("v") == ((3L, 1L, 1L, 2.5, 2.5)))
   }
+
+  test("Profiler.profileStrings: nulls, empties, lengths, lexicographic bounds") {
+    import spark.implicits._
+    val df = Seq((1L, Option("abc")), (2L, Option("")), (3L, None),
+      (4L, Option("zz")))
+      .toDF("k", "s")
+    val rows = graft.sources.Profiler.profileStrings(df, Seq("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6),
+        r.getLong(7), r.getLong(8)))
+    assert(rows.toSeq == Seq(("s", 4L, 1L, 1L, 3L, "", "zz", 5L, 3L)))
+  }
 }
