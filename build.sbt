@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g (was 8g): local[32] runs driver+executor in one JVM; 60+ query
+  // executions accumulate codegen classes, broadcast blocks and shuffle
+  // bookkeeping, and at 8g the resulting GC pressure measurably degraded
+  // late-in-run queries (q_triangles 2.3s isolated vs 4.8s in-bench).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Generated whole-stage-codegen classes for 60+ distinct plans can
+  // exhaust the default 240m code cache mid-run, silently disabling the
+  // JIT — the "warm pass slower than cold" failure mode.
+  "-XX:ReservedCodeCacheSize=512m",
 )

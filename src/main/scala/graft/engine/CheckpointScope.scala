@@ -33,8 +33,17 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   private var lastIds = List.empty[Int]
 
   /** Eagerly localCheckpoint `df`, recording the RDD ids it pinned. */
-  def ckpt(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(true)
+  def ckpt(df: DataFrame): DataFrame = track(df.localCheckpoint(true))
+
+  /** LAZY localCheckpoint: the RDD is registered as persistent now (so
+    * id-diffing still attributes it to this scope) but materializes on
+    * the first action that computes it — letting a round's intermediate
+    * table piggyback on the SAME job that materializes the round's
+    * final table (one scheduled action per round instead of two), while
+    * still being computed once and lineage-cut for later rounds. */
+  def ckptLazy(df: DataFrame): DataFrame = track(df.localCheckpoint(false))
+
+  private def track(out: DataFrame): DataFrame = {
     val now = sc.getPersistentRDDs.keySet.toSet
     lastIds = (now -- seen).toList
     owned = lastIds ::: owned

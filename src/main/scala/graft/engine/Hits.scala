@@ -34,16 +34,20 @@ import org.apache.spark.sql.functions._
  *    pass joins the fresh auth on node = dst) — two static layouts
  *    bought once instead of re-shuffling the edges by dst every round;
  *  - the per-round raw score tables (one row per scored node — graph-
- *    node-sized, not edge-sized) are checkpointed BEFORE their L1 sums
- *    are collected: the sum, the normalization and the rebase then all
- *    read the materialized aggregate instead of re-executing the
- *    edge-sized join+agg chain once per consumer (the un-checkpointed
- *    form measured ~3× the work per round).
+ *    node-sized, not edge-sized) are checkpointed so the L1 sum, the
+ *    normalization and the next pass all read a materialized aggregate
+ *    instead of re-executing the edge-sized join+agg chain once per
+ *    consumer (the un-checkpointed form measured ~3× the work per
+ *    round). The auth-side checkpoint is LAZY: it materializes inside
+ *    the hub-side's eager checkpoint job, so each round schedules ONE
+ *    action, not two.
  *
  * Per round that leaves: two keyed partial-agg shuffles (the mutual
  * recursion's irreducible data movement), two in-plan broadcast 1-row
- * L1 sums (no driver round-trip), and a node-aligned rebase join; dead
- * rounds freed via [[CheckpointScope]].
+ * L1 sums (no driver round-trip), and one scheduled action; dead rounds
+ * freed via [[CheckpointScope]]. The returned DataFrame is a scan over
+ * one materialized node-sized table — every intermediate is released
+ * before returning.
  */
 object Hits {
 
@@ -61,7 +65,6 @@ object Hits {
     val nodes = scope.ckpt(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
-    val nodesIds = scope.last
     // no edges: no nodes either — every score table is empty
     if (e.head(1).isEmpty) {
       val out = scope.ckpt(nodes
@@ -82,24 +85,24 @@ object Hits {
     // absent from it have hub 0 and contribute nothing to any sum, so
     // the inner contribution join is exact without them) — the full
     // (node, hub, auth) rebase is assembled ONCE after the last round,
-    // not materialized per round. Per round that leaves exactly two
-    // checkpoint actions (the two raw partial-aggs).
+    // not materialized per round. Per round that leaves exactly ONE
+    // scheduled action: the auth raw table is a LAZY checkpoint that
+    // materializes inside the hub raw table's eager-checkpoint job (its
+    // L1-sum broadcast subquery computes every authRaw partition first,
+    // persisting it; the main path then reads the persisted blocks) —
+    // computed once, lineage-cut, no extra barrier.
     var hub = scope.ckpt(nodes.withColumn("hub", lit(scale)))
-    var hubIds = scope.last
+    var prevIds = scope.last
     var auth: DataFrame = null
-    var authIds = List.empty[Int]
     for (_ <- 1 to iters) {
       // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
-      // floor divisions below are safe. Raw aggregates are node-sized —
-      // checkpoint them so the in-plan sum and every downstream reader
-      // see the materialized table instead of re-running the edge-sized
-      // join+agg per consumer.
+      // floor divisions below are safe. Raw aggregates are node-sized.
       val authRaw = scope.ckpt(hub.join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("araw")))
       val authRawIds = scope.last
       // L1 sums stay IN-PLAN as broadcast 1-row scalars over the
-      // materialized raw tables — no per-round driver head(); the
-      // engine's `div` on positive Longs is the same floor the old
+      // (lazily) checkpointed raw tables — no per-round driver head();
+      // the engine's `div` on positive Longs is the same floor the old
       // driver-literal form applied
       val aSumDf = authRaw.agg(coalesce(sum(col("araw")), lit(0L)).as("__asum"))
       val authN = authRaw.crossJoin(broadcast(aSumDf))
@@ -116,19 +119,24 @@ object Hits {
       // the previous round's tables are dead once this round's raw
       // aggregates are materialized (hubN/authN are narrow views over
       // this round's checkpoints)
-      scope.free(hubIds ::: authIds)
-      hub = hubN; hubIds = hubRawIds
-      auth = authN; authIds = authRawIds
+      scope.free(prevIds)
+      hub = hubN; auth = authN
+      prevIds = authRawIds ::: hubRawIds
     }
-    val out = nodes
+    // Materialize the final (node, hub, auth) rebase as ONE checkpoint
+    // and free every intermediate — node-sized joins over already-
+    // materialized tables, so the extra action is cheap, and the
+    // returned plan pins exactly one node-sized RDD instead of the
+    // final round's raws + node table (which callers had no way to
+    // release; a long-lived session running many Hits calls accumulated
+    // pinned executor storage).
+    val out = scope.ckpt(nodes
       .join(auth.withColumnRenamed("anode", "node"), Seq("node"), "left")
       .join(hub, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("hub"), lit(0L)).as("hub"),
-        coalesce(col("auth"), lit(0L)).as("auth"))
-    // the returned plan reads nodes + the final round's raw tables
-    // lazily — keep those, free the edge layouts and anything else
-    scope.freeAllBut(nodesIds ::: authIds ::: hubIds)
+        coalesce(col("auth"), lit(0L)).as("auth")))
+    scope.freeAllBut(scope.last)
     out
   }
 }

@@ -76,8 +76,14 @@ object Triangles {
     val corners = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
-    deg.join(corners, Seq("node"), "left")
-      .select(col("node"), col("d"), coalesce(col("tri"), lit(0L)).as("tri"))
+    // Materialize the final per-node table as ONE checkpoint and free
+    // ed/deg/o: consumers then pay a node-sized scan (not a re-run of
+    // the wedge join per action), and the call pins exactly one small
+    // RDD instead of three tables callers had no way to release.
+    val out = scope.ckpt(deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("tri"), lit(0L)).as("tri")))
+    scope.freeAllBut(scope.last)
+    out
   }
 
   /**

@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Isolated-session perf probe: 4 passes over the named queries at
+  * sf0.1, optionally preceded by a one-shot pollution phase
+  * (SPARK_GRAFT_PREP: comma-separated query names, or "headline" for
+  * Bench's set) — for bisecting cross-query session degradation. */
 object PrBench {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
@@ -9,6 +14,39 @@ object PrBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
+    val prep = sys.env.getOrElse("SPARK_GRAFT_PREP", "") match {
+      case "" => Nil
+      case s  => s.split(",").map(_.trim).filter(all.contains).toSeq
+    }
+    for (nm <- prep) {
+      val t0 = System.nanoTime()
+      all(nm)(spark, sfDir).count()
+      println(f"prep $nm: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      if (sys.env.get("SPARK_GRAFT_PREP_CLEAN").contains("true")) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
+    }
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("true")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = s.stageInfo
+            val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+              yield a - b).getOrElse(-1L)
+            val run = i.taskMetrics.executorRunTime
+            val gc = i.taskMetrics.jvmGCTime
+            val spill = i.taskMetrics.memoryBytesSpilled
+            val deser = i.taskMetrics.executorDeserializeTime
+            if (wall > 300) println(
+              f"  stage ${i.stageId}%4d wall=${wall}%5d ms run=${run}%6d " +
+              f"gc=${gc}%5d deser=${deser}%5d spillMB=${spill / 1000000}%4d " +
+              i.name.takeWhile(_ != '\n').take(60))
+          }
+        })
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("q_pagerank")
     for (i <- 1 to 4; nm <- names) {
       val t0 = System.nanoTime()
