@@ -28,7 +28,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** All-pairs cosine (a < b) above `minCos` — brute-force baseline. */
+  /** Deterministic probe side for exact ground-truth evaluation: every
+    * `probeMod`-th id (`id % probeMod == 0`), broadcast. With
+    * probeMod > 1 an "exact" pass is sample × corpus — O(n²/probeMod)
+    * with a broadcast-size probe table — instead of corpus × corpus,
+    * which is the only shape a recall/eval harness can afford at 100 TB
+    * (the estimate over a 1/probeMod deterministic sample is unbiased;
+    * raise probeMod with corpus size to keep the probe set fixed). */
+  private def probeSide(emb: DataFrame, idCol: String, probeMod: Long): DataFrame = {
+    require(probeMod >= 1, s"probeMod must be >= 1, got $probeMod")
+    if (probeMod == 1) emb else emb.filter(col(idCol) % probeMod === 0)
+  }
+
+  /** All-pairs cosine (a < b) above `minCos` — brute-force baseline
+    * for SMALL inputs only (corpus × corpus); the registry's audit
+    * query uses [[cosineNeighbors]], and the serving paths are the
+    * bucketed [[cosinePairsLsh]] / semdedup cells. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
     val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
@@ -38,11 +53,32 @@ object Similarity {
       .select("a", "b", "cos")
   }
 
-  /** Brute-force cosine top-k neighbors per query vector. */
-  def topK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+  /** Near-duplicate AUDIT anchored at a deterministic probe sample:
+    * all neighbors (cos ≥ minCos, b ≠ a) of every `probeMod`-th vector.
+    * Broadcast probe × corpus — the exact-cosine yardstick shape that
+    * survives corpus growth (cf. [[cosinePairs]]' all-pairs form). */
+  def cosineNeighbors(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, probeMod: Long): DataFrame = {
+    val l = probeSide(emb, idCol, probeMod)
+      .select(col(idCol).as("a"), col(vecCol).as("va"))
     val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
-    val scored = l.crossJoin(r).filter(col("a") =!= col("b"))
+    r.crossJoin(broadcast(l)).filter(col("a") =!= col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos") >= minCos)
+      .select("a", "b", "cos")
+  }
+
+  /** Exact cosine top-k per query vector. With the default
+    * probeMod = 1 this is the all-queries brute force (small inputs /
+    * tests); registry ground-truth sides pass probeMod > 1 so the
+    * query side is a broadcast probe sample (see [[probeSide]]). */
+  def topK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      probeMod: Long = 1): DataFrame = {
+    val l = probeSide(emb, idCol, probeMod)
+      .select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val pairs = if (probeMod == 1) l.crossJoin(r) else r.crossJoin(broadcast(l))
+    val scored = pairs.filter(col("a") =!= col("b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
@@ -156,16 +192,19 @@ object Similarity {
   def int8Scale(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
 
-  /** Brute-force cosine top-k over int8-quantized vectors — the
-    * [[topK]] yardstick at a quarter of the bytes. Same O(n²) caveat:
-    * correctness baseline; the bucketed paths (LSH/IVF) apply to the
-    * quantized representation unchanged. */
-  def topKInt8(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  /** Exact cosine top-k over int8-quantized vectors — the [[topK]]
+    * yardstick at a quarter of the bytes; same probe-sample contract
+    * (probeMod > 1 → broadcast sample × corpus). The bucketed paths
+    * (LSH/IVF) apply to the quantized representation unchanged. */
+  def topKInt8(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      probeMod: Long = 1): DataFrame = {
     val q = emb.select(col(idCol),
         quantizeInt8(col(vecCol), int8Scale(col(vecCol))).as("q"))
-    val l = q.select(col(idCol).as("a"), col("q").as("va"))
+    val l = probeSide(q, idCol, probeMod)
+      .select(col(idCol).as("a"), col("q").as("va"))
     val r = q.select(col(idCol).as("b"), col("q").as("vb"))
-    val scored = l.crossJoin(r).filter(col("a") =!= col("b"))
+    val pairs = if (probeMod == 1) l.crossJoin(r) else r.crossJoin(broadcast(l))
+    val scored = pairs.filter(col("a") =!= col("b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))

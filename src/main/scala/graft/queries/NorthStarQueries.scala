@@ -49,6 +49,11 @@ object NorthStarQueries {
   private val BPE_MERGES = 8   // BPE training rounds (q_bpe_train)
   private val BLOOM_BITS = 131072 // decontamination Bloom filter size
   private val SRC_CAP = 15     // per-source doc cap (q_source_cap)
+  // Exact/ground-truth sides (recall, eval, audits) query only every
+  // PROBE_MOD-th vector: broadcast probe-sample × corpus instead of
+  // corpus × corpus, the only exact-cosine shape that survives corpus
+  // growth. Raise with corpus size to keep the probe set ~fixed.
+  private val PROBE_MOD = 16L
   // Count-min sketch (q_heavy_hitters): D independent hash rows of W
   // buckets, h_j(fp) = (fp·a_j + b_j) mod 1000003 mod W. W = 32 is
   // deliberately tight for the 31-type fixture vocabulary so collisions
@@ -1374,11 +1379,17 @@ object NorthStarQueries {
     Q("q_dedup_cosine",
       // Threshold 0.4 yields real near-dup pairs on the synthetic
       // embeddings (0.8 matched zero rows — a vacuous green).
-      (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.4)
+      // Exact-cosine near-dup AUDIT anchored at every PROBE_MOD-th
+      // vector (broadcast sample × corpus) — the all-pairs exact form
+      // is corpus × corpus and cannot survive 100×; the serving paths
+      // are q_dedup_cosine_lsh / q_semdedup.
+      (s, d) => Similarity.cosineNeighbors(emb(s, d), "vec_id", "embedding",
+          0.4, PROBE_MOD)
         .orderBy("a", "b"),
       "SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"${sqlCos("l.embedding", "r.embedding")} AS cos " +
-        "FROM embeddings l, embeddings r WHERE l.vec_id < r.vec_id " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        "AND l.vec_id <> r.vec_id " +
         s"AND ${sqlCos("l.embedding", "r.embedding")} >= 0.4e0 ORDER BY a, b"),
 
     Q("q_dedup_cosine_lsh",
@@ -1406,11 +1417,15 @@ object NorthStarQueries {
 
     // ---------------- similarity search ----------------
     Q("q_ann_topk",
-      (s, d) => Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
+      // Exact ground truth for the probe sample (broadcast sample ×
+      // corpus; see PROBE_MOD) — the serving paths are the bucketed
+      // LSH/IVF queries below.
+      (s, d) => Similarity.topK(emb(s, d), "vec_id", "embedding", 3, PROBE_MOD)
         .orderBy("a", "rank"),
       "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        "AND l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
     Q("q_ann_ivf",
@@ -1643,24 +1658,29 @@ object NorthStarQueries {
       // q_i = floor(x_i / s) — float32 → int8 is the 4× byte cut every
       // ANN stage's scan/shuffle inherits at 100 TB. Max/divide/floor is
       // one identical IEEE sequence in both engines; the dot products
-      // downstream are exact small integers. O(n²) yardstick like
-      // q_ann_topk; the bucketed paths apply to int8 unchanged.
-      (s, d) => Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3)
+      // downstream are exact small integers. Probe-sampled yardstick
+      // like q_ann_topk; the bucketed paths apply to int8 unchanged.
+      (s, d) => Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3,
+          PROBE_MOD)
         .orderBy("a", "rank"),
       s"WITH $QUANT8 " +
         "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.q", "r.q")} DESC, r.vec_id) AS rank " +
-        "FROM qq l, qq r WHERE l.vec_id <> r.vec_id) " +
+        s"FROM qq l, qq r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        "AND l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
     Q("q_ann_quant_recall",
       // How much ranking fidelity does int8 give up? Quantized top-3 vs
       // exact float top-3: integer hit counts + one final division.
       (s, d) => {
-        // exact feeds the count and the semi-join — one O(n^2) run, not two
-        val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
+        // both sides probe-sampled (recall estimated over the sample);
+        // exact feeds the count and the semi-join — one run, not two
+        val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3,
+            PROBE_MOD)
           .select("a", "b").localCheckpoint()
-        val quant = Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3)
+        val quant = Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3,
+            PROBE_MOD)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nQ = exact.join(quant, Seq("a", "b"), "left_semi")
@@ -1672,10 +1692,12 @@ object NorthStarQueries {
       s"WITH $QUANT8, " +
         "exact AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         "quant AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.q", "r.q")} DESC, r.vec_id) AS rank " +
-        "FROM qq l, qq r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+        s"FROM qq l, qq r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         "e AS (SELECT count(*) AS n_exact FROM exact), " +
         "h AS (SELECT count(*) AS n_hits_quant FROM exact WHERE (a, b) IN (SELECT (a, b) FROM quant)) " +
         "SELECT n_exact, n_hits_quant, " +
@@ -1688,8 +1710,13 @@ object NorthStarQueries {
       // so the double is bit-identical across engines. The O(n²) side
       // is the measurement harness, not the serving path.
       (s, d) => {
-        // exact feeds all seven hit counts — one O(n^2) run, not seven
-        val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3)
+        // exact ground truth over the probe sample only (broadcast
+        // sample × corpus); the approximate sides stay corpus-wide and
+        // the semi-joins score just the probes — the recall estimate is
+        // unchanged in expectation, and the harness itself now scales.
+        // One run feeds all seven hit counts.
+        val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3,
+            PROBE_MOD)
           .select("a", "b").localCheckpoint()
         val lsh = Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
           .select("a", "b")
@@ -1745,7 +1772,8 @@ object NorthStarQueries {
       },
       "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         s"bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket FROM embeddings), " +
         "ls AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
@@ -1805,7 +1833,8 @@ object NorthStarQueries {
         // exact feeds one semi-join per config row (11 of them) — ONE
         // O(n^2) run; same for the shared LSH bucket table and the wide
         // 64-cell assignment (4 consumers)
-        val exact = Similarity.topK(e, "vec_id", "embedding", 3).select("a", "b")
+        val exact = Similarity.topK(e, "vec_id", "embedding", 3, PROBE_MOD)
+          .select("a", "b")
           .localCheckpoint()
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nTot = e.agg(count(lit(1)).as("n"))
@@ -1932,7 +1961,8 @@ object NorthStarQueries {
             s"JOIN (SELECT cell, count(*) AS h FROM $home GROUP BY cell) USING (cell)"
         "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
           s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-          "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+          s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+          "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
           s"bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket FROM embeddings), " +
           s"ls AS (${top3("bk", "bk", "bucket")}), " +
           (1 to NPROBES).map(p =>
@@ -2107,7 +2137,9 @@ object NorthStarQueries {
       (s, d) => {
         val e = emb(s, d)
         val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
-        val nbr = Similarity.topK(e, "vec_id", "embedding", 3)
+        // leave-one-out over the probe sample (broadcast sample ×
+        // corpus); at 100 TB the labeled eval set IS the sample
+        val nbr = Similarity.topK(e, "vec_id", "embedding", 3, PROBE_MOD)
         val votes = nbr
           .join(lbl.select(col("vec_id").as("b"), col("label").as("nlabel")), "b")
           .groupBy("a", "nlabel")
@@ -2127,7 +2159,8 @@ object NorthStarQueries {
       },
       "WITH nb AS (SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        "FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id) WHERE rank <= 3), " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), " +
         "v AS (SELECT nb.a, l.label AS nlabel, count(*) AS cnt, min(nb.rank) AS best " +
         "FROM nb JOIN lb l ON l.vec_id = nb.b GROUP BY nb.a, l.label), " +
