@@ -1058,10 +1058,32 @@ object RelationalQueries {
           .select(col("p"), col("target"),
             (col("mn") + (col("mb") + 1) * ((col("mx") - col("mn")) / 20))
               .as("est"))
-        val ranked = ev.select("value", "seq").withColumn("rk",
-          row_number().over(Window.orderBy("value", "seq")))
-        val ex = ranked.join(broadcast(tgt.select("p", "target")),
-          col("rk") === col("target"))
+        // Exact side by TWO-PHASE rank selection, not a global
+        // single-partition row_number over the full table: the bucket
+        // histogram locates which bucket holds each target rank (bucket
+        // is monotone in value, so global rank r = rank within the
+        // first bucket whose cumulative count reaches r), and only THAT
+        // bucket's rows are sorted. At 100 TB the sorted slice is ~1/20
+        // of the data per target (recurse for tighter slices); the old
+        // form ranked the whole table on one partition.
+        val stamped = ev.select("value", "seq").crossJoin(broadcast(bounds))
+          .select(col("value"), col("seq"),
+            when(col("mx") === col("mn"), lit(0L)).otherwise(least(
+              floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 20))
+                .cast("long"), lit(19L))).as("bucket"))
+        val cumB = stamped.groupBy("bucket").agg(count(lit(1)).as("nb"))
+          .withColumn("cum", sum("nb").over(Window.orderBy("bucket")))
+          .withColumn("cum_before", col("cum") - col("nb"))
+        val sel = tgt.select("p", "target")
+          .join(broadcast(cumB), col("cum") >= col("target"))
+          .groupBy("p", "target")
+          .agg(min(struct(col("bucket"), col("cum_before"))).as("s"))
+          .select(col("p"), col("s.bucket").as("tb"),
+            (col("target") - col("s.cum_before")).as("wr"))
+        val ex = stamped.join(broadcast(sel), col("bucket") === col("tb"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("p").orderBy("value", "seq")))
+          .filter(col("rk") === col("wr"))
           .select(col("p"), col("value").as("exact"))
         est.join(ex, "p").orderBy("p")
       },
