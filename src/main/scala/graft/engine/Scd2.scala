@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
  * `updates` carries (key, tracked..., eff). Multiple updates for a key
  * in one batch collapse deterministically to the latest by `eff`
  * (ties by tracked-value struct order) — the standard "latest CDC
- * event wins within a batch" rule.
+ * event wins within a batch" rule. An update whose key has no current
+ * row INSERTS an opened row (non-tracked dim columns NULL); an update
+ * effective before the current row's `validFrom` fails loudly
+ * (in-plan `raise_error`) rather than writing an inverted interval.
  *
  * Scale shape: history passes through untouched (narrow filter); the
  * merge itself is ONE left join of the current slice against the
@@ -58,7 +61,17 @@ object Scd2 {
     def asRow(cols: Map[String, org.apache.spark.sql.Column]) =
       struct(outCols.map(c => cols.getOrElse(c, col(c)).as(c)): _*)
     val keepRow = asRow(Map.empty)
-    val closedRow = asRow(Map(validTo -> col(s"__u_$effCol")))
+    // an update effective BEFORE the current row's validity start would
+    // write an inverted interval (valid_to < valid_from) — out-of-order
+    // CDC must fail loudly, not corrupt the dimension (evaluated only
+    // on the changed branch, so in-order batches never pay it)
+    val guardedEff = when(col(s"__u_$effCol") < col(validFrom),
+      raise_error(concat(
+        lit(s"scd2: out-of-order update for key "), col(key).cast("string"),
+        lit(s": eff "), col(s"__u_$effCol").cast("string"),
+        lit(" < current valid_from "), col(validFrom).cast("string"))))
+      .otherwise(col(s"__u_$effCol"))
+    val closedRow = asRow(Map(validTo -> guardedEff))
     val openedRow = asRow(
       tracked.map(c => c -> col(s"__u_$c")).toMap ++
         Map(validFrom -> col(s"__u_$effCol"),
@@ -67,6 +80,18 @@ object Scd2 {
       .select(explode(when(changed, array(closedRow, openedRow))
         .otherwise(array(keepRow))).as("__r"))
       .select(outCols.map(c => col(s"__r.$c").as(c)): _*)
-    hist.unionByName(merged)
+    // Updates whose key has NO current row (brand-new key, or a key
+    // whose history was fully closed) must INSERT an opened row — a
+    // left-join-onto-current-only merge would silently drop them
+    // (Delta MERGE's whenNotMatched branch). Non-key, non-tracked,
+    // non-validity dim columns are NULL for such rows.
+    val inserted = collapsed.join(cur.select(col(key)), Seq(key), "left_anti")
+      .select(outCols.map { c =>
+        if (c == key) col(key)
+        else if (tracked.contains(c)) col(s"__u_$c").as(c)
+        else if (c == validFrom) col(s"__u_$effCol").as(validFrom)
+        else lit(null).cast(dim.schema(c).dataType).as(c)
+      }: _*)
+    hist.unionByName(merged).unionByName(inserted)
   }
 }

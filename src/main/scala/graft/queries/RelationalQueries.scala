@@ -1688,6 +1688,11 @@ object RelationalQueries {
         "UNION ALL SELECT k, nseg AS segment, eff AS valid_from, " +
         "CAST(NULL AS DATE) AS valid_to FROM j " +
         "WHERE eff IS NOT NULL AND nseg <> segment " +
+        // whenNotMatched insert branch (0 rows on TPC-H data — every
+        // order's custkey exists in customer — but the engine inserts
+        // unmatched update keys, so the oracle must too)
+        "UNION ALL SELECT u.k, u.nseg AS segment, u.eff AS valid_from, " +
+        "CAST(NULL AS DATE) AS valid_to FROM u ANTI JOIN cur USING (k) " +
         "ORDER BY k, valid_from"),
 
     Q("q_zorder",

@@ -128,6 +128,32 @@ class LayoutSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("scd2 merge: unmatched update key inserts an opened row; out-of-order eff fails loudly") {
+    import spark.implicits._
+    val dim = Seq((1L, "A", "2001-01-01", Option.empty[String]))
+      .toDF("k", "attr", "vf", "vt")
+      .select(col("k"), col("attr"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"))
+    // k=9 has no current row anywhere — whenNotMatched insert
+    val newKey = Seq((9L, "N", "2002-01-01")).toDF("k", "attr", "eff")
+      .select(col("k"), col("attr"), col("eff").cast("date").as("eff"))
+    val got = graft.engine.Scd2.merge(dim, newKey, "k", Seq("attr"), "eff")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, "A", "2001-01-01", None),
+      (9L, "N", "2002-01-01", None)))
+    // an update effective BEFORE the current row's valid_from must
+    // raise, not write an inverted interval
+    val late = Seq((1L, "B", "2000-06-01")).toDF("k", "attr", "eff")
+      .select(col("k"), col("attr"), col("eff").cast("date").as("eff"))
+    val ex = intercept[Exception] {
+      graft.engine.Scd2.merge(dim, late, "k", Seq("attr"), "eff").collect()
+    }
+    assert(ex.getMessage.contains("out-of-order") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+  }
+
   test("clusteredWrite: maxRecordsPerFile caps file row counts") {
     val df = spark.range(10000).select(col("id").as("k"))
     Sinks.clusteredWrite(df, "/tmp/layout_spec/sized", Seq("k"),
