@@ -261,6 +261,27 @@ final case class EventStream(
   def rall(pred: Column, as: String): EventStream =
     derive(df.withColumn(as, min(when(pred, 1).otherwise(0)).over(wRun) === 1))
 
+  /**
+   * Generic Reduce (`ops/aggregate.py:18-36`): running fold of any
+   * user lambda `f: (T, T) => T` over `valueCol` in emit order.
+   * Reference emission preserved exactly: with no initializer the
+   * first element only seeds the state and is NOT emitted
+   * (`ops/aggregate.py:29-31`, the no-initializer off-by-one), so
+   * row 1 is dropped from the output; with an initializer every row
+   * emits, row 1 carrying `f(init, x1)`.
+   */
+  def reduceScan[T](f: (T, T) => T, valueCol: String, as: String,
+      init: Option[T] = None)(
+      implicit tt: scala.reflect.runtime.universe.TypeTag[T]): EventStream = {
+    val scan = graft.functions.Aggregators
+      .reduceScan(f, init)(col(valueCol), wRun)
+    if (init.isDefined) derive(df.withColumn(as, scan))
+    else derive(df
+      .withColumn(as, scan)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).drop("__rn"))
+  }
+
   /** Sliding-window list of the last `n` values (`ops/aggregate.py:146-159`, `ops/array.py:9-70`). */
   def deque(c: Column, n: Int, as: String): EventStream =
     derive(df.withColumn(as, collect_list(c).over(wSlide(n))))

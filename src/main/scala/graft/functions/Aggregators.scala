@@ -64,6 +64,51 @@ object Aggregators {
   }
   def emaVec(c: Column, weight: Double): Column = udaf(new EmaVecAgg(weight)).apply(c)
 
+  /**
+   * Generic user-lambda running fold — the first-class `reduceScan`
+   * surface for the reference's `Reduce(func, initializer)`
+   * (`ops/aggregate.py:18-36`): any Scala `(T, T) => T` becomes a
+   * window-scan Column, no Aggregator subclass needed.
+   *
+   * Reference semantics preserved exactly, including the
+   * NO-INITIALIZER off-by-one (`ops/aggregate.py:29-31`): without an
+   * initializer the first element only SEEDS the state and emits
+   * nothing — so over a running frame, row 1's fold value is the raw
+   * first element and the caller drops row 1 from the emitted stream
+   * (see `EventStream.reduceScan`). With an initializer, row 1 emits
+   * `f(init, x1)` and every row emits.
+   *
+   * Buffer is a 0/1-element Seq so the unseeded state needs no
+   * sentinel value of T (nothing is assumed about T beyond an encoder).
+   */
+  class ReduceScanAgg[T](f: (T, T) => T, init: Option[T])(
+      implicit bufEnc: Encoder[Seq[T]])
+      extends Aggregator[T, Seq[T], Seq[T]] {
+    def zero: Seq[T] = Nil
+    def reduce(b: Seq[T], x: T): Seq[T] = b match {
+      case Seq()  => Seq(init.map(i => f(i, x)).getOrElse(x))
+      case Seq(a) => Seq(f(a, x))
+      case _      => throw new IllegalStateException("scan buffer > 1")
+    }
+    def merge(a: Seq[T], b: Seq[T]): Seq[T] =
+      throw new UnsupportedOperationException("order-sensitive scan")
+    def finish(b: Seq[T]): Seq[T] = b
+    def bufferEncoder: Encoder[Seq[T]] = bufEnc
+    def outputEncoder: Encoder[Seq[T]] = bufEnc
+  }
+
+  /** `reduceScan(f)(col, wRun)` — running `f`-fold of `col` over the
+    * given (running) frame; see [[ReduceScanAgg]] for the emission
+    * contract. The window binds to the UDAF itself (its buffer is the
+    * 0/1-element array); the scalar extraction sits outside it. */
+  def reduceScan[T](f: (T, T) => T, init: Option[T] = None)(
+      c: Column, over: org.apache.spark.sql.expressions.WindowSpec)(
+      implicit tt: scala.reflect.runtime.universe.TypeTag[T]): Column = {
+    implicit val bufEnc: Encoder[Seq[T]] = ExpressionEncoder()
+    org.apache.spark.sql.functions.element_at(
+      udaf(new ReduceScanAgg[T](f, init)).apply(c).over(over), 1)
+  }
+
   /** Generic Reduce (`ops/aggregate.py:18-36`) demo instance: running
     * string fold `acc || x` (initializer = ""). */
   class ConcatAgg extends Aggregator[String, String, String] {

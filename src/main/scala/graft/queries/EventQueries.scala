@@ -301,6 +301,21 @@ object EventQueries {
       s"$EV SELECT seq, user_id, string_agg(substr(event_type,1,1),'') $WRUN AS acc " +
         "FROM ev ORDER BY seq"),
 
+    Q("q_reduce_scan",
+      // First-class user-lambda Reduce (`ops/aggregate.py:18-36`): an
+      // arbitrary Scala (T,T)=>T — here a+x² — as a running scan, NO
+      // initializer, exercising the reference's off-by-one: the first
+      // element seeds the state unsquared and emits nothing, so per-key
+      // row 1 is absent and acc(i) = x1 + Σ_{j=2..i} xj².
+      (s, d) => ev(s, d)
+        .reduceScan[Long]((a, x) => a + x * x, "cents", "acc")
+        .df.select("seq", "user_id", "acc").orderBy("seq"),
+      s"$EV SELECT seq, user_id, acc FROM (SELECT seq, user_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn, " +
+        s"CAST(first_value(cents) $WRUN + sum(cents*cents) $WRUN " +
+        s"- first_value(cents*cents) $WRUN AS BIGINT) AS acc " +
+        "FROM ev) WHERE rn > 1 ORDER BY seq"),
+
     Q("q_deque",
       (s, d) => ev(s, d).deque(col("cents"), 3, "window3")
         .df.select(col("seq"), col("user_id"),

@@ -29,6 +29,22 @@ class GoldenOpsSpec extends SparkSpec {
     assert(longs(seqStream(array).rmax(col("value"), "m"), "m") == array.map(_.toLong))
   }
 
+  test("reduceScan: no-initializer off-by-one matches the reference (ops/aggregate.py:29-31)") {
+    // reference Reduce(operator.add) over [3,1,4,1,5]: first element
+    // seeds prev=3 with NO emit, then emits 4, 8, 9, 14 — four values
+    val st = seqStream(Seq(3, 1, 4, 1, 5))
+    val got = longs(st.reduceScan[Long](_ + _, "value", "acc"), "acc")
+    assert(got == Seq(4L, 8, 9, 14))
+    // with an initializer the first row emits f(init, x1): Reduce(add, 100)
+    val got2 = longs(
+      st.reduceScan[Long](_ + _, "value", "acc", init = Some(100L)), "acc")
+    assert(got2 == Seq(103L, 104, 108, 109, 114))
+    // a genuinely non-commutative lambda (string-ish fold on longs):
+    // f(a, x) = a*10 + x — digit concatenation, order-sensitive
+    val got3 = longs(st.reduceScan[Long](10 * _ + _, "value", "acc"), "acc")
+    assert(got3 == Seq(31L, 314, 3141, 31415))
+  }
+
   test("running any / all (aggregate_test.py:28-36)") {
     val anyGot = valuesOf[Boolean](seqStream(array).rany(col("value") =!= 0, "a"), "a")
     assert(anyGot == Seq(false) ++ Seq.fill(9)(true))
