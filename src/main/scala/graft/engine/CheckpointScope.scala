@@ -27,6 +27,52 @@ import org.apache.spark.sql.DataFrame
  * during the loop (true of driver-sequential jobs); a racing persist
  * would at worst be unpersisted and lazily recomputed, never corrupted.
  */
+/**
+ * Static-planning scope for ITERATIVE algorithm bodies. Two reasons a
+ * per-round loop wants AQE off and an explicit partition count:
+ *
+ *  1. With AQE on, a `localCheckpoint` captures the ADAPTIVE plan's
+ *     pre-finalization `UnknownPartitioning`, so the checkpointed table
+ *     loses its layout and every round re-shuffles BOTH join sides —
+ *     the exact edge-sized exchanges the pinned layouts were bought to
+ *     avoid (measured: round joins show
+ *     `Exchange hashpartitioning` over `Scan ExistingRDD` on both
+ *     inputs). Static plans keep `outputPartitioning` across the
+ *     checkpoint, making round joins exchange-free at any scale.
+ *  2. AQE materializes every exchange as its own job; a 3-round HITS
+ *     ran 53 scheduled jobs of ~90 ms fixed latency each. Static
+ *     planning runs each checkpoint as ONE job (measured 20 jobs,
+ *     4.3 s → 3.0 s), with the partition count right-sized from the
+ *     materialized edge count instead of AQE coalescing.
+ *
+ * The conf mutation is session-scoped and restored in `finally`; like
+ * [[CheckpointScope]], a scope assumes no concurrent query planning in
+ * the same session during the body (true of driver-sequential jobs).
+ */
+private[graft] object StaticPlan {
+  def scoped[T](ss: org.apache.spark.sql.SparkSession, parts: Int)(body: => T): T = {
+    val conf = ss.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    val par0 = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", par0)
+    }
+  }
+
+  /** Partition count for round tables: enough to keep ~`rowsPerPart`
+    * rows per task, capped at the session's shuffle-partition setting
+    * (the caller's scale intent — thousands on a real cluster). */
+  def roundPartitions(nRows: Long, ss: org.apache.spark.sql.SparkSession,
+      rowsPerPart: Long = 32768L): Int = {
+    val cap = ss.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(cap.toLong, (nRows + rowsPerPart - 1) / rowsPerPart)).toInt
+  }
+}
+
 private[graft] final class CheckpointScope(sc: SparkContext) {
   private var seen = sc.getPersistentRDDs.keySet.toSet
   private var owned = List.empty[Int]

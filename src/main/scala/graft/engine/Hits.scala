@@ -57,21 +57,44 @@ object Hits {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    val e = scope.ckpt(edges.select(col(srcCol).cast("long").as("src"),
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // Canonicalize ONCE under the caller's (adaptive) planning — the
+    // only pass over the raw input; its row count sizes the static
+    // round partitioning (see [[StaticPlan]]).
+    val canon = scope.ckpt(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .repartition(col("src")).dropDuplicates("src", "dst"))
-    val eByDst = scope.ckpt(e.repartition(col("dst")))
-    val nodes = scope.ckpt(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-        .distinct())
+      .dropDuplicates("src", "dst"))
+    val nEdges = canon.count()
     // no edges: no nodes either — every score table is empty
-    if (e.head(1).isEmpty) {
-      val out = scope.ckpt(nodes
-        .select(col("node"), lit(0L).as("hub"), lit(0L).as("auth")))
+    if (nEdges == 0) {
+      val out = scope.ckpt(canon
+        .select(col("src").as("node"), lit(0L).as("hub"), lit(0L).as("auth")))
       scope.freeAllBut(scope.last)
       return out
     }
+    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+      runStatic(scope, canon, iters, scale)
+    }
+  }
+
+  /** Iteration body — runs under [[StaticPlan.scoped]] so the pinned
+    * edge layouts and per-round raw tables KEEP their partitioning
+    * across checkpoints (exchange-free round joins) and each
+    * checkpoint is one scheduled job, not one per exchange. */
+  private def runStatic(scope: CheckpointScope, canon: DataFrame,
+      iters: Int, scale: Long): DataFrame = {
+    // sortWithinPartitions: the checkpoint also carries outputOrdering
+    // under static planning, so every round's sort-merge join skips
+    // re-sorting the edge side (the big side) — only the node-sized
+    // rank tables sort per round
+    val e = scope.ckpt(canon.repartition(col("src"))
+      .sortWithinPartitions(col("src")))
+    val eByDst = scope.ckpt(e.repartition(col("dst"))
+      .sortWithinPartitions(col("dst")))
+    val nodes = scope.ckpt(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
 
     // scale >= node count guarantees the largest normalized score is
     // >= 1, so the per-round L1 sums can never floor to zero (which
@@ -96,13 +119,22 @@ object Hits {
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
-      // floor divisions below are safe. Raw aggregates are node-sized.
-      val authRaw = scope.ckpt(hub.join(e, col("node") === col("src"))
+      // floor divisions below are safe. Raw aggregates are node-sized,
+      // and their groupBy partitioning (hash(dst) / hash(src)) is
+      // exactly what the NEXT consumer joins on — a rollup same-shuffle
+      // total was measured and rejected: its (key, gid) exchange key
+      // broke that co-partitioning and re-shuffled every round. The
+      // auth side is a LAZY checkpoint: it materializes inside the hub
+      // side's eager-checkpoint job (its L1-sum broadcast subquery
+      // computes every authRaw partition first, persisting it; the
+      // main path reads the persisted blocks), so each round schedules
+      // ONE action, not two.
+      val authRaw = scope.ckptLazy(hub.join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("araw")))
       val authRawIds = scope.last
       // L1 sums stay IN-PLAN as broadcast 1-row scalars over the
-      // (lazily) checkpointed raw tables — no per-round driver head();
-      // the engine's `div` on positive Longs is the same floor the old
+      // checkpointed raw tables — no per-round driver head(); the
+      // engine's `div` on positive Longs is the same floor the old
       // driver-literal form applied
       val aSumDf = authRaw.agg(coalesce(sum(col("araw")), lit(0L)).as("__asum"))
       val authN = authRaw.crossJoin(broadcast(aSumDf))

@@ -81,25 +81,40 @@ object PageRank {
       seedsOpt: Option[DataFrame], weightOpt: Option[String],
       iters: Int, scale: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    def ckpt(df: DataFrame): DataFrame = scope.ckpt(df)
-    // repartition-then-aggregate is ONE shuffle: HashPartitioning(src)
-    // already satisfies the (src,dst) clustered distribution, so the
-    // dedup / weight-sum aggregate runs partition-local and the edge
-    // table comes out hash-partitioned by src — exactly what the
-    // contribution join needs
-    val e = ckpt(weightOpt match {
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // Canonicalize ONCE under the caller's (adaptive) planning; the row
+    // count sizes the static round partitioning. The iteration itself
+    // runs under [[StaticPlan.scoped]]: with AQE on, localCheckpoint
+    // captures the adaptive plan's UnknownPartitioning, so every round
+    // would re-shuffle both contribution-join sides — static plans keep
+    // the pinned layouts' partitioning, leaving the inflow groupBy(dst)
+    // as the round's only exchange, as designed.
+    val canon = scope.ckpt(weightOpt match {
       case Some(w) =>
         edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"), col(w).cast("long").as("w"))
-          .repartition(col("src"))
           .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       case None =>
         edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
-          .repartition(col("src")).dropDuplicates("src", "dst")
+          .dropDuplicates("src", "dst")
           .withColumn("w", lit(1L))
     })
+    val nEdges = canon.count()
+    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+      coreStatic(scope, canon, seedsOpt, iters, scale)
+    }
+  }
+
+  private def coreStatic(scope: CheckpointScope, canon: DataFrame,
+      seedsOpt: Option[DataFrame], iters: Int, scale: Long): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = scope.ckpt(df)
+    // src-partitioned AND src-sorted static edge layout: the checkpoint
+    // carries both under static planning, so each round's sort-merge
+    // contribution join neither exchanges nor re-sorts the edge side
+    val e = ckpt(canon.repartition(col("src"))
+      .sortWithinPartitions(col("src")))
     // distinct leaves nodes hash-partitioned by node; the left joins
     // against deg (partitioned by src) and the broadcast seed flag keep
     // that, so base is born node-partitioned (checkpoint pins it)

@@ -11,6 +11,8 @@ object PrBench {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
@@ -47,11 +49,31 @@ object PrBench {
           }
         })
     }
+    val nStages = new java.util.concurrent.atomic.AtomicInteger
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger
+    val stageMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          nStages.incrementAndGet()
+          val i = s.stageInfo
+          stageMs.addAndGet((for {a <- i.completionTime; b <- i.submissionTime}
+            yield a - b).getOrElse(0L))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          nJobs.incrementAndGet()
+      })
     val names = if (args.nonEmpty) args.toSeq else Seq("q_pagerank")
     for (i <- 1 to 4; nm <- names) {
+      val (s0, j0, m0) = (nStages.get, nJobs.get, stageMs.get)
       val t0 = System.nanoTime()
       val n = all(nm)(spark, sfDir).count()
-      println(f"pass $i $nm: ${(System.nanoTime()-t0)/1e9}%.2f s  rows=$n")
+      val sec = (System.nanoTime()-t0)/1e9
+      Thread.sleep(200) // let listener drain
+      println(f"pass $i $nm: $sec%.2f s  rows=$n  jobs=${nJobs.get - j0} " +
+        f"stages=${nStages.get - s0} stageWallMs=${stageMs.get - m0}")
     }
     spark.stop()
   }
