@@ -47,12 +47,25 @@ object Bfs {
     require(maxHops >= 1, "maxHops must be >= 1")
     val a = edges.columns(0)
     val b = edges.columns(1)
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    val sym = scope.ckpt(
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // symmetrize + dedup once under the caller's (adaptive) planning;
+    // the count sizes the static round partitioning (see [[StaticPlan]])
+    val canon = scope.ckpt(
       edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
         .union(edges.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .repartition(col("src")).dropDuplicates("src", "dst"))
+        .dropDuplicates("src", "dst"))
+    val nEdges = canon.count()
+    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+      runStatic(scope, canon, seeds, maxHops)
+    }
+  }
+
+  private def runStatic(scope: CheckpointScope, canon: DataFrame,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    val sym = scope.ckpt(canon.repartition(col("src"))
+      .sortWithinPartitions(col("src")))
     val nodes = sym.select(col("src").as("node")).distinct()
     val sd = seeds.select(col(seeds.columns(0)).cast("long").as("node"))
       .distinct().withColumn("__seed", lit(true))

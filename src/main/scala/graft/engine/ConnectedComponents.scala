@@ -44,9 +44,22 @@ object ConnectedComponents {
     // free each round's dead predecessor as soon as the convergence
     // probe has consumed it ([[CheckpointScope]]: unfreed checkpoints
     // accumulate across calls and degrade a long-lived session)
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // symmetrized edges pinned ONCE (each round joins them; an
+    // un-checkpointed sym re-ran the upstream per round) under the
+    // caller's planning; the count sizes the static round partitioning
+    val sym = scope.ckpt(edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .dropDuplicates("src", "dst"))
+    val nEdges = sym.count()
+    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+      runWithRoundsStatic(scope, sym, maxIter)
+    }
+  }
+
+  private def runWithRoundsStatic(scope: CheckpointScope, sym: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
     var labels = scope.ckpt(sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")))
     var labelIds = scope.last
@@ -125,6 +138,11 @@ object ConnectedComponents {
     var eIds = scope.last
     var iter = 0
     var changed = 1L
+    // alternating rounds under static planning (see [[StaticPlan]]):
+    // checkpointed round tables keep their partitioning, and the
+    // partition count is sized from the oriented edge count
+    StaticPlan.scoped(edges.sparkSession,
+      StaticPlan.roundPartitions(e.count(), edges.sparkSession)) {
     while (changed > 0 && iter < maxIter) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))
@@ -146,6 +164,7 @@ object ConnectedComponents {
       e = small
       eIds = smallIds
       iter += 1
+    }
     }
     if (changed > 0) {
       scope.freeAllBut(Nil)

@@ -48,12 +48,25 @@ object KCore {
     require(rounds >= 1, "rounds must be >= 1")
     val a = edges.columns(0)
     val b = edges.columns(1)
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    var e = scope.ckpt(
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // symmetrize + dedup once under the caller's (adaptive) planning;
+    // the count sizes the static round partitioning (see [[StaticPlan]])
+    val canon = scope.ckpt(
       edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
         .union(edges.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .repartition(col("src")).dropDuplicates("src", "dst"))
+        .dropDuplicates("src", "dst"))
+    val nEdges = canon.count()
+    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+      runStatic(scope, canon, k, rounds)
+    }
+  }
+
+  private def runStatic(scope: CheckpointScope, canon: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    var e = scope.ckpt(canon.repartition(col("src"))
+      .sortWithinPartitions(col("src")))
     var eIds = scope.last
     for (_ <- 1 to rounds) {
       // degree in the CURRENT surviving subgraph (symmetrized edges:

@@ -40,14 +40,27 @@ object LabelPropagation {
     require(iters >= 1, "iters must be >= 1")
     val a = edges.columns(0)
     val b = edges.columns(1)
-    val sn = seeds.columns(0)
-    val sl = seeds.columns(1)
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    val sym = scope.ckpt(
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // symmetrize + dedup once under the caller's (adaptive) planning;
+    // the count sizes the static round partitioning (see [[StaticPlan]])
+    val canon = scope.ckpt(
       edges.select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
         .filter(col("src") =!= col("dst"))
-        .repartition(col("dst")).dropDuplicates("src", "dst"))
+        .dropDuplicates("src", "dst"))
+    val nEdges = canon.count()
+    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+      runStatic(scope, canon, seeds, iters)
+    }
+  }
+
+  private def runStatic(scope: CheckpointScope, canon: DataFrame,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    val sn = seeds.columns(0)
+    val sl = seeds.columns(1)
+    val sym = scope.ckpt(canon.repartition(col("dst"))
+      .sortWithinPartitions(col("dst")))
     val nodes = sym.select(col("src").as("node")).distinct()
     // deterministic seed collapse: smallest label wins
     val sd = seeds.groupBy(col(sn).as("node")).agg(min(col(sl)).as("__seed"))

@@ -44,14 +44,27 @@ object Sssp {
     val a = edges.columns(0)
     val b = edges.columns(1)
     val w = edges.columns(2)
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    // duplicate edges keep their minimum weight; one src shuffle,
-    // partition-local agg, layout pinned for the relaxation joins
-    val e = scope.ckpt(
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // canonicalize under the caller's (adaptive) planning — duplicate
+    // edges keep their minimum weight; the count sizes the static round
+    // partitioning (see [[StaticPlan]]: AQE-era checkpoints lose their
+    // partitioning, re-shuffling every relaxation join otherwise)
+    val canon = scope.ckpt(
       edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"),
         col(w).cast("long").as("w"))
-        .repartition(col("src"))
         .groupBy("src", "dst").agg(min(col("w")).as("w")))
+    val nEdges = canon.count()
+    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+      runStatic(scope, canon, seeds, rounds)
+    }
+  }
+
+  private def runStatic(scope: CheckpointScope, canon: DataFrame,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    // src-partitioned, src-sorted pinned layout for the relaxation joins
+    val e = scope.ckpt(canon.repartition(col("src"))
+      .sortWithinPartitions(col("src")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val sd = seeds.select(col(seeds.columns(0)).cast("long").as("node"))
