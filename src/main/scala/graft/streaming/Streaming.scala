@@ -914,6 +914,73 @@ object Streaming {
       .as[WindowJoinOut]
   }
 
+  /**
+   * Streaming Errors (`ops/misc.py:5-14`): split a stream carrying an
+   * error side-channel into a MAIN output and a DEAD-LETTER output with
+   * ONE pass per micro-batch — the foreachBatch analogue of the
+   * reference's `error_event` tap and of the batch `q_errors`
+   * dead-letter filter. The batch is persisted so the two filters scan
+   * it once each from cache, not twice from source.
+   *
+   * @param isError    predicate marking dead-letter rows
+   * @param main       sink for non-error rows (per micro-batch)
+   * @param deadLetter sink for error rows (per micro-batch)
+   */
+  def errorSplit(events: DataFrame, isError: org.apache.spark.sql.Column,
+      main: DataFrame => Unit, deadLetter: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          deadLetter(b.filter(isError))
+          main(b.filter(!isError))
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /**
+   * Streaming EndOnError (`ops/misc.py:17-27`): pass rows through until
+   * the FIRST error row (in `seqCol` order), emit nothing afterwards,
+   * and surface the trip so the caller can stop the query — the
+   * reference disconnects from its source and re-emits the error; a
+   * structured stream cannot stop itself from inside foreachBatch, so
+   * the returned latch is the `error_event`.
+   *
+   * Within the tripping micro-batch, rows strictly before the first
+   * error pass (same cut as the batch `takeWhile` encoding); later
+   * micro-batches are dropped entirely.
+   *
+   * @return (query, tripped) — `tripped` flips exactly once, on the
+   *         batch containing the first error
+   */
+  def endOnError(events: DataFrame, isError: org.apache.spark.sql.Column, seqCol: String,
+      main: DataFrame => Unit)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         java.util.concurrent.atomic.AtomicBoolean) = {
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!tripped.get()) {
+          val b = batch.toDF().persist()
+          try {
+            val firstErr = b.filter(isError)
+              .agg(min(col(seqCol))).head().get(0)
+            firstErr match {
+              case null => main(b)
+              case s =>
+                main(b.filter(col(seqCol) < lit(s)))
+                tripped.set(true)
+            }
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+    (q, tripped)
+  }
+
   /** Drive a streaming DataFrame to completion into an in-memory table
     * and return the result — the batch-parity harness used in tests. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {

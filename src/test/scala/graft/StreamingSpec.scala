@@ -31,6 +31,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((0L, 1L, 2L, 3.0), (10L, 1L, 1L, 3.0), (0L, 2L, 1L, 10.0)))
   }
 
+  test("streaming Errors/EndOnError: dead-letter split + trip on first error (ops/misc.py)") {
+    import scala.collection.mutable
+    // Errors: one pass per micro-batch, split into main + dead-letter
+    val bus = new Streaming.EventBus(spark)
+    val mainRows = mutable.Set.empty[(Long, Double)]
+    val dead = mutable.Set.empty[(Long, Double)]
+    val in = bus.eventsTyped.toDF().select(col("user_id"), col("tsUs"), col("value"))
+    val q = Streaming.errorSplit(in, col("value") < 0,
+      b => mainRows ++= b.collect().map(r => (r.getLong(1), r.getDouble(2))),
+      b => dead ++= b.collect().map(r => (r.getLong(1), r.getDouble(2))))
+    bus.emit(Ev(1L, 1L, 1.0), Ev(1L, 2L, -5.0), Ev(1L, 3L, 2.0))
+    q.processAllAvailable(); q.stop()
+    assert(mainRows === Set((1L, 1.0), (3L, 2.0)))
+    assert(dead === Set((2L, -5.0)))
+
+    // EndOnError: rows pass until the first error; the tripping batch
+    // keeps only rows strictly before it; later batches emit nothing
+    val bus2 = new Streaming.EventBus(spark)
+    val out = mutable.Set.empty[Long]
+    val in2 = bus2.eventsTyped.toDF().select(col("user_id"), col("tsUs"), col("value"))
+    val (q2, tripped) = Streaming.endOnError(in2, col("value") < 0, "tsUs",
+      b => out ++= b.collect().map(_.getLong(1)))
+    bus2.emit(Ev(1L, 1L, 1.0), Ev(1L, 2L, 2.0))
+    q2.processAllAvailable()
+    assert(!tripped.get)
+    assert(out === Set(1L, 2L))
+    bus2.emit(Ev(1L, 3L, 3.0), Ev(1L, 4L, -1.0), Ev(1L, 5L, 5.0))
+    q2.processAllAvailable()
+    assert(tripped.get)
+    assert(out === Set(1L, 2L, 3L))
+    bus2.emit(Ev(1L, 6L, 6.0))
+    q2.processAllAvailable()
+    assert(out === Set(1L, 2L, 3L)) // dropped entirely after the trip
+    q2.stop()
+  }
+
   test("streaming OHLC bars: open/close stable across micro-batches") {
     val bus = new Streaming.EventBus(spark)
     // batch 1 sets open (1s) and close (9s) of bar [0,10); batch 2
