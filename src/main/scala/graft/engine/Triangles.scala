@@ -46,12 +46,27 @@ object Triangles {
     // reference, so WITHOUT materialization the whole upstream chain —
     // including whatever join built `edges` — runs once per consumer
     // (measured: 87 static exchanges on the co-purchase graph vs 6
-    // after). They stay checkpointed for the life of the returned plan,
-    // which reads them lazily.
-    val scope = new CheckpointScope(edges.sparkSession.sparkContext)
-    val ed = scope.ckpt(edges.filter(col(a) =!= col(b))
+    // after).
+    val spark = edges.sparkSession
+    val scope = new CheckpointScope(spark.sparkContext)
+    // canonicalize under the caller's adaptive planning; the edge count
+    // sizes the static partitioning for the wedge phase (wedge rows are
+    // O(m^1.5), so size by edges with a smaller per-task target)
+    val canon = scope.ckpt(edges.filter(col(a) =!= col(b))
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .distinct())
+    val m = canon.count()
+    StaticPlan.scoped(spark,
+      StaticPlan.roundPartitions(m, spark, rowsPerPart = 8192L)) {
+      perNodeStatic(scope, canon)
+    }
+  }
+
+  /** Wedge phase under [[StaticPlan.scoped]]: the oriented edge table
+    * keeps its src partitioning+ordering across the checkpoint, so the
+    * wedge self-join is exchange-free — the one irreducible big shuffle
+    * left is the closure equi-join keyed by the wedge endpoint pair. */
+  private def perNodeStatic(scope: CheckpointScope, ed: DataFrame): DataFrame = {
     val deg = scope.ckpt(
       ed.select(col("u").as("node")).union(ed.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d")))
@@ -61,10 +76,15 @@ object Triangles {
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
     val uLess = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // src is a computed column (conditional swap), so no upstream
+    // partitioning survives it — buy the src layout explicitly ONCE
+    // (partitioned + sorted); the wedge self-join's two scans and its
+    // sort-merge then both come for free under static planning
     val o = scope.ckpt(j.select(
       when(uLess, col("u")).otherwise(col("v")).as("src"),
       when(uLess, col("v")).otherwise(col("u")).as("dst"),
-      when(uLess, col("dv")).otherwise(col("du")).as("dd")))
+      when(uLess, col("dv")).otherwise(col("du")).as("dd"))
+      .repartition(col("src")).sortWithinPartitions(col("src")))
     // wedges centered at src: out-neighbor pairs in order; the closing
     // edge, if present, is oriented exactly (b → c) by construction
     val o1 = o.select(col("src"), col("dst").as("b"), col("dd").as("db"))

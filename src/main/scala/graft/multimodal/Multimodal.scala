@@ -231,6 +231,10 @@ object Multimodal {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      // spread the codec work: the documents table is one parquet split
+      // at small SF, which would serialize the embarrassingly-parallel
+      // encode/decode stages onto one core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaItem(id, "audio", encodeWav(docSamples(text, n)), n, 1)
@@ -316,6 +320,10 @@ object Multimodal {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      // spread the codec work: the documents table is one parquet split
+      // at small SF, which would serialize the embarrassingly-parallel
+      // encode/decode stages onto one core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaItem(id, "video",
@@ -374,6 +382,10 @@ object Multimodal {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      // spread the codec work: the documents table is one parquet split
+      // at small SF, which would serialize the embarrassingly-parallel
+      // encode/decode stages onto one core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaItem(id, "image", encodePng(docPixels(text, side), side, side),
