@@ -1,0 +1,81 @@
+package graft
+
+/**
+ * Structural scale gates over EVERY registry query's physical plan —
+ * regression protection for the 100 TB design invariants, enforced at
+ * plan level (no execution needed, so the whole registry checks in
+ * seconds at sf0.001):
+ *
+ *  1. NO unbroadcast Cartesian product. `CartesianProductExec` means
+ *     both sides stream — O(n·m) shuffle-and-pair that cannot survive
+ *     corpus growth. The sanctioned patterns compile elsewhere:
+ *     in-plan scalars and probe samples become
+ *     BroadcastNestedLoopJoin (one side bounded), equi-joins become
+ *     sort-merge/hash joins.
+ *  2. NO row_number/rank over an unpartitioned window fed by one of
+ *     the big fixture tables' scans. A global ORDER BY window ranks
+ *     the whole input on ONE task (the q_quantile_sketch class of bug,
+ *     fixed by two-phase rank selection in round 7). Windows over
+ *     small derived aggregates are fine and whitelisted by the
+ *     scan-reachability test, not by name.
+ */
+class PlanGateSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // Tables big enough that a single-task global sort of their full scan
+  // is a scale bug (events/lineitem/orders/documents/embeddings grow
+  // with the corpus; region/nation are bounded dimensions).
+  private val bigTables = Seq("events", "lineitem", "orders", "customer",
+    "part", "supplier", "documents", "embeddings")
+
+  test("no registry plan contains an unbroadcast Cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbroadcast Cartesian product in: ${offenders.mkString(", ")} — " +
+        "use broadcast() on the bounded side (in-plan scalar / probe " +
+        "sample) or an equi-join")
+  }
+
+  test("no registry plan globally sorts a big-table scan through an unpartitioned ranking window") {
+    // Detector: a Window node whose spec has ORDER BY but no PARTITION
+    // BY, with a big fixture table's file scan anywhere BELOW it and no
+    // aggregation between (an agg bounds the row count, making the
+    // global window safe). String-level but conservative: we walk the
+    // plan tree, not the rendered text.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+    def scansBigUnbounded(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => false // aggregation bounds the rows
+      case leaf if leaf.children.isEmpty =>
+        val s = leaf.toString.takeWhile(_ != '\n')
+        bigTables.exists(t => s.contains(s"$t.parquet"))
+      case other => other.children.exists(scansBigUnbounded)
+    }
+    def offendingWindows(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => offendingWindows(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty
+          && scansBigUnbounded(w.child) =>
+        Seq(w.windowExpression.mkString(",").take(60)) ++
+          w.children.flatMap(offendingWindows)
+      case other => other.children.flatMap(offendingWindows)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = offendingWindows(fn(spark, sfDir).queryExecution.executedPlan)
+        if (bad.nonEmpty) Some(s"$name (${bad.head})") else None
+    }
+    assert(offenders.isEmpty,
+      s"single-task global ranking over a big-table scan in: " +
+        s"${offenders.mkString("; ")} — partition the window or use " +
+        "two-phase rank selection (see q_quantile_sketch)")
+  }
+}
