@@ -15,17 +15,17 @@ import org.apache.spark.sql.DataFrame
  * evicts live blocks (measured: PageRank at sf0.1 degraded 2.6s → 8.7s
  * over six calls purely from dead checkpoint blocks).
  *
- * The scope tracks the persistent-RDD ids each checkpoint creates (the
- * id set diff around the eager materialization) and frees the
+ * The scope reads each checkpoint's pinned RDD id EXACTLY from the
+ * returned Dataset's own plan (the LogicalRDD leaf wraps the persisted
+ * RDD), so concurrent scopes in one SparkContext cannot mis-attribute
+ * or free each other's live checkpoints; a global id-set diff remains
+ * only as a fallback for unexpected plan shapes. The scope frees the
  * intermediates once the loop's result no longer references them.
  * IMPORTANT: a localCheckpoint's lineage is TRUNCATED — unpersisting
  * one makes it unrecomputable — so only ids provably dead may be freed:
  * a returned plan that still references a checkpoint lazily (e.g. a
  * final projection over the node table) must keep it via `keep`.
  *
- * Id-diffing assumes no concurrent persist calls in the same session
- * during the loop (true of driver-sequential jobs); a racing persist
- * would at worst be unpersisted and lazily recomputed, never corrupted.
  */
 /**
  * Static-planning scope for ITERATIVE algorithm bodies. Two reasons a
@@ -81,17 +81,26 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   /** Eagerly localCheckpoint `df`, recording the RDD ids it pinned. */
   def ckpt(df: DataFrame): DataFrame = track(df.localCheckpoint(true))
 
-  /** LAZY localCheckpoint: the RDD is registered as persistent now (so
-    * id-diffing still attributes it to this scope) but materializes on
-    * the first action that computes it — letting a round's intermediate
-    * table piggyback on the SAME job that materializes the round's
-    * final table (one scheduled action per round instead of two), while
-    * still being computed once and lineage-cut for later rounds. */
+  /** LAZY localCheckpoint: the RDD is registered as persistent now but
+    * materializes on the first action that computes it — letting a
+    * round's intermediate table piggyback on the SAME job that
+    * materializes the round's final table (one scheduled action per
+    * round instead of two), while still being computed once and
+    * lineage-cut for later rounds. */
   def ckptLazy(df: DataFrame): DataFrame = track(df.localCheckpoint(false))
 
   private def track(out: DataFrame): DataFrame = {
+    // EXACT attribution: a checkpointed Dataset's plan is a LogicalRDD
+    // leaf wrapping the very RDD that was persisted — read its id from
+    // the plan instead of diffing the global persistent-RDD registry,
+    // so two scopes running in one SparkContext can never mis-attribute
+    // (and later free) each other's live checkpoints. Global diffing
+    // remains only as a fallback for an unexpected plan shape.
+    val exact = out.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toList
     val now = sc.getPersistentRDDs.keySet.toSet
-    lastIds = (now -- seen).toList
+    lastIds = if (exact.nonEmpty) exact else (now -- seen).toList
     owned = lastIds ::: owned
     seen = now
     out

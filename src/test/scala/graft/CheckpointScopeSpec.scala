@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.CheckpointScope
+
+/** Exact checkpoint-id attribution and scope isolation — the storage
+  * hygiene underneath every iterative graph engine. */
+class CheckpointScopeSpec extends SparkSpec {
+
+  private def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+
+  test("ckpt attributes exactly the pinned RDD id (read from the plan, not a global diff)") {
+    val scope = new CheckpointScope(spark.sparkContext)
+    val df = scope.ckpt(spark.range(100).select(col("id"), (col("id") * 2).as("y")))
+    assert(scope.last.size === 1)
+    assert(persistedIds.contains(scope.last.head))
+    assert(df.count() === 100)
+    scope.freeAllBut(Nil)
+  }
+
+  test("two interleaved scopes never free each other's live checkpoints") {
+    val s1 = new CheckpointScope(spark.sparkContext)
+    val s2 = new CheckpointScope(spark.sparkContext)
+    // interleave: s1, s2, s1, s2 — global diffing would attribute
+    // later ids to whichever scope diffs next; exact attribution can't
+    val a1 = s1.ckpt(spark.range(10).toDF())
+    val b1 = s2.ckpt(spark.range(20).toDF())
+    val b1Id = s2.last.head
+    val a2 = s1.ckpt(a1.withColumn("z", col("id") + 1))
+    val b2 = s2.ckpt(b1.withColumn("z", col("id") + 2))
+    val b2Id = s2.last.head
+    // free ALL of scope 1; scope 2's checkpoints must stay persisted
+    // and computable (a localCheckpoint freed by mistake would be
+    // unrecomputable, not just slow)
+    s1.freeAllBut(Nil)
+    assert(persistedIds.contains(b1Id))
+    assert(persistedIds.contains(b2Id))
+    assert(b1.count() === 20)
+    assert(b2.count() === 20)
+    assert(a2.columns.contains("z")) // plan object still valid
+    s2.freeAllBut(Nil)
+  }
+
+  test("ckptLazy materializes once inside the first consuming action and is freeable") {
+    val scope = new CheckpointScope(spark.sparkContext)
+    val lazyDf = scope.ckptLazy(spark.range(50).select((col("id") * 3).as("v")))
+    val lazyId = scope.last.head
+    // registered as persistent immediately (pre-materialization)
+    assert(persistedIds.contains(lazyId))
+    val out = scope.ckpt(lazyDf.agg(sum(col("v")).as("s")))
+    assert(out.head().getLong(0) === (0 until 50).map(_ * 3L).sum)
+    scope.free(List(lazyId))
+    scope.freeAllBut(Nil)
+  }
+}
