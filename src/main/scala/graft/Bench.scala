@@ -43,6 +43,11 @@ object Bench {
     // (shuffle files, broadcasts, JIT state). Slower wall-clock; use to
     // cross-check the resident-session numbers, not to report.
     val fresh = sys.env.get("SPARK_GRAFT_FRESH").contains("true")
+    // scheduled-job counter: with AQE every exchange materialization is
+    // its own job, so jobs-per-query is the scheduling-overhead signal
+    // next to the shuffle count (the iterative engines' static-plan
+    // rework was a 53 -> 23 jobs change on q_hits)
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger
     def mkSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -56,6 +61,10 @@ object Bench {
         .config("spark.cleaner.periodicGC.interval", "1min")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          nJobs.incrementAndGet()
+      })
       s
     }
     var spark = mkSession()
@@ -75,17 +84,19 @@ object Bench {
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition").map(k => p.sliding(k.length).count(_ == k)).sum
     }
-    def pass(): Seq[(String, Double, Long, Int)] = headline.filter(all.contains).map { name =>
+    def pass(): Seq[(String, Double, Long, Int, Int)] = headline.filter(all.contains).map { name =>
       if (fresh) { spark.stop(); spark = mkSession() }
       // snapshot the persistent-RDD ids BEFORE the query so cleanup can
       // be scoped to what this query created (a blanket unpersist would
       // truncate any future cross-query cached table's lineage)
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val j0 = nJobs.get
       val t0 = System.nanoTime()
       val df = try all(name)(spark, sfDir) catch { case _: Throwable => null }
       val n = if (df == null) -1L
         else try df.count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      val jobs = nJobs.get - j0
       // plan stringification happens AFTER the timer stops
       val ex = if (df == null || n < 0) -1
         else try shuffleCount(df) catch { case _: Throwable => -1 }
@@ -104,7 +115,7 @@ object Bench {
       // late-in-run queries (q_triangles 2.3s isolated vs 4.8s
       // in-bench). Outside the timer; a real cluster runs periodicGC.
       System.gc()
-      (name, sec, n, ex)
+      (name, sec, n, ex, jobs)
     }
     // One cold pass + three steady passes, reporting the PER-QUERY MIN
     // of the steady passes. Two reasons this is min-of-N rather than
@@ -161,14 +172,16 @@ object Bench {
     }.max
     val slideRate = rate("q_arraymean")
 
-    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val qsCold = cold.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val qsEx = results.map { case (k, _, _, e) => s""""$k":$e""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qsCold = cold.map { case (k, v, _, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qsEx = results.map { case (k, _, _, e, _) => s""""$k":$e""" }.mkString("{", ",", "}")
+    val qsJobs = results.map { case (k, _, _, _, j) => s""""$k":$j""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalCold = cold.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""value_cold":$totalCold,"queries_cold":$qsCold,"shuffles":$qsEx,""" +
+        s""""jobs":$qsJobs,""" +
         s""""n_queries":${results.size},"events_rows":$nEvents,""" +
         s""""pipeline_events_per_sec":$pipelineRate,""" +
         s""""reference_pipeline_events_per_sec":52489,""" +

@@ -27,6 +27,29 @@ class PropertySpec extends SparkSpec {
         g2.pureApply(Gen.Parameters.default.withSize(30), Seed(1042L + i)))
     }
 
+  test("reduceScan = reference Reduce over any input (ops/aggregate.py:18-36)") {
+    // simulator: the reference's exact emission — no initializer means
+    // the first element seeds prev and emits NOTHING; with one, every
+    // element emits f-folded from the initializer
+    def ref(xs: List[Long], init: Option[Long], f: (Long, Long) => Long): List[Long] =
+      init match {
+        case Some(i) => xs.scanLeft(i)(f).tail
+        case None => xs match {
+          case Nil => Nil
+          case h :: t => t.scanLeft(h)(f).tail
+        }
+      }
+    val f = (a: Long, x: Long) => a * 3 - x // non-commutative, non-associative
+    forAll(smallInts) { (xs: List[Int]) =>
+      val longs0 = xs.map(_.toLong)
+      val st = seqStream(xs)
+      val gotNoInit = longs(st.reduceScan[Long](f, "value", "acc"), "acc")
+      assert(gotNoInit == ref(longs0, None, f))
+      val gotInit = longs(st.reduceScan[Long](f, "value", "acc", Some(7L)), "acc")
+      assert(gotInit == ref(longs0, Some(7L), f))
+    }
+  }
+
   test("zip length = min(len a, len b); pairs positional (ops/combine.py:219)") {
     forAll(smallInts, smallInts) { (a: List[Int], b: List[Int]) =>
       val z = EventStream.zip(
