@@ -345,6 +345,43 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "sum_luma")
   }
 
+  /**
+   * Average-hash perceptual fingerprint of a REAL decoded image
+   * (pHash family, average variant): decode via the actual codec,
+   * mean = floor(Σpx / n), bit i = px(i) > mean, packed 32 bits per
+   * Long word (32, not 64, so the packed values stay non-negative and
+   * band keys / xor arithmetic are sign-free in BOTH engines). All
+   * integer ops — the oracle reproduces the hash pixel-for-pixel.
+   * Identical images hash identically (hamming 0); the image-corpus
+   * near-dup primitive at any scale.
+   */
+  def averageHashWords(payload: Array[Byte]): Array[Long] = {
+    val px = decodeImage(payload)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    val mean = sum / px.length
+    val out = new Array[Long]((px.length + 31) / 32)
+    i = 0
+    while (i < px.length) {
+      if (px(i) > mean) out(i / 32) |= 1L << (i % 32)
+      i += 1
+    }
+    out
+  }
+
+  /** (media_id, w, v): the image's average-hash as one row per 32-bit
+    * word — the banded layout the near-dup bucket join consumes
+    * directly (band key = (w, v)). */
+  def phashWords(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      averageHashWords(m.payload).zipWithIndex.map {
+        case (v, w) => (m.media_id, w.toLong, v)
+      }
+    }.toDF("media_id", "w", "v")
+  }
+
   /** Lowercase-hex md5, identical to DuckDB's `md5(text)`. */
   def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -372,6 +409,27 @@ object Multimodal {
     val baos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** Image corpus variant for the NEAR-DUP path: pixels derived from
+    * the md5 of the document's LEAD `lead` characters (a thumbnail of
+    * the opening content) — documents sharing a lead produce
+    * byte-identical images, so perceptual-hash dedup has real positives
+    * on the fixture corpus (22 shared-lead groups at sf0.01 vs zero
+    * full-text-identical docs). DuckDB mirror: `md5(substr(text,1,64))`
+    * — byte-exact because the fixture text is ASCII (a production
+    * corpus would slice by code points on both sides). */
+  def fromDocumentsPngLead(spark: SparkSession, dir: String, side: Int = 16,
+      lead: Int = 64): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaItem(id, "image",
+          encodePng(docPixels(text.take(lead), side), side, side), side, side)
+      }
   }
 
   /** Image corpus: one real PNG per document, pixels derived from the

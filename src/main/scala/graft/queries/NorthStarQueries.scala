@@ -2348,6 +2348,54 @@ object NorthStarQueries {
         "SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY b) AS hist " +
         "FROM hist GROUP BY media_id ORDER BY media_id"),
 
+    Q("q_dedup_phash",
+      // IMAGE near-dup dedup via perceptual average-hash over REAL
+      // decoded pixels: decode each PNG through the actual javax.imageio
+      // codec, hash = (px > floor-mean) bits packed 32/word, candidates
+      // from a banded bucket join (band key = one 32-bit hash word —
+      // never all-pairs), exact hamming distance (bit_count of xor,
+      // summed over words) filters to <= 8. Exact-duplicate documents
+      // produce byte-identical images (hamming 0), so the result is the
+      // image-level mirror of the text dedup family; all-integer, the
+      // oracle reproduces the hash pixel-for-pixel from the md5 formula.
+      // The corpus is the LEAD-content thumbnail variant: documents
+      // sharing their first 64 chars render identical images, so the
+      // fixture yields real hamming-0 pairs (22 groups at sf0.01).
+      (s, d) => {
+        val words = Multimodal
+          .phashWords(Multimodal.fromDocumentsPngLead(s, d, 16))
+          .localCheckpoint() // consumed 3x: band join both sides + hamming
+        val cand = words.select(col("media_id").as("a"), col("w"), col("v"))
+          .join(words.select(col("media_id").as("b"), col("w"), col("v")),
+            Seq("w", "v"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val wa = words.select(col("media_id").as("a"), col("w"), col("v").as("va"))
+        val wb = words.select(col("media_id").as("b"), col("w"), col("v").as("vb"))
+        cand.join(wa, Seq("a")).join(wb, Seq("b", "w"))
+          .groupBy("a", "b")
+          .agg(sum(bit_count(col("va").bitwiseXOR(col("vb")))).as("ham"))
+          .filter(col("ham") <= 8)
+          .orderBy("a", "b")
+      },
+      "WITH m AS (SELECT doc_id AS media_id, md5(substr(text, 1, 64)) AS h " +
+        "FROM documents), " +
+        "px AS (SELECT media_id, i, " +
+        "(ascii(substr(h, CAST((i % 32) + 1 AS INT), 1)) * 7) % 256 AS p " +
+        "FROM (SELECT media_id, h, unnest(range(0, 256)) AS i FROM m)), " +
+        "mn AS (SELECT media_id, sum(p) // 256 AS mean FROM px GROUP BY media_id), " +
+        "wd AS (SELECT px.media_id, CAST(i // 32 AS BIGINT) AS w, " +
+        "CAST(sum(CASE WHEN p > mean THEN 1::BIGINT << CAST(i % 32 AS INT) " +
+        "ELSE 0 END) AS BIGINT) AS v " +
+        "FROM px JOIN mn USING (media_id) GROUP BY px.media_id, i // 32), " +
+        "cand AS (SELECT DISTINCT l.media_id AS a, r.media_id AS b " +
+        "FROM wd l JOIN wd r USING (w, v) WHERE l.media_id < r.media_id), " +
+        "hm AS (SELECT c.a, c.b, CAST(sum(bit_count(xor(wa.v, wb.v))) AS BIGINT) AS ham " +
+        "FROM cand c JOIN wd wa ON wa.media_id = c.a " +
+        "JOIN wd wb ON wb.media_id = c.b AND wb.w = wa.w " +
+        "GROUP BY c.a, c.b) " +
+        "SELECT a, b, ham FROM hm WHERE ham <= 8 ORDER BY a, b"),
+
     Q("q_multimodal_video",
       // REAL video demux: one YUV4MPEG2 stream per doc (4 mono 16×16
       // frames, pixels derived from md5(text) so the oracle reproduces

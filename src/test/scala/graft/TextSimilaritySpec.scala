@@ -662,6 +662,29 @@ class TextSimilaritySpec extends SparkSpec {
     assert(small.toSeq == want.toSeq)
   }
 
+  test("multimodal perceptual hash: bit semantics, identity, locality") {
+    import graft.multimodal.Multimodal
+    val px = Multimodal.docPixels("hash me", 16)
+    val png = Multimodal.encodePng(px, 16, 16)
+    val h = Multimodal.averageHashWords(png)
+    assert(h.length == 8) // 256 pixels / 32 bits per word
+    assert(h.forall(w => w >= 0L && w < (1L << 32))) // 32-bit packing: sign-free
+    // bit semantics: bit i set iff px(i) > floor-mean
+    val mean = px.map(_.toLong).sum / 256
+    (0 until 256).foreach { i =>
+      assert(((h(i / 32) >> (i % 32)) & 1L) == (if (px(i) > mean) 1L else 0L))
+    }
+    // identity: identical images hash identically
+    assert(Multimodal.averageHashWords(
+      Multimodal.encodePng(px, 16, 16)).toSeq == h.toSeq)
+    // locality: flipping ONE pixel across the mean changes few bits
+    val px2 = px.clone()
+    px2(5) = if (px(5) > mean.toInt) 0 else 255
+    val h2 = Multimodal.averageHashWords(Multimodal.encodePng(px2, 16, 16))
+    val ham = h.zip(h2).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(ham >= 1 && ham <= 8, s"one-pixel flip moved $ham bits")
+  }
+
   test("multimodal frame-sample and resize shapes") {
     val items = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val src = items.filter(_.media_id == 0L).collect().head
