@@ -32,8 +32,9 @@ object Bench {
     // round-6 wave-3: warehouse maintenance + windowed analytics +
     // real-codec multimodal decode
     "q_topk_group", "q_scd2", "q_interpolate", "q_multimodal_decode",
-    // round-7 additions: the rest of the graph wave
-    "q_kcore", "q_sssp", "q_bfs_hops", "q_pagerank_weighted")
+    // round-7 additions: the rest of the graph wave + image dedup
+    "q_kcore", "q_sssp", "q_bfs_hops", "q_pagerank_weighted",
+    "q_dedup_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
