@@ -50,12 +50,19 @@ object Bfs {
     val spark = edges.sparkSession
     val scope = new CheckpointScope(spark.sparkContext)
     // symmetrize + dedup once under the caller's (adaptive) planning;
-    // the count sizes the static round partitioning (see [[StaticPlan]])
+    // the count sizes the static round partitioning (see [[StaticPlan]]).
+    // Canonical-orient then explode both orientations — one pass over
+    // the input (a two-projection union executes its upstream twice)
+    // and dedup at half the symmetric size.
     val canon = scope.ckpt(
-      edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-        .union(edges.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .dropDuplicates("src", "dst"))
+      edges.filter(col(a) =!= col(b))
+        .select(least(col(a).cast("long"), col(b).cast("long")).as("u"),
+          greatest(col(a).cast("long"), col(b).cast("long")).as("v"))
+        .distinct()
+        .select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nEdges = canon.count()
     StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
       runStatic(scope, canon, seeds, maxHops)

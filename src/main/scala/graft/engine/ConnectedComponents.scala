@@ -48,10 +48,19 @@ object ConnectedComponents {
     val scope = new CheckpointScope(spark.sparkContext)
     // symmetrized edges pinned ONCE (each round joins them; an
     // un-checkpointed sym re-ran the upstream per round) under the
-    // caller's planning; the count sizes the static round partitioning
-    val sym = scope.ckpt(edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .dropDuplicates("src", "dst"))
+    // caller's planning; the count sizes the static round partitioning.
+    // Canonical-orient then explode both orientations — one pass over
+    // the input and dedup at half size; a self-loop (its node must
+    // still appear in the label table) explodes to one row, not two.
+    val sym = scope.ckpt(edges
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .distinct()
+      .select(explode(when(col("u") === col("v"),
+          array(struct(col("u").as("src"), col("v").as("dst"))))
+        .otherwise(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst"))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nEdges = sym.count()
     StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
       runWithRoundsStatic(scope, sym, maxIter)

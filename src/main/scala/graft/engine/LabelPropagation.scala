@@ -43,12 +43,18 @@ object LabelPropagation {
     val spark = edges.sparkSession
     val scope = new CheckpointScope(spark.sparkContext)
     // symmetrize + dedup once under the caller's (adaptive) planning;
-    // the count sizes the static round partitioning (see [[StaticPlan]])
+    // the count sizes the static round partitioning (see [[StaticPlan]]).
+    // Canonical-orient then explode both orientations — one pass over
+    // the input (a two-projection union executes its upstream twice)
+    // and dedup at half the symmetric size.
     val canon = scope.ckpt(
-      edges.select(col(a).as("src"), col(b).as("dst"))
-        .union(edges.select(col(b).as("src"), col(a).as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .dropDuplicates("src", "dst"))
+      edges.filter(col(a) =!= col(b))
+        .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+        .distinct()
+        .select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nEdges = canon.count()
     StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
       runStatic(scope, canon, seeds, iters)
