@@ -123,23 +123,9 @@ object Similarity {
    * partitioner instead of random hyperplanes.
    */
   def topKIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int, nProbe: Int = 1): DataFrame = {
-    val probed = ivfAssign(emb, idCol, vecCol, nCells, nProbe)
-    val pairs = probed
-      .groupBy("cell")
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
-        col("isHome"))).as("ms"))
-      .select(explode(col("ms")).as("x"), col("ms"))
-      .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
-    val scored = pairs.select(
-      col("x.id").as("a"), col("y.id").as("b"),
-      (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
-  }
+      nCells: Int, nProbe: Int = 1): DataFrame =
+    topKFromAssign(ivfAssign(emb, idCol, vecCol, nCells, nProbe),
+      idCol, vecCol, k)
 
   /** Cell assignment for seed-centroid IVF: each vector LIVES in its
     * nearest cell (isHome) and, as a QUERY, also probes its next
@@ -148,6 +134,14 @@ object Similarity {
     * home(b), where a has one copy). Returns (idCol, vecCol, cell,
     * isHome), one row per probed cell. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nProbe: Int): DataFrame =
+    ivfAssignRanked(emb, idCol, vecCol, nCells, nProbe).drop("rank")
+
+  /** [[ivfAssign]] keeping the probe rank — materialize ONCE at the
+    * deepest probe depth and slice `rank <= p` for shallower configs
+    * (a tuning report re-deriving the assignment per config re-scores
+    * every (vector, centroid) pair per row). */
+  def ivfAssignRanked(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, nProbe: Int): DataFrame = {
     val cents = emb.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
@@ -155,9 +149,9 @@ object Similarity {
       .withColumn("ccos", dot(col(vecCol), col("cv")) / (norm(col(vecCol)) * norm(col("cv"))))
     val wCell = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
     scoredCells
-      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
+      .withColumn("rank", row_number().over(wCell)).filter(col("rank") <= nProbe)
       .select(col(idCol), col(vecCol), col("cid").as("cell"),
-        (col("__r") === 1).as("isHome"))
+        (col("rank") === 1).as("isHome"), col("rank"))
   }
 
   /** Quantization scale for k-means centroid arithmetic. */
@@ -442,22 +436,31 @@ object Similarity {
       nCells, kmIters, dims, nProbe, m, pqK, pqIters)
     if (rerank <= 0)
       pqRanked.filter(col("rank") <= k).select("a", "rank", "b")
-    else {
+    else
       // PQ-shortlist-then-exact-rerank (the FAISS "refine" stage): codes
       // pick `rerank` candidates per query, true cosine re-ranks ONLY
       // those — the expensive float vectors touch rerank·n rows, not
       // the full candidate volume.
-      val short = pqRanked.filter(col("rank") <= rerank).select("a", "b")
-      val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-      val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
-      short.join(va, "a").join(vb, "b")
-        .withColumn("cos",
-          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
-        .filter(col("rank") <= k)
-        .select("a", "rank", "b")
-    }
+      rerankShortlist(emb, idCol, vecCol,
+        pqRanked.filter(col("rank") <= rerank).select("a", "b"), k)
+  }
+
+  /** Exact-cosine re-rank of a candidate shortlist (a, b) — the refine
+    * stage shared by every PQ config. Public so a tuning report can
+    * materialize one shortlist and feed BOTH its top-k and its
+    * pairs-exactly-scored cost from it (re-deriving the shortlist
+    * re-trains the PQ codebooks). */
+  def rerankShortlist(emb: DataFrame, idCol: String, vecCol: String,
+      short: DataFrame, k: Int): DataFrame = {
+    val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    short.join(va, "a").join(vb, "b")
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("a", "rank", "b")
   }
 
   /** The PQ shortlist itself (a, b) at `shortK` per query — the rows
@@ -564,18 +567,9 @@ object Similarity {
       nCells, kmIters, dims, nProbe, m, pqK, pqIters)
     if (rerank <= 0)
       ranked.filter(col("rank") <= k).select("a", "rank", "b")
-    else {
-      val short = ranked.filter(col("rank") <= rerank).select("a", "b")
-      val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-      val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
-      short.join(va, "a").join(vb, "b")
-        .withColumn("cos",
-          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
-        .filter(col("rank") <= k)
-        .select("a", "rank", "b")
-    }
+    else
+      rerankShortlist(emb, idCol, vecCol,
+        ranked.filter(col("rank") <= rerank).select("a", "b"), k)
   }
 
   /** The residual-PQ shortlist (a, b) at `shortK` per query — the pairs

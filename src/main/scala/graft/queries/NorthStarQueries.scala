@@ -1830,6 +1830,15 @@ object NorthStarQueries {
       // final division — hash-exact across engines.
       (s, d) => {
         val e = emb(s, d)
+        // NOTE: a StaticPlan scope was tried here (the 11-config union
+        // runs ~467 AQE exchange-materialization jobs) and REVERTED:
+        // static-planned localCheckpoints preserve outputPartitioning
+        // whose attribute references break DeduplicateRelations in the
+        // deep self-joining PQ pipelines ("Conflicting attributes"
+        // analysis error). The report stays adaptive; its cost is
+        // amortizable offline and the shared materialized assignments /
+        // shortlists below already removed the duplicated training.
+        //
         // exact feeds one semi-join per config row (11 of them) — ONE
         // O(n^2) run; same for the shared LSH bucket table and the wide
         // 64-cell assignment (4 consumers)
@@ -1877,23 +1886,38 @@ object NorthStarQueries {
           KM_ITERS, DIMS, 4).localCheckpoint()
         def a16p(p: Int): DataFrame =
           a16.filter(col("rank") <= p).drop("rank")
+        // 8-cell k-means and seed-IVF assignments share ONE materialized
+        // ranked table each, like a16/wideAssign — per-config re-derivation
+        // retrained k-means and re-scored every (vector, centroid) pair
+        // TWICE per row (top-k side + candidate-count side)
+        val a8 = Similarity.ivfKmeansAssignRanked(e, id, v, 8,
+          KM_ITERS, DIMS, 2).localCheckpoint()
+        def a8p(p: Int): DataFrame =
+          a8.filter(col("rank") <= p).drop("rank")
+        val iv16 = Similarity.ivfAssignRanked(e, id, v, 16, 2).localCheckpoint()
+        def iv16p(p: Int): DataFrame =
+          iv16.filter(col("rank") <= p).drop("rank")
+        val slPq = Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS, DIMS, 4,
+          PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).localCheckpoint()
+        val slRes = Similarity.ivfPqResidualShortlist(e, id, v, 16, KM_ITERS,
+          DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).localCheckpoint()
         val rows = Seq(
           cfgRow("lsh", PLANES, 0,
             Similarity.topKLsh(e, id, v, 3, PLANES, DIMS).select("a", "b"), lshCands),
           cfgRow("lsh_mp", PLANES, NPROBES,
             Similarity.topKLshMp(e, id, v, 3, PLANES, DIMS, NPROBES).select("a", "b"), mpCands),
           cfgRow("ivf", 16, 1,
-            Similarity.topKIvf(e, id, v, 3, 16).select("a", "b"),
-            ivfCands(Similarity.ivfAssign(e, id, v, 16, 1))),
+            Similarity.topKFromAssign(iv16p(1), id, v, 3).select("a", "b"),
+            ivfCands(iv16p(1))),
           cfgRow("ivf", 16, 2,
-            Similarity.topKIvf(e, id, v, 3, 16, 2).select("a", "b"),
-            ivfCands(Similarity.ivfAssign(e, id, v, 16, 2))),
+            Similarity.topKFromAssign(iv16p(2), id, v, 3).select("a", "b"),
+            ivfCands(iv16p(2))),
           cfgRow("ivf_kmeans", 16, 2,
             Similarity.topKFromAssign(a16p(2), id, v, 3).select("a", "b"),
             ivfCands(a16p(2))),
           cfgRow("ivf_kmeans", 8, 2,
-            Similarity.topKIvfKmeans(e, id, v, 3, 8, KM_ITERS, DIMS, 2).select("a", "b"),
-            ivfCands(Similarity.ivfKmeansAssign(e, id, v, 8, KM_ITERS, DIMS, 2))),
+            Similarity.topKFromAssign(a8p(2), id, v, 3).select("a", "b"),
+            ivfCands(a8p(2))),
           cfgRow("ivf_kmeans", 16, 4,
             Similarity.topKFromAssign(a16p(4), id, v, 3).select("a", "b"),
             ivfCands(a16p(4))),
@@ -1910,21 +1934,18 @@ object NorthStarQueries {
           // IVF-PQ + rerank: same candidates as ivf_kmeans(16,4), but
           // n_cands here = the PQ shortlist size — the pairs whose
           // float vectors are ACTUALLY exact-scored (the config's real
-          // float-work cost; everything else is table lookups).
+          // float-work cost; everything else is table lookups). The
+          // shortlist is materialized ONCE and feeds both the top-k
+          // (via rerankShortlist) and the cost count — re-deriving it
+          // re-trains the PQ codebooks per side.
           cfgRow("ivf_pq", PQ_RERANK, 4,
-            Similarity.topKIvfPq(e, id, v, 3, 16, KM_ITERS, DIMS, 4,
-              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).select("a", "b"),
-            Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS, DIMS, 4,
-              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
-              .agg(count(lit(1)).as("n_cands"))),
+            Similarity.rerankShortlist(e, id, v, slPq, 3).select("a", "b"),
+            slPq.agg(count(lit(1)).as("n_cands"))),
           // residual-encoded PQ at the same (cells, probes, rerank)
           // operating point — n_cands is its own exact-scored shortlist
           cfgRow("ivf_pq_res", PQ_RERANK, 4,
-            Similarity.topKIvfPqResidual(e, id, v, 3, 16, KM_ITERS, DIMS, 4,
-              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).select("a", "b"),
-            Similarity.ivfPqResidualShortlist(e, id, v, 16, KM_ITERS, DIMS, 4,
-              PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
-              .agg(count(lit(1)).as("n_cands"))),
+            Similarity.rerankShortlist(e, id, v, slRes, 3).select("a", "b"),
+            slRes.agg(count(lit(1)).as("n_cands"))),
           // multi-table LSH: training-free recall lever; n_cands is the
           // cross-table-dedup'd scored-pair count
           cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES,
@@ -2466,10 +2487,18 @@ object NorthStarQueries {
       // rollup; no distinct pass is needed because max() absorbs
       // duplicate sids for free.
       (s, d) => {
-        val tf = docs(s, d).select(col("source"),
-          explode(TextOps.shingleSidsFromFps(
-            TextOps.tokenFingerprints(TextOps.tokens(col("text"))), K))
-            .as("sid"))
+        // materialized: consumed by BOTH the register pass and the
+        // exact-count yardstick — lazily each would re-run the full
+        // tokenize/fingerprint/shingle explosion. Repartition FIRST:
+        // the documents table is one parquet split at small SF, and the
+        // explosion ran 12s single-threaded on that one partition.
+        val tf = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"),
+            explode(TextOps.shingleSidsFromFps(
+              TextOps.tokenFingerprints(TextOps.tokens(col("text"))), K))
+              .as("sid"))
+          .localCheckpoint()
         val reg = Sketches.hllRegisters(tf, Seq("source"), col("sid"))
         val sk = Sketches.hllEstimate(reg, Seq("source"))
         val ex = tf.groupBy("source")

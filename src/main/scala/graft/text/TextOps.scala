@@ -796,17 +796,38 @@ object TextOps {
     * returns (initial char state, final state, per-round merge rows). */
   private def bpeEvolve(docsDf: DataFrame, idCol: String, textCol: String,
       nMerges: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val wWord = Window.partitionBy(col("doc_id"), col("widx")).orderBy(col("pos"))
+    val spark = docsDf.sparkSession
+    // repartition FIRST (the documents table is one parquet split at
+    // small SF — the char-level double explode ran single-threaded),
+    // then pre-cluster by the window key so s0 is BORN (doc, widx)-
+    // partitioned and every round's window passes start aligned
     val s0 = docsDf
       .select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("widx", "word")))
+      .repartition(col("doc_id"), col("widx"))
       .select(col("doc_id"), col("widx").cast("long").as("widx"),
         explode(sequence(lit(1L), length(col("word")).cast("long"))).as("pos"),
         col("word"))
       .select(col("doc_id"), col("widx"), col("pos"),
         col("word").substr(col("pos").cast("int"), lit(1)).as("sym"))
       .localCheckpoint(true)
-    var st = s0
+    // rounds under static planning: checkpoints keep the (doc, widx)
+    // layout (AQE-era checkpoints capture UnknownPartitioning — see
+    // [[graft.engine.StaticPlan]]), so the per-round window chain runs
+    // exchange-free over the pinned layout
+    val nChars = s0.count()
+    graft.engine.StaticPlan.scoped(spark,
+      graft.engine.StaticPlan.roundPartitions(nChars, spark)) {
+      bpeRounds(s0, nMerges)
+    }
+  }
+
+  private def bpeRounds(s0: DataFrame, nMerges: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val wWord = Window.partitionBy(col("doc_id"), col("widx")).orderBy(col("pos"))
+    // re-pin the layout under static planning (s0 itself was
+    // materialized under the caller's adaptive planning)
+    var st = s0.repartition(col("doc_id"), col("widx")).localCheckpoint(true)
     val merges = new scala.collection.mutable.ArrayBuffer[DataFrame]
     (0 until nMerges).foreach { t =>
       val m = st.withColumn("nxt", lead(col("sym"), 1).over(wWord))
