@@ -2385,10 +2385,17 @@ object NorthStarQueries {
       (s, d) => {
         val words = Multimodal
           .phashWords(Multimodal.fromDocumentsPngLead(s, d, 16))
-          .localCheckpoint() // consumed 3x: band join both sides + hamming
-        val cand = words.select(col("media_id").as("a"), col("w"), col("v"))
-          .join(words.select(col("media_id").as("b"), col("w"), col("v")),
-            Seq("w", "v"))
+          .localCheckpoint() // consumed 3x: band buckets + hamming sides
+        // capped in-bucket pair generation (the q_dedup_minhash guard):
+        // a mega-cluster of identical images (blank pages, logo spam)
+        // yields at most cap² pairs on one task, never bucket²
+        val cand = words
+          .groupBy("w", "v")
+          .agg(graft.functions.Aggregators
+            .collectMinK(col("media_id"), LSH_BUCKET_CAP).as("ms"))
+          .filter(size(col("ms")) > 1)
+          .select(explode(col("ms")).as("a"), col("ms"))
+          .select(col("a"), explode(col("ms")).as("b"))
           .filter(col("a") < col("b"))
           .select("a", "b").distinct()
         val wa = words.select(col("media_id").as("a"), col("w"), col("v").as("va"))
@@ -2409,8 +2416,11 @@ object NorthStarQueries {
         "CAST(sum(CASE WHEN p > mean THEN 1::BIGINT << CAST(i % 32 AS INT) " +
         "ELSE 0 END) AS BIGINT) AS v " +
         "FROM px JOIN mn USING (media_id) GROUP BY px.media_id, i // 32), " +
+        "wr AS (SELECT media_id, w, v, row_number() OVER " +
+        "(PARTITION BY w, v ORDER BY media_id) AS rk FROM wd), " +
+        s"capped AS (SELECT media_id, w, v FROM wr WHERE rk <= $LSH_BUCKET_CAP), " +
         "cand AS (SELECT DISTINCT l.media_id AS a, r.media_id AS b " +
-        "FROM wd l JOIN wd r USING (w, v) WHERE l.media_id < r.media_id), " +
+        "FROM capped l JOIN capped r USING (w, v) WHERE l.media_id < r.media_id), " +
         "hm AS (SELECT c.a, c.b, CAST(sum(bit_count(xor(wa.v, wb.v))) AS BIGINT) AS ham " +
         "FROM cand c JOIN wd wa ON wa.media_id = c.a " +
         "JOIN wd wb ON wb.media_id = c.b AND wb.w = wa.w " +
