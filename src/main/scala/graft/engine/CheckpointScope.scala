@@ -58,9 +58,44 @@ private[graft] object StaticPlan {
     conf.set("spark.sql.shuffle.partitions", parts.toString)
     try body
     finally {
+      // The scope's documented contract is "no concurrent planning in
+      // this session"; if another thread mutated these keys mid-body,
+      // silently restoring would hide the race — log it loudly.
+      if (conf.get("spark.sql.adaptive.enabled") != "false" ||
+          conf.get("spark.sql.shuffle.partitions") != parts.toString)
+        System.err.println("WARN StaticPlan.scoped: session conf was " +
+          "modified concurrently during a static scope (adaptive.enabled=" +
+          s"${conf.get("spark.sql.adaptive.enabled")}, shuffle.partitions=" +
+          s"${conf.get("spark.sql.shuffle.partitions")}); a concurrent " +
+          "query may have been planned with the scope's static settings")
       conf.set("spark.sql.adaptive.enabled", aqe0)
       conf.set("spark.sql.shuffle.partitions", par0)
     }
+  }
+
+  /** Static scope that keeps the session's shuffle-partition setting
+    * (the caller's scale intent) and only disables AQE — for
+    * training-loop bodies whose eager checkpoints would otherwise pay
+    * one adaptive exchange-materialization job per shuffle per round. */
+  def scopedAqeOff[T](ss: org.apache.spark.sql.SparkSession)(body: => T): T =
+    scoped(ss, ss.conf.get("spark.sql.shuffle.partitions").toInt)(body)
+
+  /** Eager localCheckpoint whose EXPOSED attribute ids are fresh.
+    *
+    * Under a static scope a checkpoint's LogicalRDD keeps its
+    * attribute-referencing `outputPartitioning` (the point: round joins
+    * stay exchange-free), but also the original attribute ids — and a
+    * later join putting the checkpoint on one side and an independent
+    * plan producing the SAME ids (e.g. the original table scan) on the
+    * other makes `DeduplicateRelations` fail analysis with
+    * "conflicting references" (the round-7 negative result that forced
+    * q_ann_tuning to stay adaptive). A same-name aliasing Project on
+    * top hands every consumer fresh ids, while ProjectExec's
+    * alias-aware partitioning still forwards the checkpoint layout. */
+  def ckptFresh(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    c.select(c.columns.map(n =>
+      org.apache.spark.sql.functions.col(n).as(n)).toIndexedSeq: _*)
   }
 
   /** Partition count for round tables: enough to keep ~`rowsPerPart`

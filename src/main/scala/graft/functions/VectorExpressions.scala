@@ -474,6 +474,50 @@ object TermCounts {
   }
 }
 
+/**
+ * O(1) lookup into a DRIVER-RESIDENT double table — the ADC
+ * (asymmetric-distance-computation) primitive of PQ serving, FAISS's
+ * codeword-dot tables as a Spark expression.
+ *
+ * Why not a `typedlit` array literal: a PQ score references the table
+ * 3m+1 times per row expression, and every reference embeds a COPY of
+ * the multi-KB literal into the plan — Catalyst's transforms then
+ * compare those literals elementwise on every rule pass (measured:
+ * ~14 s of driver-side planning for one residual-PQ query at m=8).
+ * Here the table is a constructor field shared BY REFERENCE across all
+ * lookup nodes: case-class equality on `Array` is reference equality,
+ * so plan canonicalization is O(1), and codegen installs the array once
+ * via `addReferenceObj` — the generated code is a bare `table[idx]`.
+ *
+ * The index is produced by the caller from dense code/cell ids; bounds
+ * are guaranteed by construction (codes < pqK, cells < nCells).
+ */
+case class AdcLookup(table: Array[Double], child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_lookup"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case IntegerType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"adc_lookup needs an int index, got $other")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    table(input.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("adcTable", table, "double[]")
+    defineCodeGen(ctx, ev, c => s"$tbl[$c]")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
@@ -503,4 +547,8 @@ object VectorFunctions {
   /** Per-row occurrence counts of the given query terms as a `Column`. */
   def termCounts(toks: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermCounts(ColumnBridge.expression(toks), terms))
+
+  /** O(1) ADC-table lookup as a `Column` (see [[AdcLookup]]). */
+  def adcLookup(table: Array[Double], idx: Column): Column =
+    ColumnBridge.column(AdcLookup(table, ColumnBridge.expression(idx)))
 }

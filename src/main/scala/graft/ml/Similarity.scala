@@ -157,6 +157,25 @@ object Similarity {
   /** Quantization scale for k-means centroid arithmetic. */
   val QUANT: Int = 1024
 
+  /** Deterministic training-side sample: every `trainMod`-th row
+    * (`id % trainMod == 0`). The FAISS discipline applied to in-query
+    * index building: k-means centroids and PQ codebooks are statistics
+    * of the distribution, so they train on a hash-sample (≤ a few % at
+    * 100 TB — raise trainMod with corpus size), while assignment,
+    * encoding, and reranking stay full-corpus. Mirrors the probe-side
+    * `probeSide` contract; trainMod = 1 keeps the historical
+    * full-corpus training for tests/tiny inputs. */
+  private def trainSide(df: DataFrame, idCol: String, trainMod: Long): DataFrame = {
+    require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
+    if (trainMod == 1) df else df.filter(col(idCol) % trainMod === 0)
+  }
+
+  /** Alias for [[graft.engine.StaticPlan.ckptFresh]] — eager
+    * localCheckpoint with fresh exposed attribute ids (see there for
+    * the static-scope "conflicting references" rationale). */
+  private def ckptFresh(df: DataFrame): DataFrame =
+    graft.engine.StaticPlan.ckptFresh(df)
+
   /** Integer quantization of an embedding: floor(x · QUANT) per
     * component. Both engines compute the identical float→double→
     * multiply→floor sequence, and everything downstream of it is
@@ -224,15 +243,24 @@ object Similarity {
    * `iters` is a FIXED count (no convergence probe) so the oracle can
    * unroll the identical number of rounds.
    *
+   * Training-side sampling (`trainMod` > 1): seeds and every Lloyd
+   * round see only the deterministic `id % trainMod == 0` sample —
+   * centroids are distribution statistics, so a sample suffices (FAISS
+   * trains IVF on ≤1% samples) and the per-round cost drops from
+   * corpus × nCells to sample × nCells. Assignment against the result
+   * ([[ivfAssignFromCentroids]]) stays full-corpus.
+   *
    * @param embQ (idCol, q: array<long>) — quantized vectors
    */
   def kmeansCentroids(embQ: DataFrame, idCol: String, nCells: Int,
-      iters: Int, dims: Int): DataFrame = {
-    var cents = embQ.orderBy(col(idCol)).limit(nCells)
+      iters: Int, dims: Int, trainMod: Long = 1): DataFrame =
+      graft.engine.StaticPlan.scopedAqeOff(embQ.sparkSession) {
+    val embT = trainSide(embQ, idCol, trainMod)
+    var cents = embT.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col("q").as("cq"))
-      .localCheckpoint(true)
+      .transform(ckptFresh)
     for (_ <- 0 until iters) {
-      val scored = embQ.crossJoin(broadcast(cents))
+      val scored = embT.crossJoin(broadcast(cents))
         .withColumn("s",
           dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
             norm(col("cq").cast("array<double>")))
@@ -246,7 +274,7 @@ object Similarity {
         .select(col("cell"), array((0 until dims).map(d => col(s"s$d")): _*).as("nq"))
       cents = cents.alias("c").join(sums.alias("n"), col("c.cid") === col("n.cell"), "left")
         .select(col("c.cid").as("cid"), coalesce(col("n.nq"), col("c.cq")).as("cq"))
-        .localCheckpoint(true)
+        .transform(ckptFresh)
     }
     cents
   }
@@ -259,10 +287,11 @@ object Similarity {
     * of re-running Lloyd per configuration (the materialized-index
     * shape: train once, probe many). */
   def ivfKmeansAssignRanked(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int, dims: Int, nProbe: Int): DataFrame = {
+      nCells: Int, iters: Int, dims: Int, nProbe: Int,
+      trainMod: Long = 1): DataFrame = {
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("q"))
     ivfAssignFromCentroids(emb, idCol, vecCol,
-      kmeansCentroids(embQ, idCol, nCells, iters, dims), nProbe)
+      kmeansCentroids(embQ, idCol, nCells, iters, dims, trainMod), nProbe)
   }
 
   /** Assignment against an EXISTING centroid table (cid, integer cq) —
@@ -289,9 +318,10 @@ object Similarity {
     * cell, isHome) contract, assignment scored on the quantized vectors
     * vs the refined integer centroids. */
   def ivfKmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int, dims: Int, nProbe: Int): DataFrame =
-    ivfKmeansAssignRanked(emb, idCol, vecCol, nCells, iters, dims, nProbe)
-      .drop("rank")
+      nCells: Int, iters: Int, dims: Int, nProbe: Int,
+      trainMod: Long = 1): DataFrame =
+    ivfKmeansAssignRanked(emb, idCol, vecCol, nCells, iters, dims, nProbe,
+      trainMod).drop("rank")
 
   /** The serving half of the IVF skeleton: exactly-once in-cell pair
     * generation (every probed copy of a meets every HOME copy of b) +
@@ -327,9 +357,10 @@ object Similarity {
    * only partition).
    */
   def topKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int, iters: Int, dims: Int, nProbe: Int = 1): DataFrame =
+      nCells: Int, iters: Int, dims: Int, nProbe: Int = 1,
+      trainMod: Long = 1): DataFrame =
     topKFromAssign(
-      ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, nProbe),
+      ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, nProbe, trainMod),
       idCol, vecCol, k)
 
   /**
@@ -347,8 +378,9 @@ object Similarity {
    * Returns one row per input vector: (idCol, cell, dropped).
    */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
-      nCells: Int, iters: Int, dims: Int): DataFrame = {
-    val assign = ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, 1)
+      nCells: Int, iters: Int, dims: Int, trainMod: Long = 1): DataFrame = {
+    val assign = ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, 1,
+      trainMod)
     val pairs = assign.groupBy("cell")
       .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
       .select(explode(col("ms")).as("x"), col("ms"))
@@ -366,15 +398,6 @@ object Similarity {
         coalesce(col("__dropped"), lit(false)).as("dropped"))
   }
 
-  /**
-   * PQ codebook for ONE subspace: deterministic Lloyd refinement like
-   * [[kmeansCentroids]], but also carrying each centroid's member
-   * COUNT so the codeword MEAN (cq/cnt) is reconstructible — product
-   * quantization sums approximate dots ACROSS subspaces, so codewords
-   * must be on the data's scale (a cosine-style sum-centroid would
-   * over-weight crowded cells). Unassigned seeds keep (seed vector,
-   * cnt 1): mean = the seed itself. Returns (cid, cq, cnt).
-   */
   /** Codebook-assignment score with a zero-norm guard: an all-zero
     * centroid (possible when PQ trains on RESIDUALS — a singleton IVF
     * cell's residual is exactly zero) scores 0 for every vector instead
@@ -387,31 +410,147 @@ object Similarity {
     when(dot(cd, cd) === lit(0.0), lit(0.0)).otherwise(dot(qd, cd) / norm(cd))
   }
 
-  private def pqCodebook(subQ: DataFrame, idCol: String, k: Int,
-      iters: Int, subDim: Int): DataFrame = {
-    var cents = subQ.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("cid"), col("q").as("cq"), lit(1L).as("cnt"))
-      .localCheckpoint(true)
+  /** Explode a full-dim vector column `vc` into its m subspace slices:
+    * one row per (input row, mi) with `q` = the subDim-slice. */
+  private def subspaced(df: DataFrame, idCol: String, vc: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("mi"),
+          slice(col(vc), mi * subDim + 1, subDim).as("q"))): _*)).as("sub"))
+      .select(col(idCol), col("sub.mi").as("mi"), col("sub.q").as("q"))
+
+  /**
+   * All m per-subspace PQ codebooks trained JOINTLY in one plan.
+   * Each codebook is a deterministic Lloyd refinement like
+   * [[kmeansCentroids]] but carrying each centroid's member COUNT so
+   * the codeword MEAN (cq/cnt) is reconstructible — PQ sums
+   * approximate dots ACROSS subspaces, so codewords must be on the
+   * data's scale (a cosine-style sum-centroid would over-weight
+   * crowded cells); unassigned seeds keep (seed vector, cnt 1).
+   * Subspaces are independent, so the m per-subspace Lloyd rounds
+   * fuse into ONE round over (vec_id, mi, slice) rows — one broadcast
+   * join + one window + one map-side-combined groupBy per iteration
+   * for ALL subspaces instead of m separate pipelines. At 100 TB this
+   * is the difference between m passes over the corpus sample per
+   * round and one; at any scale it cuts the eager materializations
+   * from m·iters to iters. Arithmetic is the per-subspace sequence
+   * verbatim within each (mi) group (same seeds: the first pqK
+   * sampled ids slice identically in every subspace; same integer
+   * sums; same (s DESC, cid) tie-break), so results are bit-identical
+   * to the per-subspace form the oracle unrolls.
+   *
+   * @param embQ (idCol, qq: array<long>) full-dim quantized vectors
+   * @return (mi, cid, cq, cnt)
+   */
+  private def pqCodebooksAll(embQ: DataFrame, idCol: String, m: Int,
+      subDim: Int, pqK: Int, iters: Int, trainMod: Long): DataFrame =
+      graft.engine.StaticPlan.scopedAqeOff(embQ.sparkSession) {
+    val train = subspaced(trainSide(embQ, idCol, trainMod), idCol, "qq", m, subDim)
+    var cents = subspaced(
+        trainSide(embQ, idCol, trainMod).orderBy(col(idCol)).limit(pqK),
+        idCol, "qq", m, subDim)
+      .select(col("mi"), col(idCol).as("cid"), col("q").as("cq"), lit(1L).as("cnt"))
+      .transform(ckptFresh)
     for (_ <- 0 until iters) {
-      val scored = subQ.crossJoin(broadcast(cents.select("cid", "cq")))
+      val scored = train.join(broadcast(cents.select("mi", "cid", "cq")), "mi")
         .withColumn("s", cbScore(col("q"), col("cq")))
-      val wV = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
+      val wV = Window.partitionBy(col("mi"), col(idCol))
+        .orderBy(col("s").desc, col("cid"))
       val assigned = scored.withColumn("__r", row_number().over(wV))
         .filter(col("__r") === 1)
-        .select(col(idCol), col("q"), col("cid").as("cell"))
+        .select(col("mi"), col(idCol), col("q"), col("cid").as("cell"))
       val sumCols = (0 until subDim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
-      val sums = assigned.groupBy(col("cell"))
+      val sums = assigned.groupBy(col("mi"), col("cell"))
         .agg(count(lit(1)).as("n"), sumCols: _*)
-        .select(col("cell"), col("n"),
+        .select(col("mi"), col("cell"), col("n"),
           array((0 until subDim).map(d => col(s"s$d")): _*).as("nq"))
-      cents = cents.alias("c").join(sums.alias("s"), col("c.cid") === col("s.cell"), "left")
-        .select(col("c.cid").as("cid"),
+      cents = cents.alias("c").join(sums.alias("s"),
+          col("c.mi") === col("s.mi") && col("c.cid") === col("s.cell"), "left")
+        .select(col("c.mi").as("mi"), col("c.cid").as("cid"),
           coalesce(col("s.nq"), col("c.cq")).as("cq"),
           coalesce(col("s.n"), col("c.cnt")).as("cnt"))
-        .localCheckpoint(true)
+        .transform(ckptFresh)
     }
     cents
   }
+
+  /** Full-corpus code assignment against jointly-trained codebooks:
+    * one broadcast join + one window over (mi, vec) + one pivot-wide
+    * groupBy — ONE shuffle instead of m sequential joins. Returns
+    * (idCol, c0..c{m-1}). */
+  private def pqAssignCodes(embQ: DataFrame, idCol: String, cbAll: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val subs = subspaced(embQ, idCol, "qq", m, subDim)
+    val codes = subs.join(broadcast(cbAll.select("mi", "cid", "cq")), "mi")
+      .withColumn("s", cbScore(col("q"), col("cq")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("mi"), col(idCol)).orderBy(col("s").desc, col("cid"))))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("mi"), col("cid").as("code"))
+    codes.groupBy(col(idCol)).agg(
+      max(when(col("mi") === 0, col("code"))).as("c0"),
+      (1 until m).map(mi =>
+        max(when(col("mi") === mi, col("code"))).as(s"c$mi")): _*)
+  }
+
+  /** Driver-side sequential-fold dot — the identical IEEE sequence as
+    * the codegen [[dot]] kernel and the oracle's `list_reduce`, applied
+    * to COLLECTED index artifacts (see [[PqIndex]]). */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /**
+   * The COLLECTED per-subspace codebooks — a constant-size index
+   * artifact (m × pqK codewords, a few KB regardless of corpus size).
+   * Collecting it to the driver and re-emitting the ADC lookup tables
+   * as dense LITERAL arrays is the FAISS serving architecture (the
+   * codeword-dot tables live in every query node's cache): pair scoring
+   * becomes a pure codegen projection — `element_at` on a literal —
+   * with ZERO joins, instead of 3m+1 broadcast hash joins whose
+   * adaptive stage materializations dominated the query at small scale
+   * and whose plan depth grows with m at any scale.
+   *
+   * `cids(mi)` is sorted ascending — the DENSE code order (codes
+   * shuffle as small ints, not raw centroid ids); `means(mi)(k)` is
+   * codeword k's mean vector (cq/cnt, one exact division per
+   * component — the same doubles the oracle's `cq/cnt` produces).
+   */
+  private final case class PqIndex(cids: IndexedSeq[Array[Long]],
+      means: IndexedSeq[Array[Array[Double]]], pqK: Int, m: Int) {
+    /** cid → dense index map for subspace mi (a small literal). */
+    def cidIdx(mi: Int): Map[Long, Int] = cids(mi).zipWithIndex.toMap
+    /** Dense codeword×codeword table: cc[(mi·pqK + i)·pqK + j]. */
+    lazy val ccFlat: Array[Double] = {
+      val out = new Array[Double](m * pqK * pqK)
+      for (mi <- 0 until m; i <- 0 until pqK; j <- 0 until pqK)
+        out((mi * pqK + i) * pqK + j) = dotD(means(mi)(i), means(mi)(j))
+      out
+    }
+  }
+
+  private def collectPqIndex(cbAll: DataFrame, m: Int, pqK: Int): PqIndex = {
+    val rows = cbAll.select(col("mi"), col("cid"), col("cq"), col("cnt")).collect()
+    val byMi = rows.groupBy(_.getInt(0))
+    val cids = (0 until m).map(mi => byMi(mi).map(_.getLong(1)).sorted)
+    val means = (0 until m).map { mi =>
+      val byCid = byMi(mi).map { r =>
+        val cnt = r.getLong(3)
+        r.getLong(1) -> r.getSeq[Long](2).map(x => x.toDouble / cnt).toArray
+      }.toMap
+      cids(mi).map(byCid)
+    }
+    PqIndex(cids, means, pqK, m)
+  }
+
+  /** Rewrite the pivoted code columns c0..c{m-1} from centroid ids to
+    * DENSE indices via the collected per-subspace maps. */
+  private def denseCodes(codesWide: DataFrame, idCol: String,
+      idx: PqIndex): DataFrame =
+    codesWide.select(col(idCol) +: (0 until idx.m).map(mi =>
+      element_at(typedlit(idx.cidIdx(mi)), col(s"c$mi")).as(s"c$mi")): _*)
 
   /**
    * IVF-PQ top-k (Jégou et al. 2011, "Product Quantization for Nearest
@@ -431,9 +570,10 @@ object Similarity {
    */
   def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
-      m: Int, pqK: Int, pqIters: Int, rerank: Int = 0): DataFrame = {
+      m: Int, pqK: Int, pqIters: Int, rerank: Int = 0,
+      trainMod: Long = 1): DataFrame = {
     val pqRanked = pqRankedPairs(emb, idCol, vecCol,
-      nCells, kmIters, dims, nProbe, m, pqK, pqIters)
+      nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod)
     if (rerank <= 0)
       pqRanked.filter(col("rank") <= k).select("a", "rank", "b")
     else
@@ -468,73 +608,61 @@ object Similarity {
     * count is the honest "pairs exactly scored" cost of the config. */
   def ivfPqShortlist(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
-      m: Int, pqK: Int, pqIters: Int, shortK: Int): DataFrame =
-    pqRankedPairs(emb, idCol, vecCol, nCells, kmIters, dims, nProbe, m, pqK, pqIters)
+      m: Int, pqK: Int, pqIters: Int, shortK: Int,
+      trainMod: Long = 1, centsPre: Option[DataFrame] = None): DataFrame =
+    pqRankedPairs(emb, idCol, vecCol, nCells, kmIters, dims, nProbe, m, pqK,
+      pqIters, trainMod, centsPre)
       .filter(col("rank") <= shortK).select("a", "b")
 
   /** All IVF candidates ranked per query by the PQ table score. */
   private def pqRankedPairs(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
-      m: Int, pqK: Int, pqIters: Int): DataFrame = {
+      m: Int, pqK: Int, pqIters: Int, trainMod: Long = 1,
+      centsPre: Option[DataFrame] = None): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
 
-    // per-subspace codebook, code assignment, and codeword-dot table
-    var codesWide: DataFrame = emb.select(col(idCol))
-    val tables = (0 until m).map { mi =>
-      val subQ = embQ.select(col(idCol),
-        slice(col("qq"), mi * subDim + 1, subDim).as("q"))
-      val cb = pqCodebook(subQ, idCol, pqK, pqIters, subDim)
-      val means = cb.select(col("cid"),
-        transform(col("cq"), x => x.cast("double") / col("cnt")).as("mv"))
-      val codes = subQ.crossJoin(broadcast(cb.select("cid", "cq")))
-        .withColumn("s", cbScore(col("q"), col("cq")))
-        .withColumn("__r", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))))
-        .filter(col("__r") === 1)
-        .select(col(idCol), col("cid").as(s"c$mi"))
-      codesWide = codesWide.join(codes, idCol)
-      means.alias("l").crossJoin(broadcast(means.alias("r")))
-        .select(col("l.cid").as("i"), col("r.cid").as("j"),
-          dot(col("l.mv"), col("r.mv")).as("t"))
-        .localCheckpoint(true)
-    }
+    // all m codebooks trained jointly (one Lloyd round per iteration
+    // covers every subspace), codes assigned in one pivot pass, then
+    // the constant-size index COLLECTED and served as dense literals
+    // (see PqIndex — the FAISS ADC-table shape)
+    val cbAll = pqCodebooksAll(embQ, idCol, m, subDim, pqK, pqIters, trainMod)
+    val idx = collectPqIndex(cbAll, m, pqK)
+    val codesWide = denseCodes(
+      pqAssignCodes(embQ, idCol, cbAll, m, subDim), idCol, idx)
+    def ccAt(mi: Int, i: Column, j: Column): Column =
+      graft.functions.VectorFunctions.adcLookup(idx.ccFlat,
+        ((lit(mi) * pqK + i) * pqK + j).cast("int"))
 
     // per-vector approx norm² = Σ_mi T[mi][c,c] (diagonal lookups)
-    (0 until m).foreach { mi =>
-      val diag = tables(mi).filter(col("i") === col("j"))
-        .select(col("i").as(s"c$mi"), col("t").as(s"dd$mi"))
-      codesWide = codesWide.join(broadcast(diag), s"c$mi")
-    }
-    val withVn = codesWide
-      .withColumn("vn", sqrt((0 until m).map(mi => col(s"dd$mi")).reduce(_ + _)))
-      .drop((0 until m).map(mi => s"dd$mi"): _*)
+    val withVn = codesWide.withColumn("vn",
+      sqrt((0 until m).map(mi => ccAt(mi, col(s"c$mi"), col(s"c$mi")))
+        .reduce(_ + _)))
 
     // IVF candidates (exactly-once emission, as in topKIvfKmeans),
-    // carrying codes + approx norm instead of the vector
-    val assign = ivfKmeansAssign(emb, idCol, vecCol, nCells, kmIters, dims, nProbe)
+    // carrying dense codes + approx norm instead of the vector; the
+    // coarse quantizer is trained here or arrives pre-trained
+    // (`centsPre` — a tuning sweep trains 16-cell k-means ONCE and
+    // shares it across the ivf_kmeans / ivf_pq / ivf_pq_res configs)
+    val coarse = centsPre.getOrElse(kmeansCentroids(
+      embQ.select(col(idCol), col("qq").as("q")), idCol, nCells, kmIters,
+      dims, trainMod))
+    val assign = ivfAssignFromCentroids(emb, idCol, vecCol, coarse, nProbe)
       .select(col(idCol), col("cell"), col("isHome"))
       .join(withVn, idCol)
     val member = struct(
       col(idCol).as("id") +: col("isHome") +: col("vn") +:
         (0 until m).map(mi => col(s"c$mi")): _*)
-    var pairs = assign.groupBy("cell").agg(collect_list(member).as("ms"))
+    val pairs = assign.groupBy("cell").agg(collect_list(member).as("ms"))
       .select(explode(col("ms")).as("x"), col("ms"))
       .select(col("x"), explode(col("ms")).as("y"))
       .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
-      .select(Seq(
-        col("x.id").as("a"), col("y.id").as("b"),
-        col("x.vn").as("vna"), col("y.vn").as("vnb")) ++
-        (0 until m).map(mi => col(s"x.c$mi").as(s"ca$mi")) ++
-        (0 until m).map(mi => col(s"y.c$mi").as(s"cb$mi")): _*)
-    (0 until m).foreach { mi =>
-      pairs = pairs.join(broadcast(tables(mi).select(
-        col("i").as(s"ca$mi"), col("j").as(s"cb$mi"), col("t").as(s"t$mi"))),
-        Seq(s"ca$mi", s"cb$mi"))
-    }
-    val score = (0 until m).map(mi => col(s"t$mi")).reduce(_ + _) /
-      (col("vna") * col("vnb"))
-    pairs.withColumn("pqcos", score)
+    // scoring = m literal-table lookups summed in fixed order — pure
+    // projection, no joins, fully inside whole-stage codegen
+    val score = (0 until m)
+      .map(mi => ccAt(mi, col(s"x.c$mi"), col(s"y.c$mi"))).reduce(_ + _) /
+      (col("x.vn") * col("y.vn"))
+    pairs.select(col("x.id").as("a"), col("y.id").as("b"), score.as("pqcos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))
   }
@@ -551,7 +679,7 @@ object Similarity {
    * μ'[d] = floor(Σ q[d] / n) — distributed sums stay integer (exact,
    * order-free) and the single floor-of-double-division is exact for
    * the small rationals involved — so the residual q − μ' is an integer
-   * vector and the whole codebook pipeline reuses [[pqCodebook]]
+   * vector and the whole codebook pipeline reuses [[pqCodebooksAll]]
    * unchanged. Approximate dot uses the exact expansion
    *   x̂a·x̂b = μ'a·μ'b + Σ_m (μ'a⊥cw_bm + μ'b⊥cw_am + cw_am·cw_bm)
    * (cross-subspace codeword terms vanish: codewords live in disjoint
@@ -562,9 +690,10 @@ object Similarity {
    */
   def topKIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
-      m: Int, pqK: Int, pqIters: Int, rerank: Int = 0): DataFrame = {
+      m: Int, pqK: Int, pqIters: Int, rerank: Int = 0,
+      trainMod: Long = 1): DataFrame = {
     val ranked = pqResidualRankedPairs(emb, idCol, vecCol,
-      nCells, kmIters, dims, nProbe, m, pqK, pqIters)
+      nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod)
     if (rerank <= 0)
       ranked.filter(col("rank") <= k).select("a", "rank", "b")
     else
@@ -577,9 +706,10 @@ object Similarity {
     * (the config's honest exact-scored cost, as [[ivfPqShortlist]]). */
   def ivfPqResidualShortlist(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
-      m: Int, pqK: Int, pqIters: Int, shortK: Int): DataFrame =
+      m: Int, pqK: Int, pqIters: Int, shortK: Int,
+      trainMod: Long = 1, centsPre: Option[DataFrame] = None): DataFrame =
     pqResidualRankedPairs(emb, idCol, vecCol, nCells, kmIters, dims, nProbe,
-      m, pqK, pqIters)
+      m, pqK, pqIters, trainMod, centsPre)
       .filter(col("rank") <= shortK).select("a", "b")
 
   /** All IVF candidates ranked by the residual-PQ table score.
@@ -589,117 +719,104 @@ object Similarity {
     * order so the oracle replays the identical IEEE sequence). */
   private def pqResidualRankedPairs(emb: DataFrame, idCol: String,
       vecCol: String, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
-      m: Int, pqK: Int, pqIters: Int): DataFrame = {
+      m: Int, pqK: Int, pqIters: Int, trainMod: Long = 1,
+      centsPre: Option[DataFrame] = None): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
 
-    // train the coarse quantizer ONCE; assignment + probing reuse it
-    val cents = kmeansCentroids(embQ.select(col(idCol), col("qq").as("q")),
-      idCol, nCells, kmIters, dims)
+    // train the coarse quantizer ONCE (or accept it pre-trained);
+    // assignment + probing reuse it
+    val cents = centsPre.getOrElse(kmeansCentroids(
+      embQ.select(col(idCol), col("qq").as("q")),
+      idCol, nCells, kmIters, dims, trainMod))
     val assign = ivfAssignFromCentroids(emb, idCol, vecCol, cents, nProbe)
       .select(col(idCol), col("cell"), col("isHome"))
     val home = assign.filter(col("isHome")).select(col(idCol), col("cell"))
 
-    // floor-integer cell means (exact in both engines; see Scaladoc)
+    // floor-integer cell means (exact in both engines; see Scaladoc):
+    // ONE full-corpus aggregate, COLLECTED — nCells rows of dims longs,
+    // a constant-size index artifact like the codebooks below
     val sumCols = (0 until dims).map(d => sum(element_at(col("qq"), d + 1)).as(s"s$d"))
-    val mu = embQ.join(home, idCol).groupBy("cell")
-      .agg(count(lit(1)).as("n"), sumCols: _*)
-      .select(col("cell"), array((0 until dims).map(d =>
-        floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("mu"))
-      .localCheckpoint(true)
+    val muRows = graft.engine.StaticPlan.scopedAqeOff(emb.sparkSession) {
+      embQ.join(home, idCol).groupBy("cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .select(col("cell"), array((0 until dims).map(d =>
+          floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("mu"))
+        .collect()
+    }
+    val cellIds: Array[Long] = muRows.map(_.getLong(0)).sorted
+    val cellIdx: Map[Long, Int] = cellIds.zipWithIndex.toMap
+    val muByCell: Map[Long, Array[Long]] =
+      muRows.map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val muD: Array[Array[Double]] = cellIds.map(muByCell(_).map(_.toDouble))
+    val nC = cellIds.length
 
-    // integer residual vs the HOME cell mean (zip_with is interpreted —
-    // fine for training; a codegen kernel would replace it at scale)
-    val resid = embQ.join(home, idCol).join(broadcast(mu), "cell")
+    // integer residual vs the HOME cell mean — the mean arrives as a
+    // literal map (cell → μ'), so the residual pass is scan + project
+    val muLit = typedlit(muByCell.map { case (k, v) => k -> v.toSeq })
+    val resid = embQ.join(home, idCol)
       .select(col(idCol), col("cell").as("hc"),
-        zip_with(col("qq"), col("mu"), (x, y) => x - y).as("rq"))
-      .localCheckpoint(true)
+        zip_with(col("qq"), element_at(muLit, col("cell")), (x, y) => x - y).as("rq"))
+      .transform(ckptFresh)
 
-    // cell×cell mean-dot table (nCells² rows, broadcast)
-    val tmm = mu.alias("l").crossJoin(broadcast(mu.alias("r")))
-      .select(col("l.cell").as("ha"), col("r.cell").as("hb"),
-        dot(col("l.mu").cast("array<double>"),
-          col("r.mu").cast("array<double>")).as("tmm"))
-      .localCheckpoint(true)
+    // all m residual codebooks trained jointly (distributed, sampled),
+    // then the constant-size index collected; ALL three ADC table
+    // families (cell×cell, cell×codeword, codeword×codeword) are
+    // driver-computed dense literals — scoring needs no joins at all
+    val residQ = resid.select(col(idCol), col("hc"), col("rq").as("qq"))
+    val cbAll = pqCodebooksAll(residQ, idCol, m, subDim, pqK, pqIters, trainMod)
+    val idx = collectPqIndex(cbAll, m, pqK)
+    val tmmFlat = Array.tabulate(nC * nC)(i => dotD(muD(i / nC), muD(i % nC)))
+    val mcFlat = new Array[Double](m * nC * pqK)
+    for (mi <- 0 until m; ci <- 0 until nC; k <- 0 until pqK)
+      mcFlat((mi * nC + ci) * pqK + k) = dotD(
+        java.util.Arrays.copyOfRange(muD(ci), mi * subDim, (mi + 1) * subDim),
+        idx.means(mi)(k))
+    val cellIdxLit = typedlit(cellIdx)
+    def ccAt(mi: Int, i: Column, j: Column): Column =
+      graft.functions.VectorFunctions.adcLookup(idx.ccFlat,
+        ((lit(mi) * pqK + i) * pqK + j).cast("int"))
+    def mcAt(mi: Int, hi: Column, k: Column): Column =
+      graft.functions.VectorFunctions.adcLookup(mcFlat,
+        ((lit(mi) * nC + hi) * pqK + k).cast("int"))
+    def tmmAt(hi: Column, hj: Column): Column =
+      graft.functions.VectorFunctions.adcLookup(tmmFlat,
+        (hi * nC + hj).cast("int"))
 
-    // per-subspace codebooks on residual slices + the two lookup tables
-    var codesWide: DataFrame = resid.select(col(idCol), col("hc"))
-    val ccT = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    val mcT = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    (0 until m).foreach { mi =>
-      val subR = resid.select(col(idCol),
-        slice(col("rq"), mi * subDim + 1, subDim).as("q"))
-      val cb = pqCodebook(subR, idCol, pqK, pqIters, subDim)
-      val means = cb.select(col("cid"),
-        transform(col("cq"), x => x.cast("double") / col("cnt")).as("mv"))
-        .localCheckpoint(true)
-      val codes = subR.crossJoin(broadcast(cb.select("cid", "cq")))
-        .withColumn("s", cbScore(col("q"), col("cq")))
-        .withColumn("__r", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))))
-        .filter(col("__r") === 1)
-        .select(col(idCol), col("cid").as(s"c$mi"))
-      codesWide = codesWide.join(codes, idCol)
-      ccT += means.alias("l").crossJoin(broadcast(means.alias("r")))
-        .select(col("l.cid").as("i"), col("r.cid").as("j"),
-          dot(col("l.mv"), col("r.mv")).as("t"))
-        .localCheckpoint(true)
-      mcT += mu.select(col("cell"),
-          slice(col("mu"), mi * subDim + 1, subDim).cast("array<double>").as("ms"))
-        .crossJoin(broadcast(means))
-        .select(col("cell"), col("cid").as("kc"),
-          dot(col("ms"), col("mv")).as("t"))
-        .localCheckpoint(true)
-    }
+    // dense codes + home-cell index + inline approx norm
+    // ‖x̂‖ = √(μμ + Σ_m (μcw + μcw + cwcw)), summed in the same
+    // left-assoc order the pair score uses
+    val codesWide = resid
+      .select(col(idCol), element_at(cellIdxLit, col("hc")).as("hi"))
+      .join(denseCodes(pqAssignCodes(residQ, idCol, cbAll, m, subDim),
+        idCol, idx), idCol)
+    val vn2 = (Seq(tmmAt(col("hi"), col("hi"))) ++ (0 until m).flatMap { mi =>
+      val nmc = mcAt(mi, col("hi"), col(s"c$mi"))
+      Seq(nmc, nmc, ccAt(mi, col(s"c$mi"), col(s"c$mi")))
+    }).reduce(_ + _)
+    val coded = codesWide.withColumn("vn", sqrt(vn2))
 
-    // per-vector approx norm ‖x̂‖ = √(μμ + Σ_m (μcw + μcw + cwcw)),
-    // summed in the same left-assoc order the pair score uses
-    var withVn = codesWide
-      .join(broadcast(tmm.filter(col("ha") === col("hb"))
-        .select(col("ha").as("hc"), col("tmm").as("nmm"))), "hc")
-    (0 until m).foreach { mi =>
-      withVn = withVn
-        .join(broadcast(mcT(mi).select(col("cell").as("hc"),
-          col("kc").as(s"c$mi"), col("t").as(s"nmc$mi"))), Seq("hc", s"c$mi"))
-        .join(broadcast(ccT(mi).filter(col("i") === col("j"))
-          .select(col("i").as(s"c$mi"), col("t").as(s"ncc$mi"))), s"c$mi")
-    }
-    val vn2 = (Seq(col("nmm")) ++ (0 until m).flatMap(mi =>
-      Seq(col(s"nmc$mi"), col(s"nmc$mi"), col(s"ncc$mi")))).reduce(_ + _)
-    val coded = withVn.withColumn("vn", sqrt(vn2))
-      .select(col(idCol) +: col("hc") +: col("vn") +:
-        (0 until m).map(mi => col(s"c$mi")): _*)
-
-    // exactly-once in-cell pair generation carrying codes, not vectors
+    // exactly-once in-cell pair generation carrying dense codes — at
+    // 100 TB the cell shuffle moves (id, isHome, hi, vn, m small ints)
+    // per member, smaller still than the raw-cid encoding
     val member = struct(
-      col(idCol).as("id") +: col("isHome") +: col("hc") +: col("vn") +:
+      col(idCol).as("id") +: col("isHome") +: col("hi") +: col("vn") +:
         (0 until m).map(mi => col(s"c$mi")): _*)
-    var pairs = assign.join(coded, idCol)
+    val pairs = assign.join(coded, idCol)
       .groupBy("cell").agg(collect_list(member).as("ms"))
       .select(explode(col("ms")).as("x"), col("ms"))
       .select(col("x"), explode(col("ms")).as("y"))
       .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
-      .select(Seq(
-        col("x.id").as("a"), col("y.id").as("b"),
-        col("x.hc").as("ha"), col("y.hc").as("hb"),
-        col("x.vn").as("vna"), col("y.vn").as("vnb")) ++
-        (0 until m).map(mi => col(s"x.c$mi").as(s"ca$mi")) ++
-        (0 until m).map(mi => col(s"y.c$mi").as(s"cb$mi")): _*)
-    pairs = pairs.join(broadcast(tmm), Seq("ha", "hb"))
-    (0 until m).foreach { mi =>
-      pairs = pairs
-        .join(broadcast(mcT(mi).select(col("cell").as("ha"),
-          col("kc").as(s"cb$mi"), col("t").as(s"tab$mi"))), Seq("ha", s"cb$mi"))
-        .join(broadcast(mcT(mi).select(col("cell").as("hb"),
-          col("kc").as(s"ca$mi"), col("t").as(s"tba$mi"))), Seq("hb", s"ca$mi"))
-        .join(broadcast(ccT(mi).select(col("i").as(s"ca$mi"),
-          col("j").as(s"cb$mi"), col("t").as(s"tcc$mi"))), Seq(s"ca$mi", s"cb$mi"))
-    }
-    val snum = (Seq(col("tmm")) ++ (0 until m).flatMap(mi =>
-      Seq(col(s"tab$mi"), col(s"tba$mi"), col(s"tcc$mi")))).reduce(_ + _)
-    val score = when(col("vna") * col("vnb") === lit(0.0), lit(0.0))
-      .otherwise(snum / (col("vna") * col("vnb")))
-    pairs.withColumn("pqcos", score)
+    // x̂a·x̂b = μμ + Σ_m (μ·cw + μ·cw + cw·cw) — 3m+1 literal lookups
+    // in the same left-assoc order as before, pure codegen projection
+    val snum = (Seq(tmmAt(col("x.hi"), col("y.hi"))) ++
+      (0 until m).flatMap(mi => Seq(
+        mcAt(mi, col("x.hi"), col(s"y.c$mi")),
+        mcAt(mi, col("y.hi"), col(s"x.c$mi")),
+        ccAt(mi, col(s"x.c$mi"), col(s"y.c$mi"))))).reduce(_ + _)
+    val score = when(col("x.vn") * col("y.vn") === lit(0.0), lit(0.0))
+      .otherwise(snum / (col("x.vn") * col("y.vn")))
+    pairs.select(col("x.id").as("a"), col("y.id").as("b"), score.as("pqcos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))
   }

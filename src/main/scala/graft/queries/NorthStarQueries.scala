@@ -54,6 +54,12 @@ object NorthStarQueries {
   // corpus × corpus, the only exact-cosine shape that survives corpus
   // growth. Raise with corpus size to keep the probe set ~fixed.
   private val PROBE_MOD = 16L
+  // In-query index TRAINING (k-means centroids, PQ codebooks) reads only
+  // every TRAIN_MOD-th vector (the FAISS discipline: codebooks are
+  // distribution statistics — train on a hash-sample, assign/encode/
+  // rerank full-corpus). Raise with corpus size; the sample must still
+  // cover the largest seed count (64 cells → ≥ 64 sampled vectors).
+  private val TRAIN_MOD = 4L
   // Count-min sketch (q_heavy_hitters): D independent hash rows of W
   // buckets, h_j(fp) = (fp·a_j + b_j) mod 1000003 mod W. W = 32 is
   // deliberately tight for the 31-type fixture vocabulary so collisions
@@ -197,9 +203,13 @@ object NorthStarQueries {
     * under positive scaling, so sums ≡ means for assignment, and
     * integer sums are order-independent — the property that makes
     * Lloyd iterations exactly replicable across engines). `iters`
-    * rounds are unrolled as ka{t}/ks{t}/kc{t+1} CTE triples. */
+    * rounds are unrolled as ka{t}/ks{t}/kc{t+1} CTE triples.
+    * `trainMod` > 1 — the Similarity.kmeansCentroids training-sample
+    * mirror: seeds and Lloyd rounds read only `vec_id % trainMod = 0`
+    * (the `{pfx}qt` CTE); the final full-corpus assignment
+    * (`{pfx}ranked`) is unchanged. */
   private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int,
-      pfx: String = "k"): String = {
+      pfx: String = "k", trainMod: Long = 1): String = {
     def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
     val sumList = (1 to DIMS).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
       .mkString("[", ", ", "]")
@@ -207,11 +217,15 @@ object NorthStarQueries {
     sb ++= s"${pfx}qe AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
       "FROM embeddings), "
-    sb ++= s"${pfx}c0 AS (SELECT vec_id AS cid, q AS cq FROM ${pfx}qe ORDER BY vec_id LIMIT $nCells), "
+    val trainSrc = if (trainMod == 1) s"${pfx}qe" else {
+      sb ++= s"${pfx}qt AS (SELECT * FROM ${pfx}qe WHERE vec_id % $trainMod = 0), "
+      s"${pfx}qt"
+    }
+    sb ++= s"${pfx}c0 AS (SELECT vec_id AS cid, q AS cq FROM $trainSrc ORDER BY vec_id LIMIT $nCells), "
     for (t <- 0 until iters) {
       sb ++= s"${pfx}a$t AS (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS r " +
-        s"FROM ${pfx}qe e, ${pfx}c$t c) WHERE r = 1), "
+        s"FROM $trainSrc e, ${pfx}c$t c) WHERE r = 1), "
       sb ++= s"${pfx}s$t AS (SELECT cell, $sumList AS nq FROM ${pfx}a$t GROUP BY cell), "
       sb ++= s"${pfx}c${t + 1} AS (SELECT c.cid, coalesce(s.nq, c.cq) AS cq FROM ${pfx}c$t c " +
         s"LEFT JOIN ${pfx}s$t s ON c.cid = s.cell), "
@@ -231,9 +245,13 @@ object NorthStarQueries {
     * count cnt), codeword means pm{mi} = cq/cnt, final code assignment
     * pk{mi}, and the pqK×pqK codeword-dot table pt{mi}. Ends with
     * pcod (codes pivoted wide) and pvn (approx norm from the table
-    * diagonal, fixed-order sum). Requires sqlKmeansCtes's `kqe`. */
+    * diagonal, fixed-order sum). Requires sqlKmeansCtes's `kqe`.
+    * `trainMod` > 1 mirrors Similarity.pqCodebook's training sample:
+    * seeds + Lloyd rounds read the `vec_id % trainMod = 0` slice of
+    * each subspace; the final code assignment `pk{mi}` stays
+    * full-corpus. */
   private def sqlPqCtes(m: Int, subDim: Int, pqK: Int, iters: Int,
-      qe: String = "kqe", pfx: String = "p"): String = {
+      qe: String = "kqe", pfx: String = "p", trainMod: Long = 1): String = {
     // zero-norm guard mirrors Similarity.cbScore (all-zero RESIDUAL
     // centroids are possible; NaN-vs-NULL 0/0 ordering diverges)
     def score(q: String, c: String) =
@@ -246,12 +264,17 @@ object NorthStarQueries {
       val sumList = (1 to subDim).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
         .mkString("[", ", ", "]")
       sb ++= s"${pfx}e$mi AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM $qe), "
+      val trainSrc = if (trainMod == 1) s"${pfx}e$mi" else {
+        sb ++= s"${pfx}et$mi AS MATERIALIZED (SELECT * FROM ${pfx}e$mi " +
+          s"WHERE vec_id % $trainMod = 0), "
+        s"${pfx}et$mi"
+      }
       sb ++= s"${pfx}c${mi}_0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cq, CAST(1 AS BIGINT) AS cnt " +
-        s"FROM ${pfx}e$mi ORDER BY vec_id LIMIT $pqK), "
+        s"FROM $trainSrc ORDER BY vec_id LIMIT $pqK), "
       for (t <- 0 until iters) {
         sb ++= s"${pfx}a${mi}_$t AS MATERIALIZED (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
           s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS r " +
-          s"FROM ${pfx}e$mi e, ${pfx}c${mi}_$t c) WHERE r = 1), "
+          s"FROM $trainSrc e, ${pfx}c${mi}_$t c) WHERE r = 1), "
         sb ++= s"${pfx}s${mi}_$t AS MATERIALIZED (SELECT cell, $sumList AS nq, CAST(count(*) AS BIGINT) AS n " +
           s"FROM ${pfx}a${mi}_$t GROUP BY cell), "
         sb ++= s"${pfx}c${mi}_${t + 1} AS MATERIALIZED (SELECT c.cid, coalesce(s.nq, c.cq) AS cq, " +
@@ -1267,8 +1290,8 @@ object NorthStarQueries {
       // (integer sums) make the clustering oracle-replicable; pair
       // scoring uses the original float vectors.
       (s, d) => Similarity.semDedup(emb(s, d), "vec_id", "embedding",
-        SEM_TAU, 16, KM_ITERS, DIMS).orderBy("vec_id"),
-      s"WITH ${sqlKmeansCtes(16, 1, KM_ITERS, "m")}, " +
+        SEM_TAU, 16, KM_ITERS, DIMS, TRAIN_MOD).orderBy("vec_id"),
+      s"WITH ${sqlKmeansCtes(16, 1, KM_ITERS, "m", TRAIN_MOD)}, " +
         "pr AS (SELECT l.vec_id AS a, r.vec_id AS b FROM mhome l " +
         "JOIN mhome r USING (cell) WHERE l.vec_id < r.vec_id " +
         s"AND ${sqlCos("l.embedding", "r.embedding")} >= CAST($SEM_TAU AS DOUBLE)) " +
@@ -1461,14 +1484,15 @@ object NorthStarQueries {
 
     Q("q_ann_ivf_kmeans",
       // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
-      // over integer-quantized vectors lift recall@3 from 0.34 (seed
-      // centroids, q_ann_ivf2) to 0.41 at the SAME cells/nprobe operating
-      // point (probe-measured on the fixture). The oracle unrolls the
-      // identical rounds — integer centroid sums make that exact.
+      // over integer-quantized vectors lift recall@3 from 0.33 (seed
+      // centroids, q_ann_ivf2) to 0.52 at the SAME cells/nprobe operating
+      // point (sf0.01, TRAIN_MOD-sampled training — see q_ann_tuning).
+      // The oracle unrolls the identical rounds on the identical sample —
+      // integer centroid sums make that exact.
       (s, d) => Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
-          16, KM_ITERS, DIMS, 2)
+          16, KM_ITERS, DIMS, 2, TRAIN_MOD)
         .orderBy("a", "rank"),
-      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS)} " +
+      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)} " +
         "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
@@ -1480,16 +1504,16 @@ object NorthStarQueries {
       // vector is reduced to 8 sub-codeword ids, pairs are scored by 8
       // broadcast-table lookups (the float vector never enters the cell
       // shuffle — ~30× fewer index bytes at 100 TB), and true cosine
-      // re-ranks only the PQ top-48 per query. Probe-measured on the
-      // fixture: ADC-only recall@3 0.11 / rerank-12 0.25 / rerank-24
-      // 0.36 / rerank-48 0.47 / rerank-96 0.57 vs the 0.596 ceiling of
-      // exact-scoring every candidate (q_ann_recall's kmeans column) —
-      // rerank size is the float-work/recall knob.
+      // re-ranks only the PQ top-48 per query. Probe-measured (sf0.01,
+      // TRAIN_MOD-sampled codebooks): recall@3 0.67 at rerank-48 vs the
+      // 0.74 ceiling of exact-scoring every candidate (q_ann_tuning's
+      // ivf_kmeans 16/4 row) — rerank size is the float-work/recall
+      // knob, at 24k exactly-scored pairs vs the ceiling's 62k.
       (s, d) => Similarity.topKIvfPq(emb(s, d), "vec_id", "embedding", 3,
-          16, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
+          16, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
         .orderBy("a", "rank"),
-      s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS)}, " +
-        s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS)}, " +
+      s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+        s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, trainMod = TRAIN_MOD)}, " +
         "ppair AS (SELECT l.vec_id AS a, r.vec_id AS b, (" +
         (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
         ") / (la.vn * rb.vn) AS pqcos " +
@@ -1512,20 +1536,20 @@ object NorthStarQueries {
       // (floor-integer mean keeps every distributed sum integer-exact);
       // pair scoring expands x̂a·x̂b = μμ + Σ_m (μ·cw + μ·cw + cw·cw)
       // from three broadcast table families, so the float vector still
-      // never enters the cell shuffle. Probe-measured on THIS fixture:
-      // recall parity with raw-PQ q_ann_pq (0.10 vs 0.11 ADC, 0.47
-      // both at rerank-48) — the synthetic embeddings are near-
-      // isotropic, so the centroid absorbs little structure; on real
-      // clustered corpora residual encoding is the standard win.
+      // never enters the cell shuffle. Probe-measured (sf0.01,
+      // TRAIN_MOD-sampled codebooks): recall parity with raw-PQ
+      // q_ann_pq (0.70 vs 0.67 at rerank-48) — the synthetic embeddings
+      // are near-isotropic, so the centroid absorbs little structure;
+      // on real clustered corpora residual encoding is the standard win.
       (s, d) => Similarity.topKIvfPqResidual(emb(s, d), "vec_id", "embedding", 3,
-          16, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK)
+          16, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
         .orderBy("a", "rank"),
       {
         val snum = "mm.t" + (0 until PQ_M).map(mi =>
           s" + ab$mi.t + ba$mi.t + cc$mi.t").mkString
-        s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS)}, " +
+        s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD)}, " +
           s"${sqlResidualPreCtes()}, " +
-          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe")}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", trainMod = TRAIN_MOD)}, " +
           s"${sqlResidualTableCtes(PQ_M, DIMS / PQ_M)}, " +
           "rpair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, " +
           "CASE WHEN la.vn * rb.vn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
@@ -1730,16 +1754,17 @@ object NorthStarQueries {
         // nProbe 4 is the 16-cell frontier point: recall 0.596 at 62k
         // candidates (vs 0.41 at nprobe 2 / 31k).
         val kme = Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
-            16, KM_ITERS, DIMS, 4)
+            16, KM_ITERS, DIMS, 4, TRAIN_MOD)
           .select("a", "b")
         // The WIDE frontier: 64 k-means cells probed 20-deep — finer
         // quantization at a similar scan fraction. Probe-measured
-        // recall 0.834 at 31% of the exact candidate cost (vs 0.596 at
-        // 25% for 16/4); see the q_ann_tuning rows. One training
-        // (checkpointed centroids), probe depth is a rank slice.
+        // (sampled training) recall 0.875 at 31% of the exact candidate
+        // cost (vs 0.74 at 25% for 16/4); see the q_ann_tuning rows.
+        // One training (checkpointed centroids), probe depth is a rank
+        // slice.
         val kmw = Similarity.topKFromAssign(
             Similarity.ivfKmeansAssignRanked(emb(s, d), "vec_id", "embedding",
-              64, KM_ITERS, DIMS, 20).drop("rank"),
+              64, KM_ITERS, DIMS, 20, TRAIN_MOD).drop("rank"),
             "vec_id", "embedding", 3)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
@@ -1794,12 +1819,12 @@ object NorthStarQueries {
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
-        s"${sqlKmeansCtes(16, 4, KM_ITERS)}, " +
+        s"${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD)}, " +
         "lvk AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
-        s"${sqlKmeansCtes(64, 20, KM_ITERS, "w")}, " +
+        s"${sqlKmeansCtes(64, 20, KM_ITERS, "w", TRAIN_MOD)}, " +
         "lvw AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM wprobe l JOIN whome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
@@ -1828,23 +1853,23 @@ object NorthStarQueries {
       // this frontier instead of hardcoded constants; at 100 TB the same
       // report runs on a sample. Counts are integers, recall is one
       // final division — hash-exact across engines.
-      (s, d) => {
+      (s, d) => graft.engine.StaticPlan.scopedAqeOff(s) {
         val e = emb(s, d)
-        // NOTE: a StaticPlan scope was tried here (the 11-config union
-        // runs ~467 AQE exchange-materialization jobs) and REVERTED:
-        // static-planned localCheckpoints preserve outputPartitioning
-        // whose attribute references break DeduplicateRelations in the
-        // deep self-joining PQ pipelines ("Conflicting attributes"
-        // analysis error). The report stays adaptive; its cost is
-        // amortizable offline and the shared materialized assignments /
-        // shortlists below already removed the duplicated training.
+        import graft.engine.StaticPlan.ckptFresh
+        // The whole report CONSTRUCTS (and its sub-pipelines train)
+        // under a static scope: every materialization is one job
+        // instead of an AQE exchange-materialization cascade (round 7
+        // measured ~467 AQE jobs here; the old "Conflicting attributes"
+        // blocker is fixed by ckptFresh's re-aliased checkpoints). The
+        // returned frame itself still EXECUTES under the caller's
+        // adaptive conf.
         //
         // exact feeds one semi-join per config row (11 of them) — ONE
         // O(n^2) run; same for the shared LSH bucket table and the wide
         // 64-cell assignment (4 consumers)
-        val exact = Similarity.topK(e, "vec_id", "embedding", 3, PROBE_MOD)
-          .select("a", "b")
-          .localCheckpoint()
+        val exact = ckptFresh(
+          Similarity.topK(e, "vec_id", "embedding", 3, PROBE_MOD)
+            .select("a", "b"))
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nTot = e.agg(count(lit(1)).as("n"))
         def cfgRow(method: String, p1: Int, p2: Int, approx: DataFrame,
@@ -1856,9 +1881,8 @@ object NorthStarQueries {
             lit(p2.toLong).as("probes"), col("n_hits"), col("n_cands"))
         }
         // ordered scored-pair counts per config (x≠y meetings)
-        val bk = e.select(col("vec_id"),
-          Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
-          .localCheckpoint()
+        val bk = ckptFresh(e.select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket")))
         val lshCands = bk.groupBy("bucket").agg(count(lit(1)).as("c"))
           .agg(sum(col("c") * (col("c") - 1)).as("n_cands"))
         val copies = bk.select(col("vec_id"),
@@ -1876,31 +1900,36 @@ object NorthStarQueries {
             .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
             .select((col("mh") - col("n")).as("n_cands"))
         val id = "vec_id"; val v = "embedding"
-        val wideAssign = Similarity.ivfKmeansAssignRanked(e, id, v, 64,
-          KM_ITERS, DIMS, 20).localCheckpoint()
+        val wideAssign = ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 64,
+          KM_ITERS, DIMS, 20, TRAIN_MOD))
         def wide(p: Int): DataFrame =
           wideAssign.filter(col("rank") <= p).drop("rank")
-        // 16-cell rows share ONE training the same way (the probe depth
-        // is a rank slice, not a retrain)
-        val a16 = Similarity.ivfKmeansAssignRanked(e, id, v, 16,
-          KM_ITERS, DIMS, 4).localCheckpoint()
+        // ALL 16-cell configs (ivf_kmeans 16/2, 16/4, ivf_pq, ivf_pq_res)
+        // share ONE coarse k-means training: the assignment table is a
+        // rank slice and the PQ pipelines take the centroids pre-trained
+        val cents16 = Similarity.kmeansCentroids(
+          e.select(col(id), Similarity.quantize(col(v)).as("q")),
+          id, 16, KM_ITERS, DIMS, TRAIN_MOD)
+        val a16 = ckptFresh(
+          Similarity.ivfAssignFromCentroids(e, id, v, cents16, 4))
         def a16p(p: Int): DataFrame =
           a16.filter(col("rank") <= p).drop("rank")
         // 8-cell k-means and seed-IVF assignments share ONE materialized
         // ranked table each, like a16/wideAssign — per-config re-derivation
         // retrained k-means and re-scored every (vector, centroid) pair
         // TWICE per row (top-k side + candidate-count side)
-        val a8 = Similarity.ivfKmeansAssignRanked(e, id, v, 8,
-          KM_ITERS, DIMS, 2).localCheckpoint()
+        val a8 = ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 8,
+          KM_ITERS, DIMS, 2, TRAIN_MOD))
         def a8p(p: Int): DataFrame =
           a8.filter(col("rank") <= p).drop("rank")
-        val iv16 = Similarity.ivfAssignRanked(e, id, v, 16, 2).localCheckpoint()
+        val iv16 = ckptFresh(Similarity.ivfAssignRanked(e, id, v, 16, 2))
         def iv16p(p: Int): DataFrame =
           iv16.filter(col("rank") <= p).drop("rank")
-        val slPq = Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS, DIMS, 4,
-          PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).localCheckpoint()
-        val slRes = Similarity.ivfPqResidualShortlist(e, id, v, 16, KM_ITERS,
-          DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK).localCheckpoint()
+        val slPq = ckptFresh(Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS,
+          DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD, Some(cents16)))
+        val slRes = ckptFresh(Similarity.ivfPqResidualShortlist(e, id, v, 16,
+          KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD,
+          Some(cents16)))
         val rows = Seq(
           cfgRow("lsh", PLANES, 0,
             Similarity.topKLsh(e, id, v, 3, PLANES, DIMS).select("a", "b"), lshCands),
@@ -1923,8 +1952,8 @@ object NorthStarQueries {
             ivfCands(a16p(4))),
           // 64-cell wide frontier: ONE training (checkpointed centroids)
           // probed 20-deep; the 16-probe row is a rank slice of it.
-          // These are the ≥0.75-recall-under-half-cost operating points
-          // (probe-measured 0.779 @ 25% and 0.834 @ 31%).
+          // These are the ≥0.84-recall-under-half-cost operating points
+          // (probe-measured 0.84 @ 25% and 0.875 @ 31%, sampled training).
           cfgRow("ivf_kmeans", 64, 16,
             Similarity.topKFromAssign(wide(16), id, v, 3).select("a", "b"),
             ivfCands(wide(16))),
@@ -1965,6 +1994,12 @@ object NorthStarQueries {
                 .distinct()
                 .agg(count(lit(1)).as("n_cands"))
             }))
+        // The final 12-row assembly deliberately runs ADAPTIVE (it
+        // executes outside this scope, at the caller's action): its
+        // inputs are stat-less checkpoints, and the static planner's
+        // default size estimate would turn the 11 tiny semi-joins into
+        // sort-merge joins (measured +4 s); AQE's runtime stats pick
+        // broadcasts correctly.
         rows.reduce(_.unionByName(_)).crossJoin(nE)
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
@@ -1994,17 +2029,17 @@ object NorthStarQueries {
           s"${sqlIvfCtes(16, 2)}, " +
           s"lv1 AS (${top3("home", "home", "cell")}), " +
           s"lv2 AS (${top3("probe", "home", "cell")}), " +
-          s"${sqlKmeansCtes(16, 2, KM_ITERS, "k")}, " +
+          s"${sqlKmeansCtes(16, 2, KM_ITERS, "k", TRAIN_MOD)}, " +
           s"lvk AS (${top3("kprobe", "khome", "cell")}), " +
-          s"${sqlKmeansCtes(8, 2, KM_ITERS, "t")}, " +
+          s"${sqlKmeansCtes(8, 2, KM_ITERS, "t", TRAIN_MOD)}, " +
           s"lvt AS (${top3("tprobe", "thome", "cell")}), " +
-          s"${sqlKmeansCtes(16, 4, KM_ITERS, "u")}, " +
+          s"${sqlKmeansCtes(16, 4, KM_ITERS, "u", TRAIN_MOD)}, " +
           s"lvu AS (${top3("uprobe", "uhome", "cell")}), " +
-          s"${sqlKmeansCtes(64, 20, KM_ITERS, "w")}, " +
+          s"${sqlKmeansCtes(64, 20, KM_ITERS, "w", TRAIN_MOD)}, " +
           "wprobe16 AS (SELECT vec_id, embedding, cell FROM wranked WHERE cr <= 16), " +
           s"lvw AS (${top3("wprobe16", "whome", "cell")}), " +
           s"lvy AS (${top3("wprobe", "whome", "cell")}), " +
-          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "uqe")}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "uqe", trainMod = TRAIN_MOD)}, " +
           "ppair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, (" +
           (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
           ") / (la.vn * rb.vn) AS pqcos " +
@@ -2024,7 +2059,7 @@ object NorthStarQueries {
           // residual-PQ at the same (16, 4, rerank) point: residuals vs
           // the u-kmeans home cells, z-prefixed codebook instance
           s"${sqlResidualPreCtes("u")}, " +
-          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", pfx = "z")}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", pfx = "z", trainMod = TRAIN_MOD)}, " +
           s"${sqlResidualTableCtes(PQ_M, DIMS / PQ_M, pfx = "z", kpfx = "u")}, " +
           "zpair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, " +
           "CASE WHEN la.vn * rb.vn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +

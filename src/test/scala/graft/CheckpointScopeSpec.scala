@@ -52,4 +52,37 @@ class CheckpointScopeSpec extends SparkSpec {
     scope.free(List(lazyId))
     scope.freeAllBut(Nil)
   }
+
+  test("StaticPlan.ckptFresh: static checkpoint re-joins the original plan " +
+      "(round-7 'Conflicting attributes' regression)") {
+    // Under a static scope a plain localCheckpoint keeps both its
+    // attribute-referencing outputPartitioning AND the original
+    // attribute ids; deep pipelines that join such a checkpoint back
+    // against the original scan failed analysis with "Failure when
+    // resolving conflicting references in Join" (the r7 negative result
+    // that forced q_ann_tuning to stay adaptive). ckptFresh re-aliases
+    // the exposed output, so the same pipeline must now analyze and run.
+    import graft.engine.StaticPlan
+    // The exact reproducer is the residual-PQ pipeline: its checkpoints
+    // (resid, codebooks) expose the scan's ids while a later join brings
+    // the live scan back on the other side. Simpler checkpoint-vs-scan
+    // joins do NOT trip the bug (probed explicitly) — so the regression
+    // lock IS the pipeline, on a tiny synthetic embedding table.
+    val emb = spark.range(40).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.array((0 until 8).map(d =>
+        (((col("id") * (d + 3) + d) % 13 + 1) / lit(14.0)).cast("float")): _*)
+        .as("embedding"))
+    val n = StaticPlan.scoped(spark, 4) {
+      graft.ml.Similarity.topKIvfPqResidual(emb, "vec_id", "embedding",
+        3, 4, 1, 8, 2, 2, 4, 1, 6, 2).count()
+    }
+    assert(n > 0)
+    // and a fresh-aliased static checkpoint still self-joins cleanly
+    StaticPlan.scoped(spark, 4) {
+      val c = StaticPlan.ckptFresh(emb.repartition(4, col("vec_id")))
+      assert(c.alias("l").join(c.alias("r"),
+        col("l.vec_id") === col("r.vec_id")).count() === 40)
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }

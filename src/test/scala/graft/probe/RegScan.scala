@@ -3,17 +3,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Registry-wide timing scan: min-of-2 count() per query at sf0.1,
   * sorted slowest-first — finds slow queries the headline bench does
-  * not cover. Report written to /tmp/regscan.txt. */
+  * not cover. Text report → /tmp/regscan.txt; machine-readable JSON
+  * (per-query min seconds + total) → /tmp/regscan.json, committed
+  * per-round as REGSCAN_r{N}.json so tail regressions are diffable
+  * from driver artifacts. Optional arg: comma-separated query subset. */
 object RegScan {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = new StringBuilder
-    val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sel = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+    val times = sel.map { case (name, fn) =>
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -28,7 +35,13 @@ object RegScan {
     out.append(f"TOTAL(min-of-2) ${times.map(_._2).sum}%.1f s over ${times.size} queries\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/regscan.txt"),
       out.toString.getBytes)
-    println("wrote /tmp/regscan.txt")
+    val json = times.sortBy(-_._2).map { case (n, s) =>
+      f""""$n%s":$s%.3f""" }.mkString(
+      s"""{"sf_dir":"$sfDir","protocol":"min-of-2 count()","n_queries":${times.size},""" +
+        f""""total_sec":${times.map(_._2).sum}%.1f,"queries":{""", ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/regscan.json"),
+      json.getBytes)
+    println("wrote /tmp/regscan.txt and /tmp/regscan.json")
     spark.stop()
   }
 }
