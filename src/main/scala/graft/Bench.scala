@@ -93,9 +93,17 @@ object Bench {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val j0 = nJobs.get
       val t0 = System.nanoTime()
-      val df = try all(name)(spark, sfDir) catch { case _: Throwable => null }
+      // a failing query must not silently report -1 and keep the bench
+      // green — log it loudly (the correctness harness is the real
+      // gate, but a hollow bench number should be visible here too)
+      def failing(e: Throwable): Null = {
+        System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: " +
+          s"${String.valueOf(e.getMessage).take(200)}")
+        null
+      }
+      val df = try all(name)(spark, sfDir) catch { case e: Throwable => failing(e) }
       val n = if (df == null) -1L
-        else try df.count() catch { case _: Throwable => -1L }
+        else try df.count() catch { case e: Throwable => failing(e); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       val jobs = nJobs.get - j0
       // plan stringification happens AFTER the timer stops
@@ -181,6 +189,7 @@ object Bench {
     val totalCold = cold.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""protocol":"per-query min of 3 steady passes after 1 cold pass; rates best-of-3 on warm plans (r7+; earlier rounds reported the single second pass)",""" +
         s""""value_cold":$totalCold,"queries_cold":$qsCold,"shuffles":$qsEx,""" +
         s""""jobs":$qsJobs,""" +
         s""""n_queries":${results.size},"events_rows":$nEvents,""" +

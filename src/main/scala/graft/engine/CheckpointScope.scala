@@ -153,4 +153,17 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
 
   /** Unpersist every checkpoint this scope made except `keep`. */
   def freeAllBut(keep: List[Int]): Unit = free(owned.filterNot(keep.contains))
+
+  /** Run an engine body; if it throws, free EVERY checkpoint this scope
+    * pinned before rethrowing. An exception escaping an engine (e.g. a
+    * failed `require` after the input layouts were already pinned)
+    * must not leak them — exactly the long-lived-session storage leak
+    * this scope exists to prevent. On success the body's own
+    * `freeAllBut(keep)` remains responsible for the cleanup. NonFatal
+    * only: a non-local `return` (ControlThrowable) must pass through
+    * without freeing the result it returns. */
+  def guarded[T](body: => T): T =
+    try body catch {
+      case scala.util.control.NonFatal(e) => freeAllBut(Nil); throw e
+    }
 }

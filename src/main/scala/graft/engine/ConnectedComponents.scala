@@ -62,9 +62,10 @@ object ConnectedComponents {
           struct(col("v").as("src"), col("u").as("dst"))))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nEdges = sym.count()
-    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+    scope.guarded(StaticPlan.scoped(spark,
+        StaticPlan.roundPartitions(nEdges, spark)) {
       runWithRoundsStatic(scope, sym, maxIter)
-    }
+    })
   }
 
   private def runWithRoundsStatic(scope: CheckpointScope, sym: DataFrame,
@@ -150,7 +151,7 @@ object ConnectedComponents {
     // alternating rounds under static planning (see [[StaticPlan]]):
     // checkpointed round tables keep their partitioning, and the
     // partition count is sized from the oriented edge count
-    StaticPlan.scoped(edges.sparkSession,
+    scope.guarded(StaticPlan.scoped(edges.sparkSession,
       StaticPlan.roundPartitions(e.count(), edges.sparkSession)) {
     while (changed > 0 && iter < maxIter) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -174,7 +175,7 @@ object ConnectedComponents {
       eIds = smallIds
       iter += 1
     }
-    }
+    })
     if (changed > 0) {
       scope.freeAllBut(Nil)
       throw new IllegalStateException(

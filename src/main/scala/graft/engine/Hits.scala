@@ -73,9 +73,10 @@ object Hits {
       scope.freeAllBut(scope.last)
       return out
     }
-    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+    scope.guarded(StaticPlan.scoped(spark,
+        StaticPlan.roundPartitions(nEdges, spark)) {
       runStatic(scope, canon, iters, scale)
-    }
+    })
   }
 
   /** Iteration body — runs under [[StaticPlan.scoped]] so the pinned

@@ -66,9 +66,10 @@ object KCore {
           struct(col("v").as("src"), col("u").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nEdges = canon.count()
-    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+    scope.guarded(StaticPlan.scoped(spark,
+        StaticPlan.roundPartitions(nEdges, spark)) {
       runStatic(scope, canon, k, rounds)
-    }
+    })
   }
 
   private def runStatic(scope: CheckpointScope, canon: DataFrame,

@@ -102,9 +102,10 @@ object PageRank {
           .withColumn("w", lit(1L))
     })
     val nEdges = canon.count()
-    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+    scope.guarded(StaticPlan.scoped(spark,
+        StaticPlan.roundPartitions(nEdges, spark)) {
       coreStatic(scope, canon, seedsOpt, iters, scale)
-    }
+    })
   }
 
   private def coreStatic(scope: CheckpointScope, canon: DataFrame,

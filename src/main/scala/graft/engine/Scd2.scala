@@ -85,11 +85,32 @@ object Scd2 {
     // left-join-onto-current-only merge would silently drop them
     // (Delta MERGE's whenNotMatched branch). Non-key, non-tracked,
     // non-validity dim columns are NULL for such rows.
-    val inserted = collapsed.join(cur.select(col(key)), Seq(key), "left_anti")
+    val insertCand = collapsed.join(cur.select(col(key)), Seq(key), "left_anti")
+    // The insert branch gets the SAME out-of-order guard as the matched
+    // branch: for a key whose history is fully closed, an eff before
+    // the last closed row's validTo would silently write OVERLAPPING
+    // history. The history side is semi-filtered by the (small) insert
+    // keys first, so the guard costs one narrow pass + a tiny agg, not
+    // a dimension-wide shuffle. Brand-new keys (no history) pass.
+    val candKeys = insertCand.select(col(key))
+    val histMax = hist
+      .join(if (broadcastUpdates) broadcast(candKeys) else candKeys,
+        Seq(key), "left_semi")
+      .groupBy(col(key)).agg(max(col(validTo)).as("__hist_max"))
+    val guardedFrom = when(
+      col("__hist_max").isNotNull && col(s"__u_$effCol") < col("__hist_max"),
+      raise_error(concat(
+        lit("scd2: out-of-order insert for key "), col(key).cast("string"),
+        lit(": eff "), col(s"__u_$effCol").cast("string"),
+        lit(" < last closed valid_to "), col("__hist_max").cast("string"))))
+      .otherwise(col(s"__u_$effCol"))
+    val inserted = insertCand
+      .join(if (broadcastUpdates) broadcast(histMax) else histMax,
+        Seq(key), "left")
       .select(outCols.map { c =>
         if (c == key) col(key)
         else if (tracked.contains(c)) col(s"__u_$c").as(c)
-        else if (c == validFrom) col(s"__u_$effCol").as(validFrom)
+        else if (c == validFrom) guardedFrom.as(validFrom)
         else lit(null).cast(dim.schema(c).dataType).as(c)
       }: _*)
     hist.unionByName(merged).unionByName(inserted)

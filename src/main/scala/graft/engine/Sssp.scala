@@ -55,9 +55,10 @@ object Sssp {
         col(w).cast("long").as("w"))
         .groupBy("src", "dst").agg(min(col("w")).as("w")))
     val nEdges = canon.count()
-    StaticPlan.scoped(spark, StaticPlan.roundPartitions(nEdges, spark)) {
+    scope.guarded(StaticPlan.scoped(spark,
+        StaticPlan.roundPartitions(nEdges, spark)) {
       runStatic(scope, canon, seeds, rounds)
-    }
+    })
   }
 
   private def runStatic(scope: CheckpointScope, canon: DataFrame,

@@ -56,10 +56,10 @@ object Triangles {
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .distinct())
     val m = canon.count()
-    StaticPlan.scoped(spark,
+    scope.guarded(StaticPlan.scoped(spark,
       StaticPlan.roundPartitions(m, spark, rowsPerPart = 8192L)) {
       perNodeStatic(scope, canon)
-    }
+    })
   }
 
   /** Wedge phase under [[StaticPlan.scoped]]: the oriented edge table

@@ -314,6 +314,81 @@ object Similarity {
         (col("rank") === 1).as("isHome"), col("rank"))
   }
 
+  /**
+   * Incremental IVF maintenance — the daily-crawl APPEND path. The
+   * standing corpus's index (k-means centroids trained once, on a
+   * `trainMod` hash-sample) absorbs a new batch WITHOUT retraining:
+   * the batch is assigned to existing cells in one broadcast-centroid
+   * scan, and the result is the updated per-cell posting counts plus a
+   * DRIFT metric that tells the user when a retrain is due — the
+   * batch's mean squared residual norm against the training-time cell
+   * means, relative to the standing corpus's own. Drift ≈ 1 means the
+   * new data matches the trained geometry; growing drift means the
+   * cells no longer fit and a retrain is warranted (the IVF analogue of
+   * [[graft.text.TextOps.dedupIncremental]]'s standing band index).
+   *
+   * Scale shape: ONE pass over the standing corpus (cell means — at
+   * 100 TB this amortizes across every batch once the means are
+   * persisted with the centroids) and ONE pass over the batch; the
+   * means travel as a literal map (nCells × dims longs). No quadratic
+   * term, no Lloyd rounds in the append path.
+   *
+   * Determinism: residual square-norms are integer sums over integer
+   * residuals (q − μ', with μ' the floor-integer cell mean); per-cell
+   * sums are order-free BIGINTs; drift is three exact divisions in
+   * fixed order. NULL when either side has no members or a perfect
+   * (zero-residual) base.
+   *
+   * @return one row per cell: (cell, n_base, n_new, sq_base, sq_new,
+   *         drift)
+   */
+  def ivfIncremental(standing: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int, dims: Int,
+      trainMod: Long = 1): DataFrame = {
+    val sQ = standing.select(col(idCol), quantize(col(vecCol)).as("q"))
+    val cents = kmeansCentroids(sQ, idCol, nCells, iters, dims, trainMod)
+    def homeOf(df: DataFrame): DataFrame =
+      ivfAssignFromCentroids(df, idCol, vecCol, cents, 1)
+        .filter(col("isHome")).select(col(idCol), col("cell"))
+    val sHome = homeOf(standing)
+    // training-time floor-integer cell means — collected (nCells rows)
+    // and re-served as a literal map, like the PQ index artifacts
+    val sumCols = (0 until dims).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+    val muRows = graft.engine.StaticPlan.scopedAqeOff(standing.sparkSession) {
+      sQ.join(sHome, idCol).groupBy("cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .select(col("cell"), array((0 until dims).map(d =>
+          floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("mu"))
+        .collect()
+    }
+    val muLit = typedlit(muRows.map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap)
+    // integer squared residual norm vs the home cell's training mean
+    def sqNorm(q: Column): Column = aggregate(
+      zip_with(q, element_at(muLit, col("cell")), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    def cellStats(df: DataFrame, home: DataFrame, nName: String,
+        sqName: String): DataFrame =
+      df.select(col(idCol), quantize(col(vecCol)).as("q"))
+        .join(home, idCol)
+        .groupBy("cell")
+        .agg(count(lit(1)).as(nName), sum(sqNorm(col("q"))).as(sqName))
+    val base = cellStats(standing, sHome, "n_base", "sq_base")
+    val fresh = cellStats(batch, homeOf(batch), "n_new", "sq_new")
+    base.join(fresh, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("sq_base"), lit(0L)).as("sq_base"),
+        coalesce(col("sq_new"), lit(0L)).as("sq_new"))
+      .withColumn("drift",
+        when(col("n_new") === 0 || col("n_base") === 0 || col("sq_base") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("sq_new").cast("double") / col("n_new").cast("double")) /
+              (col("sq_base").cast("double") / col("n_base").cast("double"))))
+  }
+
   /** [[ivfAssign]] against k-means-refined centroids: same (id, vec,
     * cell, isHome) contract, assignment scored on the quantized vectors
     * vs the refined integer centroids. */

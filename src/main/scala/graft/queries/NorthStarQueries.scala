@@ -209,14 +209,15 @@ object NorthStarQueries {
     * (the `{pfx}qt` CTE); the final full-corpus assignment
     * (`{pfx}ranked`) is unchanged. */
   private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int,
-      pfx: String = "k", trainMod: Long = 1): String = {
+      pfx: String = "k", trainMod: Long = 1,
+      src: String = "embeddings"): String = {
     def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
     val sumList = (1 to DIMS).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
       .mkString("[", ", ", "]")
     val sb = new StringBuilder
     sb ++= s"${pfx}qe AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
-      "FROM embeddings), "
+      s"FROM $src), "
     val trainSrc = if (trainMod == 1) s"${pfx}qe" else {
       sb ++= s"${pfx}qt AS (SELECT * FROM ${pfx}qe WHERE vec_id % $trainMod = 0), "
       s"${pfx}qt"
@@ -2134,6 +2135,62 @@ object NorthStarQueries {
           s"UNION ALL SELECT 'ivf_pq_res', $PQ_RERANK, 4, n_hits, n_cands FROM h11, cz " +
           s"UNION ALL SELECT 'lsh_multi', $LSHM_PLANES, $LSHM_TABLES, n_hits, n_cands FROM h12, cmu" +
           ") ORDER BY method, param, probes"
+      }),
+
+    Q("q_ann_incremental",
+      // Incremental IVF maintenance — the daily-crawl APPEND path
+      // (vec_id % 5 = 0 stands in for today's vectors, the rest is the
+      // standing corpus, mirroring q_dedup_incremental): the standing
+      // index's centroids absorb the batch in ONE broadcast-centroid
+      // scan (no retrain), emitting updated per-cell posting counts and
+      // a drift metric — the batch's mean squared residual norm vs the
+      // training-time cell means, relative to the standing corpus's own
+      // — that tells the user when a retrain is due. Integer residual
+      // sums, three exact divisions; NULL drift where either side is
+      // empty. See Similarity.ivfIncremental for the 100 TB shape.
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.ivfIncremental(
+          e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", 16, KM_ITERS, DIMS, TRAIN_MOD)
+          .orderBy("cell")
+      }, {
+        val rsq = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(list_zip(e.q, m.mu), p -> (p[1]-p[2])*(p[1]-p[2]))), " +
+          "(acc, x) -> acc + x)"
+        val muSum = (1 to DIMS).map(d => s"CAST(sum(e.q[$d]) AS BIGINT)")
+          .mkString("[", ", ", "]")
+        "WITH stand AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0), " +
+          s"${sqlKmeansCtes(16, 1, KM_ITERS, "k", TRAIN_MOD, "stand")}, " +
+          "bqe AS (SELECT vec_id, list_transform(embedding, " +
+          s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
+          "FROM embeddings WHERE vec_id % 5 = 0), " +
+          "bhome AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cid AS cell, " +
+          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.q", "c.cq")} / sqrt(${sqlDot("c.cq", "c.cq")}) DESC, c.cid) AS r " +
+          s"FROM bqe e, kc$KM_ITERS c) WHERE r = 1), " +
+          s"musum AS MATERIALIZED (SELECT h.cell, $muSum AS s, " +
+          "CAST(count(*) AS BIGINT) AS n " +
+          "FROM khome h JOIN kqe e USING (vec_id) GROUP BY h.cell), " +
+          "mu AS MATERIALIZED (SELECT cell, list_transform(s, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT)) AS mu FROM musum), " +
+          s"sb AS (SELECT h.cell, CAST(count(*) AS BIGINT) AS n_base, " +
+          s"CAST(sum($rsq) AS BIGINT) AS sq_base " +
+          "FROM khome h JOIN kqe e USING (vec_id) JOIN mu m ON m.cell = h.cell " +
+          "GROUP BY h.cell), " +
+          s"sn AS (SELECT h.cell, CAST(count(*) AS BIGINT) AS n_new, " +
+          s"CAST(sum($rsq) AS BIGINT) AS sq_new " +
+          "FROM bhome h JOIN bqe e USING (vec_id) JOIN mu m ON m.cell = h.cell " +
+          "GROUP BY h.cell) " +
+          "SELECT cell, coalesce(n_base, CAST(0 AS BIGINT)) AS n_base, " +
+          "coalesce(n_new, CAST(0 AS BIGINT)) AS n_new, " +
+          "coalesce(sq_base, CAST(0 AS BIGINT)) AS sq_base, " +
+          "coalesce(sq_new, CAST(0 AS BIGINT)) AS sq_new, " +
+          "CASE WHEN coalesce(n_new, CAST(0 AS BIGINT)) = 0 " +
+          "OR coalesce(n_base, CAST(0 AS BIGINT)) = 0 " +
+          "OR coalesce(sq_base, CAST(0 AS BIGINT)) = 0 THEN NULL " +
+          "ELSE (CAST(sq_new AS DOUBLE) / CAST(n_new AS DOUBLE)) / " +
+          "(CAST(sq_base AS DOUBLE) / CAST(n_base AS DOUBLE)) END AS drift " +
+          "FROM sb FULL OUTER JOIN sn USING (cell) ORDER BY cell"
       }),
 
     Q("q_bpe_train",

@@ -922,23 +922,31 @@ object Streaming {
    * dead-letter filter. The batch is persisted so the two filters scan
    * it once each from cache, not twice from source.
    *
-   * @param isError    predicate marking dead-letter rows
+   * Every input row lands in EXACTLY one output: a NULL predicate
+   * (e.g. a nullable error column) routes to `main` — `filter(p)` and
+   * `filter(!p)` both exclude NULL-predicate rows, so splitting on the
+   * raw predicate would silently drop them from both sinks.
+   *
+   * @param isError    predicate marking dead-letter rows (NULL = not
+   *                   an error)
    * @param main       sink for non-error rows (per micro-batch)
    * @param deadLetter sink for error rows (per micro-batch)
    */
   def errorSplit(events: DataFrame, isError: org.apache.spark.sql.Column,
       main: DataFrame => Unit, deadLetter: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val err = coalesce(isError, lit(false))
     events.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF().persist()
         try {
-          deadLetter(b.filter(isError))
-          main(b.filter(!isError))
+          deadLetter(b.filter(err))
+          main(b.filter(!err))
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 
   /**
    * Streaming EndOnError (`ops/misc.py:17-27`): pass rows through until

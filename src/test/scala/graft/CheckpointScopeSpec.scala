@@ -53,6 +53,36 @@ class CheckpointScopeSpec extends SparkSpec {
     scope.freeAllBut(Nil)
   }
 
+  test("Checkpoints.release: two sequential engine runs leave zero pinned RDDs") {
+    import org.apache.spark.sql.DataFrame
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val edges: DataFrame = spark.range(40)
+      .select(col("id").as("src"), ((col("id") * 7 + 1) % 40).as("dst"))
+    val r1 = graft.engine.PageRank.run(edges, "src", "dst", iters = 2)
+    assert(r1.count() > 0)
+    assert(graft.engine.Checkpoints.pinnedIds(r1).nonEmpty)
+    graft.engine.Checkpoints.release(r1)
+    val r2 = graft.engine.PageRank.run(edges, "src", "dst", iters = 2)
+    assert(r2.count() > 0)
+    graft.engine.Checkpoints.release(r2)
+    assert(persistedIds.isEmpty,
+      s"released engine results still pin RDDs: $persistedIds")
+  }
+
+  test("engine failure path frees every pinned checkpoint (scope.guarded)") {
+    import org.apache.spark.sql.DataFrame
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val edges: DataFrame = spark.range(30)
+      .select(col("id").as("src"), ((col("id") * 7 + 1) % 30).as("dst"))
+    // scale below the node count trips Hits' require AFTER the edge
+    // layouts were pinned — the failure must not leak them
+    intercept[IllegalArgumentException] {
+      graft.engine.Hits.run(edges, "src", "dst", iters = 2, scale = 3L)
+    }
+    assert(persistedIds.isEmpty,
+      s"engine failure leaked pinned checkpoints: $persistedIds")
+  }
+
   test("StaticPlan.ckptFresh: static checkpoint re-joins the original plan " +
       "(round-7 'Conflicting attributes' regression)") {
     // Under a static scope a plain localCheckpoint keeps both its

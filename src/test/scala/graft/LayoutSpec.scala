@@ -152,6 +152,30 @@ class LayoutSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("out-of-order") ||
       Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+
+    // the INSERT branch gets the same guard: a key whose history is
+    // fully CLOSED must not accept an eff before the last valid_to
+    // (that would write overlapping history, the matched branch's bug
+    // mirrored); at-or-after the last valid_to is fine (contiguous)
+    val closedDim = Seq((5L, "A", "2001-01-01", Option("2003-01-01")))
+      .toDF("k", "attr", "vf", "vt")
+      .select(col("k"), col("attr"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"))
+    val overlap = Seq((5L, "B", "2002-06-01")).toDF("k", "attr", "eff")
+      .select(col("k"), col("attr"), col("eff").cast("date").as("eff"))
+    val ex2 = intercept[Exception] {
+      graft.engine.Scd2.merge(closedDim, overlap, "k", Seq("attr"), "eff").collect()
+    }
+    assert(ex2.getMessage.contains("out-of-order") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("out-of-order")))
+    val after = Seq((5L, "B", "2003-01-01")).toDF("k", "attr", "eff")
+      .select(col("k"), col("attr"), col("eff").cast("date").as("eff"))
+    val got3 = graft.engine.Scd2.merge(closedDim, after, "k", Seq("attr"), "eff")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    assert(got3 == Set(
+      (5L, "A", "2001-01-01", Some("2003-01-01")),
+      (5L, "B", "2003-01-01", None)))
   }
 
   test("clusteredWrite: maxRecordsPerFile caps file row counts") {

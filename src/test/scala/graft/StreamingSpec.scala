@@ -38,7 +38,12 @@ class StreamingSpec extends SparkSpec {
     val mainRows = mutable.Set.empty[(Long, Double)]
     val dead = mutable.Set.empty[(Long, Double)]
     val in = bus.eventsTyped.toDF().select(col("user_id"), col("tsUs"), col("value"))
-    val q = Streaming.errorSplit(in, col("value") < 0,
+    // value 2.0 gets a NULL predicate — it must still land in exactly
+    // one output (main), not vanish from both (filter(p)/filter(!p)
+    // each exclude NULL rows; the split coalesces NULL to false)
+    val isErr = when(col("value") === 2.0, lit(null).cast("boolean"))
+      .otherwise(col("value") < 0)
+    val q = Streaming.errorSplit(in, isErr,
       b => mainRows ++= b.collect().map(r => (r.getLong(1), r.getDouble(2))),
       b => dead ++= b.collect().map(r => (r.getLong(1), r.getDouble(2))))
     bus.emit(Ev(1L, 1L, 1.0), Ev(1L, 2L, -5.0), Ev(1L, 3L, 2.0))

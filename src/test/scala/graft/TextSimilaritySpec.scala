@@ -500,6 +500,48 @@ class TextSimilaritySpec extends SparkSpec {
     assert(kept == Set(11L, 13L))
   }
 
+  test("ivfIncremental: in-distribution batch drifts ~1, shifted batch drifts high") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dims = 8
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(seed: Long, shift: Float): Array[Float] =
+      (0 until dims).map(d => ((seed * (d + 3) + d) % 13 + 1) / 14.0f + shift).toArray
+    // standing corpus: 40 vectors in [0.07, 1]; two batches: one drawn
+    // from the same generator, one shifted far outside the trained cells
+    val standing = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 40L).map(i =>
+        Row(i, vec(i, 0f).toSeq))), schema)
+    val inDist = spark.createDataFrame(
+      spark.sparkContext.parallelize((100L until 110L).map(i =>
+        Row(i, vec(i, 0f).toSeq))), schema)
+    val shifted = spark.createDataFrame(
+      spark.sparkContext.parallelize((200L until 210L).map(i =>
+        Row(i, vec(i, 5f).toSeq))), schema)
+    def stats(batch: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfIncremental(standing, batch, "vec_id", "embedding",
+        4, 1, dims).collect()
+    val inRows = stats(inDist)
+    val shRows = stats(shifted)
+    // posting counts: base always 40 across cells; batches land somewhere
+    assert(inRows.map(_.getAs[Long]("n_base")).sum === 40L)
+    assert(inRows.map(_.getAs[Long]("n_new")).sum === 10L)
+    // every input row lands in exactly one cell, none dropped
+    assert(shRows.map(_.getAs[Long]("n_new")).sum === 10L)
+    def meanDrift(rows: Array[Row]): Double = {
+      val ds = rows.flatMap(r => Option(r.getAs[java.lang.Double]("drift")))
+        .map(_.doubleValue)
+      ds.sum / ds.length
+    }
+    // in-distribution batch: residual geometry like training (drift near
+    // 1); shifted batch: far off the trained means (drift >> 1)
+    assert(meanDrift(inRows) < 3.0,
+      s"in-distribution drift ${meanDrift(inRows)} unexpectedly high")
+    assert(meanDrift(shRows) > 10.0,
+      s"shifted drift ${meanDrift(shRows)} unexpectedly low")
+  }
+
   test("semDedup: near-identical vectors in a cell drop the higher id") {
     import spark.implicits._
     // Two tight groups far apart; one stray member of each group is a
