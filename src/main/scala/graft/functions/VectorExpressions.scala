@@ -518,6 +518,80 @@ case class AdcLookup(table: Array[Double], child: Expression)
     copy(child = newChild)
 }
 
+/** The per-word greedy merge loop behind [[BpeSegment]], shared by
+  * interpreted eval and generated code. */
+object BpeSeg {
+  /** Apply `l(i) + r(i)` merge rules IN ORDER, one left-to-right greedy
+    * pass per rule (a merged pair cannot immediately re-merge within
+    * the same pass) — exactly the alternation the corpus-wide
+    * gaps-and-islands rewrite (TextOps.bpeRounds and the oracle's
+    * unrolled rounds) produces per word, so segmenting words
+    * independently yields the identical final state. */
+  def segment(word: String, l: Array[String], r: Array[String]): Array[String] = {
+    var syms: Array[String] = word.split("").filter(_.nonEmpty)
+    var t = 0
+    while (t < l.length) {
+      val lt = l(t); val rt = r(t)
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == lt && syms(i + 1) == rt) {
+          out += syms(i) + syms(i + 1); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+      t += 1
+    }
+    syms
+  }
+
+  /** Codegen entry point: UTF8String word → ArrayData of symbols. */
+  def segmentData(word: org.apache.spark.unsafe.types.UTF8String,
+      l: Array[String], r: Array[String]): ArrayData =
+    ArrayData.toArrayData(segment(word.toString, l, r)
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+}
+
+/**
+ * Greedy BPE APPLICATION as a per-row kernel: re-segment one word with
+ * a FIXED learned merge table. Training (corpus-wide pair counts,
+ * TextOps.bpeTrain) is inherently iterative and distributed; applying
+ * the learned rules is not — each word segments independently, so the
+ * apply half of the tokenizer lifecycle is ONE narrow codegen'd pass
+ * over the corpus instead of nMerges corpus-wide window/checkpoint
+ * rounds (the round-7 shape, 8 shuffle rounds at apply time). The rule
+ * table is a driver-resident array shared by reference across the plan
+ * (the [[AdcLookup]] discipline — no per-reference literal copies).
+ */
+case class BpeSegment(child: Expression, lhs: Array[String], rhs: Array[String])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_segment"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_segment needs a string word, got $other")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeSeg.segmentData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], lhs, rhs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLhs", lhs, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("bpeRhs", rhs, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeSeg.segmentData($c, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
@@ -551,4 +625,9 @@ object VectorFunctions {
   /** O(1) ADC-table lookup as a `Column` (see [[AdcLookup]]). */
   def adcLookup(table: Array[Double], idx: Column): Column =
     ColumnBridge.column(AdcLookup(table, ColumnBridge.expression(idx)))
+
+  /** Greedy BPE application of a fixed merge table as a `Column`
+    * (see [[BpeSegment]]). */
+  def bpeSegment(word: Column, lhs: Array[String], rhs: Array[String]): Column =
+    ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), lhs, rhs))
 }

@@ -315,9 +315,9 @@ object NorthStarQueries {
   /** BPE merge-learning CTEs (TextOps.bpeTrain mirror): s0 = one row
     * per character, then `nMerges` unrolled rounds of pair-count →
     * deterministic argmax → gaps-and-islands non-overlap rewrite. */
-  private def sqlBpeCtes(nMerges: Int): String = {
+  private def sqlBpeCtes(nMerges: Int, docWhere: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"$DOC_TOKS, "
+    sb ++= s"tok AS (SELECT doc_id, $TOKS AS toks FROM documents$docWhere), "
     sb ++= "wd AS (SELECT doc_id, unnest(toks) AS word, " +
       "unnest(range(1, len(toks) + 1)) AS widx FROM tok), "
     sb ++= "cp AS (SELECT doc_id, widx, word, " +
@@ -2208,16 +2208,30 @@ object NorthStarQueries {
         ") ORDER BY step"),
 
     Q("q_bpe_apply",
-      // The APPLY half of BPE training: re-segment the corpus with the
-      // 8 learned rules and report per-source compression — how many
-      // chars one subword token covers, the number a tokenizer budget
-      // is planned around. Counts are integers; one final division.
+      // The APPLY half of the tokenizer lifecycle, in its production
+      // shape: merge rules are TRAINED on a doc sample (doc_id %
+      // TRAIN_MOD = 0 — corpus-wide pair counts are distribution
+      // statistics, like the k-means codebooks), then the FULL corpus
+      // is re-segmented in ONE narrow codegen'd pass (the per-word
+      // BpeSegment kernel — applying a fixed rule table needs no
+      // corpus-wide rounds; words segment independently), reporting
+      // per-source compression — how many chars one subword token
+      // covers, the number a tokenizer budget is planned around.
+      // Counts are integers; one final division.
       (s, d) => {
-        val (s0, sN) = TextOps.bpeStates(docs(s, d), "doc_id", "text", BPE_MERGES)
-        val c0 = s0.groupBy("doc_id").agg(count(lit(1)).as("nc"))
-        val cN = sN.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-        docs(s, d).select(col("doc_id"), col("source"))
-          .join(c0, "doc_id").join(cN, "doc_id")
+        val all = docs(s, d)
+        val (lhs, rhs) = TextOps.bpeLearnedRules(
+          all.filter(col("doc_id") % TRAIN_MOD === 0),
+          "doc_id", "text", BPE_MERGES)
+        val seg = graft.functions.VectorFunctions.bpeSegment(col("word"), lhs, rhs)
+        // single-split parquet at small SF: spread docs before the
+        // per-word kernel map (the multimodal-codec discipline)
+        all.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("doc_id", "source")
+          .agg(sum(length(col("word")).cast("long")).as("nc"),
+            sum(size(seg).cast("long")).as("ns"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("nc")).as("n_char_syms"),
@@ -2225,17 +2239,47 @@ object NorthStarQueries {
           .withColumn("chars_per_subword",
             col("n_char_syms").cast("double") / col("n_subwords").cast("double"))
           .orderBy("source")
-      },
-      s"WITH ${sqlBpeCtes(BPE_MERGES)}, " +
-        "c0 AS (SELECT doc_id, count(*) AS nc FROM s0 GROUP BY doc_id), " +
-        s"cn AS (SELECT doc_id, count(*) AS ns FROM s$BPE_MERGES GROUP BY doc_id) " +
-        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(c0.nc) AS BIGINT) AS n_char_syms, " +
-        "CAST(sum(cn.ns) AS BIGINT) AS n_subwords, " +
-        "CAST(sum(c0.nc) AS DOUBLE) / CAST(sum(cn.ns) AS DOUBLE) AS chars_per_subword " +
-        "FROM documents d JOIN c0 ON c0.doc_id = d.doc_id " +
-        "JOIN cn ON cn.doc_id = d.doc_id " +
-        "GROUP BY d.source ORDER BY d.source"),
+      }, {
+        // training chain on the sample (b0..b{n-1}), then the apply
+        // chain re-runs the identical per-round rewrite over the FULL
+        // corpus with each round's rule taken from the trained b$t
+        val sb = new StringBuilder
+        sb ++= s"WITH ${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TRAIN_MOD = 0")}, "
+        sb ++= s"atok AS (SELECT doc_id, $TOKS AS toks FROM documents), "
+        sb ++= "awd AS (SELECT doc_id, unnest(toks) AS word, " +
+          "unnest(range(1, len(toks) + 1)) AS widx FROM atok), "
+        sb ++= "acp AS (SELECT doc_id, widx, word, " +
+          "unnest(range(1, length(word) + 1)) AS pos FROM awd), "
+        sb ++= "as0 AS MATERIALIZED (SELECT doc_id, CAST(widx AS BIGINT) AS widx, " +
+          "CAST(pos AS BIGINT) AS pos, substr(word, CAST(pos AS INT), 1) AS sym FROM acp), "
+        for (t <- 0 until BPE_MERGES) {
+          sb ++= s"aam$t AS MATERIALIZED (SELECT doc_id, widx, pos, sym, " +
+            s"lead(sym) OVER (PARTITION BY doc_id, widx ORDER BY pos) AS nxt FROM as$t), "
+          sb ++= s"aaf$t AS (SELECT m.doc_id, m.widx, m.pos, m.sym, m.nxt, " +
+            s"(m.sym = b.l AND m.nxt = b.r) AS ism FROM aam$t m, b$t b), "
+          sb ++= s"aag$t AS (SELECT *, CASE WHEN ism THEN pos - " +
+            "row_number() OVER (PARTITION BY doc_id, widx, ism ORDER BY pos) END AS isl " +
+            s"FROM aaf$t), "
+          sb ++= s"aaa$t AS (SELECT *, CASE WHEN ism THEN ((pos - " +
+            "min(pos) OVER (PARTITION BY doc_id, widx, isl)) % 2 = 0) " +
+            s"ELSE FALSE END AS app FROM aag$t), "
+          sb ++= s"as${t + 1} AS MATERIALIZED (SELECT doc_id, widx, " +
+            "CAST(row_number() OVER (PARTITION BY doc_id, widx ORDER BY pos) AS BIGINT) AS pos, " +
+            "CASE WHEN app THEN sym || nxt ELSE sym END AS sym FROM (SELECT *, " +
+            "coalesce(lag(app) OVER (PARTITION BY doc_id, widx ORDER BY pos), FALSE) AS cons " +
+            s"FROM aaa$t) WHERE NOT cons), "
+        }
+        sb ++= "c0 AS (SELECT doc_id, count(*) AS nc FROM as0 GROUP BY doc_id), "
+        sb ++= s"cn AS (SELECT doc_id, count(*) AS ns FROM as$BPE_MERGES GROUP BY doc_id) "
+        sb ++= "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(c0.nc) AS BIGINT) AS n_char_syms, " +
+          "CAST(sum(cn.ns) AS BIGINT) AS n_subwords, " +
+          "CAST(sum(c0.nc) AS DOUBLE) / CAST(sum(cn.ns) AS DOUBLE) AS chars_per_subword " +
+          "FROM documents d JOIN c0 ON c0.doc_id = d.doc_id " +
+          "JOIN cn ON cn.doc_id = d.doc_id " +
+          "GROUP BY d.source ORDER BY d.source"
+        sb.result()
+      }),
 
     Q("q_knn_eval",
       // Leave-one-out 3-NN label accuracy over the embeddings — the

@@ -783,13 +783,27 @@ object TextOps {
       .reduce(_.unionByName(_)).orderBy("step")
   }
 
-  /** Initial and final BPE symbol states — the APPLY half: (s0, sN)
-    * where each is (doc_id, widx, pos, sym) rows; sN is the corpus
-    * re-segmented with the `nMerges` learned rules. */
+  /** Initial and final BPE symbol states — the fused train+apply form:
+    * (s0, sN) where each is (doc_id, widx, pos, sym) rows; sN is the
+    * SAME corpus re-segmented with the `nMerges` rules it was trained
+    * on. For the production lifecycle (train on a sample, apply to the
+    * full corpus in one narrow pass) use [[bpeLearnedRules]] +
+    * [[graft.functions.VectorFunctions.bpeSegment]]. */
   def bpeStates(docsDf: DataFrame, idCol: String, textCol: String,
       nMerges: Int): (DataFrame, DataFrame) = {
     val (s0, sN, _) = bpeEvolve(docsDf, idCol, textCol, nMerges)
     (s0, sN)
+  }
+
+  /** The learned merge table COLLECTED in step order — the constant-size
+    * tokenizer artifact (nMerges pairs) a 100 TB pipeline trains once
+    * (on a corpus sample) and ships to the apply pass; the per-word
+    * apply kernel takes it by reference (the AdcLookup discipline). */
+  def bpeLearnedRules(docsDf: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): (Array[String], Array[String]) = {
+    val rows = bpeTrain(docsDf, idCol, textCol, nMerges)
+      .orderBy("step").collect()
+    (rows.map(_.getString(1)), rows.map(_.getString(2)))
   }
 
   /** The shared round evolution behind [[bpeTrain]]/[[bpeStates]]:

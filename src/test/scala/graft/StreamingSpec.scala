@@ -859,4 +859,119 @@ class StreamingSpec extends SparkSpec {
       (1L, "Y", "2002-06-01", None),
       (2L, "B", "2000-01-01", None)))
   }
+
+  test("end-to-end streaming curation: quality gate -> exact dedup -> minhash " +
+      "near-dup -> chunks, parity with the batch pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.text.TextOps
+    val f = graft.functions.VectorFunctions
+
+    // fixture across three "daily" micro-batches: a unique doc, its
+    // exact duplicate (later batch), a near-dup (one word changed), a
+    // repetitive junk doc, a too-short doc, a second unique doc and ITS
+    // near-dup in the last batch
+    val a = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "softly on the quiet green meadow beyond the old stone bridge today"
+    val b = "distributed query engines push filters below the scan and " +
+      "prune columns early so the shuffle moves only the bytes the plan " +
+      "actually needs for the final aggregation stage"
+    val docsIn = Seq(
+      0L -> a,                           // keep
+      1L -> a,                           // exact dup of 0 -> dropped
+      2L -> a.replace("rain", "snow"),   // near-dup of 0 -> dropped
+      3L -> Seq.fill(30)("spam").mkString(" "), // repetitive -> quality drop
+      4L -> b,                           // keep
+      5L -> "too short to pass",         // length gate drop
+      6L -> b.replace("bytes", "blocks") // near-dup of 4 -> dropped
+    )
+    // the exact dup (1) arrives a batch AFTER its original (0):
+    // dropDuplicatesWithinWatermark keeps the FIRST arrival across
+    // batches (deterministic), but WITHIN one micro-batch the survivor
+    // is arrival-order — a keeper policy (min doc_id) there needs a
+    // per-batch pre-reduce, which the batch pipeline's groupBy(min)
+    // models
+    val batches = Seq(Seq(0L, 3L), Seq(1L, 2L, 4L), Seq(5L, 6L))
+
+    // ---- STREAMING pipeline. Stage 1+2 (one query): the stateless
+    // quality gate (same codegen kernels as batch) then exact dedup by
+    // content hash within the watermark; its per-batch survivors feed
+    // stage 3 (a second query): the stateful minhash candidate stream —
+    // the storage/topic hand-off a production pipeline has between
+    // curation stages.
+    val mem = MemoryStream[(Long, String, Long)](spark, 1)
+    val staged = mem.toDS().toDF("doc_id", "text", "tsUs")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+    val toks = TextOps.tokens(col("text"))
+    val gated = staged
+      .withColumn("__t", f.multStats(f.shingleSids(toks, 1)))
+      .withColumn("__b", f.multStats(f.shingleSids(toks, 2)))
+      .filter(element_at(col("__t"), 1) >= 20 &&
+        (element_at(col("__t"), 1) - element_at(col("__t"), 2)).cast("double") /
+          greatest(element_at(col("__t"), 1), lit(1L)).cast("double") <= 0.7 &&
+        element_at(col("__b"), 3).cast("double") /
+          greatest(element_at(col("__b"), 1), lit(1L)).cast("double") <= 0.08)
+      .withColumn("h", md5(col("text").cast("binary")))
+    val surv = Streaming.dedupStream(gated, Seq("h"), "ts", "1 hour")
+      .select("doc_id", "text")
+    val q1 = surv.writeStream.format("memory").queryName("cur_surv")
+      .outputMode("append").start()
+    val mem2 = MemoryStream[Streaming.DocEv](spark, 1)
+    val q2 = Streaming.minhashCandStream(mem2.toDS(), 3, 12, 4, 3)
+      .toDF().writeStream.format("memory").queryName("cur_pairs")
+      .outputMode("append").start()
+    var fed = Set.empty[Long]
+    batches.zipWithIndex.foreach { case (ids, day) =>
+      // offset well past epoch: a row with event time <= the initial
+      // watermark (epoch 0) is discarded as late before dedup sees it
+      mem.addData(ids.map(i =>
+        (i, docsIn.toMap.apply(i),
+          1_700_000_000_000_000L + day * 60_000_000L + i * 1_000_000L)): _*)
+      q1.processAllAvailable()
+      // hand stage-1 survivors to stage 3 exactly once each
+      val newRows = spark.table("cur_surv").collect()
+        .map(r => (r.getLong(0), r.getString(1))).filterNot(r => fed(r._1))
+      fed ++= newRows.map(_._1)
+      mem2.addData(newRows.map { case (i, t) => Streaming.DocEv(i, t) }.toSeq: _*)
+      q2.processAllAvailable()
+    }
+    q1.stop(); q2.stop()
+    val stPairs = spark.table("cur_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // keep-lowest: drop the max side of each near-dup pair (the fixture
+    // clusters are pairs; bigger clusters go through the batch CC path)
+    val stFinal = fed -- stPairs.map(_._2)
+
+    // ---- BATCH pipeline, same stages over the full fixture
+    val allDf = docsIn.toDF("doc_id", "text")
+    val rep = TextOps.repetitionStats(allDf, "doc_id", "text")
+    val keepQ = rep.filter(col("n_tokens") >= 20 &&
+      (col("n_tokens") - col("n_uniq_tokens")).cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double") <= 0.7 &&
+      col("top_bigram_count").cast("double") /
+        greatest(col("n_bigrams"), lit(1L)).cast("double") <= 0.08)
+      .select("doc_id")
+    val elig = allDf.join(keepQ, "doc_id")
+    val keeper = elig.groupBy(md5(col("text").cast("binary")).as("hh"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val bSurv = elig.join(keeper.select("doc_id"), "doc_id")
+    val bands = TextOps.lshBandsArr(
+      TextOps.minhashSigArray(bSurv, "doc_id", "text", 3, 12), "doc_id", 4, 3)
+    val cand = TextOps.lshCandidatesCapped(bands, "doc_id", 64)
+    val drops = graft.engine.ConnectedComponents.run(cand)
+      .filter(col("node") =!= col("comp")).select(col("node").as("doc_id"))
+    val bFinal = bSurv.join(drops, Seq("doc_id"), "left_anti")
+    val bFinalIds = bFinal.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(stFinal === bFinalIds,
+      s"streaming final $stFinal != batch final $bFinalIds")
+    assert(stFinal === Set(0L, 4L))
+    // chunk parity on the final corpus (the training-row hand-off)
+    val stFinalDf = docsIn.filter(d => stFinal(d._1)).toDF("doc_id", "text")
+    val stChunks = TextOps.chunkDocs(stFinalDf, "doc_id", "text", 10, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val bChunks = TextOps.chunkDocs(bFinal, "doc_id", "text", 10, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(stChunks === bChunks)
+  }
 }
