@@ -983,27 +983,31 @@ object Similarity {
    * ranking window. No all-pairs term, no training, no driver state.
    */
   def topKLshMulti(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int, dims: Int, nTables: Int): DataFrame =
+    rerankShortlist(emb, idCol, vecCol,
+      lshMultiCandidates(emb, idCol, vecCol, nPlanes, dims, nTables), k)
+
+  /** The multi-table LSH candidate set (a, b), x≠y meetings dedup'd
+    * across tables — BARE IDS ONLY: the cross-table distinct moves
+    * 16 bytes per pair instead of two full vectors (~512 B at 64
+    * dims), and the float vectors are joined back exactly once by the
+    * shared [[rerankShortlist]] scoring stage. Public so a tuning
+    * report can materialize the candidates once and feed BOTH the
+    * top-k and the candidate-count cost from the same frame. */
+  def lshMultiCandidates(emb: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, dims: Int, nTables: Int): DataFrame = {
     val tables = array((0 until nTables).map(t =>
       struct(lit(t).as("t"),
         lshBucket(col(vecCol), nPlanes, dims, t * nPlanes).as("bucket"))): _*)
-    val bucketed = emb.select(col(idCol), col(vecCol), explode(tables).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val pairs = bucketed
+    val bucketed = emb.select(col(idCol), explode(tables).as("tb"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    bucketed
       .groupBy("t", "bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
-      .select(explode(col("ms")).as("x"), col("ms"))
-      .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .agg(collect_list(col(idCol)).as("ms"))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-    val scored = pairs.select(col("a"), col("b"),
-      (dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("cos"))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
   }
 
   /** LSH-bucketed cosine top-k: the quadratic work stays within buckets.

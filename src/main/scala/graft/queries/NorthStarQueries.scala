@@ -1868,22 +1868,91 @@ object NorthStarQueries {
         // exact feeds one semi-join per config row (11 of them) — ONE
         // O(n^2) run; same for the shared LSH bucket table and the wide
         // 64-cell assignment (4 consumers)
-        val exact = ckptFresh(
+        //
+        // The independent index constructions are DRIVER-PARALLEL:
+        // concurrent job submission from driver threads is the
+        // supported Spark pattern, the static conf is constant for the
+        // whole scope (no concurrent conf mutation), and each pipeline
+        // is unchanged — scheduling overlap only. Wall-clock becomes
+        // max(chain) instead of sum(chains); on a real cluster the
+        // same trick overlaps the executors' idle tails.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        def await[T](fs: scala.concurrent.Future[T]*): Seq[T] =
+          fs.map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
+        val exactF = scala.concurrent.Future(ckptFresh(
           Similarity.topK(e, "vec_id", "embedding", 3, PROBE_MOD)
-            .select("a", "b"))
-        val nE = exact.agg(count(lit(1)).as("n_exact"))
+            .select("a", "b")))
         val nTot = e.agg(count(lit(1)).as("n"))
+        // ordered scored-pair counts per config (x≠y meetings)
+        val bkF = scala.concurrent.Future(ckptFresh(e.select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))))
+        def ivfCands(assign: DataFrame): DataFrame =
+          assign.groupBy("cell").agg(count(lit(1)).as("m"))
+            .join(assign.filter(col("isHome")).groupBy("cell")
+              .agg(count(lit(1)).as("h")), "cell")
+            .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
+            .select((col("mh") - col("n")).as("n_cands"))
+        val id = "vec_id"; val v = "embedding"
+        val wideAssignF = scala.concurrent.Future(
+          ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 64,
+            KM_ITERS, DIMS, 20, TRAIN_MOD)))
+        // ALL 16-cell configs (ivf_kmeans 16/2, 16/4, ivf_pq, ivf_pq_res)
+        // share ONE coarse k-means training: the assignment table is a
+        // rank slice and the PQ pipelines take the centroids pre-trained
+        val cents16F = scala.concurrent.Future(Similarity.kmeansCentroids(
+          e.select(col(id), Similarity.quantize(col(v)).as("q")),
+          id, 16, KM_ITERS, DIMS, TRAIN_MOD))
+        // 8-cell k-means and seed-IVF assignments share ONE materialized
+        // ranked table each, like a16/wideAssign — per-config re-derivation
+        // retrained k-means and re-scored every (vector, centroid) pair
+        // TWICE per row (top-k side + candidate-count side)
+        val a8F = scala.concurrent.Future(
+          ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 8,
+            KM_ITERS, DIMS, 2, TRAIN_MOD)))
+        val iv16F = scala.concurrent.Future(
+          ckptFresh(Similarity.ivfAssignRanked(e, id, v, 16, 2)))
+        // wave 2 (needs cents16): the shared-coarse assignment + both
+        // PQ shortlists
+        val cents16 = await(cents16F).head
+        val a16F = scala.concurrent.Future(ckptFresh(
+          Similarity.ivfAssignFromCentroids(e, id, v, cents16, 4)))
+        val slPqF = scala.concurrent.Future(ckptFresh(
+          Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS,
+            DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD, Some(cents16))))
+        val slResF = scala.concurrent.Future(ckptFresh(
+          Similarity.ivfPqResidualShortlist(e, id, v, 16,
+            KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD,
+            Some(cents16))))
+        val Seq(exact, bk, wideAssign, a8, iv16) =
+          await(exactF, bkF, wideAssignF, a8F, iv16F)
+        val Seq(a16, slPq, slRes) = await(a16F, slPqF, slResF)
+        pool.shutdown()
+        def wide(p: Int): DataFrame =
+          wideAssign.filter(col("rank") <= p).drop("rank")
+        def a16p(p: Int): DataFrame =
+          a16.filter(col("rank") <= p).drop("rank")
+        def a8p(p: Int): DataFrame =
+          a8.filter(col("rank") <= p).drop("rank")
+        def iv16p(p: Int): DataFrame =
+          iv16.filter(col("rank") <= p).drop("rank")
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        // hit counting flipped to approx SEMI broadcast(exact): the
+        // probe-sample ground truth is the SMALL side by design (the
+        // 100 TB direction), top-k tables are unique by (a, b) so the
+        // intersection count is identical — and the explicit hint keeps
+        // the join a broadcast hash join under the static scope, where
+        // stat-less checkpoint inputs would otherwise sort-merge
         def cfgRow(method: String, p1: Int, p2: Int, approx: DataFrame,
             cands: DataFrame): DataFrame = {
-          val hits = exact.join(approx, Seq("a", "b"), "left_semi")
+          val hits = approx.join(broadcast(exact), Seq("a", "b"), "left_semi")
             .agg(count(lit(1)).as("n_hits"))
-          hits.crossJoin(cands).select(
+          hits.crossJoin(broadcast(cands)).select(
             lit(method).as("method"), lit(p1.toLong).as("param"),
             lit(p2.toLong).as("probes"), col("n_hits"), col("n_cands"))
         }
-        // ordered scored-pair counts per config (x≠y meetings)
-        val bk = ckptFresh(e.select(col("vec_id"),
-          Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket")))
         val lshCands = bk.groupBy("bucket").agg(count(lit(1)).as("c"))
           .agg(sum(col("c") * (col("c") - 1)).as("n_cands"))
         val copies = bk.select(col("vec_id"),
@@ -1894,44 +1963,7 @@ object NorthStarQueries {
           .join(bk.groupBy("bucket").agg(count(lit(1)).as("h")), "bucket")
           .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
           .select((col("mh") - col("n")).as("n_cands"))
-        def ivfCands(assign: DataFrame): DataFrame =
-          assign.groupBy("cell").agg(count(lit(1)).as("m"))
-            .join(assign.filter(col("isHome")).groupBy("cell")
-              .agg(count(lit(1)).as("h")), "cell")
-            .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
-            .select((col("mh") - col("n")).as("n_cands"))
-        val id = "vec_id"; val v = "embedding"
-        val wideAssign = ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 64,
-          KM_ITERS, DIMS, 20, TRAIN_MOD))
-        def wide(p: Int): DataFrame =
-          wideAssign.filter(col("rank") <= p).drop("rank")
-        // ALL 16-cell configs (ivf_kmeans 16/2, 16/4, ivf_pq, ivf_pq_res)
-        // share ONE coarse k-means training: the assignment table is a
-        // rank slice and the PQ pipelines take the centroids pre-trained
-        val cents16 = Similarity.kmeansCentroids(
-          e.select(col(id), Similarity.quantize(col(v)).as("q")),
-          id, 16, KM_ITERS, DIMS, TRAIN_MOD)
-        val a16 = ckptFresh(
-          Similarity.ivfAssignFromCentroids(e, id, v, cents16, 4))
-        def a16p(p: Int): DataFrame =
-          a16.filter(col("rank") <= p).drop("rank")
-        // 8-cell k-means and seed-IVF assignments share ONE materialized
-        // ranked table each, like a16/wideAssign — per-config re-derivation
-        // retrained k-means and re-scored every (vector, centroid) pair
-        // TWICE per row (top-k side + candidate-count side)
-        val a8 = ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 8,
-          KM_ITERS, DIMS, 2, TRAIN_MOD))
-        def a8p(p: Int): DataFrame =
-          a8.filter(col("rank") <= p).drop("rank")
-        val iv16 = ckptFresh(Similarity.ivfAssignRanked(e, id, v, 16, 2))
-        def iv16p(p: Int): DataFrame =
-          iv16.filter(col("rank") <= p).drop("rank")
-        val slPq = ckptFresh(Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS,
-          DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD, Some(cents16)))
-        val slRes = ckptFresh(Similarity.ivfPqResidualShortlist(e, id, v, 16,
-          KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD,
-          Some(cents16)))
-        val rows = Seq(
+        val rowDfs = Seq(
           cfgRow("lsh", PLANES, 0,
             Similarity.topKLsh(e, id, v, 3, PLANES, DIMS).select("a", "b"), lshCands),
           cfgRow("lsh_mp", PLANES, NPROBES,
@@ -1976,32 +2008,30 @@ object NorthStarQueries {
           cfgRow("ivf_pq_res", PQ_RERANK, 4,
             Similarity.rerankShortlist(e, id, v, slRes, 3).select("a", "b"),
             slRes.agg(count(lit(1)).as("n_cands"))),
-          // multi-table LSH: training-free recall lever; n_cands is the
-          // cross-table-dedup'd scored-pair count
-          cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES,
-            Similarity.topKLshMulti(e, id, v, 3, LSHM_PLANES, DIMS, LSHM_TABLES)
-              .select("a", "b"),
-            {
-              val mtb = e.select(col("vec_id"),
-                explode(array((0 until LSHM_TABLES).map(t =>
-                  struct(lit(t).as("t"),
-                    Similarity.lshBucket(col("embedding"), LSHM_PLANES, DIMS,
-                      t * LSHM_PLANES).as("bucket"))): _*)).as("tb"))
-                .select(col("vec_id"), col("tb.t").as("t"),
-                  col("tb.bucket").as("bucket"))
-              mtb.as("l").join(mtb.as("r"), Seq("t", "bucket"))
-                .filter(col("l.vec_id") =!= col("r.vec_id"))
-                .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
-                .distinct()
-                .agg(count(lit(1)).as("n_cands"))
-            }))
-        // The final 12-row assembly deliberately runs ADAPTIVE (it
-        // executes outside this scope, at the caller's action): its
-        // inputs are stat-less checkpoints, and the static planner's
-        // default size estimate would turn the 11 tiny semi-joins into
-        // sort-merge joins (measured +4 s); AQE's runtime stats pick
-        // broadcasts correctly.
-        rows.reduce(_.unionByName(_)).crossJoin(nE)
+          // multi-table LSH: training-free recall lever — ONE bare-id
+          // candidate materialization feeds both the exact-rerank top-k
+          // and the scored-pair count (the same frame the oracle's
+          // mcand CTE builds)
+          {
+            val mcand = ckptFresh(Similarity.lshMultiCandidates(
+              e, id, v, LSHM_PLANES, DIMS, LSHM_TABLES))
+            cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES,
+              Similarity.rerankShortlist(e, id, v, mcand, 3).select("a", "b"),
+              mcand.agg(count(lit(1)).as("n_cands")))
+          })
+        // each config row (scoring pipeline + hit/cost counts) is a
+        // 1-row frame — materialize them driver-parallel like the index
+        // constructions above, so the caller's action on the returned
+        // report is a 12-row read instead of ~150 adaptive exchange
+        // materializations (measured 5.5 s of the query)
+        val pool2 = java.util.concurrent.Executors.newFixedThreadPool(4)
+        val ec2: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool2)
+        val rows = rowDfs.map(df => scala.concurrent.Future(ckptFresh(df))(ec2))
+          .map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
+        pool2.shutdown()
+        rows.reduce(_.unionByName(_)).crossJoin(broadcast(nE))
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
           .select("method", "param", "probes", "n_hits", "n_cands", "recall")
