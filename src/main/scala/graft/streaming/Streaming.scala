@@ -735,6 +735,58 @@ object Streaming {
         })
   }
 
+  /**
+   * Streaming IVF serving + drift monitoring — the LIVE half of the
+   * index lifecycle that [[graft.ml.Similarity.kmeansCentroids]]
+   * (train, sampled) / `ivfAssignFromCentroids` (batch assign) /
+   * `ivfIncremental` (batch append) cover offline. Incoming vectors
+   * are assigned to their nearest trained cell in a STATELESS
+   * broadcast-centroid projection (streams as-is, no state), carrying
+   * the integer squared residual norm against the training-time cell
+   * mean — so a downstream windowed aggregate is a live drift monitor
+   * (mean residual norm per cell per window rising above the
+   * training-time baseline = retrain alarm), and the assignment rows
+   * themselves are the live posting updates an index sink appends.
+   *
+   * `cents` and `mu` are COLLECTED index artifacts (nCells rows) —
+   * the same constant-size tables the batch paths ship; they ride
+   * into the stream as driver-resident structures, exactly like the
+   * ADC tables ([[graft.functions.AdcLookup]]).
+   *
+   * @param vecs  streaming (idCol, vecCol: array<float>, ts)
+   * @param cents trained centroids (cid, cq) — BATCH frame, collected
+   * @param mu    training-time floor-integer cell means (cell, mu) —
+   *              BATCH frame, collected
+   * @return streaming (idCol, ts, cell, rsq) — home-cell assignment +
+   *         integer squared residual norm vs the training mean
+   */
+  def ivfAssignStream(vecs: DataFrame, idCol: String, vecCol: String,
+      tsCol: String, cents: DataFrame, mu: DataFrame): DataFrame = {
+    import graft.ml.Similarity
+    val centRows = cents.select(col("cid"), col("cq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val muLit = typedlit(mu.select(col("cell"), col("mu")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+    val q = Similarity.quantize(col(vecCol))
+    // nearest cell by the same score/tie-break as the batch assigner:
+    // dot(q, cq)/||cq|| DESC, cid ASC — expressed as one greatest-of
+    // fold over the (tiny) centroid set, stateless per row
+    def score(cq: Seq[Long]): org.apache.spark.sql.Column =
+      Similarity.dot(q.cast("array<double>"),
+        typedlit(cq).cast("array<double>")) /
+        sqrt(Similarity.dot(typedlit(cq).cast("array<double>"),
+          typedlit(cq).cast("array<double>")))
+    val best = centRows.sortBy(_._1).map { case (cid, cq) =>
+      struct(score(cq).as("s"), lit(-cid).as("negcid"), lit(cid).as("cid"))
+    }.reduce((a, b) => when(b("s") > a("s") ||
+      (b("s") === a("s") && b("negcid") > a("negcid")), b).otherwise(a))
+    vecs
+      .select(col(idCol), col(tsCol), q.as("__q"), best.getField("cid").as("cell"))
+      .select(col(idCol), col(tsCol), col("cell"),
+        aggregate(zip_with(col("__q"), element_at(muLit, col("cell")),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x).as("rsq"))
+  }
+
   case class SketchIn(group: String, sid: Long)
   case class HllReg(group: String, idx: Long, mrho: Int)
   case class CmsUpd(r: Int, b: Long, wt: Long)

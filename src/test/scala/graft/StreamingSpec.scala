@@ -860,6 +860,59 @@ class StreamingSpec extends SparkSpec {
       (2L, "B", "2000-01-01", None)))
   }
 
+  test("streaming IVF serving: live cell assignment matches the batch assigner; " +
+      "drift rises for shifted vectors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.ml.Similarity
+    val dims = 8
+    def vec(seed: Long, shift: Float): Seq[Float] =
+      (0 until dims).map(d => ((seed * (d + 3) + d) % 13 + 1) / 14.0f + shift)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 40L).map(i =>
+        Row(i, vec(i, 0f)))), schema)
+    // offline: train cells (sampled) + the training-time cell means
+    val embQ = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val cents = Similarity.kmeansCentroids(embQ, "vec_id", 4, 1, dims, 2)
+    val home = Similarity.ivfAssignFromCentroids(corpus, "vec_id", "embedding", cents, 1)
+      .filter(col("isHome")).select(col("vec_id"), col("cell"))
+    val sums = (0 until dims).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+    val mu = embQ.join(home, "vec_id").groupBy("cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cell"), array((0 until dims).map(d =>
+        floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("mu"))
+    // live: stream a mix of in-distribution and far-shifted vectors
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Float], Long)](spark, 1)
+    val in = mem.toDS().toDF("vec_id", "embedding", "tsUs")
+    val out = Streaming.ivfAssignStream(in, "vec_id", "embedding", "tsUs", cents, mu)
+    val q = out.writeStream.format("memory").queryName("ivf_live")
+      .outputMode("append").start()
+    mem.addData((100L, vec(100L, 0f), 1L), (101L, vec(101L, 0f), 2L))
+    q.processAllAvailable()
+    mem.addData((200L, vec(200L, 5f), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val live = spark.table("ivf_live").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // parity: the batch assigner on the same three vectors
+    val batchIn = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(100L, vec(100L, 0f)), Row(101L, vec(101L, 0f)), Row(200L, vec(200L, 5f)))), schema)
+    val batchAssign = Similarity.ivfAssignFromCentroids(
+        batchIn, "vec_id", "embedding", cents, 1)
+      .filter(col("isHome")).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live.view.mapValues(_._1).toMap === batchAssign,
+      s"live cells ${live.view.mapValues(_._1).toMap} != batch $batchAssign")
+    // drift: in-distribution residuals small, shifted residual large
+    val inDistMax = Seq(100L, 101L).map(live(_)._2).max
+    assert(live(200L)._2 > 5 * inDistMax,
+      s"shifted rsq ${live(200L)._2} not >> in-dist max $inDistMax")
+  }
+
   test("end-to-end streaming curation: quality gate -> exact dedup -> minhash " +
       "near-dup -> chunks, parity with the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
