@@ -312,37 +312,39 @@ object NorthStarQueries {
       s"CASE WHEN ${sqlProj(off + j, "embedding")} > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
 
-  /** BPE merge-learning CTEs (TextOps.bpeTrain mirror): s0 = one row
-    * per character, then `nMerges` unrolled rounds of pair-count →
-    * deterministic argmax → gaps-and-islands non-overlap rewrite. */
+  /** BPE merge-learning CTEs (TextOps.bpeTrain mirror): the distinct-
+    * word frequency table, one s0 row per VOCAB character, then
+    * `nMerges` unrolled rounds of freq-weighted pair-count →
+    * deterministic argmax → gaps-and-islands non-overlap rewrite.
+    * Frequency-weighted counts equal per-occurrence corpus counts
+    * exactly, so the emitted rules match corpus-row training. */
   private def sqlBpeCtes(nMerges: Int, docWhere: String = ""): String = {
     val sb = new StringBuilder
     sb ++= s"tok AS (SELECT doc_id, $TOKS AS toks FROM documents$docWhere), "
-    sb ++= "wd AS (SELECT doc_id, unnest(toks) AS word, " +
-      "unnest(range(1, len(toks) + 1)) AS widx FROM tok), "
-    sb ++= "cp AS (SELECT doc_id, widx, word, " +
-      "unnest(range(1, length(word) + 1)) AS pos FROM wd), "
-    sb ++= "s0 AS MATERIALIZED (SELECT doc_id, CAST(widx AS BIGINT) AS widx, " +
-      "CAST(pos AS BIGINT) AS pos, substr(word, CAST(pos AS INT), 1) AS sym FROM cp), "
+    sb ++= "wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+      "(SELECT unnest(toks) AS word FROM tok) GROUP BY word), "
+    sb ++= "s0 AS MATERIALIZED (SELECT word, freq, CAST(pos AS BIGINT) AS pos, " +
+      "substr(word, CAST(pos AS INT), 1) AS sym FROM " +
+      "(SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM wf)), "
     for (t <- 0 until nMerges) {
-      sb ++= s"m$t AS MATERIALIZED (SELECT doc_id, widx, pos, sym, " +
-        s"lead(sym) OVER (PARTITION BY doc_id, widx ORDER BY pos) AS nxt FROM s$t), "
+      sb ++= s"m$t AS MATERIALIZED (SELECT word, freq, pos, sym, " +
+        s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s$t), "
       sb ++= s"b$t AS MATERIALIZED (SELECT l, r, c FROM (SELECT sym AS l, nxt AS r, " +
-        "CAST(count(*) AS BIGINT) AS c, " +
-        "row_number() OVER (ORDER BY count(*) DESC, sym, nxt) AS rk " +
+        "CAST(sum(freq) AS BIGINT) AS c, " +
+        "row_number() OVER (ORDER BY sum(freq) DESC, sym, nxt) AS rk " +
         s"FROM m$t WHERE nxt IS NOT NULL GROUP BY sym, nxt) WHERE rk = 1), "
-      sb ++= s"f$t AS (SELECT m.doc_id, m.widx, m.pos, m.sym, m.nxt, " +
+      sb ++= s"f$t AS (SELECT m.word, m.freq, m.pos, m.sym, m.nxt, " +
         s"(m.sym = b.l AND m.nxt = b.r) AS ism FROM m$t m, b$t b), "
       sb ++= s"g$t AS (SELECT *, CASE WHEN ism THEN pos - " +
-        "row_number() OVER (PARTITION BY doc_id, widx, ism ORDER BY pos) END AS isl " +
+        "row_number() OVER (PARTITION BY word, ism ORDER BY pos) END AS isl " +
         s"FROM f$t), "
       sb ++= s"a$t AS (SELECT *, CASE WHEN ism THEN ((pos - " +
-        "min(pos) OVER (PARTITION BY doc_id, widx, isl)) % 2 = 0) " +
+        "min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) " +
         s"ELSE FALSE END AS app FROM g$t), "
-      sb ++= s"s${t + 1} AS MATERIALIZED (SELECT doc_id, widx, " +
-        "CAST(row_number() OVER (PARTITION BY doc_id, widx ORDER BY pos) AS BIGINT) AS pos, " +
+      sb ++= s"s${t + 1} AS MATERIALIZED (SELECT word, freq, " +
+        "CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, " +
         "CASE WHEN app THEN sym || nxt ELSE sym END AS sym FROM (SELECT *, " +
-        "coalesce(lag(app) OVER (PARTITION BY doc_id, widx ORDER BY pos), FALSE) AS cons " +
+        "coalesce(lag(app) OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons " +
         s"FROM a$t) WHERE NOT cons), "
     }
     val out = sb.result()
@@ -2225,12 +2227,14 @@ object NorthStarQueries {
 
     Q("q_bpe_train",
       // Tokenizer TRAINING on the cluster: 8 BPE merge rounds learned
-      // from the corpus (Sennrich et al. 2016), output = the merge
-      // table a tokenizer ships. All-integer counts, deterministic
-      // argmax, unrolled rounds — see TextOps.bpeTrain.
-      (s, d) => TextOps.bpeTrain(docs(s, d), "doc_id", "text", BPE_MERGES)
-        .orderBy("step"),
-      s"WITH ${sqlBpeCtes(BPE_MERGES)} " +
+      // from a TRAIN_MOD doc sample (Sennrich et al. 2016; rules are
+      // distribution statistics, the k-means-codebook discipline) over
+      // the distinct-word frequency table, output = the merge table a
+      // tokenizer ships. All-integer counts, deterministic argmax,
+      // unrolled rounds — see TextOps.bpeTrain.
+      (s, d) => TextOps.bpeTrain(docs(s, d), "doc_id", "text", BPE_MERGES,
+        TRAIN_MOD).orderBy("step"),
+      s"WITH ${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TRAIN_MOD = 0")} " +
         "SELECT step, lhs, rhs, pair_count FROM (" +
         (0 until BPE_MERGES).map(t =>
           s"SELECT CAST(${t + 1} AS BIGINT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$t")
@@ -2251,17 +2255,25 @@ object NorthStarQueries {
       (s, d) => {
         val all = docs(s, d)
         val (lhs, rhs) = TextOps.bpeLearnedRules(
-          all.filter(col("doc_id") % TRAIN_MOD === 0),
-          "doc_id", "text", BPE_MERGES)
+          all, "doc_id", "text", BPE_MERGES, TRAIN_MOD)
         val seg = graft.functions.VectorFunctions.bpeSegment(col("word"), lhs, rhs)
         // single-split parquet at small SF: spread docs before the
-        // per-word kernel map (the multimodal-codec discipline)
-        all.repartition(s.sparkContext.defaultParallelism)
+        // word explode (the multimodal-codec discipline)
+        val occ = all.repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("source"),
             explode(TextOps.tokens(col("text"))).as("word"))
+        // memoized apply: the kernel segments each DISTINCT word once
+        // (vocab ≪ corpus — Heaps' law), then a broadcast dictionary
+        // join fans the per-word sizes back to occurrences. When the
+        // vocab outgrows a broadcast (rare even at 100 TB with a
+        // frequency cutoff), apply `seg` per occurrence instead — the
+        // kernel pass itself is already one narrow codegen map.
+        val dict = occ.select("word").distinct()
+          .select(col("word"), length(col("word")).cast("long").as("nc1"),
+            size(seg).cast("long").as("ns1"))
+        occ.join(broadcast(dict), "word")
           .groupBy("doc_id", "source")
-          .agg(sum(length(col("word")).cast("long")).as("nc"),
-            sum(size(seg).cast("long")).as("ns"))
+          .agg(sum(col("nc1")).as("nc"), sum(col("ns1")).as("ns"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("nc")).as("n_char_syms"),
@@ -2272,42 +2284,44 @@ object NorthStarQueries {
       }, {
         // training chain on the sample (b0..b{n-1}), then the apply
         // chain re-runs the identical per-round rewrite over the FULL
-        // corpus with each round's rule taken from the trained b$t
+        // corpus VOCAB (words segment independently, so per-distinct-
+        // word rounds + an occurrence join equal per-occurrence apply)
         val sb = new StringBuilder
         sb ++= s"WITH ${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TRAIN_MOD = 0")}, "
-        sb ++= s"atok AS (SELECT doc_id, $TOKS AS toks FROM documents), "
-        sb ++= "awd AS (SELECT doc_id, unnest(toks) AS word, " +
-          "unnest(range(1, len(toks) + 1)) AS widx FROM atok), "
-        sb ++= "acp AS (SELECT doc_id, widx, word, " +
-          "unnest(range(1, length(word) + 1)) AS pos FROM awd), "
-        sb ++= "as0 AS MATERIALIZED (SELECT doc_id, CAST(widx AS BIGINT) AS widx, " +
-          "CAST(pos AS BIGINT) AS pos, substr(word, CAST(pos AS INT), 1) AS sym FROM acp), "
+        sb ++= s"atok AS (SELECT doc_id, source, $TOKS AS toks FROM documents), "
+        sb ++= "avf AS (SELECT word FROM (SELECT unnest(toks) AS word FROM atok) " +
+          "GROUP BY word), "
+        sb ++= "as0 AS MATERIALIZED (SELECT word, CAST(pos AS BIGINT) AS pos, " +
+          "substr(word, CAST(pos AS INT), 1) AS sym FROM " +
+          "(SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM avf)), "
         for (t <- 0 until BPE_MERGES) {
-          sb ++= s"aam$t AS MATERIALIZED (SELECT doc_id, widx, pos, sym, " +
-            s"lead(sym) OVER (PARTITION BY doc_id, widx ORDER BY pos) AS nxt FROM as$t), "
-          sb ++= s"aaf$t AS (SELECT m.doc_id, m.widx, m.pos, m.sym, m.nxt, " +
+          sb ++= s"aam$t AS MATERIALIZED (SELECT word, pos, sym, " +
+            s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM as$t), "
+          sb ++= s"aaf$t AS (SELECT m.word, m.pos, m.sym, m.nxt, " +
             s"(m.sym = b.l AND m.nxt = b.r) AS ism FROM aam$t m, b$t b), "
           sb ++= s"aag$t AS (SELECT *, CASE WHEN ism THEN pos - " +
-            "row_number() OVER (PARTITION BY doc_id, widx, ism ORDER BY pos) END AS isl " +
+            "row_number() OVER (PARTITION BY word, ism ORDER BY pos) END AS isl " +
             s"FROM aaf$t), "
           sb ++= s"aaa$t AS (SELECT *, CASE WHEN ism THEN ((pos - " +
-            "min(pos) OVER (PARTITION BY doc_id, widx, isl)) % 2 = 0) " +
+            "min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) " +
             s"ELSE FALSE END AS app FROM aag$t), "
-          sb ++= s"as${t + 1} AS MATERIALIZED (SELECT doc_id, widx, " +
-            "CAST(row_number() OVER (PARTITION BY doc_id, widx ORDER BY pos) AS BIGINT) AS pos, " +
+          sb ++= s"as${t + 1} AS MATERIALIZED (SELECT word, " +
+            "CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, " +
             "CASE WHEN app THEN sym || nxt ELSE sym END AS sym FROM (SELECT *, " +
-            "coalesce(lag(app) OVER (PARTITION BY doc_id, widx ORDER BY pos), FALSE) AS cons " +
+            "coalesce(lag(app) OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons " +
             s"FROM aaa$t) WHERE NOT cons), "
         }
-        sb ++= "c0 AS (SELECT doc_id, count(*) AS nc FROM as0 GROUP BY doc_id), "
-        sb ++= s"cn AS (SELECT doc_id, count(*) AS ns FROM as$BPE_MERGES GROUP BY doc_id) "
-        sb ++= "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
-          "CAST(sum(c0.nc) AS BIGINT) AS n_char_syms, " +
-          "CAST(sum(cn.ns) AS BIGINT) AS n_subwords, " +
-          "CAST(sum(c0.nc) AS DOUBLE) / CAST(sum(cn.ns) AS DOUBLE) AS chars_per_subword " +
-          "FROM documents d JOIN c0 ON c0.doc_id = d.doc_id " +
-          "JOIN cn ON cn.doc_id = d.doc_id " +
-          "GROUP BY d.source ORDER BY d.source"
+        sb ++= s"wseg AS (SELECT word, CAST(length(word) AS BIGINT) AS nc1, " +
+          s"CAST(count(*) AS BIGINT) AS ns1 FROM as$BPE_MERGES GROUP BY word), "
+        sb ++= "aocc AS (SELECT doc_id, source, unnest(toks) AS word FROM atok), "
+        sb ++= "perdoc AS (SELECT doc_id, source, " +
+          "CAST(sum(w.nc1) AS BIGINT) AS nc, CAST(sum(w.ns1) AS BIGINT) AS ns " +
+          "FROM aocc JOIN wseg w USING (word) GROUP BY doc_id, source) "
+        sb ++= "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(nc) AS BIGINT) AS n_char_syms, " +
+          "CAST(sum(ns) AS BIGINT) AS n_subwords, " +
+          "CAST(sum(nc) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS chars_per_subword " +
+          "FROM perdoc GROUP BY source ORDER BY source"
         sb.result()
       }),
 

@@ -754,125 +754,135 @@ object TextOps {
   /**
    * BPE merge-rule learning (Sennrich et al. 2016, "Neural Machine
    * Translation of Rare Words with Subword Units") — tokenizer TRAINING
-   * as a distributed query, not just tokenization. Words start as
-   * character sequences; each round counts adjacent symbol pairs over
-   * the whole corpus, picks the most frequent (ties → lexicographically
-   * smallest pair, fully deterministic), and rewrites every word with
-   * the merged symbol. Left-to-right non-overlap on runs (only (x,x)
-   * pairs can self-overlap) is the classic gaps-and-islands window:
-   * matches in a run apply at even offsets from the run head.
+   * as a distributed query, not just tokenization. Trains over the
+   * DISTINCT-WORD FREQUENCY table (the vocab-dict discipline of every
+   * production BPE trainer): adjacent-pair counts weighted by word
+   * frequency equal the per-occurrence corpus counts exactly, so the
+   * learned rules and reported counts are IDENTICAL to corpus-row
+   * training while the per-round state collapses from one row per
+   * corpus character to one row per VOCAB character — 10⁴× smaller on
+   * the fixtures, and still orders of magnitude smaller at 100 TB
+   * (vocab grows ~Heaps' law while the corpus grows linearly). Each
+   * round counts pairs (`sum(freq)`, map-side combined), picks the most
+   * frequent (ties → lexicographically smallest pair, fully
+   * deterministic), and rewrites every vocab word with the merged
+   * symbol. Left-to-right non-overlap on runs (only (x,x) pairs can
+   * self-overlap) is the classic gaps-and-islands window: matches in a
+   * run apply at even offsets from the run head.
+   *
+   * `trainMod` samples the training corpus (`id % trainMod == 0`)
+   * BEFORE the frequency count — the deterministic FAISS-style
+   * discipline of [[graft.ml.Similarity]]'s k-means/PQ codebooks:
+   * merge rules are distribution statistics, so they train on a
+   * sample while APPLY stays full-corpus via the narrow
+   * [[graft.functions.VectorFunctions.bpeSegment]] kernel.
+   * trainMod = 1 keeps full-corpus training for tests/tiny inputs.
    *
    * Returns the learned rules: (step, lhs, rhs, pair_count) — the
    * artifact a tokenizer ships. All-integer counts and string concat;
-   * the DuckDB oracle replays the identical rounds.
+   * the DuckDB oracle replays the identical rounds over the same
+   * frequency table.
    *
-   * Scale shape: state is one (doc, word, pos, sym) row per character —
-   * a narrow columnar table; each round is one map-side-combined pair
-   * count, one ~vocab²-row argmax (tiny single-partition sort, like the
-   * centroid tables), and per-word window passes (keyed by (doc, word),
-   * millions of small partitions — the shape Spark windows like).
-   * `nMerges` fixed rounds, each lineage-truncated via localCheckpoint —
-   * the Lloyd-unroll discipline that keeps it oracle-replicable. At
-   * 100 TB one trains on a corpus sample, exactly like the k-means
-   * centroids; the per-round plan is unchanged.
+   * Scale shape: per-round state is (word, freq, pos, sym) — narrow,
+   * word-partitioned, lineage-truncated via localCheckpoint each round
+   * (the Lloyd-unroll discipline that keeps it oracle-replicable); one
+   * map-side-combined pair count and one tiny argmax per round.
    */
   def bpeTrain(docsDf: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    bpeEvolve(docsDf, idCol, textCol, nMerges)._3
-      .reduce(_.unionByName(_)).orderBy("step")
-  }
-
-  /** Initial and final BPE symbol states — the fused train+apply form:
-    * (s0, sN) where each is (doc_id, widx, pos, sym) rows; sN is the
-    * SAME corpus re-segmented with the `nMerges` rules it was trained
-    * on. For the production lifecycle (train on a sample, apply to the
-    * full corpus in one narrow pass) use [[bpeLearnedRules]] +
-    * [[graft.functions.VectorFunctions.bpeSegment]]. */
-  def bpeStates(docsDf: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): (DataFrame, DataFrame) = {
-    val (s0, sN, _) = bpeEvolve(docsDf, idCol, textCol, nMerges)
-    (s0, sN)
-  }
-
-  /** The learned merge table COLLECTED in step order — the constant-size
-    * tokenizer artifact (nMerges pairs) a 100 TB pipeline trains once
-    * (on a corpus sample) and ships to the apply pass; the per-word
-    * apply kernel takes it by reference (the AdcLookup discipline). */
-  def bpeLearnedRules(docsDf: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): (Array[String], Array[String]) = {
-    val rows = bpeTrain(docsDf, idCol, textCol, nMerges)
-      .orderBy("step").collect()
-    (rows.map(_.getString(1)), rows.map(_.getString(2)))
-  }
-
-  /** The shared round evolution behind [[bpeTrain]]/[[bpeStates]]:
-    * returns (initial char state, final state, per-round merge rows). */
-  private def bpeEvolve(docsDf: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
+      nMerges: Int, trainMod: Long = 1L): DataFrame = {
     val spark = docsDf.sparkSession
-    // repartition FIRST (the documents table is one parquet split at
-    // small SF — the char-level double explode ran single-threaded),
-    // then pre-cluster by the window key so s0 is BORN (doc, widx)-
-    // partitioned and every round's window passes start aligned
-    val s0 = docsDf
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("widx", "word")))
-      .repartition(col("doc_id"), col("widx"))
-      .select(col("doc_id"), col("widx").cast("long").as("widx"),
-        explode(sequence(lit(1L), length(col("word")).cast("long"))).as("pos"),
-        col("word"))
-      .select(col("doc_id"), col("widx"), col("pos"),
+    import spark.implicits._
+    bpeMergeRules(docsDf, idCol, textCol, nMerges, trainMod)
+      .toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
+  /** The learned merge table in step order — the constant-size
+    * tokenizer artifact (nMerges pairs) a 100 TB pipeline trains once
+    * on a `trainMod` corpus sample and ships to the apply pass; the
+    * per-word apply kernel takes it by reference (the AdcLookup
+    * discipline). */
+  def bpeLearnedRules(docsDf: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, trainMod: Long = 1L): (Array[String], Array[String]) = {
+    val rules = bpeMergeRules(docsDf, idCol, textCol, nMerges, trainMod)
+    (rules.map(_._2).toArray, rules.map(_._3).toArray)
+  }
+
+  /** The merge rounds behind [[bpeTrain]]: the word-frequency state,
+    * then up to `nMerges` count→argmax→rewrite rounds under static
+    * planning (per-round checkpoints keep the word layout — AQE-era
+    * checkpoints capture UnknownPartitioning, see
+    * [[graft.engine.StaticPlan]] — so every round's window chain runs
+    * exchange-free). Each round's argmax is ONE row, collected to the
+    * driver (a constant-size artifact, like the centroid tables) and
+    * re-injected as string literals — no broadcast build and no
+    * crossJoin in the rewrite plan. Stops early once no adjacent pair
+    * remains (fully-merged or single-char vocab); pairs never reappear
+    * after that. Returns (step, lhs, rhs, pair_count) tuples. */
+  private def bpeMergeRules(docsDf: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, trainMod: Long): Seq[(Long, String, String, Long)] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
+    val spark = docsDf.sparkSession
+    val sampled =
+      if (trainMod == 1L) docsDf
+      else docsDf.filter(col(idCol) % trainMod === 0)
+    // distinct-word frequencies, then one (word, freq, pos, sym) row
+    // per vocab character, born word-partitioned so the round windows
+    // start aligned
+    val s0 = sampled
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .repartition(col("word"))
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1L), length(col("word")).cast("long"))).as("pos"))
+      .select(col("word"), col("freq"), col("pos"),
         col("word").substr(col("pos").cast("int"), lit(1)).as("sym"))
       .localCheckpoint(true)
-    // rounds under static planning: checkpoints keep the (doc, widx)
-    // layout (AQE-era checkpoints capture UnknownPartitioning — see
-    // [[graft.engine.StaticPlan]]), so the per-round window chain runs
-    // exchange-free over the pinned layout
     val nChars = s0.count()
     graft.engine.StaticPlan.scoped(spark,
       graft.engine.StaticPlan.roundPartitions(nChars, spark)) {
-      bpeRounds(s0, nMerges)
+      val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+      // re-pin the layout under static planning (s0 itself was
+      // materialized under the caller's adaptive planning)
+      var st = s0.repartition(col("word")).localCheckpoint(true)
+      val rules = new scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]
+      var t = 0
+      var exhausted = false
+      while (t < nMerges && !exhausted) {
+        val m = st.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+        // (c desc, sym, nxt) totally orders the pair table (pairs are
+        // unique group keys) — limit(1) is the deterministic argmax
+        val best = m.filter(col("nxt").isNotNull)
+          .groupBy("sym", "nxt").agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          rules += ((t + 1L, l, r, c))
+          val f = m.withColumn("ism",
+            col("sym") === lit(l) && col("nxt") === lit(r))
+          val g = f.withColumn("isl", when(col("ism"), col("pos") -
+            row_number().over(Window.partitionBy(col("word"),
+              col("ism")).orderBy(col("pos")))))
+          val a = g.withColumn("app", when(col("ism"),
+              ((col("pos") - min(col("pos")).over(Window.partitionBy(col("word"),
+                col("isl")))) % 2) === 0)
+            .otherwise(lit(false)))
+          st = a.withColumn("cons",
+              coalesce(lag(col("app"), 1).over(wWord), lit(false)))
+            .filter(!col("cons"))
+            .withColumn("pos2", row_number().over(wWord).cast("long"))
+            .select(col("word"), col("freq"), col("pos2").as("pos"),
+              when(col("app"), concat(col("sym"), col("nxt")))
+                .otherwise(col("sym")).as("sym"))
+            .localCheckpoint(true)
+        }
+        t += 1
+      }
+      rules.toSeq
     }
-  }
-
-  private def bpeRounds(s0: DataFrame, nMerges: Int)
-      : (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val wWord = Window.partitionBy(col("doc_id"), col("widx")).orderBy(col("pos"))
-    // re-pin the layout under static planning (s0 itself was
-    // materialized under the caller's adaptive planning)
-    var st = s0.repartition(col("doc_id"), col("widx")).localCheckpoint(true)
-    val merges = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    (0 until nMerges).foreach { t =>
-      val m = st.withColumn("nxt", lead(col("sym"), 1).over(wWord))
-      val best = m.filter(col("nxt").isNotNull)
-        .groupBy("sym", "nxt").agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("c").desc, col("sym"), col("nxt"))))
-        .filter(col("rk") === 1)
-        .select(col("sym").as("l"), col("nxt").as("r"), col("c"))
-        .localCheckpoint(true)
-      merges += best.select(lit((t + 1).toLong).as("step"),
-        col("l").as("lhs"), col("r").as("rhs"), col("c").as("pair_count"))
-      val f = m.crossJoin(broadcast(best.select("l", "r")))
-        .withColumn("ism", col("sym") === col("l") && col("nxt") === col("r"))
-      val g = f.withColumn("isl", when(col("ism"), col("pos") -
-        row_number().over(Window.partitionBy(col("doc_id"), col("widx"),
-          col("ism")).orderBy(col("pos")))))
-      val a = g.withColumn("app", when(col("ism"),
-          ((col("pos") - min(col("pos")).over(Window.partitionBy(col("doc_id"),
-            col("widx"), col("isl")))) % 2) === 0)
-        .otherwise(lit(false)))
-      st = a.withColumn("cons",
-          coalesce(lag(col("app"), 1).over(wWord), lit(false)))
-        .filter(!col("cons"))
-        .withColumn("pos2", row_number().over(wWord).cast("long"))
-        .select(col("doc_id"), col("widx"), col("pos2").as("pos"),
-          when(col("app"), concat(col("sym"), col("nxt")))
-            .otherwise(col("sym")).as("sym"))
-        .localCheckpoint(true)
-    }
-    (s0, st, merges.toSeq)
   }
 
   /**
