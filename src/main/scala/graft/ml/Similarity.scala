@@ -402,19 +402,35 @@ object Similarity {
     * generation (every probed copy of a meets every HOME copy of b) +
     * true-cosine top-k, from any assignment frame carrying (idCol,
     * vecCol, cell, isHome) — seed IVF, k-means IVF, or a rank-sliced
-    * pre-trained index all reuse it unchanged. */
-  def topKFromAssign(probed: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val pairs = probed
-      .groupBy("cell")
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
-        col("isHome"))).as("ms"))
-      .select(explode(col("ms")).as("x"), col("ms"))
-      .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
-    val scored = pairs.select(
-      col("x.id").as("a"), col("y.id").as("b"),
-      (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+    * pre-trained index all reuse it unchanged.
+    *
+    * Mega-cell safety: pairs come from a JOIN on cell (queries ×
+    * home members), never a per-cell `collect_list` — a skewed
+    * k-means cell is a spillable join group (and an AQE skew-split
+    * candidate), not an unbounded single-row array buffer. The
+    * assignment is checkpointed once (the persisted-posting-lists
+    * index artifact) so the two sides don't recompute the training
+    * chain. `cellCap` bounds the quadratic term: each query meets at
+    * most the `cellCap` LOWEST-id home members of a probed cell
+    * (deterministic; a binding cap trades recall for a hard
+    * |cell|·cap work bound — FAISS's max-codes-per-cell knob). The
+    * default never binds. */
+  def topKFromAssign(probed0: DataFrame, idCol: String, vecCol: String,
+      k: Int, cellCap: Int = Int.MaxValue): DataFrame = {
+    val probed = ckptFresh(probed0)
+    val homeAll = probed.filter(col("isHome"))
+    val home = (if (cellCap == Int.MaxValue) homeAll
+      else homeAll
+        .withColumn("__hr", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col(idCol))))
+        .filter(col("__hr") <= cellCap))
+      .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"))
+    val queries = probed
+      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"))
+    val scored = queries.join(home, "cell")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv")))).as("cos"))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
@@ -453,17 +469,29 @@ object Similarity {
    * Returns one row per input vector: (idCol, cell, dropped).
    */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
-      nCells: Int, iters: Int, dims: Int, trainMod: Long = 1): DataFrame = {
-    val assign = ivfKmeansAssign(emb, idCol, vecCol, nCells, iters, dims, 1,
-      trainMod)
-    val pairs = assign.groupBy("cell")
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
-      .select(explode(col("ms")).as("x"), col("ms"))
-      .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        (dot(col("x.v"), col("y.v")) /
-          (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+      nCells: Int, iters: Int, dims: Int, trainMod: Long = 1,
+      cellCap: Int = Int.MaxValue): DataFrame = {
+    // mega-cell safety: in-cell pairs from a JOIN (keeper candidates ×
+    // members), never a per-cell collect_list — see [[topKFromAssign]].
+    // `cellCap` bounds the keeper-candidate side to the cellCap
+    // LOWEST-id members of each cell (exactly the ids the keep-lowest
+    // rule prefers), the SemDeDup practice of capping cluster size; a
+    // binding cap can only under-drop, never drop a keeper.
+    val assign = ckptFresh(ivfKmeansAssign(
+      emb, idCol, vecCol, nCells, iters, dims, 1, trainMod))
+    val keepers = (if (cellCap == Int.MaxValue) assign
+      else assign
+        .withColumn("__kr", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col(idCol))))
+        .filter(col("__kr") <= cellCap))
+      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"))
+    val pairs = keepers
+      .join(assign.select(col("cell"), col(idCol).as("b"),
+        col(vecCol).as("bv")), "cell")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("av"), col("bv")) /
+          (norm(col("av")) * norm(col("bv")))).as("cos"))
       .filter(col("cos") >= tau)
     val drops = pairs.select(col("b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
@@ -646,9 +674,10 @@ object Similarity {
   def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
       m: Int, pqK: Int, pqIters: Int, rerank: Int = 0,
-      trainMod: Long = 1): DataFrame = {
+      trainMod: Long = 1, cellCap: Int = Int.MaxValue): DataFrame = {
     val pqRanked = pqRankedPairs(emb, idCol, vecCol,
-      nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod)
+      nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod,
+      cellCap = cellCap)
     if (rerank <= 0)
       pqRanked.filter(col("rank") <= k).select("a", "rank", "b")
     else
@@ -689,11 +718,36 @@ object Similarity {
       pqIters, trainMod, centsPre)
       .filter(col("rank") <= shortK).select("a", "b")
 
+  /** Exactly-once in-cell (query × home-member) pair frame from a
+    * member assignment carrying (idCol, cell, isHome, …): the shared
+    * mega-cell-safe pair generator of the PQ serving stages. JOIN on
+    * cell over a checkpointed index — a skewed cell is a spillable
+    * join group, never an unbounded per-row `collect_list` buffer;
+    * `cellCap` (default: unbounded) keeps only the cellCap LOWEST-id
+    * home members per cell (FAISS's max-codes-per-cell knob, the hard
+    * |cell|·cap work bound). Returns (cell, x, y) struct pairs with
+    * x.id ≠ y.id, `member` evaluated on both sides. */
+  private def inCellStructPairs(assign: DataFrame, member: Column,
+      idCol: String, cellCap: Int): DataFrame = {
+    val am = ckptFresh(assign)
+    val homeAll = am.filter(col("isHome"))
+    val home = (if (cellCap == Int.MaxValue) homeAll
+      else homeAll
+        .withColumn("__hr", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col(idCol))))
+        .filter(col("__hr") <= cellCap))
+      .select(col("cell"), member.as("y"))
+    am.select(col("cell"), member.as("x"))
+      .join(home, "cell")
+      .filter(col("x.id") =!= col("y.id"))
+  }
+
   /** All IVF candidates ranked per query by the PQ table score. */
   private def pqRankedPairs(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
       m: Int, pqK: Int, pqIters: Int, trainMod: Long = 1,
-      centsPre: Option[DataFrame] = None): DataFrame = {
+      centsPre: Option[DataFrame] = None,
+      cellCap: Int = Int.MaxValue): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
 
@@ -728,10 +782,7 @@ object Similarity {
     val member = struct(
       col(idCol).as("id") +: col("isHome") +: col("vn") +:
         (0 until m).map(mi => col(s"c$mi")): _*)
-    val pairs = assign.groupBy("cell").agg(collect_list(member).as("ms"))
-      .select(explode(col("ms")).as("x"), col("ms"))
-      .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
+    val pairs = inCellStructPairs(assign, member, idCol, cellCap)
     // scoring = m literal-table lookups summed in fixed order — pure
     // projection, no joins, fully inside whole-stage codegen
     val score = (0 until m)
@@ -766,9 +817,10 @@ object Similarity {
   def topKIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
       m: Int, pqK: Int, pqIters: Int, rerank: Int = 0,
-      trainMod: Long = 1): DataFrame = {
+      trainMod: Long = 1, cellCap: Int = Int.MaxValue): DataFrame = {
     val ranked = pqResidualRankedPairs(emb, idCol, vecCol,
-      nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod)
+      nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod,
+      cellCap = cellCap)
     if (rerank <= 0)
       ranked.filter(col("rank") <= k).select("a", "rank", "b")
     else
@@ -795,7 +847,8 @@ object Similarity {
   private def pqResidualRankedPairs(emb: DataFrame, idCol: String,
       vecCol: String, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
       m: Int, pqK: Int, pqIters: Int, trainMod: Long = 1,
-      centsPre: Option[DataFrame] = None): DataFrame = {
+      centsPre: Option[DataFrame] = None,
+      cellCap: Int = Int.MaxValue): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
 
@@ -877,11 +930,8 @@ object Similarity {
     val member = struct(
       col(idCol).as("id") +: col("isHome") +: col("hi") +: col("vn") +:
         (0 until m).map(mi => col(s"c$mi")): _*)
-    val pairs = assign.join(coded, idCol)
-      .groupBy("cell").agg(collect_list(member).as("ms"))
-      .select(explode(col("ms")).as("x"), col("ms"))
-      .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
+    val pairs = inCellStructPairs(assign.join(coded, idCol), member, idCol,
+      cellCap)
     // x̂a·x̂b = μμ + Σ_m (μ·cw + μ·cw + cw·cw) — 3m+1 literal lookups
     // in the same left-assoc order as before, pure codegen projection
     val snum = (Seq(tmmAt(col("x.hi"), col("y.hi"))) ++

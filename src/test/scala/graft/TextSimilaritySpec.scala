@@ -561,6 +561,48 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.filter(_._2).map(_._1).toSet == Set(1L, 3L))
   }
 
+  test("mega-cell guard: skewed cell completes capped, small cells exact") {
+    import spark.implicits._
+    // one cell holds 50% of all vectors (a pathological k-means
+    // outcome); the rest spread thin across 25 cells of 4 members
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val cell = if (i < n / 2) 0L else 1L + (i % 25)
+      (i.toLong,
+        Array.tabulate(8)(d => (((i * 31 + d * 17) % 13) - 6).toFloat / 6f),
+        cell)
+    }
+    val assign = rows.toDF("vec_id", "embedding", "cell")
+      .withColumn("isHome", lit(true))
+    val cap = 8
+    val full = Similarity.topKFromAssign(assign, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Similarity.topKFromAssign(assign, "vec_id", "embedding", 5,
+        cellCap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a binding cap confines mega-cell candidates to the cap LOWEST-id
+    // home members — the per-query work bound is |cell|·cap, not |cell|²
+    val megaNbrs = capped.filter(_._1 < n / 2).map(_._3)
+    assert(megaNbrs.nonEmpty && megaNbrs.forall(_ < cap))
+    // cells smaller than the cap are bit-identical to the uncapped run
+    val fullSmall = full.filter(_._1 >= n / 2)
+    assert(fullSmall == capped.filter(_._1 >= n / 2) && fullSmall.nonEmpty)
+    // capped semDedup can only UNDER-drop (fewer keeper candidates);
+    // it never drops a vector the uncapped run keeps
+    val emb8 = rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding")
+    def drops(cc: Int) = Similarity.semDedup(emb8, "vec_id", "embedding",
+        tau = 0.95, nCells = 4, iters = 2, dims = 8, cellCap = cc)
+      .filter(col("dropped")).select("vec_id").as[Long].collect().toSet
+    val dropsFull = drops(Int.MaxValue)
+    assert(dropsFull.nonEmpty && drops(16).subsetOf(dropsFull))
+    // the capped PQ serving stage completes on the same skewed corpus
+    val pq = Similarity.topKIvfPq(emb8, "vec_id", "embedding", 3,
+      nCells = 4, kmIters = 2, dims = 8, nProbe = 1, m = 2, pqK = 4,
+      pqIters = 2, cellCap = 16)
+    val perQ = pq.groupBy("a").count().as[(Long, Long)].collect()
+    assert(perQ.nonEmpty && perQ.forall(_._2 <= 3))
+  }
+
   test("spanDedup keeps one canonical copy of a cross-doc span") {
     // span=3: doc0 [a b c][d e f][g]; doc1 [a b c][x y z] shares its
     // first span with doc0 (keeper = lower id 0); doc2's only span
