@@ -54,6 +54,12 @@ private[graft] object StaticPlan {
     val conf = ss.conf
     val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
     val par0 = conf.get("spark.sql.shuffle.partitions")
+    // already inside an IDENTICAL scope → no-op: don't set/restore at
+    // all, so same-valued scopes nested under a driver-parallel outer
+    // scope (the tuning-report pattern) cannot race the restore. A
+    // nested scope with DIFFERENT values still mutates and remains
+    // subject to the no-concurrent-planning contract.
+    if (aqe0 == "false" && par0 == parts.toString) return body
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", parts.toString)
     try body

@@ -176,6 +176,32 @@ object Similarity {
   private def ckptFresh(df: DataFrame): DataFrame =
     graft.engine.StaticPlan.ckptFresh(df)
 
+  /** True when re-consuming `df` twice costs only a projection/filter
+    * replay over an already-materialized leaf (a checkpoint's
+    * LogicalRDD or a local relation) — Spark has no cross-consumer
+    * CSE, so a frame consumed on both sides of a join re-executes its
+    * chain per side UNLESS the chain is this shape. */
+  private def cheapReplay(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project       => cheapReplay(p.child)
+      case f: Filter        => cheapReplay(f.child)
+      case s: SubqueryAlias => cheapReplay(s.child)
+      case _: LocalRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+  }
+
+  /** Checkpoint `df` unless both its sides can replay it for free —
+    * self-join pair generators call this so an expensive assignment
+    * chain materializes exactly once, while a rank-slice of an
+    * already-checkpointed index (the tuning-report pattern) is served
+    * as-is with no extra eager job. */
+  private def ckptIfNeeded(df: DataFrame): DataFrame =
+    if (cheapReplay(df.queryExecution.analyzed)) df else ckptFresh(df)
+
   /** Integer quantization of an embedding: floor(x · QUANT) per
     * component. Both engines compute the identical float→double→
     * multiply→floor sequence, and everything downstream of it is
@@ -344,37 +370,16 @@ object Similarity {
    */
   def ivfIncremental(standing: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, nCells: Int, iters: Int, dims: Int,
-      trainMod: Long = 1): DataFrame = {
-    val sQ = standing.select(col(idCol), quantize(col(vecCol)).as("q"))
-    val cents = kmeansCentroids(sQ, idCol, nCells, iters, dims, trainMod)
-    def homeOf(df: DataFrame): DataFrame =
-      ivfAssignFromCentroids(df, idCol, vecCol, cents, 1)
-        .filter(col("isHome")).select(col(idCol), col("cell"))
-    val sHome = homeOf(standing)
-    // training-time floor-integer cell means — collected (nCells rows)
-    // and re-served as a literal map, like the PQ index artifacts
-    val sumCols = (0 until dims).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
-    val muRows = graft.engine.StaticPlan.scopedAqeOff(standing.sparkSession) {
-      sQ.join(sHome, idCol).groupBy("cell")
-        .agg(count(lit(1)).as("n"), sumCols: _*)
-        .select(col("cell"), array((0 until dims).map(d =>
-          floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("mu"))
-        .collect()
-    }
-    val muLit = typedlit(muRows.map(r =>
-      r.getLong(0) -> r.getSeq[Long](1)).toMap)
-    // integer squared residual norm vs the home cell's training mean
-    def sqNorm(q: Column): Column = aggregate(
-      zip_with(q, element_at(muLit, col("cell")), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    def cellStats(df: DataFrame, home: DataFrame, nName: String,
-        sqName: String): DataFrame =
-      df.select(col(idCol), quantize(col(vecCol)).as("q"))
-        .join(home, idCol)
-        .groupBy("cell")
-        .agg(count(lit(1)).as(nName), sum(sqNorm(col("q"))).as(sqName))
-    val base = cellStats(standing, sHome, "n_base", "sq_base")
-    val fresh = cellStats(batch, homeOf(batch), "n_new", "sq_new")
+      trainMod: Long = 1, centsPre: Option[DataFrame] = None,
+      muPre: Option[Map[Long, Seq[Long]]] = None): DataFrame = {
+    val cents = centsPre.getOrElse(kmeansCentroids(
+      standing.select(col(idCol), quantize(col(vecCol)).as("q")),
+      idCol, nCells, iters, dims, trainMod))
+    val mu = muPre.getOrElse(ivfCellMeans(standing, idCol, vecCol, cents, dims))
+    val base = ivfBatchCellStats(standing, idCol, vecCol, cents, mu,
+      "n_base", "sq_base")
+    val fresh = ivfBatchCellStats(batch, idCol, vecCol, cents, mu,
+      "n_new", "sq_new")
     base.join(fresh, Seq("cell"), "full_outer")
       .select(col("cell"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
@@ -387,6 +392,63 @@ object Similarity {
           .otherwise(
             (col("sq_new").cast("double") / col("n_new").cast("double")) /
               (col("sq_base").cast("double") / col("n_base").cast("double"))))
+  }
+
+  /** Training-time floor-integer cell means of the standing corpus,
+    * COLLECTED as the constant-size serving artifact (nCells × dims
+    * longs) that persists next to the centroids — one standing-corpus
+    * pass that amortizes across every later batch. A trained cell with
+    * NO standing home member falls back to its own centroid vector
+    * (deterministic, mirrored by the oracle's LEFT JOIN + coalesce), so
+    * every cell has a mean and a batch row landing in a memberless
+    * cell still contributes a real residual — out-of-distribution rows
+    * are exactly the drift evidence; silently zeroing or dropping them
+    * (the old inner-join shape) misreported the batch. Note the
+    * fallback is the centroid at whatever scale Lloyd left it (integer
+    * SUMS after a round with members — assignment is cosine, scale-
+    * free); it only governs cells with zero standing members, where
+    * drift is NULL by definition. */
+  def ivfCellMeans(standing: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, dims: Int): Map[Long, Seq[Long]] = {
+    val sQ = standing.select(col(idCol), quantize(col(vecCol)).as("q"))
+    val sHome = ivfAssignFromCentroids(standing, idCol, vecCol, cents, 1)
+      .filter(col("isHome")).select(col(idCol), col("cell"))
+    val sumCols = (0 until dims).map(d =>
+      sum(element_at(col("q"), d + 1)).as(s"s$d"))
+    val muRows = graft.engine.StaticPlan.scopedAqeOff(standing.sparkSession) {
+      sQ.join(sHome, idCol).groupBy("cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .select(col("cell"), array((0 until dims).map(d =>
+          floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("mu"))
+        .collect()
+    }
+    val member = muRows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cents.select(col("cid"), col("cq")).collect()
+      .map(r => r.getLong(0) -> member.getOrElse(r.getLong(0), r.getSeq[Long](1)))
+      .toMap
+  }
+
+  /** Per-cell batch statistics against a PERSISTED index (`cents` +
+    * the [[ivfCellMeans]] artifact): one broadcast-centroid scan with
+    * ZERO Lloyd rounds in the plan, emitting (cell, n, sq) where sq is
+    * the integer squared-residual-norm sum vs the training-time cell
+    * mean. The (n, sq) pairs are order-free integer sums — mergeable
+    * posting statistics, so day-N ingestion is this one scan plus
+    * integer adds against the stored stats, never a standing-corpus
+    * rescan. */
+  def ivfBatchCellStats(batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, mu: Map[Long, Seq[Long]], nName: String,
+      sqName: String): DataFrame = {
+    val muLit = typedlit(mu)
+    // integer squared residual norm vs the home cell's training mean
+    def sqNorm(q: Column): Column = aggregate(
+      zip_with(q, element_at(muLit, col("cell")), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    ivfAssignFromCentroids(batch, idCol, vecCol, cents, 1)
+      .filter(col("isHome"))
+      .select(col("cell"), quantize(col(vecCol)).as("q"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as(nName), sum(sqNorm(col("q"))).as(sqName))
   }
 
   /** [[ivfAssign]] against k-means-refined centroids: same (id, vec,
@@ -417,7 +479,7 @@ object Similarity {
     * default never binds. */
   def topKFromAssign(probed0: DataFrame, idCol: String, vecCol: String,
       k: Int, cellCap: Int = Int.MaxValue): DataFrame = {
-    val probed = ckptFresh(probed0)
+    val probed = ckptIfNeeded(probed0)
     val homeAll = probed.filter(col("isHome"))
     val home = (if (cellCap == Int.MaxValue) homeAll
       else homeAll
@@ -729,7 +791,7 @@ object Similarity {
     * x.id ≠ y.id, `member` evaluated on both sides. */
   private def inCellStructPairs(assign: DataFrame, member: Column,
       idCol: String, cellCap: Int): DataFrame = {
-    val am = ckptFresh(assign)
+    val am = ckptIfNeeded(assign)
     val homeAll = am.filter(col("isHome"))
     val home = (if (cellCap == Int.MaxValue) homeAll
       else homeAll

@@ -1878,7 +1878,11 @@ object NorthStarQueries {
         // is unchanged — scheduling overlap only. Wall-clock becomes
         // max(chain) instead of sum(chains); on a real cluster the
         // same trick overlaps the executors' idle tails.
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        // 6 threads = the 6 wave-1 chains, so none queues behind
+        // another; shutdownNow in finally so a failed sub-pipeline
+        // can't leak non-daemon threads or hang an Await
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         def await[T](fs: scala.concurrent.Future[T]*): Seq[T] =
@@ -1931,7 +1935,6 @@ object NorthStarQueries {
         val Seq(exact, bk, wideAssign, a8, iv16) =
           await(exactF, bkF, wideAssignF, a8F, iv16F)
         val Seq(a16, slPq, slRes) = await(a16F, slPqF, slResF)
-        pool.shutdown()
         def wide(p: Int): DataFrame =
           wideAssign.filter(col("rank") <= p).drop("rank")
         def a16p(p: Int): DataFrame =
@@ -2022,22 +2025,19 @@ object NorthStarQueries {
               mcand.agg(count(lit(1)).as("n_cands")))
           })
         // each config row (scoring pipeline + hit/cost counts) is a
-        // 1-row frame — materialize them driver-parallel like the index
-        // constructions above, so the caller's action on the returned
-        // report is a 12-row read instead of ~150 adaptive exchange
-        // materializations (measured 5.5 s of the query)
-        val pool2 = java.util.concurrent.Executors.newFixedThreadPool(4)
-        val ec2: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool2)
-        val rows = rowDfs.map(df => scala.concurrent.Future(ckptFresh(df))(ec2))
-          .map(f => scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf))
-        pool2.shutdown()
-        rows.reduce(_.unionByName(_)).crossJoin(broadcast(nE))
+        // 1-row aggregate over checkpointed inputs; UNIONING all 12 and
+        // checkpointing the union runs every pipeline inside ONE job —
+        // their independent stages schedule concurrently in the DAG
+        // (no driver pool needed) and the caller's action on the
+        // returned report is a 12-row read instead of ~150 adaptive
+        // exchange materializations (measured 5.5 s of the query)
+        val report = ckptFresh(rowDfs.reduce(_.unionByName(_)))
+        report.crossJoin(broadcast(nE))
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))
           .select("method", "param", "probes", "n_hits", "n_cands", "recall")
           .orderBy("method", "param", "probes")
+        } finally pool.shutdownNow()
       },
       {
         def top3(l: String, r: String, key: String) =
@@ -2170,21 +2170,59 @@ object NorthStarQueries {
       }),
 
     Q("q_ann_incremental",
-      // Incremental IVF maintenance — the daily-crawl APPEND path
-      // (vec_id % 5 = 0 stands in for today's vectors, the rest is the
-      // standing corpus, mirroring q_dedup_incremental): the standing
-      // index's centroids absorb the batch in ONE broadcast-centroid
-      // scan (no retrain), emitting updated per-cell posting counts and
-      // a drift metric — the batch's mean squared residual norm vs the
-      // training-time cell means, relative to the standing corpus's own
-      // — that tells the user when a retrain is due. Integer residual
-      // sums, three exact divisions; NULL drift where either side is
-      // empty. See Similarity.ivfIncremental for the 100 TB shape.
+      // Incremental IVF maintenance — the FULL daily-crawl lifecycle:
+      // DAY 0 trains the index once (sampled k-means) and persists the
+      // constant-size artifacts (checkpointed centroids + cell-mean
+      // map + base posting stats); DAY 1 (vec_id % 5 = 4) and DAY 2
+      // (% 5 = 0) each append in ONE broadcast-centroid batch scan
+      // with ZERO Lloyd rounds in the plan, and their per-cell (n, sq)
+      // stats merge into the standing counts by integer adds — never a
+      // standing-corpus rescan. Each day's drift (batch mean squared
+      // residual vs the training-time geometry, relative to the base's
+      // own) tells the user when a retrain is due. A batch row landing
+      // in a memberless cell scores against the centroid itself (the
+      // ivfCellMeans fallback), so out-of-distribution rows are
+      // counted, not dropped. Integer sums, exact divisions; NULL
+      // drift where a side is empty.
       (s, d) => {
+        import s.implicits._
         val e = emb(s, d)
-        Similarity.ivfIncremental(
-          e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
-          "vec_id", "embedding", 16, KM_ITERS, DIMS, TRAIN_MOD)
+        val standing = e.filter(
+          col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 4)
+        val b1 = e.filter(col("vec_id") % 5 === 4)
+        val b2 = e.filter(col("vec_id") % 5 === 0)
+        val cents = graft.engine.StaticPlan.ckptFresh(
+          Similarity.kmeansCentroids(
+            standing.select(col("vec_id"),
+              Similarity.quantize(col("embedding")).as("q")),
+            "vec_id", 16, KM_ITERS, DIMS, TRAIN_MOD))
+        val mu = Similarity.ivfCellMeans(
+          standing, "vec_id", "embedding", cents, DIMS)
+        val base = Similarity.ivfBatchCellStats(standing, "vec_id",
+          "embedding", cents, mu, "n_base", "sq_base")
+        val d1 = Similarity.ivfBatchCellStats(b1, "vec_id", "embedding",
+          cents, mu, "n_d1", "sq_d1")
+        val d2 = Similarity.ivfBatchCellStats(b2, "vec_id", "embedding",
+          cents, mu, "n_d2", "sq_d2")
+        def drift(n: org.apache.spark.sql.Column,
+            sq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(n === 0 || col("n_base") === 0 || col("sq_base") === 0,
+            lit(null).cast("double"))
+            .otherwise((sq.cast("double") / n.cast("double")) /
+              (col("sq_base").cast("double") / col("n_base").cast("double")))
+        mu.keys.toSeq.sorted.toDF("cell")
+          .join(base, Seq("cell"), "left")
+          .join(d1, Seq("cell"), "left")
+          .join(d2, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_d1"), lit(0L)).as("n_d1"),
+            coalesce(col("n_d2"), lit(0L)).as("n_d2"),
+            coalesce(col("sq_base"), lit(0L)).as("sq_base"),
+            coalesce(col("sq_d1"), lit(0L)).as("sq_d1"),
+            coalesce(col("sq_d2"), lit(0L)).as("sq_d2"))
+          .withColumn("drift_d1", drift(col("n_d1"), col("sq_d1")))
+          .withColumn("drift_d2", drift(col("n_d2"), col("sq_d2")))
           .orderBy("cell")
       }, {
         val rsq = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -2192,37 +2230,52 @@ object NorthStarQueries {
           "(acc, x) -> acc + x)"
         val muSum = (1 to DIMS).map(d => s"CAST(sum(e.q[$d]) AS BIGINT)")
           .mkString("[", ", ", "]")
-        "WITH stand AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0), " +
+        def bqe(name: String, m: Int): String =
+          s"$name AS (SELECT vec_id, list_transform(embedding, " +
+            s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
+            s"FROM embeddings WHERE vec_id % 5 = $m)"
+        def bhome(name: String, qe: String): String =
+          s"$name AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cid AS cell, " +
+            s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.q", "c.cq")} / sqrt(${sqlDot("c.cq", "c.cq")}) DESC, c.cid) AS r " +
+            s"FROM $qe e, kc$KM_ITERS c) WHERE r = 1)"
+        def stats(name: String, qe: String, home: String, nN: String,
+            sqN: String): String =
+          s"$name AS (SELECT h.cell, CAST(count(*) AS BIGINT) AS $nN, " +
+            s"CAST(sum($rsq) AS BIGINT) AS $sqN " +
+            s"FROM $home h JOIN $qe e USING (vec_id) JOIN mu m ON m.cell = h.cell " +
+            "GROUP BY h.cell)"
+        def drift(nc: String, sqc: String): String =
+          s"CASE WHEN coalesce($nc, CAST(0 AS BIGINT)) = 0 " +
+            "OR coalesce(n_base, CAST(0 AS BIGINT)) = 0 " +
+            "OR coalesce(sq_base, CAST(0 AS BIGINT)) = 0 THEN NULL " +
+            s"ELSE (CAST($sqc AS DOUBLE) / CAST($nc AS DOUBLE)) / " +
+            "(CAST(sq_base AS DOUBLE) / CAST(n_base AS DOUBLE)) END"
+        "WITH stand AS (SELECT * FROM embeddings WHERE vec_id % 5 NOT IN (0, 4)), " +
           s"${sqlKmeansCtes(16, 1, KM_ITERS, "k", TRAIN_MOD, "stand")}, " +
-          "bqe AS (SELECT vec_id, list_transform(embedding, " +
-          s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
-          "FROM embeddings WHERE vec_id % 5 = 0), " +
-          "bhome AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cid AS cell, " +
-          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.q", "c.cq")} / sqrt(${sqlDot("c.cq", "c.cq")}) DESC, c.cid) AS r " +
-          s"FROM bqe e, kc$KM_ITERS c) WHERE r = 1), " +
           s"musum AS MATERIALIZED (SELECT h.cell, $muSum AS s, " +
           "CAST(count(*) AS BIGINT) AS n " +
           "FROM khome h JOIN kqe e USING (vec_id) GROUP BY h.cell), " +
-          "mu AS MATERIALIZED (SELECT cell, list_transform(s, " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT)) AS mu FROM musum), " +
-          s"sb AS (SELECT h.cell, CAST(count(*) AS BIGINT) AS n_base, " +
-          s"CAST(sum($rsq) AS BIGINT) AS sq_base " +
-          "FROM khome h JOIN kqe e USING (vec_id) JOIN mu m ON m.cell = h.cell " +
-          "GROUP BY h.cell), " +
-          s"sn AS (SELECT h.cell, CAST(count(*) AS BIGINT) AS n_new, " +
-          s"CAST(sum($rsq) AS BIGINT) AS sq_new " +
-          "FROM bhome h JOIN bqe e USING (vec_id) JOIN mu m ON m.cell = h.cell " +
-          "GROUP BY h.cell) " +
-          "SELECT cell, coalesce(n_base, CAST(0 AS BIGINT)) AS n_base, " +
-          "coalesce(n_new, CAST(0 AS BIGINT)) AS n_new, " +
+          "mu AS MATERIALIZED (SELECT c.cid AS cell, " +
+          "coalesce(list_transform(m.s, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) / m.n) AS BIGINT)), c.cq) AS mu " +
+          s"FROM kc$KM_ITERS c LEFT JOIN musum m ON m.cell = c.cid), " +
+          s"${bqe("b1qe", 4)}, ${bhome("b1home", "b1qe")}, " +
+          s"${bqe("b2qe", 0)}, ${bhome("b2home", "b2qe")}, " +
+          s"${stats("sb", "kqe", "khome", "n_base", "sq_base")}, " +
+          s"${stats("s1", "b1qe", "b1home", "n_d1", "sq_d1")}, " +
+          s"${stats("s2", "b2qe", "b2home", "n_d2", "sq_d2")} " +
+          "SELECT m.cell, coalesce(n_base, CAST(0 AS BIGINT)) AS n_base, " +
+          "coalesce(n_d1, CAST(0 AS BIGINT)) AS n_d1, " +
+          "coalesce(n_d2, CAST(0 AS BIGINT)) AS n_d2, " +
           "coalesce(sq_base, CAST(0 AS BIGINT)) AS sq_base, " +
-          "coalesce(sq_new, CAST(0 AS BIGINT)) AS sq_new, " +
-          "CASE WHEN coalesce(n_new, CAST(0 AS BIGINT)) = 0 " +
-          "OR coalesce(n_base, CAST(0 AS BIGINT)) = 0 " +
-          "OR coalesce(sq_base, CAST(0 AS BIGINT)) = 0 THEN NULL " +
-          "ELSE (CAST(sq_new AS DOUBLE) / CAST(n_new AS DOUBLE)) / " +
-          "(CAST(sq_base AS DOUBLE) / CAST(n_base AS DOUBLE)) END AS drift " +
-          "FROM sb FULL OUTER JOIN sn USING (cell) ORDER BY cell"
+          "coalesce(sq_d1, CAST(0 AS BIGINT)) AS sq_d1, " +
+          "coalesce(sq_d2, CAST(0 AS BIGINT)) AS sq_d2, " +
+          s"${drift("n_d1", "sq_d1")} AS drift_d1, " +
+          s"${drift("n_d2", "sq_d2")} AS drift_d2 " +
+          "FROM mu m LEFT JOIN sb ON sb.cell = m.cell " +
+          "LEFT JOIN s1 ON s1.cell = m.cell " +
+          "LEFT JOIN s2 ON s2.cell = m.cell " +
+          "ORDER BY m.cell"
       }),
 
     Q("q_bpe_train",

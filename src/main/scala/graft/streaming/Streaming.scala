@@ -765,17 +765,32 @@ object Streaming {
     import graft.ml.Similarity
     val centRows = cents.select(col("cid"), col("cq")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
-    val muLit = typedlit(mu.select(col("cell"), col("mu")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+    // complete the mean map with the centroid fallback (the
+    // [[graft.ml.Similarity.ivfCellMeans]] contract) so a live vector
+    // landing in a memberless cell still carries a real residual —
+    // out-of-distribution rows are exactly the drift evidence a
+    // monitor must count, not NULL silently out of the window average
+    val muMember = mu.select(col("cell"), col("mu")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val muLit = typedlit(centRows.map { case (cid, cq) =>
+      cid -> muMember.getOrElse(cid, cq) }.toMap)
     val q = Similarity.quantize(col(vecCol))
     // nearest cell by the same score/tie-break as the batch assigner:
-    // dot(q, cq)/||cq|| DESC, cid ASC — expressed as one greatest-of
-    // fold over the (tiny) centroid set, stateless per row
-    def score(cq: Seq[Long]): org.apache.spark.sql.Column =
-      Similarity.dot(q.cast("array<double>"),
-        typedlit(cq).cast("array<double>")) /
-        sqrt(Similarity.dot(typedlit(cq).cast("array<double>"),
-          typedlit(cq).cast("array<double>")))
+    // dot(q, cq)/||cq|| DESC, cid ASC — one greatest-of fold over the
+    // (tiny) centroid set, stateless per row. ||cq|| is precomputed
+    // DRIVER-side (the identical left-fold + sqrt the executor runs on
+    // exactly-cast integers), so each centroid vector appears in the
+    // plan as ONE literal — the AdcLookup literal discipline; the
+    // measured typedlit planning trap fires when multi-KB literals are
+    // embedded per reference. At serving-scale cell counts swap the
+    // fold for an array-backed matrix expression. An all-zero centroid
+    // scores 0 for every vector (the cbScore guard) instead of 0/0.
+    def score(cq: Seq[Long]): org.apache.spark.sql.Column = {
+      val n2 = cq.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      if (n2 == 0.0) lit(0.0)
+      else Similarity.dot(q.cast("array<double>"),
+        typedlit(cq).cast("array<double>")) / lit(math.sqrt(n2))
+    }
     val best = centRows.sortBy(_._1).map { case (cid, cq) =>
       struct(score(cq).as("s"), lit(-cid).as("negcid"), lit(cid).as("cid"))
     }.reduce((a, b) => when(b("s") > a("s") ||
@@ -785,6 +800,29 @@ object Streaming {
       .select(col(idCol), col(tsCol), col("cell"),
         aggregate(zip_with(col("__q"), element_at(muLit, col("cell")),
           (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x).as("rsq"))
+  }
+
+  /** Live retrain alarm over [[ivfAssignStream]] output — the
+    * streaming half of `ivfIncremental`'s drift metric: per-cell
+    * windowed mean residual, alarmed when it exceeds `alarmFactor` ×
+    * the cell's TRAINING-time base mean squared residual (`baseMsr` =
+    * sq_base/n_base, the constant-size artifact the batch path
+    * divides by — persisted with the centroids). A cell with no base
+    * statistic alarms on ANY activity: live rows landing where the
+    * training corpus had nothing are themselves drift evidence.
+    * `tsCol` must be a timestamp; emits (window, cell, n, mean_rsq,
+    * base_msr, alarm). */
+  def ivfDriftMonitor(assigned: DataFrame, tsCol: String,
+      windowDur: String, baseMsr: Map[Long, Double],
+      alarmFactor: Double): DataFrame = {
+    val baseLit = typedlit(baseMsr)
+    assigned
+      .withWatermark(tsCol, windowDur)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("rsq")).as("mean_rsq"))
+      .withColumn("base_msr", element_at(baseLit, col("cell")))
+      .withColumn("alarm",
+        coalesce(col("mean_rsq") > col("base_msr") * alarmFactor, lit(true)))
   }
 
   case class SketchIn(group: String, sid: Long)

@@ -911,6 +911,35 @@ class StreamingSpec extends SparkSpec {
     val inDistMax = Seq(100L, 101L).map(live(_)._2).max
     assert(live(200L)._2 > 5 * inDistMax,
       s"shifted rsq ${live(200L)._2} not >> in-dist max $inDistMax")
+
+    // the composed LIVE drift monitor: windowed per-cell mean residual
+    // vs the persisted base mean-squared-residual artifact — the
+    // streaming half of ivfIncremental's drift, alarming where (and
+    // only where) the shifted vectors land
+    val muMap = Similarity.ivfCellMeans(corpus, "vec_id", "embedding",
+      cents, dims)
+    val baseMsr = Similarity.ivfBatchCellStats(corpus, "vec_id",
+        "embedding", cents, muMap, "n", "sq").collect()
+      .map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    val mem2 = MemoryStream[(Long, Seq[Float], Long)](spark, 1)
+    val in2 = mem2.toDS().toDF("vec_id", "embedding", "tsUs")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("tsUs")))
+    val mon = Streaming.ivfDriftMonitor(
+      Streaming.ivfAssignStream(in2, "vec_id", "embedding", "ts", cents, mu),
+      "ts", "10 seconds", baseMsr, 4.0)
+    val q2 = mon.writeStream.format("memory").queryName("ivf_drift")
+      .outputMode("complete").start()
+    mem2.addData((100L, vec(100L, 0f), 1L), (101L, vec(101L, 0f), 2L),
+      (200L, vec(200L, 5f), 3L))
+    q2.processAllAvailable()
+    q2.stop()
+    val alarms = spark.table("ivf_drift").collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Boolean]("alarm")).toMap
+    val shiftedCell = live(200L)._1
+    assert(alarms(shiftedCell), s"shifted cell $shiftedCell should alarm: $alarms")
+    val inCells = Seq(100L, 101L).map(live(_)._1).toSet - shiftedCell
+    assert(inCells.forall(c => !alarms(c)),
+      s"in-distribution cells $inCells must stay quiet: $alarms")
   }
 
   test("end-to-end streaming curation: quality gate -> exact dedup -> minhash " +

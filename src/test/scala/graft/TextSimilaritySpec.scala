@@ -542,6 +542,57 @@ class TextSimilaritySpec extends SparkSpec {
       s"shifted drift ${meanDrift(shRows)} unexpectedly low")
   }
 
+  test("ivfIncremental: persisted index appends with zero Lloyd rounds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dims = 8
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(seed: Long): Array[Float] =
+      (0 until dims).map(d => ((seed * (d + 3) + d) % 13 + 1) / 14.0f).toArray
+    val standing = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 40L).map(i =>
+        Row(i, vec(i).toSeq))), schema)
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize((100L until 110L).map(i =>
+        Row(i, vec(i).toSeq))), schema)
+    // day-0 artifacts: checkpointed centroids + collected cell means
+    val cents = graft.engine.StaticPlan.ckptFresh(
+      Similarity.kmeansCentroids(
+        standing.select(col("vec_id"),
+          Similarity.quantize(col("embedding")).as("q")),
+        "vec_id", 4, 1, dims))
+    val mu = Similarity.ivfCellMeans(standing, "vec_id", "embedding",
+      cents, dims)
+    // serving from the persisted index returns the exact same report
+    // as in-query training (training is deterministic)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell").collect().toSeq.map(_.toSeq)
+    assert(rows(Similarity.ivfIncremental(standing, batch, "vec_id",
+        "embedding", 4, 1, dims, centsPre = Some(cents), muPre = Some(mu)))
+      == rows(Similarity.ivfIncremental(standing, batch, "vec_id",
+        "embedding", 4, 1, dims)))
+    // the day-N append plan is PROVABLY training-free: its only leaves
+    // are the batch scan and the persisted centroid checkpoint — the
+    // standing corpus appears nowhere
+    val dayN = Similarity.ivfBatchCellStats(batch, "vec_id", "embedding",
+      cents, mu, "n", "sq")
+    val leaves = dayN.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 2,
+      s"append plan has ${leaves.length} leaves (want batch + centroids):\n$leaves")
+    // and it runs as a handful of scheduler jobs (Lloyd rounds would
+    // add a jobs-per-round tail)
+    spark.sparkContext.setJobGroup("ivf-append-probe", "day-N append")
+    try dayN.collect() finally spark.sparkContext.clearJobGroup()
+    val deadline = System.nanoTime() + 5e9.toLong
+    def probeJobs() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("ivf-append-probe").length
+    while (probeJobs() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    val nJobs = probeJobs()
+    assert(nJobs >= 1 && nJobs <= 6,
+      s"day-N append ran $nJobs jobs — training leaked into the append path?")
+  }
+
   test("semDedup: near-identical vectors in a cell drop the higher id") {
     import spark.implicits._
     // Two tight groups far apart; one stray member of each group is a
