@@ -98,14 +98,31 @@ object Similarity {
     * The fold order (0 + x0·c0 + x1·c1 + …) is the same IEEE sequence
     * the DuckDB oracle executes. */
   def lshBucket(vec: Column, nPlanes: Int, dims: Int,
-      planeOffset: Int = 0): Column = {
+      planeOffset: Int = 0, planeStride: Int = 1): Column = {
     val bits = (0 until nPlanes).map { j =>
       val coef = lit((0 until dims).map(d =>
-        planeCoef(planeOffset + j, d).toDouble).toArray)
+        planeCoef(planeOffset + j * planeStride, d).toDouble).toArray)
       val proj = dot(vec, coef)
       when(proj > 0, 1L << j).otherwise(0L)
     }
     bits.reduce(_ + _)
+  }
+
+  /** Corpus-derived hyperplane count: the smallest p with
+    * ceil(n / targetBucketRows) ≤ 2^p, floored at `floorPlanes` and
+    * capped at `maxPlanes` — expected rows per bucket track `target`
+    * as the corpus grows, instead of a fixed constant whose buckets
+    * densify with the data (the round-8 scaling audit's watch item:
+    * q_ann_lsh_multi grew 4.7× on 4× vectors). Integer-only (no float
+    * log2), so the DuckDB oracle derives the identical count from its
+    * own count(*). */
+  def lshPlanesFor(n: Long, targetBucketRows: Long, floorPlanes: Int,
+      maxPlanes: Int = 16): Int = {
+    require(targetBucketRows >= 1 && floorPlanes >= 1 &&
+      maxPlanes >= floorPlanes, s"bad lshPlanesFor args")
+    val k = (n + targetBucketRows - 1) / targetBucketRows
+    math.min(maxPlanes,
+      math.max(floorPlanes, (0 until maxPlanes).count(i => k > (1L << i))))
   }
 
   /**
@@ -1095,9 +1112,11 @@ object Similarity {
    * ranking window. No all-pairs term, no training, no driver state.
    */
   def topKLshMulti(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nPlanes: Int, dims: Int, nTables: Int): DataFrame =
+      nPlanes: Int, dims: Int, nTables: Int,
+      planeStride: Int = 1): DataFrame =
     rerankShortlist(emb, idCol, vecCol,
-      lshMultiCandidates(emb, idCol, vecCol, nPlanes, dims, nTables), k)
+      lshMultiCandidates(emb, idCol, vecCol, nPlanes, dims, nTables,
+        planeStride), k)
 
   /** The multi-table LSH candidate set (a, b), x≠y meetings dedup'd
     * across tables — BARE IDS ONLY: the cross-table distinct moves
@@ -1107,10 +1126,20 @@ object Similarity {
     * report can materialize the candidates once and feed BOTH the
     * top-k and the candidate-count cost from the same frame. */
   def lshMultiCandidates(emb: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, dims: Int, nTables: Int): DataFrame = {
+      nPlanes: Int, dims: Int, nTables: Int,
+      planeStride: Int = 1): DataFrame = {
+    // plane indexing: stride 1 = consecutive blocks (table t owns
+    // planes t·nPlanes …) — the historical layout; stride > 1 =
+    // INTERLEAVED (table t's plane j is index t + j·stride, caller
+    // passes stride = nTables), which keeps each (t, j) pair's
+    // hyperplane FIXED as nPlanes varies — required when nPlanes is
+    // corpus-derived ([[lshPlanesFor]]), so the oracle can unroll
+    // constant coefficients to maxPlanes and gate by the derived count
+    def bucketOf(t: Int): Column =
+      if (planeStride == 1) lshBucket(col(vecCol), nPlanes, dims, t * nPlanes)
+      else lshBucket(col(vecCol), nPlanes, dims, t, planeStride)
     val tables = array((0 until nTables).map(t =>
-      struct(lit(t).as("t"),
-        lshBucket(col(vecCol), nPlanes, dims, t * nPlanes).as("bucket"))): _*)
+      struct(lit(t).as("t"), bucketOf(t).as("bucket"))): _*)
     val bucketed = emb.select(col(idCol), explode(tables).as("tb"))
       .select(col(idCol), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     bucketed

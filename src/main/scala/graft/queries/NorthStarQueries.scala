@@ -70,8 +70,13 @@ object NorthStarQueries {
   private val CMS_A = Seq(31L, 131L, 257L, 8191L)
   private val CMS_B = Seq(7L, 101L, 1009L, 524287L)
   private val CMS_TOPK = 20
-  private val LSHM_PLANES = 4  // multi-table LSH: planes per table
+  private val LSHM_PLANES = 4  // multi-table LSH: planes per table (tuning row)
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
+  // corpus-derived plane sizing (Similarity.lshPlanesFor): expected
+  // rows per bucket track these targets as the corpus grows; tuned so
+  // sf0.01 derives exactly the historical constants (4 and 3 planes)
+  private val LSH_TGT_MULTI = 96L   // target rows/bucket/table
+  private val LSH_TGT_DEDUP = 192L  // target rows/bucket (near-dup pairs)
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
   private val PQ_K = 16        // PQ codewords per subspace
   private val PQ_ITERS = 1     // PQ Lloyd rounds
@@ -311,6 +316,28 @@ object NorthStarQueries {
     (0 until planes).map(j =>
       s"CASE WHEN ${sqlProj(off + j, "embedding")} > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+
+  /** Corpus-derived LSH plane count as a 1-row CTE `np(p)` — the
+    * integer-only [[graft.ml.Similarity.lshPlanesFor]] mirror:
+    * p = max(floor, ceil(log2(ceil(count/target)))), capped at
+    * maxPlanes, no float log anywhere. */
+  private def sqlLshPlanes(target: Long, floor: Int,
+      maxPlanes: Int = 16, src: String = "embeddings"): String =
+    s"np AS (SELECT GREATEST($floor, " +
+      (0 until maxPlanes).map(i =>
+        s"(CASE WHEN k > ${1L << i} THEN 1 ELSE 0 END)").mkString(" + ") +
+      s") AS p FROM (SELECT (count(*) + ${target - 1}) // $target AS k FROM $src))"
+
+  /** Gated sign-bit bucket over a DERIVED plane count: plane j (global
+    * hyperplane index off + j·stride — interleaved indexing keeps each
+    * (table, j) pair's coefficients constant as p varies) contributes
+    * its bit only when j < `p` (the np CTE's column). Unrolled to
+    * maxPlanes constant-coefficient projections. */
+  private def sqlBucketDyn(maxPlanes: Int, p: String, off: Int = 0,
+      stride: Int = 1): String =
+    (0 until maxPlanes).map(j =>
+      s"CASE WHEN $j < $p AND ${sqlProj(off + j * stride, "embedding")} > 0 " +
+        s"THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
   /** BPE merge-learning CTEs (TextOps.bpeTrain mirror): the distinct-
     * word frequency table, one s0 row per VOCAB character, then
@@ -1425,15 +1452,22 @@ object NorthStarQueries {
       // alone: 13); the exact-cosine filter keeps precision 1. The
       // oracle replicates the bucketing, so the compare is exact
       // (recall loss is part of the operator's contract, not noise).
-      (s, d) => Similarity.cosinePairsLsh(emb(s, d), "vec_id", "embedding",
-          0.4, DEDUP_PLANES, DIMS, DEDUP_PROBES)
-        .orderBy("a", "b"),
+      (s, d) => {
+        val e = emb(s, d)
+        // plane count DERIVED from the corpus (floor = the historical
+        // 3): buckets keep ~LSH_TGT_DEDUP expected rows as data grows
+        val planes = Similarity.lshPlanesFor(e.count(), LSH_TGT_DEDUP, 3)
+        Similarity.cosinePairsLsh(e, "vec_id", "embedding",
+          0.4, planes, DIMS, DEDUP_PROBES).orderBy("a", "b")
+      },
       {
         val probeUnion = (1 to DEDUP_PROBES).map(p =>
           s"SELECT vec_id, embedding, xor(bucket, ${1L << (p - 1)}) AS bucket FROM bk")
           .mkString(" UNION ALL ")
-        s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket(DEDUP_PLANES)} AS bucket " +
-          "FROM embeddings), " +
+        s"WITH ${sqlLshPlanes(LSH_TGT_DEDUP, 3)}, " +
+          "bk AS MATERIALIZED (SELECT vec_id, embedding, " +
+          s"${sqlBucketDyn(16, "np.p")} AS bucket " +
+          "FROM embeddings, np), " +
           s"nb AS (SELECT vec_id, embedding, bucket FROM bk UNION ALL $probeUnion) " +
           "SELECT a, b, cos FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
           s"${sqlCos("l.embedding", "r.embedding")} AS cos " +
@@ -1617,14 +1651,23 @@ object NorthStarQueries {
       // pair cost (vs single-table 8-plane q_ann_lsh), compounding as
       // ~1-(1-r)^L — the training-free recall lever next to the
       // trained IVF paths.
-      (s, d) => Similarity.topKLshMulti(emb(s, d), "vec_id", "embedding", 3,
-          LSHM_PLANES, DIMS, LSHM_TABLES)
-        .orderBy("a", "rank"),
+      (s, d) => {
+        val e = emb(s, d)
+        // planes per table DERIVED from the corpus (sf0.01 derives the
+        // historical 4); interleaved plane indexing (stride = table
+        // count) keeps each table's hyperplanes fixed as p grows
+        val planes = Similarity.lshPlanesFor(e.count(), LSH_TGT_MULTI, 2)
+        Similarity.topKLshMulti(e, "vec_id", "embedding", 3,
+          planes, DIMS, LSHM_TABLES, planeStride = LSHM_TABLES)
+          .orderBy("a", "rank")
+      },
       {
         val tblUnion = (0 until LSHM_TABLES).map(t =>
-          s"SELECT vec_id, $t AS t, ${sqlBucket(LSHM_PLANES, t * LSHM_PLANES)} AS bucket " +
-            "FROM embeddings").mkString(" UNION ALL ")
-        s"WITH bt AS MATERIALIZED ($tblUnion), " +
+          s"SELECT vec_id, $t AS t, " +
+            s"${sqlBucketDyn(16, "np.p", t, LSHM_TABLES)} AS bucket " +
+            "FROM embeddings, np").mkString(" UNION ALL ")
+        s"WITH ${sqlLshPlanes(LSH_TGT_MULTI, 2)}, " +
+          s"bt AS MATERIALIZED ($tblUnion), " +
           "cand AS MATERIALIZED (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b " +
           "FROM bt l JOIN bt r USING (t, bucket) WHERE l.vec_id <> r.vec_id) " +
           "SELECT a, rank, b FROM (SELECT c.a, c.b, " +
