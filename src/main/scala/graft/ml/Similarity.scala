@@ -193,32 +193,6 @@ object Similarity {
   private def ckptFresh(df: DataFrame): DataFrame =
     graft.engine.StaticPlan.ckptFresh(df)
 
-  /** True when re-consuming `df` twice costs only a projection/filter
-    * replay over an already-materialized leaf (a checkpoint's
-    * LogicalRDD or a local relation) — Spark has no cross-consumer
-    * CSE, so a frame consumed on both sides of a join re-executes its
-    * chain per side UNLESS the chain is this shape. */
-  private def cheapReplay(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    plan match {
-      case p: Project       => cheapReplay(p.child)
-      case f: Filter        => cheapReplay(f.child)
-      case s: SubqueryAlias => cheapReplay(s.child)
-      case _: LocalRelation => true
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
-      case _ => false
-    }
-  }
-
-  /** Checkpoint `df` unless both its sides can replay it for free —
-    * self-join pair generators call this so an expensive assignment
-    * chain materializes exactly once, while a rank-slice of an
-    * already-checkpointed index (the tuning-report pattern) is served
-    * as-is with no extra eager job. */
-  private def ckptIfNeeded(df: DataFrame): DataFrame =
-    if (cheapReplay(df.queryExecution.analyzed)) df else ckptFresh(df)
-
   /** Integer quantization of an embedding: floor(x · QUANT) per
     * component. Both engines compute the identical float→double→
     * multiply→floor sequence, and everything downstream of it is
@@ -486,17 +460,18 @@ object Similarity {
     * Mega-cell safety: pairs come from a JOIN on cell (queries ×
     * home members), never a per-cell `collect_list` — a skewed
     * k-means cell is a spillable join group (and an AQE skew-split
-    * candidate), not an unbounded single-row array buffer. The
-    * assignment is checkpointed once (the persisted-posting-lists
-    * index artifact) so the two sides don't recompute the training
-    * chain. `cellCap` bounds the quadratic term: each query meets at
+    * candidate), not an unbounded single-row array buffer. Both join
+    * sides replay the assignment tail, which is cheap by construction:
+    * every expensive stage upstream (centroid training, PQ coding) is
+    * already internally checkpointed, so adding another eager
+    * materialization here measured as pure overhead (+1.2 s on
+    * q_ann_ivf_kmeans). `cellCap` bounds the quadratic term: each query meets at
     * most the `cellCap` LOWEST-id home members of a probed cell
     * (deterministic; a binding cap trades recall for a hard
     * |cell|·cap work bound — FAISS's max-codes-per-cell knob). The
     * default never binds. */
-  def topKFromAssign(probed0: DataFrame, idCol: String, vecCol: String,
+  def topKFromAssign(probed: DataFrame, idCol: String, vecCol: String,
       k: Int, cellCap: Int = Int.MaxValue): DataFrame = {
-    val probed = ckptIfNeeded(probed0)
     val homeAll = probed.filter(col("isHome"))
     val home = (if (cellCap == Int.MaxValue) homeAll
       else homeAll
@@ -551,13 +526,15 @@ object Similarity {
       nCells: Int, iters: Int, dims: Int, trainMod: Long = 1,
       cellCap: Int = Int.MaxValue): DataFrame = {
     // mega-cell safety: in-cell pairs from a JOIN (keeper candidates ×
-    // members), never a per-cell collect_list — see [[topKFromAssign]].
+    // members), never a per-cell collect_list — see [[topKFromAssign]];
+    // the assignment replays on both sides (training is checkpointed
+    // inside kmeansCentroids, the tail is one broadcast scan).
     // `cellCap` bounds the keeper-candidate side to the cellCap
     // LOWEST-id members of each cell (exactly the ids the keep-lowest
     // rule prefers), the SemDeDup practice of capping cluster size; a
     // binding cap can only under-drop, never drop a keeper.
-    val assign = ckptFresh(ivfKmeansAssign(
-      emb, idCol, vecCol, nCells, iters, dims, 1, trainMod))
+    val assign = ivfKmeansAssign(
+      emb, idCol, vecCol, nCells, iters, dims, 1, trainMod)
     val keepers = (if (cellCap == Int.MaxValue) assign
       else assign
         .withColumn("__kr", row_number().over(
@@ -800,15 +777,17 @@ object Similarity {
   /** Exactly-once in-cell (query × home-member) pair frame from a
     * member assignment carrying (idCol, cell, isHome, …): the shared
     * mega-cell-safe pair generator of the PQ serving stages. JOIN on
-    * cell over a checkpointed index — a skewed cell is a spillable
-    * join group, never an unbounded per-row `collect_list` buffer;
+    * cell — a skewed cell is a spillable join group, never an
+    * unbounded per-row `collect_list` buffer. Both sides replay the
+    * assignment tail; the expensive artifacts upstream (codebooks,
+    * dense codes, residual tables) are already checkpointed inside
+    * their builders, so no extra materialization barrier is paid;
     * `cellCap` (default: unbounded) keeps only the cellCap LOWEST-id
     * home members per cell (FAISS's max-codes-per-cell knob, the hard
     * |cell|·cap work bound). Returns (cell, x, y) struct pairs with
     * x.id ≠ y.id, `member` evaluated on both sides. */
-  private def inCellStructPairs(assign: DataFrame, member: Column,
+  private def inCellStructPairs(am: DataFrame, member: Column,
       idCol: String, cellCap: Int): DataFrame = {
-    val am = ckptIfNeeded(assign)
     val homeAll = am.filter(col("isHome"))
     val home = (if (cellCap == Int.MaxValue) homeAll
       else homeAll
