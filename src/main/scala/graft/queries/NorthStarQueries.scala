@@ -74,8 +74,9 @@ object NorthStarQueries {
   private val LSHM_TABLES = 4  // multi-table LSH: independent tables
   // corpus-derived plane sizing (Similarity.lshPlanesFor): expected
   // rows per bucket track these targets as the corpus grows; tuned so
-  // sf0.01 derives exactly the historical constants (4 and 3 planes)
-  private val LSH_TGT_MULTI = 96L   // target rows/bucket/table
+  // sf0.01 (500 vectors) derives exactly the historical constants
+  // (4 and 3 planes)
+  private val LSH_TGT_MULTI = 48L   // target rows/bucket/table
   private val LSH_TGT_DEDUP = 192L  // target rows/bucket (near-dup pairs)
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
   private val PQ_K = 16        // PQ codewords per subspace
