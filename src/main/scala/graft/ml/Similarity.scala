@@ -749,11 +749,21 @@ object Similarity {
     * stage shared by every PQ config. Public so a tuning report can
     * materialize one shortlist and feed BOTH its top-k and its
     * pairs-exactly-scored cost from it (re-deriving the shortlist
-    * re-trains the PQ codebooks). */
+    * re-trains the PQ codebooks).
+    *
+    * Join strategy is pinned to shuffle-hash with the VECTOR side as
+    * build: `short` is O(n·candidates) rows but its static size
+    * estimate is tiny (Generate/explode chains don't scale
+    * sizeInBytes by fanout), so an unhinted planner broadcasts the
+    * shortlist — measured at 40× vectors as a 2.3 GB driver collect
+    * that kills the job. The hinted build side is one corpus
+    * partition of (id, vec), bounded by partition sizing, and the
+    * shortlist streams — the partitioned-index / streamed-queries
+    * serving shape. */
   def rerankShortlist(emb: DataFrame, idCol: String, vecCol: String,
       short: DataFrame, k: Int): DataFrame = {
-    val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val va = emb.select(col(idCol).as("a"), col(vecCol).as("va")).hint("shuffle_hash")
+    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb")).hint("shuffle_hash")
     short.join(va, "a").join(vb, "b")
       .withColumn("cos",
         dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
@@ -1092,10 +1102,10 @@ object Similarity {
    */
   def topKLshMulti(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int, dims: Int, nTables: Int,
-      planeStride: Int = 1): DataFrame =
+      planeStride: Int = 1, bucketCap: Int = Int.MaxValue): DataFrame =
     rerankShortlist(emb, idCol, vecCol,
       lshMultiCandidates(emb, idCol, vecCol, nPlanes, dims, nTables,
-        planeStride), k)
+        planeStride, bucketCap), k)
 
   /** The multi-table LSH candidate set (a, b), x≠y meetings dedup'd
     * across tables — BARE IDS ONLY: the cross-table distinct moves
@@ -1103,10 +1113,19 @@ object Similarity {
     * dims), and the float vectors are joined back exactly once by the
     * shared [[rerankShortlist]] scoring stage. Public so a tuning
     * report can materialize the candidates once and feed BOTH the
-    * top-k and the candidate-count cost from the same frame. */
+    * top-k and the candidate-count cost from the same frame.
+    * `bucketCap` (default: unbounded) keeps only the cap LOWEST ids
+    * per (table, bucket) inside the aggregation buffer
+    * ([[graft.functions.Aggregators.collectMinK]] — the
+    * TextOps.lshCandidatesCapped discipline): a degenerate bucket
+    * (near-identical vectors colliding on every hyperplane) costs
+    * O(cap) memory and O(cap²) pairs instead of going quadratic in
+    * the bucket; buckets at or under the cap — the overwhelming
+    * case — produce identical candidates, and overflow vectors can
+    * still meet in their other tables' buckets. */
   def lshMultiCandidates(emb: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, dims: Int, nTables: Int,
-      planeStride: Int = 1): DataFrame = {
+      planeStride: Int = 1, bucketCap: Int = Int.MaxValue): DataFrame = {
     // plane indexing: stride 1 = consecutive blocks (table t owns
     // planes t·nPlanes …) — the historical layout; stride > 1 =
     // INTERLEAVED (table t's plane j is index t + j·stride, caller
@@ -1121,9 +1140,13 @@ object Similarity {
       struct(lit(t).as("t"), bucketOf(t).as("bucket"))): _*)
     val bucketed = emb.select(col(idCol), explode(tables).as("tb"))
       .select(col(idCol), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val members =
+      if (bucketCap == Int.MaxValue) collect_list(col(idCol))
+      else graft.functions.Aggregators.collectMinK(
+        col(idCol).cast("long"), bucketCap)
     bucketed
       .groupBy("t", "bucket")
-      .agg(collect_list(col(idCol)).as("ms"))
+      .agg(members.as("ms"))
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a") =!= col("b"))

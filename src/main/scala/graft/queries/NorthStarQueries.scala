@@ -1658,8 +1658,13 @@ object NorthStarQueries {
         // historical 4); interleaved plane indexing (stride = table
         // count) keeps each table's hyperplanes fixed as p grows
         val planes = Similarity.lshPlanesFor(e.count(), LSH_TGT_MULTI, 2)
+        // bucketCap: mega-bucket guard (a degenerate bucket pairs at
+        // most cap² rows); never binds at test SFs — the uncapped
+        // oracle's green hash is the proof — same discipline as the
+        // minhash queries' LSH_BUCKET_CAP
         Similarity.topKLshMulti(e, "vec_id", "embedding", 3,
-          planes, DIMS, LSHM_TABLES, planeStride = LSHM_TABLES)
+          planes, DIMS, LSHM_TABLES, planeStride = LSHM_TABLES,
+          bucketCap = LSH_BUCKET_CAP)
           .orderBy("a", "rank")
       },
       {

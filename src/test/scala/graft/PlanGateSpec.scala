@@ -78,4 +78,52 @@ class PlanGateSpec extends SparkSpec {
         s"${offenders.mkString("; ")} — partition the window or use " +
         "two-phase rank selection (see q_quantile_sketch)")
   }
+
+  test("no registry plan statically broadcasts an explode-derived big-table frame") {
+    // Detector for the round-9 EmbStress crash class: Generate
+    // (explode) does NOT scale sizeInBytes by its fanout, so a
+    // pair/candidate frame built by explode chains over a big table
+    // carries a tiny static estimate and the planner broadcasts an
+    // O(n·fanout) frame — measured as a 2.3 GB driver collect at 40×
+    // vectors. The gate: no BroadcastExchange may have a Generate
+    // with a big-table file scan below it anywhere in its subtree.
+    // Sanctioned patterns pass automatically: explicitly-materialized
+    // candidate sets are localCheckpoint'd first (a LogicalRDD leaf —
+    // no Generate below), and tiny dimension broadcasts contain no
+    // Generate at all. AQE's runtime conversions are size-validated
+    // against real shuffle bytes and are out of scope.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+    def scansBig(p: SparkPlan): Boolean = p match {
+      case leaf if leaf.children.isEmpty =>
+        val s = leaf.toString.takeWhile(_ != '\n')
+        bigTables.exists(t => s.contains(s"$t.parquet"))
+      case other => other.children.exists(scansBig)
+    }
+    def generateOverBig(p: SparkPlan): Boolean = p match {
+      case g: GenerateExec if scansBig(g.child) => true
+      case other => other.children.exists(generateOverBig)
+    }
+    def offending(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => offending(a.inputPlan)
+      case b: BroadcastExchangeExec if generateOverBig(b.child) =>
+        Seq(b.child.toString.takeWhile(_ != '\n').take(60)) ++
+          b.children.flatMap(offending)
+      case other => other.children.flatMap(offending)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = offending(fn(spark, sfDir).queryExecution.executedPlan)
+        if (bad.nonEmpty) Some(s"$name (${bad.head})") else None
+    }
+    assert(offenders.isEmpty,
+      s"static broadcast of an explode-derived big-table frame in: " +
+        s"${offenders.mkString("; ")} — pin the join with " +
+        "hint(\"shuffle_hash\") on the bounded side (see " +
+        "Similarity.rerankShortlist) or localCheckpoint the frame " +
+        "so the planner sees real stats")
+  }
 }

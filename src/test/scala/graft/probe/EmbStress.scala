@@ -25,9 +25,13 @@ object EmbStress {
         else base.select(
           (col("vec_id") + lit(k * n0)).as("vec_id"),
           // deterministic per-(copy, dim) perturbation, ±0.15 swing —
-          // copies are corpus-mates, not exact dups of the original
+          // copies are corpus-mates, not exact dups of the original.
+          // d's multiplier must be coprime with the modulus: d * 7 % 7
+          // degenerates to a constant shift per copy, which leaves
+          // every copy in its base vector's LSH bucket (measured:
+          // 1785 candidates/vector instead of ~400 at 40×)
           expr(s"transform(embedding, (x, d) -> x + " +
-            s"cast(((vec_id * 31 + $k * 17 + d * 7) % 7 - 3) as float) * 0.05f)")
+            s"cast(((vec_id * 31 + $k * 17 + d * 5) % 7 - 3) as float) * 0.05f)")
             .as("embedding"))
       }
       copies.reduce(_.unionByName(_)).repartition(
@@ -52,7 +56,7 @@ object EmbStress {
       val planes = Similarity.lshPlanesFor(n, 96L, 2)
       val cells = math.max(16, (16 * math.sqrt(s)).toInt)
       val tL = time(Similarity.topKLshMulti(e, "vec_id", "embedding", 3,
-        planes, 64, 4, planeStride = 4).count())
+        planes, 64, 4, planeStride = 4, bucketCap = 1024).count())
       val tD = time(Similarity.cosinePairsLsh(e, "vec_id", "embedding",
         0.4, Similarity.lshPlanesFor(n, 192L, 3), 64, 3).count())
       val tI = time(Similarity.topKIvfKmeans(e, "vec_id", "embedding", 3,
