@@ -45,10 +45,15 @@ object Similarity {
     * query uses [[cosineNeighbors]], and the serving paths are the
     * bucketed [[cosinePairsLsh]] / semdedup cells. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // norms precomputed ONCE per vector below the join (bit-identical:
+    // the same sqrt(dot(v,v)) double, multiplied in the same order) —
+    // the O(n²) pair stage pays one array traversal per pair, not three
+    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     l.crossJoin(r).filter(col("a") < col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")
   }
@@ -59,11 +64,15 @@ object Similarity {
     * survives corpus growth (cf. [[cosinePairs]]' all-pairs form). */
   def cosineNeighbors(emb: DataFrame, idCol: String, vecCol: String,
       minCos: Double, probeMod: Long): DataFrame = {
+    // per-side norms below the join (see [[cosinePairs]]) — the
+    // probe × corpus stage traverses one array per pair, not three
     val l = probeSide(emb, idCol, probeMod)
-      .select(col(idCol).as("a"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      .select(col(idCol).as("a"), col(vecCol).as("va"),
+        norm(col(vecCol)).as("na"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     r.crossJoin(broadcast(l)).filter(col("a") =!= col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")
   }
@@ -74,12 +83,15 @@ object Similarity {
     * query side is a broadcast probe sample (see [[probeSide]]). */
   def topK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       probeMod: Long = 1): DataFrame = {
+    // per-side norms below the join (see [[cosinePairs]])
     val l = probeSide(emb, idCol, probeMod)
-      .select(col(idCol).as("a"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      .select(col(idCol).as("a"), col(vecCol).as("va"),
+        norm(col(vecCol)).as("na"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     val pairs = if (probeMod == 1) l.crossJoin(r) else r.crossJoin(broadcast(l))
     val scored = pairs.filter(col("a") =!= col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
@@ -160,10 +172,16 @@ object Similarity {
     * every (vector, centroid) pair per row). */
   def ivfAssignRanked(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, nProbe: Int): DataFrame = {
+    // centroid norms evaluate once per centroid INSIDE the broadcast
+    // relation (cells rows), vector norms once per corpus row below the
+    // join — not once per (vector × centroid) output row
     val cents = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val scoredCells = emb.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col(vecCol), col("cv")) / (norm(col(vecCol)) * norm(col("cv"))))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+    val scoredCells = emb
+      .withColumn("__vn", norm(col(vecCol)))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col(vecCol), col("cv")) / (col("__vn") * col("cn")))
     val wCell = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
     scoredCells
       .withColumn("rank", row_number().over(wCell)).filter(col("rank") <= nProbe)
@@ -230,12 +248,14 @@ object Similarity {
       probeMod: Long = 1): DataFrame = {
     val q = emb.select(col(idCol),
         quantizeInt8(col(vecCol), int8Scale(col(vecCol))).as("q"))
+    // per-side norms below the join (see [[cosinePairs]])
     val l = probeSide(q, idCol, probeMod)
-      .select(col(idCol).as("a"), col("q").as("va"))
-    val r = q.select(col(idCol).as("b"), col("q").as("vb"))
+      .select(col(idCol).as("a"), col("q").as("va"), norm(col("q")).as("na"))
+    val r = q.select(col(idCol).as("b"), col("q").as("vb"),
+      norm(col("q")).as("nb"))
     val pairs = if (probeMod == 1) l.crossJoin(r) else r.crossJoin(broadcast(l))
     val scored = pairs.filter(col("a") =!= col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
@@ -277,10 +297,13 @@ object Similarity {
       .select(col(idCol).as("cid"), col("q").as("cq"))
       .transform(ckptFresh)
     for (_ <- 0 until iters) {
-      val scored = embT.crossJoin(broadcast(cents))
+      // centroid norm once per centroid inside the broadcast relation,
+      // not once per (vector × centroid) output row
+      val scored = embT.crossJoin(broadcast(cents.withColumn("__cn",
+          norm(col("cq").cast("array<double>")))))
         .withColumn("s",
           dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-            norm(col("cq").cast("array<double>")))
+            col("__cn"))
       val wV = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
       val assigned = scored.withColumn("__r", row_number().over(wV))
         .filter(col("__r") === 1)
@@ -320,10 +343,13 @@ object Similarity {
   def ivfAssignFromCentroids(emb: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, nProbe: Int): DataFrame = {
     val embQ = emb.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("q"))
-    val scoredCells = embQ.crossJoin(broadcast(cents))
+    // centroid norm evaluates once per centroid inside the broadcast
+    // relation, not once per (vector × centroid) output row
+    val centsN = cents.withColumn("__cn", norm(col("cq").cast("array<double>")))
+    val scoredCells = embQ.crossJoin(broadcast(centsN))
       .withColumn("s",
         dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-          norm(col("cq").cast("array<double>")))
+          col("__cn"))
     val wCell = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
     scoredCells
       .withColumn("rank", row_number().over(wCell)).filter(col("rank") <= nProbe)
@@ -478,13 +504,17 @@ object Similarity {
         .withColumn("__hr", row_number().over(
           Window.partitionBy(col("cell")).orderBy(col(idCol))))
         .filter(col("__hr") <= cellCap))
-      .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"))
+      .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"),
+        norm(col(vecCol)).as("bn"))
     val queries = probed
-      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"))
+      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"),
+        norm(col(vecCol)).as("an"))
+    // norms ride the cell shuffle as one extra double per member —
+    // the quadratic in-cell stage pays one traversal per pair, not three
     val scored = queries.join(home, "cell")
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"),
-        (dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv")))).as("cos"))
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos"))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
@@ -540,14 +570,14 @@ object Similarity {
         .withColumn("__kr", row_number().over(
           Window.partitionBy(col("cell")).orderBy(col(idCol))))
         .filter(col("__kr") <= cellCap))
-      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"))
+      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"),
+        norm(col(vecCol)).as("an"))
     val pairs = keepers
       .join(assign.select(col("cell"), col(idCol).as("b"),
-        col(vecCol).as("bv")), "cell")
+        col(vecCol).as("bv"), norm(col(vecCol)).as("bn")), "cell")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        (dot(col("av"), col("bv")) /
-          (norm(col("av")) * norm(col("bv")))).as("cos"))
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos"))
       .filter(col("cos") >= tau)
     val drops = pairs.select(col("b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
@@ -557,16 +587,27 @@ object Similarity {
         coalesce(col("__dropped"), lit(false)).as("dropped"))
   }
 
-  /** Codebook-assignment score with a zero-norm guard: an all-zero
-    * centroid (possible when PQ trains on RESIDUALS — a singleton IVF
-    * cell's residual is exactly zero) scores 0 for every vector instead
-    * of 0/0, whose NaN-vs-NULL ordering diverges between engines. Where
-    * no zero centroid exists the guard never fires and the arithmetic
-    * is unchanged. */
-  private def cbScore(q: Column, cq: Column): Column = {
+  /** Annotate a codebook frame with its per-codeword self-dot and norm
+    * so [[cbScorePre]] evaluates them once per codeword INSIDE the
+    * broadcast relation instead of once per (vector × codeword) joined
+    * row — the same dot/sqrt doubles, hoisted. */
+  private def withCbNorms(cents: DataFrame): DataFrame = {
+    val cd = col("cq").cast("array<double>")
+    cents.withColumn("__cdd", dot(cd, cd)).withColumn("__cn", norm(cd))
+  }
+
+  /** Codebook-assignment score against the precomputed `__cdd`/`__cn`
+    * ([[withCbNorms]]), with a zero-norm guard: an all-zero centroid
+    * (possible when PQ trains on RESIDUALS — a singleton IVF cell's
+    * residual is exactly zero) scores 0 for every vector instead of
+    * 0/0, whose NaN-vs-NULL ordering diverges between engines. Where no
+    * zero centroid exists the guard never fires and the arithmetic is
+    * unchanged. */
+  private def cbScorePre(q: Column): Column = {
     val qd = q.cast("array<double>")
-    val cd = cq.cast("array<double>")
-    when(dot(cd, cd) === lit(0.0), lit(0.0)).otherwise(dot(qd, cd) / norm(cd))
+    val cd = col("cq").cast("array<double>")
+    when(col("__cdd") === lit(0.0), lit(0.0))
+      .otherwise(dot(qd, cd) / col("__cn"))
   }
 
   /** Explode a full-dim vector column `vc` into its m subspace slices:
@@ -611,8 +652,9 @@ object Similarity {
       .select(col("mi"), col(idCol).as("cid"), col("q").as("cq"), lit(1L).as("cnt"))
       .transform(ckptFresh)
     for (_ <- 0 until iters) {
-      val scored = train.join(broadcast(cents.select("mi", "cid", "cq")), "mi")
-        .withColumn("s", cbScore(col("q"), col("cq")))
+      val scored = train.join(
+          broadcast(withCbNorms(cents.select("mi", "cid", "cq"))), "mi")
+        .withColumn("s", cbScorePre(col("q")))
       val wV = Window.partitionBy(col("mi"), col(idCol))
         .orderBy(col("s").desc, col("cid"))
       val assigned = scored.withColumn("__r", row_number().over(wV))
@@ -640,8 +682,9 @@ object Similarity {
   private def pqAssignCodes(embQ: DataFrame, idCol: String, cbAll: DataFrame,
       m: Int, subDim: Int): DataFrame = {
     val subs = subspaced(embQ, idCol, "qq", m, subDim)
-    val codes = subs.join(broadcast(cbAll.select("mi", "cid", "cq")), "mi")
-      .withColumn("s", cbScore(col("q"), col("cq")))
+    val codes = subs.join(
+        broadcast(withCbNorms(cbAll.select("mi", "cid", "cq"))), "mi")
+      .withColumn("s", cbScorePre(col("q")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("mi"), col(idCol)).orderBy(col("s").desc, col("cid"))))
       .filter(col("__r") === 1)
@@ -762,11 +805,12 @@ object Similarity {
     * serving shape. */
   def rerankShortlist(emb: DataFrame, idCol: String, vecCol: String,
       short: DataFrame, k: Int): DataFrame = {
-    val va = emb.select(col(idCol).as("a"), col(vecCol).as("va")).hint("shuffle_hash")
-    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb")).hint("shuffle_hash")
+    val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na")).hint("shuffle_hash")
+    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb")).hint("shuffle_hash")
     short.join(va, "a").join(vb, "b")
-      .withColumn("cos",
-        dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
       .filter(col("rank") <= k)
@@ -1038,16 +1082,19 @@ object Similarity {
       explode(array(col("home") +:
         (0 until nProbes).map(p => col("home").bitwiseXOR(lit(1L << p))): _*))
         .as("bucket"))
+    // the member norm rides the bucket struct as one extra double —
+    // the quadratic in-bucket stage pays one traversal per pair
     copies
       .groupBy("bucket")
       .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"),
         (col("home") === col("bucket")).as("isHome"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(col("ms")).as("x"), col("ms"))
       .select(col("x"), explode(col("ms")).as("y"))
       .filter(col("y.isHome") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+        (dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -1072,6 +1119,7 @@ object Similarity {
     val pairs = copies
       .groupBy("bucket")
       .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"),
         (col("home") === col("bucket")).as("isHome"))).as("ms"))
       .select(explode(col("ms")).as("x"), col("ms"))
       .select(col("x"), explode(col("ms")).as("y"))
@@ -1080,7 +1128,7 @@ object Similarity {
       .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
     val scored = pairs.select(
       col("x.id").as("a"), col("y.id").as("b"),
-      (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+      (dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv"))).as("cos"))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
@@ -1163,13 +1211,14 @@ object Similarity {
       lshBucket(col(vecCol), nPlanes, dims).as("bucket"))
     val pairs = bucketed
       .groupBy("bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("ms"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"))).as("ms"))
       .select(explode(col("ms")).as("x"), col("ms"))
       .select(col("x"), explode(col("ms")).as("y"))
       .filter(col("x.id") =!= col("y.id"))
     val scored = pairs.select(
       col("x.id").as("a"), col("y.id").as("b"),
-      (dot(col("x.v"), col("y.v")) / (norm(col("x.v")) * norm(col("y.v")))).as("cos"))
+      (dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv"))).as("cos"))
     val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)

@@ -2494,10 +2494,11 @@ object NorthStarQueries {
           .agg(sumCols.head, sumCols.tail: _*)
           .select(col("label").as("clabel"),
             array((0 until DIMS).map(d2 => col(s"s$d2")): _*).as("cq"))
-        val scored = embQ.crossJoin(broadcast(cents))
+        val scored = embQ.crossJoin(broadcast(cents.withColumn("__cn",
+            Similarity.norm(col("cq").cast("array<double>")))))
           .withColumn("s",
             Similarity.dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-              Similarity.norm(col("cq").cast("array<double>")))
+              col("__cn"))
         val wA = Window.partitionBy(col("vec_id"))
           .orderBy(col("s").desc, col("clabel"))
         scored.withColumn("__r", row_number().over(wA)).filter(col("__r") === 1)
