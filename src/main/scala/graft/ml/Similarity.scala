@@ -888,9 +888,14 @@ object Similarity {
     val coarse = centsPre.getOrElse(kmeansCentroids(
       embQ.select(col(idCol), col("qq").as("q")), idCol, nCells, kmIters,
       dims, trainMod))
-    val assign = ivfAssignFromCentroids(emb, idCol, vecCol, coarse, nProbe)
-      .select(col(idCol), col("cell"), col("isHome"))
-      .join(withVn, idCol)
+    // the slim member table (id, cell, isHome, vn, m codes — no float
+    // vector) is CHECKPOINTED before the pair join: both join sides of
+    // inCellStructPairs read the materialized rows instead of each
+    // replaying the assignment + code-pivot tail (two shuffles apiece)
+    val assign = ckptFresh(
+      ivfAssignFromCentroids(emb, idCol, vecCol, coarse, nProbe)
+        .select(col(idCol), col("cell"), col("isHome"))
+        .join(withVn, idCol))
     val member = struct(
       col(idCol).as("id") +: col("isHome") +: col("vn") +:
         (0 until m).map(mi => col(s"c$mi")): _*)
@@ -1042,8 +1047,10 @@ object Similarity {
     val member = struct(
       col(idCol).as("id") +: col("isHome") +: col("hi") +: col("vn") +:
         (0 until m).map(mi => col(s"c$mi")): _*)
-    val pairs = inCellStructPairs(assign.join(coded, idCol), member, idCol,
-      cellCap)
+    // slim member table checkpointed before the pair join (see the
+    // raw-PQ site): the residual code-pivot tail materializes once
+    val pairs = inCellStructPairs(ckptFresh(assign.join(coded, idCol)),
+      member, idCol, cellCap)
     // x̂a·x̂b = μμ + Σ_m (μ·cw + μ·cw + cw·cw) — 3m+1 literal lookups
     // in the same left-assoc order as before, pure codegen projection
     val snum = (Seq(tmmAt(col("x.hi"), col("y.hi"))) ++
