@@ -21,8 +21,15 @@ object EmbStress40 {
       if (k == 0) base
       else base.select(
         (col("vec_id") + lit(k * n0)).as("vec_id"),
+        // d's multiplier must be coprime with the modulus (see
+        // EmbStress): d*7%7 degenerates to a constant per-copy shift,
+        // piling every copy into its base vector's bucket. That
+        // degenerate shape (1785 candidates/vector, 143M pairs at 40×)
+        // COMPLETES under the capped/spillable paths — kept reproducible
+        // by flipping this back — but the headline number should be the
+        // realistic distribution.
         expr(s"transform(embedding, (x, d) -> x + " +
-          s"cast(((vec_id * 31 + $k * 17 + d * 7) % 7 - 3) as float) * 0.05f)")
+          s"cast(((vec_id * 31 + $k * 17 + d * 5) % 7 - 3) as float) * 0.05f)")
           .as("embedding"))
     }
     val e = copies.reduce(_.unionByName(_)).repartition(
