@@ -137,6 +137,24 @@ object Similarity {
       math.max(floorPlanes, (0 until maxPlanes).count(i => k > (1L << i))))
   }
 
+  /** Corpus-derived IVF cell count — [[lshPlanesFor]]'s discipline for
+    * the coarse quantizer: the smallest `floorCells`·2^k with expected
+    * cell size n/cells ≤ `targetCellRows`, capped at `maxCells`. Cell
+    * counts that grow with the corpus keep the in-cell quadratic term
+    * bounded (the FAISS √n-ish guidance) instead of letting fixed cells
+    * densify; doubling steps keep the rule integer-only so a SQL oracle
+    * derives the identical count from its own count(*). Training cost
+    * scales with cells — pair with `trainMod` so the Lloyd rounds stay
+    * on a sample. */
+  def ivfCellsFor(n: Long, targetCellRows: Long, floorCells: Int,
+      maxCells: Int = 1 << 20): Int = {
+    require(targetCellRows >= 1 && floorCells >= 1 && maxCells >= floorCells,
+      s"bad ivfCellsFor args")
+    var c = floorCells.toLong
+    while (c < maxCells && n > c * targetCellRows) c *= 2
+    math.min(c, maxCells.toLong).toInt
+  }
+
   /**
    * IVF (inverted-file) cosine top-k: vectors are assigned to the cell
    * of their nearest centroid, and the quadratic scoring runs within

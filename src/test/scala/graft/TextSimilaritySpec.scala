@@ -925,4 +925,40 @@ class TextSimilaritySpec extends SparkSpec {
         r.getLong(7), r.getLong(8)))
     assert(rows.toSeq == Seq(("s", 4L, 1L, 1L, 3L, "", "zz", 5L, 3L)))
   }
+
+  test("hoisted per-side norms are bit-identical to the inline cosine") {
+    // regression guard for the norm-precompute rewrite: norm(v) is
+    // evaluated once per vector BELOW the pair join now, and must yield
+    // the exact double the inline form produced — same sqrt(dot(v,v)),
+    // multiplied in the same order — or every oracle hash breaks
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val inline = l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) /
+        (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
+      .filter(col("cos") >= 0.2)
+      .select("a", "b", "cos")
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1)) -> rr.getDouble(2)).toMap
+    assert(got == inline) // exact ==, no tolerance: bit-identical doubles
+  }
+
+  test("ivfCellsFor: doubling steps track the target cell size") {
+    // reproduces the historical constant at the test SFs
+    assert(Similarity.ivfCellsFor(2000L, 128L, 16) == 16)
+    // grows by doubling as the corpus grows
+    assert(Similarity.ivfCellsFor(8000L, 128L, 16) == 64)
+    assert(Similarity.ivfCellsFor(32000L, 128L, 16) == 256)
+    // expected cell size never exceeds the target below the cap
+    for (n <- Seq(1L, 100L, 5000L, 123456L, 10000000L)) {
+      val c = Similarity.ivfCellsFor(n, 128L, 16)
+      assert(c >= 16 && (n <= c.toLong * 128L || c == (1 << 20)))
+    }
+    // floor and cap bind
+    assert(Similarity.ivfCellsFor(1L, 128L, 16) == 16)
+    assert(Similarity.ivfCellsFor(Long.MaxValue / 4, 128L, 16, 1024) == 1024)
+  }
 }

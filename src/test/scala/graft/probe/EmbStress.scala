@@ -51,10 +51,10 @@ object EmbStress {
     val rows = scales.map { s =>
       val e = scaled(s)
       val n = s * n0
-      // production sizing: LSH planes from the corpus count,
-      // IVF cells ~ sqrt(n) (constant expected cell size growth √n)
+      // production sizing: LSH planes and IVF cells from the corpus
+      // count (expected cell size tracks the target as data grows)
       val planes = Similarity.lshPlanesFor(n, 96L, 2)
-      val cells = math.max(16, (16 * math.sqrt(s)).toInt)
+      val cells = Similarity.ivfCellsFor(n, 128L, 16)
       val tL = time(Similarity.topKLshMulti(e, "vec_id", "embedding", 3,
         planes, 64, 4, planeStride = 4, bucketCap = 1024).count())
       val tD = time(Similarity.cosinePairsLsh(e, "vec_id", "embedding",
