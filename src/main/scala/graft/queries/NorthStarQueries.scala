@@ -1520,6 +1520,41 @@ object NorthStarQueries {
         "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
+    Q("q_ann_ivf_sized",
+      // IVF whose cell count is DERIVED from the corpus
+      // (Similarity.ivfCellsFor: smallest 16·2^k with expected cell
+      // size n/cells ≤ 128) — cells grow with the data so the in-cell
+      // quadratic term stays bounded, instead of a fixed constant whose
+      // cells densify (the discipline q_ann_lsh_multi's plane count
+      // already follows). Integer-only doubling, so the oracle derives
+      // the IDENTICAL count from its own count(*); the target is tuned
+      // so the test SFs derive the historical 16 (the derivation is
+      // exercised, the operating point unchanged).
+      (s, d) => {
+        val e = emb(s, d)
+        val cells = Similarity.ivfCellsFor(e.count(), 128L, 16)
+        Similarity.topKIvf(e, "vec_id", "embedding", 3, cells, 2)
+          .orderBy("a", "rank")
+      },
+      "WITH sz AS (SELECT count(*) AS n FROM embeddings), " +
+        "cellsz AS (SELECT coalesce(min(t.c), 1048576) AS c FROM (VALUES " +
+        "(16),(32),(64),(128),(256),(512),(1024),(2048),(4096),(8192)) t(c), sz " +
+        "WHERE sz.n <= t.c * 128), " +
+        "cents AS (SELECT cid, cv FROM (SELECT vec_id AS cid, embedding AS cv, " +
+        "row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings) r, cellsz " +
+        "WHERE r.rn <= cellsz.c), " +
+        "cscored AS (SELECT e.vec_id, e.embedding, c.cid, " +
+        s"${sqlCos("e.embedding", "c.cv")} AS ccos FROM embeddings e, cents c), " +
+        "cranked AS (SELECT vec_id, embedding, cid AS cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr " +
+        "FROM cscored), " +
+        "sprobe AS (SELECT vec_id, embedding, cell FROM cranked WHERE cr <= 2), " +
+        "shome AS (SELECT vec_id, embedding, cell FROM cranked WHERE cr = 1) " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM sprobe l JOIN shome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_ann_ivf_kmeans",
       // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
       // over integer-quantized vectors lift recall@3 from 0.33 (seed
