@@ -150,9 +150,17 @@ object Similarity {
       maxCells: Int = 1 << 20): Int = {
     require(targetCellRows >= 1 && floorCells >= 1 && maxCells >= floorCells,
       s"bad ivfCellsFor args")
+    // Round the cap DOWN to the nearest floorCells·2^k so the result is
+    // always on the doubling ladder (a cap like 1000 would otherwise be
+    // returned verbatim — a value no SQL doubling ladder reproduces).
+    var cap = floorCells.toLong
+    while (cap * 2 <= maxCells) cap *= 2
+    // Division-form growth test: `n > c * targetCellRows` ⟺
+    // `(n - 1) / targetCellRows >= c`, but the product overflows Long for
+    // huge targetCellRows while the division never does.
     var c = floorCells.toLong
-    while (c < maxCells && n > c * targetCellRows) c *= 2
-    math.min(c, maxCells.toLong).toInt
+    while (c < cap && (n - 1) / targetCellRows >= c) c *= 2
+    math.min(c, cap).toInt
   }
 
   /**

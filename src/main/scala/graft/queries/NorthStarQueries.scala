@@ -1538,7 +1538,8 @@ object NorthStarQueries {
       },
       "WITH sz AS (SELECT count(*) AS n FROM embeddings), " +
         "cellsz AS (SELECT coalesce(min(t.c), 1048576) AS c FROM (VALUES " +
-        "(16),(32),(64),(128),(256),(512),(1024),(2048),(4096),(8192)) t(c), sz " +
+        "(16),(32),(64),(128),(256),(512),(1024),(2048),(4096),(8192),(16384)," +
+        "(32768),(65536),(131072),(262144),(524288),(1048576)) t(c), sz " +
         "WHERE sz.n <= t.c * 128), " +
         "cents AS (SELECT cid, cv FROM (SELECT vec_id AS cid, embedding AS cv, " +
         "row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings) r, cellsz " +

@@ -960,5 +960,13 @@ class TextSimilaritySpec extends SparkSpec {
     // floor and cap bind
     assert(Similarity.ivfCellsFor(1L, 128L, 16) == 16)
     assert(Similarity.ivfCellsFor(Long.MaxValue / 4, 128L, 16, 1024) == 1024)
+    // an off-ladder cap rounds DOWN to the nearest floorCells·2^k so the
+    // result is always SQL-ladder-derivable (1000 → 512 for floor 16)
+    assert(Similarity.ivfCellsFor(Long.MaxValue / 4, 128L, 16, 1000) == 512)
+    assert(Similarity.ivfCellsFor(2000L, 128L, 16, 1000) == 16)
+    // huge targetCellRows must not overflow the growth test into spurious
+    // doubling (old form computed c * targetCellRows)
+    assert(Similarity.ivfCellsFor(1000L, Long.MaxValue / 2, 16) == 16)
+    assert(Similarity.ivfCellsFor(Long.MaxValue, Long.MaxValue, 16) == 16)
   }
 }
