@@ -518,6 +518,137 @@ case class AdcLookup(table: Array[Double], child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Top-p nearest-centroid assignment over a DRIVER-RESIDENT centroid
+ * matrix — the serving-scale form of "score every cell, keep the best
+ * p" that the IVF family (batch assigners, streaming assigner, Lloyd
+ * rounds) shares.
+ *
+ * Why an expression and not a plan: the alternatives both collapse at
+ * scale. A broadcast crossJoin × row_number window expands every input
+ * row into nCells scored rows and shuffles them BY VECTOR ID just to
+ * keep p of them — at nCells = 4096 that is a 4096× row amplification
+ * feeding a full shuffle. A per-centroid expression fold (the round-9
+ * streaming assigner) builds O(nCells) plan nodes and stops planning
+ * in bounded time past a few hundred cells. Here the matrix rides
+ * OUTSIDE the plan as constructor arrays shared BY REFERENCE (the
+ * [[AdcLookup]] discipline: case-class equality on `Array` is
+ * reference equality, so canonicalization is O(1), and codegen
+ * installs the arrays once via `addReferenceObj`) — the plan holds ONE
+ * node at any cell count, and each row is scored in one tight
+ * primitive loop with no row amplification and no shuffle.
+ *
+ * Arithmetic parity: score(c) = (Σᵢ qᵢ·cᵢ) / ‖c‖, the dot a
+ * sequential left fold of double-promoted components in index order
+ * (bit-identical to [[VecDot]] over `cast("array<double>")` columns)
+ * and ‖c‖ the caller-precomputed `sqrt` of the same fold — exactly
+ * the per-(vector, centroid) double the join/window encoding and the
+ * DuckDB oracle compute. Ordering is (score DESC, cid ASC) via
+ * `java.lang.Double.compare` — the comparator Spark's SortOrder uses
+ * for doubles — with `cids` required ascending so equal scores keep
+ * the lower cid without a second key. A zero-norm centroid scores 0.0
+ * for every vector (the streaming assigner's guard) instead of 0/0.
+ *
+ * Returns `array<long>` of the top min(p, nCells) cell ids, rank
+ * order; NULL when the input vector's length differs from `dims`
+ * (the [[VecDot]] corrupt-embedding contract).
+ */
+case class NearestCells(child: Expression, cids: Array[Long],
+    flat: Array[Double], dims: Int, norms: Array[Double], p: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cids.nonEmpty && flat.length == cids.length * dims &&
+    norms.length == cids.length && p >= 1,
+    s"nearest_cells: ${cids.length} cells, dims $dims, p $p")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // Mismatched vector length → NULL even for non-null input.
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  private def typeTag: Int = child.dataType match {
+    case ArrayType(FloatType, _)   => 0
+    case ArrayType(DoubleType, _)  => 1
+    case ArrayType(LongType, _)    => 2
+    case ArrayType(IntegerType, _) => 3
+    case other => throw new IllegalStateException(s"nearest_cells: $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType | LongType | IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells needs a numeric array, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    if (q.numElements() != dims) null
+    else NearestCells.kernel(q, typeTag, cids, flat, dims, norms, p)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("ncCids", cids, "long[]")
+    val flatRef = ctx.addReferenceObj("ncFlat", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("ncNorms", norms, "double[]")
+    val tag = typeTag
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($c.numElements() != $dims) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = graft.functions.NearestCells.kernel(
+       |    $c, $tag, $cidsRef, $flatRef, $dims, $normsRef, $p);
+       |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCells {
+  /** Called from generated code (named `kernel` for the static
+    * forwarder — see ShingleSids.kernel). `cids` ascending; insertion
+    * keeps first-seen on score ties, so ties resolve to the lowest cid
+    * exactly like `row_number() OVER (ORDER BY s DESC, cid)`. */
+  def kernel(q: ArrayData, tag: Int, cids: Array[Long], flat: Array[Double],
+      dims: Int, norms: Array[Double], p: Int): ArrayData = {
+    val nCells = cids.length
+    val keep = math.min(p, nCells)
+    val topS = new Array[Double](keep)
+    val topC = new Array[Long](keep)
+    var m = 0
+    var c = 0
+    while (c < nCells) {
+      var acc = 0.0
+      val off = c * dims
+      var i = 0
+      tag match {
+        case 0 => while (i < dims) { acc += q.getFloat(i).toDouble * flat(off + i); i += 1 }
+        case 1 => while (i < dims) { acc += q.getDouble(i) * flat(off + i); i += 1 }
+        case 2 => while (i < dims) { acc += q.getLong(i).toDouble * flat(off + i); i += 1 }
+        case _ => while (i < dims) { acc += q.getInt(i).toDouble * flat(off + i); i += 1 }
+      }
+      val s = if (norms(c) == 0.0) 0.0 else acc / norms(c)
+      // insertion position: first slot this score strictly beats
+      var j = 0
+      while (j < m && java.lang.Double.compare(s, topS(j)) <= 0) j += 1
+      if (j < keep) {
+        var k = math.min(m, keep - 1)
+        while (k > j) { topS(k) = topS(k - 1); topC(k) = topC(k - 1); k -= 1 }
+        topS(j) = s
+        topC(j) = cids(c)
+        if (m < keep) m += 1
+      }
+      c += 1
+    }
+    ArrayData.toArrayData(if (m == keep) topC else topC.take(m))
+  }
+}
+
 /** The per-word greedy merge loop behind [[BpeSegment]], shared by
   * interpreted eval and generated code. */
 object BpeSeg {
@@ -630,4 +761,26 @@ object VectorFunctions {
     * (see [[BpeSegment]]). */
   def bpeSegment(word: Column, lhs: Array[String], rhs: Array[String]): Column =
     ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), lhs, rhs))
+
+  /** Top-p nearest-centroid cell ids as a `Column` (see
+    * [[NearestCells]]). `cents` = (cid, components as doubles — exact
+    * widenings of the stored floats/quantized longs); centroid norms
+    * are precomputed HERE with the identical square-fold + sqrt the
+    * join encoding evaluates per broadcast centroid row. */
+  def nearestCells(vec: Column, cents: Seq[(Long, Array[Double])], p: Int): Column = {
+    require(cents.nonEmpty, "nearestCells: empty centroid set")
+    val sorted = cents.sortBy(_._1).toArray
+    val dims = sorted.head._2.length
+    require(sorted.forall(_._2.length == dims), "nearestCells: ragged centroids")
+    val cids = sorted.map(_._1)
+    val flat = new Array[Double](cids.length * dims)
+    var c = 0
+    while (c < cids.length) {
+      System.arraycopy(sorted(c)._2, 0, flat, c * dims, dims); c += 1
+    }
+    val norms = sorted.map { case (_, v) =>
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)) }
+    ColumnBridge.column(NearestCells(
+      ColumnBridge.expression(vec), cids, flat, dims, norms, p))
+  }
 }

@@ -195,25 +195,52 @@ object Similarity {
   /** [[ivfAssign]] keeping the probe rank — materialize ONCE at the
     * deepest probe depth and slice `rank <= p` for shallower configs
     * (a tuning report re-deriving the assignment per config re-scores
-    * every (vector, centroid) pair per row). */
+    * every (vector, centroid) pair per row). Seed centroids (first
+    * nCells vectors by id) are COLLECTED into the driver-resident
+    * matrix [[assignFromMatrix]] scores against — cell assignment is
+    * one narrow pass, not an nCells× row expansion. The per-vector
+    * norm of the old join encoding divided every score by a constant
+    * per ranking partition, so dropping it cannot change any rank. */
   def ivfAssignRanked(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, nProbe: Int): DataFrame = {
-    // centroid norms evaluate once per centroid INSIDE the broadcast
-    // relation (cells rows), vector norms once per corpus row below the
-    // join — not once per (vector × centroid) output row
-    val cents = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        norm(col(vecCol)).as("cn"))
-    val scoredCells = emb
-      .withColumn("__vn", norm(col(vecCol)))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col(vecCol), col("cv")) / (col("__vn") * col("cn")))
-    val wCell = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-    scoredCells
-      .withColumn("rank", row_number().over(wCell)).filter(col("rank") <= nProbe)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"),
-        (col("rank") === 1).as("isHome"), col("rank"))
+    val cents = collectCents(emb.orderBy(col(idCol)).limit(nCells),
+      idCol, vecCol)
+    assignFromMatrix(emb, idCol, vecCol, col(vecCol), cents, nProbe)
   }
+
+  /** Collect a (cid, vector) frame into the driver-resident centroid
+    * matrix the [[graft.functions.NearestCells]] kernel scores against
+    * — the constant-size index artifact (nCells × dims doubles;
+    * float→double and quantized-long→double widenings are exact). */
+  private[graft] def collectCents(df: DataFrame, cidCol: String,
+      vecCol: String): Seq[(Long, Array[Double])] =
+    df.select(col(cidCol), col(vecCol)).collect().toSeq.map { r =>
+      r.getLong(0) -> r.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case l: Long   => l.toDouble
+        case i: Int    => i.toDouble
+        case other => throw new IllegalArgumentException(
+          s"collectCents: non-numeric component $other")
+      }.toArray
+    }
+
+  /** Shared assignment shape of the IVF family: score `scoreVec`
+    * against a driver-resident centroid matrix in ONE codegen'd pass
+    * per row ([[graft.functions.NearestCells]] — no broadcast-join row
+    * expansion, no per-vector ranking window, plannable at any cell
+    * count), then unroll the top-`nProbe` cells with a fanout-`nProbe`
+    * posexplode. Emits (idCol, vecCol, cell, isHome, rank) — the
+    * row_number contract of the old join/window encoding, including
+    * its (score DESC, cid ASC) tie-break. */
+  private def assignFromMatrix(emb: DataFrame, idCol: String, vecCol: String,
+      scoreVec: Column, cents: Seq[(Long, Array[Double])],
+      nProbe: Int): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+        posexplode(graft.functions.VectorFunctions
+          .nearestCells(scoreVec, cents, nProbe)).as(Seq("__pos", "cell")))
+      .select(col(idCol), col(vecCol), col("cell"),
+        (col("__pos") === 0).as("isHome"), (col("__pos") + 1).as("rank"))
 
   /** Quantization scale for k-means centroid arithmetic. */
   val QUANT: Int = 1024
@@ -323,17 +350,15 @@ object Similarity {
       .select(col(idCol).as("cid"), col("q").as("cq"))
       .transform(ckptFresh)
     for (_ <- 0 until iters) {
-      // centroid norm once per centroid inside the broadcast relation,
-      // not once per (vector × centroid) output row
-      val scored = embT.crossJoin(broadcast(cents.withColumn("__cn",
-          norm(col("cq").cast("array<double>")))))
-        .withColumn("s",
-          dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-            col("__cn"))
-      val wV = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
-      val assigned = scored.withColumn("__r", row_number().over(wV))
-        .filter(col("__r") === 1)
-        .select(col(idCol), col("q"), col("cid").as("cell"))
+      // per-round assignment against the driver-resident matrix (cents
+      // is checkpointed, so the collect re-reads nCells cached rows):
+      // one narrow pass over the sample, no nCells× row expansion and
+      // no per-vector ranking window — the round cost is the groupBy
+      // sum alone, at any cell count
+      val centArr = collectCents(cents, "cid", "cq")
+      val assigned = embT.select(col(idCol), col("q"),
+        element_at(graft.functions.VectorFunctions
+          .nearestCells(col("q"), centArr, 1), 1).as("cell"))
       val sumCols = (0 until dims).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
       val sums = assigned.groupBy(col("cell"))
         .agg(sumCols.head, sumCols.tail: _*)
@@ -367,21 +392,9 @@ object Similarity {
     * query is ONE broadcast-centroid scan with no Lloyd rounds in the
     * plan. Returns (idCol, vecCol, cell, isHome, rank). */
   def ivfAssignFromCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, nProbe: Int): DataFrame = {
-    val embQ = emb.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("q"))
-    // centroid norm evaluates once per centroid inside the broadcast
-    // relation, not once per (vector × centroid) output row
-    val centsN = cents.withColumn("__cn", norm(col("cq").cast("array<double>")))
-    val scoredCells = embQ.crossJoin(broadcast(centsN))
-      .withColumn("s",
-        dot(col("q").cast("array<double>"), col("cq").cast("array<double>")) /
-          col("__cn"))
-    val wCell = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("cid"))
-    scoredCells
-      .withColumn("rank", row_number().over(wCell)).filter(col("rank") <= nProbe)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"),
-        (col("rank") === 1).as("isHome"), col("rank"))
-  }
+      cents: DataFrame, nProbe: Int): DataFrame =
+    assignFromMatrix(emb, idCol, vecCol, quantize(col(vecCol)),
+      collectCents(cents, "cid", "cq"), nProbe)
 
   /**
    * Incremental IVF maintenance — the daily-crawl APPEND path. The

@@ -776,27 +776,20 @@ object Streaming {
       cid -> muMember.getOrElse(cid, cq) }.toMap)
     val q = Similarity.quantize(col(vecCol))
     // nearest cell by the same score/tie-break as the batch assigner:
-    // dot(q, cq)/||cq|| DESC, cid ASC — one greatest-of fold over the
-    // (tiny) centroid set, stateless per row. ||cq|| is precomputed
-    // DRIVER-side (the identical left-fold + sqrt the executor runs on
-    // exactly-cast integers), so each centroid vector appears in the
-    // plan as ONE literal — the AdcLookup literal discipline; the
-    // measured typedlit planning trap fires when multi-KB literals are
-    // embedded per reference. At serving-scale cell counts swap the
-    // fold for an array-backed matrix expression. An all-zero centroid
-    // scores 0 for every vector (the cbScore guard) instead of 0/0.
-    def score(cq: Seq[Long]): org.apache.spark.sql.Column = {
-      val n2 = cq.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
-      if (n2 == 0.0) lit(0.0)
-      else Similarity.dot(q.cast("array<double>"),
-        typedlit(cq).cast("array<double>")) / lit(math.sqrt(n2))
-    }
-    val best = centRows.sortBy(_._1).map { case (cid, cq) =>
-      struct(score(cq).as("s"), lit(-cid).as("negcid"), lit(cid).as("cid"))
-    }.reduce((a, b) => when(b("s") > a("s") ||
-      (b("s") === a("s") && b("negcid") > a("negcid")), b).otherwise(a))
+    // dot(q, cq)/||cq|| DESC, cid ASC — the shared array-backed matrix
+    // kernel ([[graft.functions.NearestCells]]), stateless per row.
+    // The centroid matrix and its precomputed norms ride OUTSIDE the
+    // plan as driver-resident arrays (the AdcLookup reference-object
+    // discipline): ONE plan node at any cell count, where the round-9
+    // per-centroid fold built O(nCells) expression nodes and stopped
+    // planning in bounded time past a few hundred cells. An all-zero
+    // centroid scores 0 for every vector (kernel guard) instead of 0/0.
+    val centArr = centRows.toSeq.map { case (cid, cq) =>
+      cid -> cq.map(_.toDouble).toArray }
+    val best = element_at(graft.functions.VectorFunctions
+      .nearestCells(q, centArr, 1), 1)
     vecs
-      .select(col(idCol), col(tsCol), q.as("__q"), best.getField("cid").as("cell"))
+      .select(col(idCol), col(tsCol), q.as("__q"), best.as("cell"))
       .select(col(idCol), col(tsCol), col("cell"),
         aggregate(zip_with(col("__q"), element_at(muLit, col("cell")),
           (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x).as("rsq"))

@@ -572,14 +572,15 @@ class TextSimilaritySpec extends SparkSpec {
         "embedding", 4, 1, dims, centsPre = Some(cents), muPre = Some(mu)))
       == rows(Similarity.ivfIncremental(standing, batch, "vec_id",
         "embedding", 4, 1, dims)))
-    // the day-N append plan is PROVABLY training-free: its only leaves
-    // are the batch scan and the persisted centroid checkpoint — the
-    // standing corpus appears nowhere
+    // the day-N append plan is PROVABLY training-free: its ONLY leaf is
+    // the batch scan — the standing corpus appears nowhere, and the
+    // centroids ride as a driver-resident matrix (NearestCells), not a
+    // plan subtree
     val dayN = Similarity.ivfBatchCellStats(batch, "vec_id", "embedding",
       cents, mu, "n", "sq")
     val leaves = dayN.queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.length == 2,
-      s"append plan has ${leaves.length} leaves (want batch + centroids):\n$leaves")
+    assert(leaves.length == 1,
+      s"append plan has ${leaves.length} leaves (want the batch scan only):\n$leaves")
     // and it runs as a handful of scheduler jobs (Lloyd rounds would
     // add a jobs-per-round tail)
     spark.sparkContext.setJobGroup("ivf-append-probe", "day-N append")
@@ -968,5 +969,76 @@ class TextSimilaritySpec extends SparkSpec {
     // doubling (old form computed c * targetCellRows)
     assert(Similarity.ivfCellsFor(1000L, Long.MaxValue / 2, 16) == 16)
     assert(Similarity.ivfCellsFor(Long.MaxValue, Long.MaxValue, 16) == 16)
+  }
+
+  test("NearestCells matrix assignment matches the join/window encoding") {
+    // the retired broadcast-crossJoin + row_number encoding, inlined
+    // here as the independent semantics pin: every (vector, centroid)
+    // scored as dot/(vn*cn), ranked (score DESC, cid ASC) per vector —
+    // the matrix kernel must reproduce it row-for-row, ranks included
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nProbe = 4
+    def viaWindow(scoreCol: org.apache.spark.sql.Column, centsDf: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val scored = emb.withColumn("__sv", scoreCol)
+        .withColumn("__vn", Similarity.norm(col("__sv")))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("s", Similarity.dot(col("__sv"), col("cv")) /
+          (col("__vn") * col("cn")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("s").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= nProbe)
+        .select(col("vec_id"), col("cid").as("cell"),
+          (col("rank") === 1).as("isHome"), col("rank"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "isHome", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3))).toSet
+    // seed-centroid path (float vectors)
+    val seedCents = emb.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        Similarity.norm(col("embedding")).as("cn"))
+    val seedExpr = rows(Similarity.ivfAssignRanked(emb, "vec_id", "embedding", 16, nProbe))
+    assert(seedExpr == rows(viaWindow(col("embedding"), seedCents)) && seedExpr.nonEmpty)
+    // trained-centroid path (quantized long vectors)
+    val cents = Similarity.kmeansCentroids(
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q")),
+      "vec_id", 16, 2, 64)
+    val kCents = cents.select(col("cid"), col("cq").cast("array<double>").as("cv"),
+      Similarity.norm(col("cq").cast("array<double>")).as("cn"))
+    val kExpr = rows(Similarity.ivfAssignFromCentroids(emb, "vec_id", "embedding", cents, nProbe))
+    assert(kExpr == rows(viaWindow(
+      Similarity.quantize(col("embedding")).cast("array<double>"), kCents)) && kExpr.nonEmpty)
+  }
+
+  test("NearestCells plans in bounded time at serving-scale cell counts") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.ArrayType
+    val dims = 64
+    val nCells = 1024
+    // deterministic synthetic centroid matrix (no RNG in tests)
+    val cents = (0L until nCells.toLong).map(c =>
+      c -> Array.tabulate(dims)(d => (((c * 31 + d * 17) % 23) - 11).toDouble))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val t0 = System.nanoTime()
+    val assigned = emb.select(col("vec_id"),
+      element_at(VectorFunctions.nearestCells(
+        Similarity.quantize(col("embedding")), cents, 1), 1).as("cell"))
+    assigned.queryExecution.executedPlan // force planning
+    val cellCount = assigned.select(countDistinct("cell")).collect().head.getLong(0)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // the round-9 per-centroid literal fold measured ~14 s of PLANNING
+    // for far fewer references; the matrix expression must plan AND run
+    // comfortably inside that at 1024 cells
+    assert(elapsedSec < 30.0, s"1024-cell assignment took $elapsedSec s")
+    assert(cellCount > 1, "degenerate assignment")
+    // the centroid matrix rides outside the plan: no array literal of
+    // any size survives optimization (one NearestCells node does)
+    val arrayLits = assigned.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case l: Literal if l.dataType.isInstanceOf[ArrayType] => l })
+    assert(arrayLits.isEmpty, s"${arrayLits.length} array literals leaked into the plan")
+    val nodes = assigned.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case n: graft.functions.NearestCells => n })
+    assert(nodes.nonEmpty, "NearestCells node missing from the optimized plan")
   }
 }
