@@ -75,6 +75,11 @@ object Bench {
     val nEvents = Tables.events(spark, sfDir).count()
     SparkEntry.entry(spark).count()
 
+    // Same-session host anchor (frozen workload, see HostCanary): lets
+    // any reader normalize this artifact against host drift — compare
+    // query_sec / canary_sec across rounds, never raw seconds.
+    val canarySec = HostCanary.canarySec(spark, sfDir)
+
     val all = SparkEntry.queries
     // static shuffle count of the final plan (hash/range/single-partition
     // exchanges; broadcasts and AQE reuse excluded) — the
@@ -192,6 +197,8 @@ object Bench {
         s""""protocol":"per-query min of 3 steady passes after 1 cold pass; rates best-of-3 on warm plans (r7+; earlier rounds reported the single second pass)",""" +
         s""""value_cold":$totalCold,"queries_cold":$qsCold,"shuffles":$qsEx,""" +
         s""""jobs":$qsJobs,""" +
+        s""""canary_sec":$canarySec,""" +
+        s""""canary_protocol":"frozen code-independent workload (HostCanary: 64M xxhash64 fold + 64k-key groupBy + lineitem scan-agg), min-of-3, same session; divide query seconds by canary_sec before comparing across rounds",""" +
         s""""n_queries":${results.size},"events_rows":$nEvents,""" +
         s""""pipeline_events_per_sec":$pipelineRate,""" +
         s""""reference_pipeline_events_per_sec":52489,""" +

@@ -17,7 +17,11 @@ object RegScan {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same-session host anchor (frozen workload, HostCanary) — read
+    // query seconds as sec/canary_sec across rounds, never raw
+    val canarySec = HostCanary.canarySec(spark, sfDir)
     val out = new StringBuilder
+    out.append(f"canary_sec $canarySec%.3f (frozen HostCanary workload, min-of-3)\n")
     val sel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     val times = sel.map { case (name, fn) =>
@@ -38,6 +42,8 @@ object RegScan {
     val json = times.sortBy(-_._2).map { case (n, s) =>
       f""""$n%s":$s%.3f""" }.mkString(
       s"""{"sf_dir":"$sfDir","protocol":"min-of-2 count()","n_queries":${times.size},""" +
+        f""""canary_sec":$canarySec%.3f,""" +
+        s""""canary_protocol":"frozen code-independent workload (HostCanary), min-of-3, same session; compare query_sec/canary_sec across rounds",""" +
         f""""total_sec":${times.map(_._2).sum}%.1f,"queries":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/regscan.json"),
       json.getBytes)
