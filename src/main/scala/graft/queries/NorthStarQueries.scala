@@ -78,6 +78,13 @@ object NorthStarQueries {
   // (4 and 3 planes)
   private val LSH_TGT_MULTI = 48L   // target rows/bucket/table
   private val LSH_TGT_DEDUP = 192L  // target rows/bucket (near-dup pairs)
+  // corpus-derived IVF cell sizing (Similarity.ivfCellsFor): expected
+  // rows per cell track this target as the corpus grows; 128 derives
+  // the historical 16 cells at sf0.01 (500/1500 vectors), 128 cells at
+  // sf0.1 — the family-wide production default (q_semdedup, the PQ
+  // coarse quantizer, q_ann_ivf_sized); q_ann_tuning and the
+  // single-knob IVF queries stay PINNED at 16 for recall comparability
+  private val IVF_TGT_CELL = 128L
   private val PQ_M = 8         // PQ subspaces (64 dims -> 8 × 8)
   private val PQ_K = 16        // PQ codewords per subspace
   private val PQ_ITERS = 1     // PQ Lloyd rounds
@@ -214,13 +221,30 @@ object NorthStarQueries {
     * mirror: seeds and Lloyd rounds read only `vec_id % trainMod = 0`
     * (the `{pfx}qt` CTE); the final full-corpus assignment
     * (`{pfx}ranked`) is unchanged. */
+  /** Count-derived cell-count CTEs `{pfx}nsz`/`{pfx}csz` —
+    * Similarity.ivfCellsFor's integer doubling rule in SQL (floor 16,
+    * doubling ladder through the 2^20 cap), derived from the SAME
+    * count(*) the Spark side derives from. */
+  private def sqlCellsz(pfx: String, src: String, targetCellRows: Long): String = {
+    val ladder = (0 to 16).map(k => s"(${16L << k})").mkString(",")
+    s"${pfx}nsz AS (SELECT count(*) AS n FROM $src), " +
+      s"${pfx}csz AS (SELECT coalesce(min(t.c), ${16L << 16}) AS c " +
+      s"FROM (VALUES $ladder) t(c), ${pfx}nsz " +
+      s"WHERE ${pfx}nsz.n <= t.c * $targetCellRows)"
+  }
+
   private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int,
       pfx: String = "k", trainMod: Long = 1,
-      src: String = "embeddings"): String = {
+      src: String = "embeddings", derivedTarget: Long = 0): String = {
     def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
     val sumList = (1 to DIMS).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
       .mkString("[", ", ", "]")
     val sb = new StringBuilder
+    // derivedTarget > 0: the coarse cell count comes from the corpus
+    // (ivfCellsFor(count(*), derivedTarget, 16)) instead of the fixed
+    // nCells — the production sizing discipline (cells grow with the
+    // data so the in-cell quadratic term stays bounded)
+    if (derivedTarget > 0) sb ++= sqlCellsz(pfx, src, derivedTarget) + ", "
     sb ++= s"${pfx}qe AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
       s"FROM $src), "
@@ -228,7 +252,12 @@ object NorthStarQueries {
       sb ++= s"${pfx}qt AS (SELECT * FROM ${pfx}qe WHERE vec_id % $trainMod = 0), "
       s"${pfx}qt"
     }
-    sb ++= s"${pfx}c0 AS (SELECT vec_id AS cid, q AS cq FROM $trainSrc ORDER BY vec_id LIMIT $nCells), "
+    if (derivedTarget > 0)
+      sb ++= s"${pfx}c0 AS (SELECT vec_id AS cid, q AS cq FROM " +
+        s"(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn " +
+        s"FROM $trainSrc) r, ${pfx}csz WHERE r.rn <= ${pfx}csz.c), "
+    else
+      sb ++= s"${pfx}c0 AS (SELECT vec_id AS cid, q AS cq FROM $trainSrc ORDER BY vec_id LIMIT $nCells), "
     for (t <- 0 until iters) {
       sb ++= s"${pfx}a$t AS (SELECT vec_id, q, cell FROM (SELECT e.vec_id, e.q, c.cid AS cell, " +
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${score("e.q", "c.cq")} DESC, c.cid) AS r " +
@@ -1320,9 +1349,18 @@ object NorthStarQueries {
       // quadratic term never grows). Deterministic Lloyd centroids
       // (integer sums) make the clustering oracle-replicable; pair
       // scoring uses the original float vectors.
-      (s, d) => Similarity.semDedup(emb(s, d), "vec_id", "embedding",
-        SEM_TAU, 16, KM_ITERS, DIMS, TRAIN_MOD).orderBy("vec_id"),
-      s"WITH ${sqlKmeansCtes(16, 1, KM_ITERS, "m", TRAIN_MOD)}, " +
+      // Cell count DERIVED from the corpus (ivfCellsFor: smallest
+      // 16·2^k with expected cell size ≤ IVF_TGT_CELL) — the sized
+      // discipline family-wide: cells grow with the data so the
+      // within-cell quadratic pair term stays bounded. The oracle
+      // derives the identical count from its own count(*).
+      (s, d) => {
+        val e = emb(s, d)
+        val cells = Similarity.ivfCellsFor(e.count(), IVF_TGT_CELL, 16)
+        Similarity.semDedup(e, "vec_id", "embedding",
+          SEM_TAU, cells, KM_ITERS, DIMS, TRAIN_MOD).orderBy("vec_id")
+      },
+      s"WITH ${sqlKmeansCtes(16, 1, KM_ITERS, "m", TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
         "pr AS (SELECT l.vec_id AS a, r.vec_id AS b FROM mhome l " +
         "JOIN mhome r USING (cell) WHERE l.vec_id < r.vec_id " +
         s"AND ${sqlCos("l.embedding", "r.embedding")} >= CAST($SEM_TAU AS DOUBLE)) " +
@@ -1583,10 +1621,17 @@ object NorthStarQueries {
       // 0.74 ceiling of exact-scoring every candidate (q_ann_tuning's
       // ivf_kmeans 16/4 row) — rerank size is the float-work/recall
       // knob, at 24k exactly-scored pairs vs the ceiling's 62k.
-      (s, d) => Similarity.topKIvfPq(emb(s, d), "vec_id", "embedding", 3,
-          16, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
-        .orderBy("a", "rank"),
-      s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+      // Coarse cell count DERIVED from the corpus (the sized
+      // discipline, see q_semdedup) — FAISS sizes the IVF of an IVF-PQ
+      // the same way; codebook training stays trainMod-sampled.
+      (s, d) => {
+        val e = emb(s, d)
+        val cells = Similarity.ivfCellsFor(e.count(), IVF_TGT_CELL, 16)
+        Similarity.topKIvfPq(e, "vec_id", "embedding", 3,
+            cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
+          .orderBy("a", "rank")
+      },
+      s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
         s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, trainMod = TRAIN_MOD)}, " +
         "ppair AS (SELECT l.vec_id AS a, r.vec_id AS b, (" +
         (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
@@ -1615,13 +1660,18 @@ object NorthStarQueries {
       // q_ann_pq (0.70 vs 0.67 at rerank-48) — the synthetic embeddings
       // are near-isotropic, so the centroid absorbs little structure;
       // on real clustered corpora residual encoding is the standard win.
-      (s, d) => Similarity.topKIvfPqResidual(emb(s, d), "vec_id", "embedding", 3,
-          16, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
-        .orderBy("a", "rank"),
+      // Coarse cells corpus-derived (see q_semdedup / q_ann_pq).
+      (s, d) => {
+        val e = emb(s, d)
+        val cells = Similarity.ivfCellsFor(e.count(), IVF_TGT_CELL, 16)
+        Similarity.topKIvfPqResidual(e, "vec_id", "embedding", 3,
+            cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
+          .orderBy("a", "rank")
+      },
       {
         val snum = "mm.t" + (0 until PQ_M).map(mi =>
           s" + ab$mi.t + ba$mi.t + cc$mi.t").mkString
-        s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+        s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
           s"${sqlResidualPreCtes()}, " +
           s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", trainMod = TRAIN_MOD)}, " +
           s"${sqlResidualTableCtes(PQ_M, DIMS / PQ_M)}, " +
