@@ -178,9 +178,9 @@ object Similarity {
    * partitioner instead of random hyperplanes.
    */
   def topKIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int, nProbe: Int = 1): DataFrame =
+      nCells: Int, nProbe: Int = 1, cellCap: Int = Int.MaxValue): DataFrame =
     topKFromAssign(ivfAssign(emb, idCol, vecCol, nCells, nProbe),
-      idCol, vecCol, k)
+      idCol, vecCol, k, cellCap)
 
   /** Cell assignment for seed-centroid IVF: each vector LIVES in its
     * nearest cell (isHome) and, as a QUERY, also probes its next

@@ -408,6 +408,39 @@ object NorthStarQueries {
     out.substring(0, out.length - 2)
   }
 
+  /** BPE APPLY chain CTEs: given an `avf(word)` vocab CTE and the
+    * trained `b0..b{n-1}` rule rows (from [[sqlBpeCtes]]), re-run the
+    * identical per-round non-overlap rewrite over the vocab (words
+    * segment independently, so per-distinct-word rounds + an
+    * occurrence join equal per-occurrence apply), ending in
+    * `wseg(word, nc1, ns1)` — per-word char and subword counts. */
+  private def sqlBpeApplyCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "as0 AS MATERIALIZED (SELECT word, CAST(pos AS BIGINT) AS pos, " +
+      "substr(word, CAST(pos AS INT), 1) AS sym FROM " +
+      "(SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM avf)), "
+    for (t <- 0 until nMerges) {
+      sb ++= s"aam$t AS MATERIALIZED (SELECT word, pos, sym, " +
+        s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM as$t), "
+      sb ++= s"aaf$t AS (SELECT m.word, m.pos, m.sym, m.nxt, " +
+        s"(m.sym = b.l AND m.nxt = b.r) AS ism FROM aam$t m, b$t b), "
+      sb ++= s"aag$t AS (SELECT *, CASE WHEN ism THEN pos - " +
+        "row_number() OVER (PARTITION BY word, ism ORDER BY pos) END AS isl " +
+        s"FROM aaf$t), "
+      sb ++= s"aaa$t AS (SELECT *, CASE WHEN ism THEN ((pos - " +
+        "min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) " +
+        s"ELSE FALSE END AS app FROM aag$t), "
+      sb ++= s"as${t + 1} AS MATERIALIZED (SELECT word, " +
+        "CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, " +
+        "CASE WHEN app THEN sym || nxt ELSE sym END AS sym FROM (SELECT *, " +
+        "coalesce(lag(app) OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons " +
+        s"FROM aaa$t) WHERE NOT cons), "
+    }
+    sb ++= s"wseg AS (SELECT word, CAST(length(word) AS BIGINT) AS nc1, " +
+      s"CAST(count(*) AS BIGINT) AS ns1 FROM as$nMerges GROUP BY word)"
+    sb.result()
+  }
+
   /** Residual-PQ CTEs (Similarity.topKIvfPqResidual mirror). Requires
     * sqlKmeansCtes's kqe/khome/kprobe; emits rsum/rmu (floor-integer
     * cell means), rqe (integer residuals — feed to sqlPqCtes as `qe`);
@@ -1594,6 +1627,28 @@ object NorthStarQueries {
         "FROM sprobe l JOIN shome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
+    Q("q_ann_ivf_capped",
+      // IVF with a BINDING max-codes-per-cell cap (FAISS's
+      // max_codes knob): each query meets at most the cellCap=8
+      // LOWEST-id home members of a probed cell — deterministic, so
+      // the recall trade is exactly reproducible cross-engine. With 16
+      // cells over 500-2000 vectors every cell exceeds 8 members, so
+      // the cap binds at every SF (the default-cap behavior is pinned
+      // by q_ann_ivf2, whose plan this shares minus the cap filter).
+      // At 100 TB this is the hard |query|·cap work bound that keeps a
+      // skewed cell from dominating the in-cell quadratic stage.
+      (s, d) => Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2,
+          cellCap = 8)
+        .orderBy("a", "rank"),
+      s"WITH ${sqlIvfCtes(16, 2)}, " +
+        "chome AS (SELECT vec_id, embedding, cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS hr " +
+        "FROM home) WHERE hr <= 8) " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        "FROM probe l JOIN chome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_ann_ivf_kmeans",
       // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
       // over integer-quantized vectors lift recall@3 from 0.33 (seed
@@ -2469,49 +2524,82 @@ object NorthStarQueries {
           .withColumn("chars_per_subword",
             col("n_char_syms").cast("double") / col("n_subwords").cast("double"))
           .orderBy("source")
-      }, {
-        // training chain on the sample (b0..b{n-1}), then the apply
-        // chain re-runs the identical per-round rewrite over the FULL
-        // corpus VOCAB (words segment independently, so per-distinct-
-        // word rounds + an occurrence join equal per-occurrence apply)
-        val sb = new StringBuilder
-        sb ++= s"WITH ${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TRAIN_MOD = 0")}, "
-        sb ++= s"atok AS (SELECT doc_id, source, $TOKS AS toks FROM documents), "
-        sb ++= "avf AS (SELECT word FROM (SELECT unnest(toks) AS word FROM atok) " +
-          "GROUP BY word), "
-        sb ++= "as0 AS MATERIALIZED (SELECT word, CAST(pos AS BIGINT) AS pos, " +
-          "substr(word, CAST(pos AS INT), 1) AS sym FROM " +
-          "(SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM avf)), "
-        for (t <- 0 until BPE_MERGES) {
-          sb ++= s"aam$t AS MATERIALIZED (SELECT word, pos, sym, " +
-            s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM as$t), "
-          sb ++= s"aaf$t AS (SELECT m.word, m.pos, m.sym, m.nxt, " +
-            s"(m.sym = b.l AND m.nxt = b.r) AS ism FROM aam$t m, b$t b), "
-          sb ++= s"aag$t AS (SELECT *, CASE WHEN ism THEN pos - " +
-            "row_number() OVER (PARTITION BY word, ism ORDER BY pos) END AS isl " +
-            s"FROM aaf$t), "
-          sb ++= s"aaa$t AS (SELECT *, CASE WHEN ism THEN ((pos - " +
-            "min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) " +
-            s"ELSE FALSE END AS app FROM aag$t), "
-          sb ++= s"as${t + 1} AS MATERIALIZED (SELECT word, " +
-            "CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, " +
-            "CASE WHEN app THEN sym || nxt ELSE sym END AS sym FROM (SELECT *, " +
-            "coalesce(lag(app) OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons " +
-            s"FROM aaa$t) WHERE NOT cons), "
-        }
-        sb ++= s"wseg AS (SELECT word, CAST(length(word) AS BIGINT) AS nc1, " +
-          s"CAST(count(*) AS BIGINT) AS ns1 FROM as$BPE_MERGES GROUP BY word), "
-        sb ++= "aocc AS (SELECT doc_id, source, unnest(toks) AS word FROM atok), "
-        sb ++= "perdoc AS (SELECT doc_id, source, " +
-          "CAST(sum(w.nc1) AS BIGINT) AS nc, CAST(sum(w.ns1) AS BIGINT) AS ns " +
-          "FROM aocc JOIN wseg w USING (word) GROUP BY doc_id, source) "
-        sb ++= "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-          "CAST(sum(nc) AS BIGINT) AS n_char_syms, " +
-          "CAST(sum(ns) AS BIGINT) AS n_subwords, " +
-          "CAST(sum(nc) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS chars_per_subword " +
-          "FROM perdoc GROUP BY source ORDER BY source"
-        sb.result()
-      }),
+      },
+      // training chain on the sample (b0..b{n-1}), then the apply
+      // chain (sqlBpeApplyCtes) re-runs the identical per-round
+      // rewrite over the FULL corpus VOCAB
+      s"WITH ${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TRAIN_MOD = 0")}, " +
+        s"atok AS (SELECT doc_id, source, $TOKS AS toks FROM documents), " +
+        "avf AS (SELECT word FROM (SELECT unnest(toks) AS word FROM atok) " +
+        "GROUP BY word), " +
+        s"${sqlBpeApplyCtes(BPE_MERGES)}, " +
+        "aocc AS (SELECT doc_id, source, unnest(toks) AS word FROM atok), " +
+        "perdoc AS (SELECT doc_id, source, " +
+        "CAST(sum(w.nc1) AS BIGINT) AS nc, CAST(sum(w.ns1) AS BIGINT) AS ns " +
+        "FROM aocc JOIN wseg w USING (word) GROUP BY doc_id, source) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nc) AS BIGINT) AS n_char_syms, " +
+        "CAST(sum(ns) AS BIGINT) AS n_subwords, " +
+        "CAST(sum(nc) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS chars_per_subword " +
+        "FROM perdoc GROUP BY source ORDER BY source"),
+
+    Q("q_bpe_incremental",
+      // The PERSISTED-RULES tokenizer lifecycle (the q_ann_incremental
+      // shape for BPE): DAY 0 trains the merge table ONCE on the
+      // standing corpus (doc_id % 5 ∉ {0,4}, TRAIN_MOD-sampled) — a
+      // constant-size driver-resident artifact, like the checkpointed
+      // centroids — then DAY 1 (doc_id % 5 = 4) and DAY 2 (% 5 = 0)
+      // each re-segment in ONE narrow pass whose plan contains ZERO
+      // training stages: the rules ride inside the BpeSegment kernel
+      // as literals, so the apply plan's only leaves are the batch
+      // scans (spec-proved, the ivfIncremental leaf-set pattern).
+      // Per-batch compression tells the user when rule drift warrants
+      // a retrain — the tokenizer's drift monitor.
+      (s, d) => {
+        val all = docs(s, d)
+        val standing = all.filter(
+          col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4)
+        val (lhs, rhs) = TextOps.bpeLearnedRules(
+          standing, "doc_id", "text", BPE_MERGES, TRAIN_MOD)
+        val seg = graft.functions.VectorFunctions.bpeSegment(col("word"), lhs, rhs)
+        val batches = all
+          .filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 4)
+          .withColumn("batch",
+            when(col("doc_id") % 5 === 4, lit("d1")).otherwise(lit("d2")))
+        val occ = batches.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("batch"),
+            explode(TextOps.tokens(col("text"))).as("word"))
+        // memoized apply over the BATCH vocab (see q_bpe_apply)
+        val dict = occ.select("word").distinct()
+          .select(col("word"), length(col("word")).cast("long").as("nc1"),
+            size(seg).cast("long").as("ns1"))
+        occ.join(broadcast(dict), "word")
+          .groupBy("doc_id", "batch")
+          .agg(sum(col("nc1")).as("nc"), sum(col("ns1")).as("ns"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_char_syms"),
+            sum(col("ns")).as("n_subwords"))
+          .withColumn("chars_per_subword",
+            col("n_char_syms").cast("double") / col("n_subwords").cast("double"))
+          .orderBy("batch")
+      },
+      s"WITH ${sqlBpeCtes(BPE_MERGES,
+          s" WHERE doc_id % 5 NOT IN (0, 4) AND doc_id % $TRAIN_MOD = 0")}, " +
+        "atok AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN 'd1' ELSE 'd2' END " +
+        s"AS batch, $TOKS AS toks FROM documents WHERE doc_id % 5 IN (0, 4)), " +
+        "avf AS (SELECT word FROM (SELECT unnest(toks) AS word FROM atok) " +
+        "GROUP BY word), " +
+        s"${sqlBpeApplyCtes(BPE_MERGES)}, " +
+        "aocc AS (SELECT doc_id, batch, unnest(toks) AS word FROM atok), " +
+        "perdoc AS (SELECT doc_id, batch, " +
+        "CAST(sum(w.nc1) AS BIGINT) AS nc, CAST(sum(w.ns1) AS BIGINT) AS ns " +
+        "FROM aocc JOIN wseg w USING (word) GROUP BY doc_id, batch) " +
+        "SELECT batch, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nc) AS BIGINT) AS n_char_syms, " +
+        "CAST(sum(ns) AS BIGINT) AS n_subwords, " +
+        "CAST(sum(nc) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS chars_per_subword " +
+        "FROM perdoc GROUP BY batch ORDER BY batch"),
 
     Q("q_knn_eval",
       // Leave-one-out 3-NN label accuracy over the embeddings — the

@@ -222,6 +222,45 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got2 == Seq(("a", "b")))
   }
 
+  test("BPE persisted rules: the apply plan is provably training-free") {
+    import spark.implicits._
+    // train once on the standing corpus
+    val standing = Seq((1L, "the cat sat"), (2L, "the hat"), (3L, "the bat sat"))
+      .toDF("doc_id", "text")
+    val (lhs, rhs) = TextOps.bpeLearnedRules(standing, "doc_id", "text", 3)
+    assert(lhs.nonEmpty)
+    // day-N apply: rules ride INSIDE the BpeSegment kernel as literals
+    // (the driver-resident-artifact discipline of the checkpointed
+    // centroids), so the apply plan's leaves are the BATCH scans only —
+    // the standing corpus and the training rounds appear nowhere
+    val batch = Seq((100L, "the rat sat"), (101L, "a mat")).toDF("doc_id", "text")
+    val seg = graft.functions.VectorFunctions.bpeSegment(col("word"), lhs, rhs)
+    val occ = batch.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("word"))
+    val dict = occ.select("word").distinct()
+      .select(col("word"), length(col("word")).cast("long").as("nc1"),
+        size(seg).cast("long").as("ns1"))
+    val applied = occ.join(broadcast(dict), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("nc1")).as("nc"), sum(col("ns1")).as("ns"))
+    val leaves = applied.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+        _.toString.toLowerCase.contains("localrelation")),
+      s"apply plan leaves must all be the batch relation:\n$leaves")
+    // and zero Window operators — training's per-round window chains
+    // cannot have leaked into the apply side
+    val hasWindow = applied.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(hasWindow.isEmpty, "apply plan contains training windows")
+    // the segmentation itself agrees with replaying the learned merges
+    val got = applied.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(100L, 101L))
+    // subwords never outnumber chars
+    assert(got.forall { case (_, nc, ns) => ns >= 1 && ns <= nc })
+  }
+
   test("BPE training: empty corpus and degenerate inputs") {
     import spark.implicits._
     val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
