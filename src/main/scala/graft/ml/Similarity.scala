@@ -561,6 +561,44 @@ object Similarity {
   }
 
   /**
+   * Top-k ANN served from a PERSISTED postings table — the read half
+   * of the train → stream-assign → append → serve lifecycle: `cents`
+   * is the trained index artifact, `postings` the standing
+   * (idCol, vecCol, cell) home-assignment table ([[ivfAssignStream]]
+   * with keepVec + a bucketed append sink maintain it live), and
+   * `queries` any batch of query vectors. Queries probe their nearest
+   * `nProbe` cells via the driver-resident centroid matrix
+   * ([[graft.functions.NearestCells]]); candidates come from the
+   * postings JOIN on cell — with a cell-bucketed postings table the
+   * join is exchange-free on the postings side at any corpus size.
+   * Self-matches are excluded; `cellCap` bounds the quadratic term as
+   * in [[topKFromAssign]]. Returns (a, rank, b).
+   */
+  def serveTopK(queries: DataFrame, postings: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: DataFrame, nProbe: Int,
+      cellCap: Int = Int.MaxValue): DataFrame = {
+    val qs = ivfAssignFromCentroids(queries, idCol, vecCol, cents, nProbe)
+      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"),
+        norm(col(vecCol)).as("an"))
+    val homeAll = postings
+    val home = (if (cellCap == Int.MaxValue) homeAll
+      else homeAll
+        .withColumn("__hr", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col(idCol))))
+        .filter(col("__hr") <= cellCap))
+      .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"),
+        norm(col(vecCol)).as("bn"))
+    val scored = qs.join(home, "cell")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos"))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("a", "rank", "b")
+  }
+
+  /**
    * [[topKIvf]] with k-means-refined centroids: `iters` deterministic
    * Lloyd rounds ([[kmeansCentroids]]) replace the raw seed vectors, so
    * cells track the data distribution instead of whatever the first

@@ -757,11 +757,17 @@ object Streaming {
    * @param cents trained centroids (cid, cq) — BATCH frame, collected
    * @param mu    training-time floor-integer cell means (cell, mu) —
    *              BATCH frame, collected
-   * @return streaming (idCol, ts, cell, rsq) — home-cell assignment +
-   *         integer squared residual norm vs the training mean
+   * @param keepVec when true the output also carries `vecCol` — the
+   *                shape a postings SINK appends (serving needs the
+   *                vector next to its cell); the default drops it (a
+   *                drift monitor needs only the residual)
+   * @return streaming (idCol, ts, cell, rsq[, vecCol]) — home-cell
+   *         assignment + integer squared residual norm vs the
+   *         training mean
    */
   def ivfAssignStream(vecs: DataFrame, idCol: String, vecCol: String,
-      tsCol: String, cents: DataFrame, mu: DataFrame): DataFrame = {
+      tsCol: String, cents: DataFrame, mu: DataFrame,
+      keepVec: Boolean = false): DataFrame = {
     import graft.ml.Similarity
     val centRows = cents.select(col("cid"), col("cq")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
@@ -788,11 +794,13 @@ object Streaming {
       cid -> cq.map(_.toDouble).toArray }
     val best = element_at(graft.functions.VectorFunctions
       .nearestCells(q, centArr, 1), 1)
+    val keep = if (keepVec) Seq(col(vecCol)) else Nil
     vecs
-      .select(col(idCol), col(tsCol), q.as("__q"), best.as("cell"))
-      .select(col(idCol), col(tsCol), col("cell"),
+      .select(Seq(col(idCol), col(tsCol), q.as("__q"), best.as("cell")) ++ keep: _*)
+      .select(Seq(col(idCol), col(tsCol), col("cell"),
         aggregate(zip_with(col("__q"), element_at(muLit, col("cell")),
           (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x).as("rsq"))
+        ++ keep: _*)
   }
 
   /** Live retrain alarm over [[ivfAssignStream]] output — the

