@@ -561,6 +561,102 @@ object Similarity {
   }
 
   /**
+   * Probe-depth SLICES of one ranked assignment's top-k — a tuning
+   * sweep comparing nprobe=1 vs 2 (or 16 vs 20) pays ONE quadratic
+   * scoring join and ONE ranking sort for all depths, instead of one
+   * per depth. The shallow depth's candidate set is a subset of the
+   * deep one's (each pair carries the query-side probe rank `lrank` of
+   * the cell it met in), so per-depth top-k ranks fall out of a single
+   * sorted pass: rank_at_depth_p(row) = running count of rows with
+   * lrank ≤ p in (cos DESC, b) order — exactly the row_number a
+   * standalone [[topKFromAssign]] over the `rank <= p` slice computes.
+   *
+   * `materialize` (pass an eager checkpoint) pins the scored+ranked
+   * pair table so every slice — and every downstream consumer in a
+   * unioned report — replays a filter over one cached frame, not the
+   * join. Returns depth → (a, rank, b), each hash-identical to
+   * `topKFromAssign(ranked.filter(rank <= p).drop("rank"), …)`.
+   */
+  def topKFromAssignSlices(ranked: DataFrame, idCol: String, vecCol: String,
+      k: Int, depths: Seq[Int], cellCap: Int = Int.MaxValue,
+      materialize: DataFrame => DataFrame = identity): Map[Int, DataFrame] = {
+    require(depths.nonEmpty, "topKFromAssignSlices: depths must be non-empty")
+    val ds = depths.distinct
+    val maxP = ds.max
+    val homeAll = ranked.filter(col("isHome"))
+    val home = (if (cellCap == Int.MaxValue) homeAll
+      else homeAll
+        .withColumn("__hr", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col(idCol))))
+        .filter(col("__hr") <= cellCap))
+      .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"),
+        norm(col(vecCol)).as("bn"))
+    val queries = ranked.filter(col("rank") <= maxP)
+      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"),
+        norm(col(vecCol)).as("an"), col("rank").as("__lrank"))
+    // (a, b) is unique — b is home in exactly one cell, which a probes
+    // at most once — so each pair carries exactly one lrank
+    val scored = queries.join(home, "cell")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos"),
+        col("__lrank"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRanks = materialize(scored.select(
+      Seq(col("a"), col("b"), col("__lrank")) ++ ds.map(p =>
+        sum(when(col("__lrank") <= p, 1L).otherwise(0L)).over(w)
+          .as(s"__r$p")): _*))
+    ds.map(p => p -> withRanks
+      .filter(col("__lrank") <= p && col(s"__r$p") <= k)
+      .select(col("a"), col(s"__r$p").as("rank"), col("b"))).toMap
+  }
+
+  /**
+   * Home-bucket and multi-probe LSH top-k off ONE scored pair table:
+   * the plain-LSH candidate set (pairs sharing their home bucket) is
+   * exactly the multi-probe pairs whose query-side copy is the home
+   * copy, so both configs' rankings fall out of a single quadratic
+   * pass — same running-count slicing as [[topKFromAssignSlices]].
+   * Returns (home-only top-k, multi-probe top-k), hash-identical to
+   * ([[topKLsh]], [[topKLshMp]]) at the same parameters.
+   */
+  def topKLshMpSlices(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int, dims: Int, nProbes: Int,
+      materialize: DataFrame => DataFrame = identity)
+      : (DataFrame, DataFrame) = {
+    val home = emb.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), nPlanes, dims).as("home"))
+    val copies = home.select(col(idCol), col(vecCol), col("home"),
+      explode(array(col("home") +:
+        (0 until nProbes).map(p => col("home").bitwiseXOR(lit(1L << p))): _*))
+        .as("bucket"))
+    val pairs = copies
+      .groupBy("bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"),
+        (col("home") === col("bucket")).as("isHome"))).as("ms"))
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("y.isHome") && col("x.id") =!= col("y.id"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = materialize(pairs.select(
+        col("x.id").as("a"), col("y.id").as("b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv"))).as("cos"),
+        col("x.isHome").as("__xh"))
+      .select(col("a"), col("b"), col("__xh"),
+        sum(when(col("__xh"), 1L).otherwise(0L)).over(w).as("__rh"),
+        row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b")))
+          .cast("long").as("__ra")))
+    (scored.filter(col("__xh") && col("__rh") <= k)
+       .select(col("a"), col("__rh").as("rank"), col("b")),
+     scored.filter(col("__ra") <= k)
+       .select(col("a"), col("__ra").as("rank"), col("b")))
+  }
+
+  /**
    * Top-k ANN served from a PERSISTED postings table — the read half
    * of the train → stream-assign → append → serve lifecycle: `cents`
    * is the trained index artifact, `postings` the standing

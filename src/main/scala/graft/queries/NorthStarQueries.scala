@@ -1935,15 +1935,23 @@ object NorthStarQueries {
         val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3,
             PROBE_MOD)
           .select("a", "b").localCheckpoint()
-        val lsh = Similarity.topKLsh(emb(s, d), "vec_id", "embedding", 3, PLANES, DIMS)
-          .select("a", "b")
-        val mp = Similarity.topKLshMp(emb(s, d), "vec_id", "embedding", 3,
-            PLANES, DIMS, NPROBES)
-          .select("a", "b")
-        val ivf = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16)
-          .select("a", "b")
-        val ivf2 = Similarity.topKIvf(emb(s, d), "vec_id", "embedding", 3, 16, 2)
-          .select("a", "b")
+        // the (lsh, lsh_mp) and (nprobe 1, 2) config pairs each share
+        // ONE scored-pair pass (probe-depth slicing, topKFromAssignSlices
+        // scaladoc) — 4 quadratic scorings become 2. LAZY checkpoints:
+        // the shared pair table materializes inside the caller's single
+        // action (both consuming semi-joins hit the same cached RDD),
+        // so no extra blocking job at construction time.
+        val (lsh0, mp0) = Similarity.topKLshMpSlices(emb(s, d), "vec_id",
+          "embedding", 3, PLANES, DIMS, NPROBES,
+          materialize = _.localCheckpoint(false))
+        val lsh = lsh0.select("a", "b")
+        val mp = mp0.select("a", "b")
+        val ivSl = Similarity.topKFromAssignSlices(
+          Similarity.ivfAssignRanked(emb(s, d), "vec_id", "embedding", 16, 2),
+          "vec_id", "embedding", 3, Seq(1, 2),
+          materialize = _.localCheckpoint(false))
+        val ivf = ivSl(1).select("a", "b")
+        val ivf2 = ivSl(2).select("a", "b")
         // nProbe 4 is the 16-cell frontier point: recall 0.596 at 62k
         // candidates (vs 0.41 at nprobe 2 / 31k).
         val kme = Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
@@ -2068,10 +2076,10 @@ object NorthStarQueries {
         // is unchanged — scheduling overlap only. Wall-clock becomes
         // max(chain) instead of sum(chains); on a real cluster the
         // same trick overlaps the executors' idle tails.
-        // 6 threads = the 6 wave-1 chains, so none queues behind
-        // another; shutdownNow in finally so a failed sub-pipeline
-        // can't leak non-daemon threads or hang an Await
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        // 8 threads = the 8 independent wave-1 chains, so none queues
+        // behind another; shutdownNow in finally so a failed
+        // sub-pipeline can't leak non-daemon threads or hang an Await
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
         try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -2110,6 +2118,21 @@ object NorthStarQueries {
             KM_ITERS, DIMS, 2, TRAIN_MOD)))
         val iv16F = scala.concurrent.Future(
           ckptFresh(Similarity.ivfAssignRanked(e, id, v, 16, 2)))
+        // nested-depth config PAIRS share one scored-pair table each
+        // (probe depth rides every pair as lrank; per-depth top-k ranks
+        // fall out of one sorted pass — topKFromAssignSlices): the
+        // quadratic scoring joins drop from 8 to 4 and the final union
+        // job replays slim checkpoint filters instead of join+window
+        // per branch. Slice futures chain off their assignment futures.
+        val lshSlF = scala.concurrent.Future(Similarity.topKLshMpSlices(
+          e, id, v, 3, PLANES, DIMS, NPROBES, ckptFresh))
+        val mcandF = scala.concurrent.Future(ckptFresh(
+          Similarity.lshMultiCandidates(e, id, v, LSHM_PLANES, DIMS,
+            LSHM_TABLES)))
+        val ivSlF = iv16F.map(iv16 => Similarity.topKFromAssignSlices(
+          iv16, id, v, 3, Seq(1, 2), materialize = ckptFresh))
+        val wideSlF = wideAssignF.map(wa => Similarity.topKFromAssignSlices(
+          wa, id, v, 3, Seq(16, 20), materialize = ckptFresh))
         // wave 2 (needs cents16): the shared-coarse assignment + both
         // PQ shortlists
         val cents16 = await(cents16F).head
@@ -2122,9 +2145,13 @@ object NorthStarQueries {
           Similarity.ivfPqResidualShortlist(e, id, v, 16,
             KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD,
             Some(cents16))))
+        val a16SlF = a16F.map(a16 => Similarity.topKFromAssignSlices(
+          a16, id, v, 3, Seq(2, 4), materialize = ckptFresh))
         val Seq(exact, bk, wideAssign, a8, iv16) =
           await(exactF, bkF, wideAssignF, a8F, iv16F)
-        val Seq(a16, slPq, slRes) = await(a16F, slPqF, slResF)
+        val Seq(a16, slPq, slRes, mcand) = await(a16F, slPqF, slResF, mcandF)
+        val Seq(ivSl, wideSl, a16Sl) = await(ivSlF, wideSlF, a16SlF)
+        val lshSl = await(lshSlF).head
         def wide(p: Int): DataFrame =
           wideAssign.filter(col("rank") <= p).drop("rank")
         def a16p(p: Int): DataFrame =
@@ -2159,34 +2186,33 @@ object NorthStarQueries {
           .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
           .select((col("mh") - col("n")).as("n_cands"))
         val rowDfs = Seq(
-          cfgRow("lsh", PLANES, 0,
-            Similarity.topKLsh(e, id, v, 3, PLANES, DIMS).select("a", "b"), lshCands),
+          cfgRow("lsh", PLANES, 0, lshSl._1.select("a", "b"), lshCands),
           cfgRow("lsh_mp", PLANES, NPROBES,
-            Similarity.topKLshMp(e, id, v, 3, PLANES, DIMS, NPROBES).select("a", "b"), mpCands),
+            lshSl._2.select("a", "b"), mpCands),
           cfgRow("ivf", 16, 1,
-            Similarity.topKFromAssign(iv16p(1), id, v, 3).select("a", "b"),
+            ivSl(1).select("a", "b"),
             ivfCands(iv16p(1))),
           cfgRow("ivf", 16, 2,
-            Similarity.topKFromAssign(iv16p(2), id, v, 3).select("a", "b"),
+            ivSl(2).select("a", "b"),
             ivfCands(iv16p(2))),
           cfgRow("ivf_kmeans", 16, 2,
-            Similarity.topKFromAssign(a16p(2), id, v, 3).select("a", "b"),
+            a16Sl(2).select("a", "b"),
             ivfCands(a16p(2))),
           cfgRow("ivf_kmeans", 8, 2,
             Similarity.topKFromAssign(a8p(2), id, v, 3).select("a", "b"),
             ivfCands(a8p(2))),
           cfgRow("ivf_kmeans", 16, 4,
-            Similarity.topKFromAssign(a16p(4), id, v, 3).select("a", "b"),
+            a16Sl(4).select("a", "b"),
             ivfCands(a16p(4))),
           // 64-cell wide frontier: ONE training (checkpointed centroids)
           // probed 20-deep; the 16-probe row is a rank slice of it.
           // These are the ≥0.84-recall-under-half-cost operating points
           // (probe-measured 0.84 @ 25% and 0.875 @ 31%, sampled training).
           cfgRow("ivf_kmeans", 64, 16,
-            Similarity.topKFromAssign(wide(16), id, v, 3).select("a", "b"),
+            wideSl(16).select("a", "b"),
             ivfCands(wide(16))),
           cfgRow("ivf_kmeans", 64, 20,
-            Similarity.topKFromAssign(wide(20), id, v, 3).select("a", "b"),
+            wideSl(20).select("a", "b"),
             ivfCands(wide(20))),
           // IVF-PQ + rerank: same candidates as ivf_kmeans(16,4), but
           // n_cands here = the PQ shortlist size — the pairs whose
@@ -2204,16 +2230,12 @@ object NorthStarQueries {
             Similarity.rerankShortlist(e, id, v, slRes, 3).select("a", "b"),
             slRes.agg(count(lit(1)).as("n_cands"))),
           // multi-table LSH: training-free recall lever — ONE bare-id
-          // candidate materialization feeds both the exact-rerank top-k
-          // and the scored-pair count (the same frame the oracle's
-          // mcand CTE builds)
-          {
-            val mcand = ckptFresh(Similarity.lshMultiCandidates(
-              e, id, v, LSHM_PLANES, DIMS, LSHM_TABLES))
-            cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES,
-              Similarity.rerankShortlist(e, id, v, mcand, 3).select("a", "b"),
-              mcand.agg(count(lit(1)).as("n_cands")))
-          })
+          // candidate materialization (wave-1 future) feeds both the
+          // exact-rerank top-k and the scored-pair count (the same
+          // frame the oracle's mcand CTE builds)
+          cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES,
+            Similarity.rerankShortlist(e, id, v, mcand, 3).select("a", "b"),
+            mcand.agg(count(lit(1)).as("n_cands"))))
         // each config row (scoring pipeline + hit/cost counts) is a
         // 1-row aggregate over checkpointed inputs; UNIONING all 12 and
         // checkpointing the union runs every pipeline inside ONE job —

@@ -205,6 +205,34 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.size == got.toSet.size)
   }
 
+  test("sliced top-k: every depth slice ≡ its standalone pass") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // seed IVF: nprobe 1 and 2 off ONE scored pass
+    val ranked = Similarity.ivfAssignRanked(emb, "vec_id", "embedding", 16, 2)
+    val sl = Similarity.topKFromAssignSlices(ranked, "vec_id", "embedding",
+      3, Seq(1, 2), materialize = _.localCheckpoint())
+    for (p <- Seq(1, 2))
+      assert(rows(sl(p)) == rows(Similarity.topKFromAssign(
+        ranked.filter(col("rank") <= p).drop("rank"), "vec_id", "embedding", 3)),
+        s"seed-IVF depth $p")
+    // k-means cells with a BINDING cellCap, depths 2 and 4
+    val km = Similarity.ivfKmeansAssignRanked(emb, "vec_id", "embedding",
+      8, 2, 64, 4)
+    val slc = Similarity.topKFromAssignSlices(km, "vec_id", "embedding",
+      3, Seq(2, 4), cellCap = 2, materialize = _.localCheckpoint())
+    for (p <- Seq(2, 4))
+      assert(rows(slc(p)) == rows(Similarity.topKFromAssign(
+        km.filter(col("rank") <= p).drop("rank"), "vec_id", "embedding", 3,
+        cellCap = 2)), s"capped k-means depth $p")
+    // LSH: home-bucket and multi-probe configs off ONE scored pass
+    val (h, m) = Similarity.topKLshMpSlices(emb, "vec_id", "embedding",
+      3, 8, 64, 2, materialize = _.localCheckpoint())
+    assert(rows(h) == rows(Similarity.topKLsh(emb, "vec_id", "embedding", 3, 8, 64)))
+    assert(rows(m) == rows(Similarity.topKLshMp(emb, "vec_id", "embedding", 3, 8, 64, 2)))
+  }
+
   test("BPE training: golden merges incl. the self-overlap run rule") {
     import spark.implicits._
     // "aaaa": (a,a) matches at 1,2,3 — non-overlap applies at 1 and 3,
