@@ -346,16 +346,23 @@ object Similarity {
       iters: Int, dims: Int, trainMod: Long = 1): DataFrame =
       graft.engine.StaticPlan.scopedAqeOff(embQ.sparkSession) {
     val embT = trainSide(embQ, idCol, trainMod)
-    var cents = embT.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cid"), col("q").as("cq"))
-      .transform(ckptFresh)
+    // The centroid matrix lives DRIVER-SIDE across rounds (it is the
+    // constant-size index artifact — nCells × dims longs): each round
+    // is exactly ONE scheduled job (assignment against the literal
+    // matrix + map-side-combined groupBy, collected as nCells rows),
+    // and the seed read is another — no per-round centroid-frame
+    // checkpoint, no replay. The result is a LOCAL relation, so every
+    // consumer (assignment, PQ coarse, cell means) reads literal data
+    // with zero recompute risk and zero jobs.
+    var cents: Seq[(Long, Array[Long])] = embT.orderBy(col(idCol))
+      .limit(nCells).select(col(idCol), col("q"))
+      .collect().toSeq.map(r =>
+        r.getLong(0) -> r.getSeq[Long](1).toArray)
     for (_ <- 0 until iters) {
-      // per-round assignment against the driver-resident matrix (cents
-      // is checkpointed, so the collect re-reads nCells cached rows):
       // one narrow pass over the sample, no nCells× row expansion and
       // no per-vector ranking window — the round cost is the groupBy
       // sum alone, at any cell count
-      val centArr = collectCents(cents, "cid", "cq")
+      val centArr = cents.map { case (cid, cq) => cid -> cq.map(_.toDouble) }
       val assigned = embT.select(col(idCol), col("q"),
         element_at(graft.functions.VectorFunctions
           .nearestCells(col("q"), centArr, 1), 1).as("cell"))
@@ -363,11 +370,22 @@ object Similarity {
       val sums = assigned.groupBy(col("cell"))
         .agg(sumCols.head, sumCols.tail: _*)
         .select(col("cell"), array((0 until dims).map(d => col(s"s$d")): _*).as("nq"))
-      cents = cents.alias("c").join(sums.alias("n"), col("c.cid") === col("n.cell"), "left")
-        .select(col("c.cid").as("cid"), coalesce(col("n.nq"), col("c.cq")).as("cq"))
-        .transform(ckptFresh)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      // a cell that attracted no sample rows keeps its previous vector
+      // (the coalesce rule the SQL oracle unrolls)
+      cents = cents.map { case (cid, cq) => cid -> sums.getOrElse(cid, cq) }
     }
-    cents
+    val spark = embQ.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.map { case (cid, cq) =>
+        org.apache.spark.sql.Row(cid, cq.toSeq) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cq",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType), nullable = false))))
   }
 
   /** [[ivfAssign]] against k-means-refined centroids, KEEPING the probe

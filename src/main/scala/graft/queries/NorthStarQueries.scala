@@ -2490,6 +2490,42 @@ object NorthStarQueries {
           "ORDER BY m.cell"
       }),
 
+    Q("q_ann_serve",
+      // The SERVING read path of the persisted-index lifecycle, pinned
+      // cross-engine: centroids train once (sampled k-means) and
+      // checkpoint = the persisted index artifact; postings = the
+      // standing home-cell table (exactly what ivfAssignStream + the
+      // bucketed sink maintain live — bucketed BY cell in production,
+      // so the serve join is exchange-free on the postings side at any
+      // corpus size); queries = the PROBE_MOD sample as "today's query
+      // batch". serveTopK probes each query's 2 nearest cells via the
+      // driver-resident centroid matrix and exact-reranks candidates
+      // from the postings join — the StreamingSpec e2e proves the
+      // stream-maintained postings serve row-identically; this row
+      // pins the serve SEMANTICS against the DuckDB oracle.
+      (s, d) => {
+        val e = emb(s, d)
+        val cents = graft.engine.StaticPlan.ckptFresh(
+          Similarity.kmeansCentroids(
+            e.select(col("vec_id"),
+              Similarity.quantize(col("embedding")).as("q")),
+            "vec_id", 16, KM_ITERS, DIMS, TRAIN_MOD))
+        val postings = Similarity.ivfAssignFromCentroids(
+            e, "vec_id", "embedding", cents, 1)
+          .filter(col("isHome"))
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val queries = e.filter(col("vec_id") % PROBE_MOD === 0)
+        Similarity.serveTopK(queries, postings, "vec_id", "embedding",
+            3, cents, 2)
+          .orderBy("a", "rank")
+      },
+      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)} " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        s"FROM kprobe l JOIN khome r USING (cell) " +
+        s"WHERE l.vec_id % $PROBE_MOD = 0 AND l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_bpe_train",
       // Tokenizer TRAINING on the cluster: 8 BPE merge rounds learned
       // from a TRAIN_MOD doc sample (Sennrich et al. 2016; rules are

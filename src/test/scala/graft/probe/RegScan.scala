@@ -6,12 +6,15 @@ import org.apache.spark.sql.SparkSession
   * not cover. Text report → /tmp/regscan.txt; machine-readable JSON
   * (per-query min seconds + total) → /tmp/regscan.json, committed
   * per-round as REGSCAN_r{N}.json so tail regressions are diffable
-  * from driver artifacts. Optional arg: comma-separated query subset. */
+  * from driver artifacts. Optional args: comma-separated query subset;
+  * passes per query (default 2 — use 4+ for steady-state reads of a
+  * few queries: JIT ramp takes ~3 executions on heavy codegen). */
 object RegScan {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val passes: Int = if (args.length > 1) args(1).toInt else 2
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,7 +28,7 @@ object RegScan {
     val sel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     val times = sel.map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           out.append(s"ERR $name: ${e.getMessage.take(80)}\n"); -1L }
@@ -36,12 +39,12 @@ object RegScan {
     }
     times.sortBy(-_._2).foreach { case (n, s) =>
       out.append(f"$s%7.2f  $n%s\n") }
-    out.append(f"TOTAL(min-of-2) ${times.map(_._2).sum}%.1f s over ${times.size} queries\n")
+    out.append(f"TOTAL(min-of-$passes) ${times.map(_._2).sum}%.1f s over ${times.size} queries\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/regscan.txt"),
       out.toString.getBytes)
     val json = times.sortBy(-_._2).map { case (n, s) =>
       f""""$n%s":$s%.3f""" }.mkString(
-      s"""{"sf_dir":"$sfDir","protocol":"min-of-2 count()","n_queries":${times.size},""" +
+      s"""{"sf_dir":"$sfDir","protocol":"min-of-$passes count()","n_queries":${times.size},""" +
         f""""canary_sec":$canarySec%.3f,""" +
         s""""canary_protocol":"frozen code-independent workload (HostCanary), min-of-3, same session; compare query_sec/canary_sec across rounds",""" +
         f""""total_sec":${times.map(_._2).sum}%.1f,"queries":{""", ",", "}}")

@@ -12,19 +12,36 @@ object TuneProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        val stages = j.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != '\n')}[${si.numTasks}]").mkString(" <- ")
+        starts.put(j.jobId, (System.nanoTime(), stages.take(160)))
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = starts.remove(j.jobId)
+        if (s != null) done.add(((System.nanoTime() - s._1) / 1e9, s._2))
+      }
     })
     val fn = graft.SparkEntry.queries("q_ann_tuning")
     (1 to 3).foreach { i =>
       val j0 = jobs.get()
+      done.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"pass $i: $dt%6.2f s, ${jobs.get() - j0} jobs")
+      import scala.jdk.CollectionConverters._
+      val sum = done.asScala.map(_._1).sum
+      println(f"  job-time sum ${sum}%.2f s (overlapped); slowest:")
+      done.asScala.toSeq.sortBy(-_._1).take(14).foreach { case (d, n) =>
+        println(f"  ${d}%6.2f  $n") }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
