@@ -61,16 +61,21 @@ object EmbStress {
         0.4, Similarity.lshPlanesFor(n, 192L, 3), 64, 3).count())
       val tI = time(Similarity.topKIvfKmeans(e, "vec_id", "embedding", 3,
         cells, 2, 64, 2, trainMod = 4).count())
+      // semdedup at production sizing: JOIN-on-cell pair generation,
+      // derived cell count, sampled training — the q_semdedup shape
+      val tS = time(Similarity.semDedup(e, "vec_id", "embedding", 0.9,
+        cells, 2, 64, 4).count())
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       println(f"s=$s%3d n=$n%8d planes=$planes%2d cells=$cells%3d " +
-        f"lsh_multi=$tL%7.2f cos_lsh=$tD%7.2f ivf_kmeans=$tI%7.2f")
-      (s, tL, tD, tI)
+        f"lsh_multi=$tL%7.2f cos_lsh=$tD%7.2f ivf_kmeans=$tI%7.2f semdedup=$tS%7.2f")
+      (s, tL, tD, tI, tS)
     }
-    val (s1, l1, d1, i1) = rows.head
-    rows.tail.foreach { case (s, l, d, i) =>
+    val (s1, l1, d1, i1, m1) = rows.head
+    rows.tail.foreach { case (s, l, d, i, m) =>
       def ex(t: Double, t1: Double) = math.log(t / t1) / math.log(s.toDouble / s1)
       println(f"s=$s%3d exponents: lsh_multi=${ex(l, l1)}%.2f " +
-        f"cos_lsh=${ex(d, d1)}%.2f ivf_kmeans=${ex(i, i1)}%.2f")
+        f"cos_lsh=${ex(d, d1)}%.2f ivf_kmeans=${ex(i, i1)}%.2f " +
+        f"semdedup=${ex(m, m1)}%.2f")
     }
     spark.stop()
   }
