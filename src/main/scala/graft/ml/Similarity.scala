@@ -848,15 +848,39 @@ object Similarity {
   private def pqCodebooksAll(embQ: DataFrame, idCol: String, m: Int,
       subDim: Int, pqK: Int, iters: Int, trainMod: Long): DataFrame =
       graft.engine.StaticPlan.scopedAqeOff(embQ.sparkSession) {
+    val spark = embQ.sparkSession
     val train = subspaced(trainSide(embQ, idCol, trainMod), idCol, "qq", m, subDim)
-    var cents = subspaced(
+    // Codebook state lives DRIVER-SIDE across rounds (m·pqK rows — the
+    // constant-size index artifact, the kmeansCentroids discipline):
+    // each round is ONE scheduled job (broadcast-join + window +
+    // map-side-combined groupBy, collected as m·pqK rows) instead of
+    // that plus a codebook-frame checkpoint, and the returned frame is
+    // a LocalRelation every consumer reads with zero jobs.
+    var cents: Seq[(Int, Long, Array[Long], Long)] = subspaced(
         trainSide(embQ, idCol, trainMod).orderBy(col(idCol)).limit(pqK),
         idCol, "qq", m, subDim)
-      .select(col("mi"), col(idCol).as("cid"), col("q").as("cq"), lit(1L).as("cnt"))
-      .transform(ckptFresh)
+      .select(col("mi"), col(idCol).as("cid"), col("q").as("cq"))
+      .collect().toSeq.map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray, 1L))
+    def centsDf: DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        cents.map { case (mi, cid, cq, cnt) =>
+          org.apache.spark.sql.Row(mi, cid, cq.toSeq, cnt) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("mi",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cq",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType), nullable = false),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     for (_ <- 0 until iters) {
       val scored = train.join(
-          broadcast(withCbNorms(cents.select("mi", "cid", "cq"))), "mi")
+          broadcast(withCbNorms(centsDf.select("mi", "cid", "cq"))), "mi")
         .withColumn("s", cbScorePre(col("q")))
       val wV = Window.partitionBy(col("mi"), col(idCol))
         .orderBy(col("s").desc, col("cid"))
@@ -868,14 +892,15 @@ object Similarity {
         .agg(count(lit(1)).as("n"), sumCols: _*)
         .select(col("mi"), col("cell"), col("n"),
           array((0 until subDim).map(d => col(s"s$d")): _*).as("nq"))
-      cents = cents.alias("c").join(sums.alias("s"),
-          col("c.mi") === col("s.mi") && col("c.cid") === col("s.cell"), "left")
-        .select(col("c.mi").as("mi"), col("c.cid").as("cid"),
-          coalesce(col("s.nq"), col("c.cq")).as("cq"),
-          coalesce(col("s.n"), col("c.cnt")).as("cnt"))
-        .transform(ckptFresh)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          ((r.getSeq[Long](3).toArray, r.getLong(2)))).toMap
+      // a codeword that attracted no sample rows keeps (vector, cnt) —
+      // the coalesce rule the SQL oracle unrolls
+      cents = cents.map { case (mi, cid, cq, cnt) =>
+        sums.get((mi, cid)).map { case (nq, n) => (mi, cid, nq, n) }
+          .getOrElse((mi, cid, cq, cnt)) }
     }
-    cents
+    centsDf
   }
 
   /** Full-corpus code assignment against jointly-trained codebooks:

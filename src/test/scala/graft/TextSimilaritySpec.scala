@@ -205,6 +205,24 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.size == got.toSet.size)
   }
 
+  test("trained centroids are a LOCAL artifact; assignment plans carry no Lloyd stages") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q")),
+      "vec_id", 8, 2, 64, trainMod = 4)
+    // the trained index is literal driver data — zero jobs to re-read
+    assert(cents.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected LocalRelation leaves:\n${cents.queryExecution.optimizedPlan}")
+    // assignment against it: ONE leaf (the corpus scan) — centroids
+    // ride as the NearestCells literal matrix, never as a join side
+    val assign = Similarity.ivfAssignFromCentroids(
+      emb, "vec_id", "embedding", cents, 2)
+    val leaves = assign.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"expected the corpus scan as the only leaf, got:\n$leaves")
+  }
+
   test("sliced top-k: every depth slice ≡ its standalone pass") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) =
