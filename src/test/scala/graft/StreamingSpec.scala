@@ -1016,6 +1016,31 @@ class StreamingSpec extends SparkSpec {
     // a base vector whose nearest neighbors include a streamed one
     // (vec() is periodic in the seed, so 100 ≡ some base geometry)
     assert(served.nonEmpty)
+    // PLAN SHAPE: the postings side of the serve join is exchange-free
+    // (SCALE.md's claim) — the join's postings-subtree child contains
+    // the table scan but NO shuffle below the join. Asserted on the
+    // static plan (AQE off) so the tree is walkable.
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Similarity.serveTopK(queries, posted, "vec_id",
+        "embedding", 3, cents, 2).queryExecution.executedPlan
+      def hasPostingsScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings_e2e")) => s
+        }.nonEmpty
+      val joinSides = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.children.filter(hasPostingsScan)
+      }.flatten
+      assert(joinSides.nonEmpty, s"no join over the postings scan in:\n$plan")
+      joinSides.foreach { side =>
+        val shuffles = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"postings side of the serve join re-shuffles:\n$side")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe0)
     spark.sql("DROP TABLE IF EXISTS postings_e2e")
   }
 
