@@ -66,7 +66,7 @@ object AsofJoin {
     val carried = r.unionByName(l)
       .withColumn(m, last(col(p), ignoreNulls = true).over(w))
     carried.filter(col(side) === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         (ts +: payload).map(c => col(s"$m.$c").as(s"$prefix$c")): _*)
   }
 }

@@ -125,9 +125,9 @@ final case class EventStream(
 
   /** Only the final row per key (`ops/select.py:133-145`). */
   def last(): EventStream = {
-    val all = struct(df.columns.map(col): _*)
+    val all = struct(df.columns.toIndexedSeq.map(col): _*)
     val agged = df.groupBy(keyCols: _*).agg(max_by(all, col(seqCol)).as("__row"))
-    derive(agged.select(df.columns.map(c => col(s"__row.$c")): _*))
+    derive(agged.select(df.columns.toIndexedSeq.map(c => col(s"__row.$c")): _*))
   }
 
   // =================== §2.3 transformation — ops/transform.py ===============

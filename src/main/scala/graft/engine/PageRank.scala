@@ -136,7 +136,7 @@ object PageRank {
       .select(col("node"), col("is_seed"), col("outw")))
     // ONE action for both scalars (node count + seed count)
     val cnts = base.agg(count(lit(1)),
-      coalesce(sum(when(col("is_seed"), lit(1L))), lit(0L))).head
+      coalesce(sum(when(col("is_seed"), lit(1L))), lit(0L))).head()
     val nSeed = cnts.getLong(1)
     // no nodes at all: vacuous (driver division by |S| would throw
     // where the old in-plan `div` simply never ran on zero rows)

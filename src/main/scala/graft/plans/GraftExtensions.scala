@@ -32,9 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  // 5-arg ctor is (className, db, name, usage, extended)
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "",
+      /* group */ "misc_funcs", /* since */ "", /* deprecated */ "",
+      /* source */ "built-in")
 
   private def longArg(e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v
