@@ -699,14 +699,31 @@ object Similarity {
    * join is exchange-free on the postings side at any corpus size.
    * Self-matches are excluded; `cellCap` bounds the quadratic term as
    * in [[topKFromAssign]]. Returns (a, rank, b).
+   *
+   * `pruneCells = true` collects the batch's distinct probed cells
+   * (bounded by nCells — one tiny job against the broadcast-matrix
+   * assignment) and pushes `cell IN (...)` onto the postings side, so
+   * a cell-PARTITIONED postings table reads only the probed
+   * partitions. This is the 100 TB serve layout: scan cost tracks
+   * nProbe × |batch| cells, not corpus size. Spark's dynamic partition
+   * pruning does NOT fire here on its own (probed: the query side
+   * carries no selective predicate the DPP heuristic recognizes), so
+   * the prune is explicit. Results are identical either way — the IN
+   * list is exactly the set of cells the join could match.
    */
   def serveTopK(queries: DataFrame, postings: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nProbe: Int,
-      cellCap: Int = Int.MaxValue): DataFrame = {
+      cellCap: Int = Int.MaxValue, pruneCells: Boolean = false): DataFrame = {
     val qs = ivfAssignFromCentroids(queries, idCol, vecCol, cents, nProbe)
       .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"),
         norm(col(vecCol)).as("an"))
-    val homeAll = postings
+    val homeAll =
+      if (!pruneCells) postings
+      else {
+        val probed = qs.select("cell").distinct()
+          .collect().map(_.getLong(0)).sorted
+        postings.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      }
     val home = (if (cellCap == Int.MaxValue) homeAll
       else homeAll
         .withColumn("__hr", row_number().over(

@@ -1012,6 +1012,13 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(served == batch,
       s"served top-k $served != batch reference $batch")
+    // the probed-cell pruned serve (the partitioned-layout fast path)
+    // is row-identical — the IN list is exactly the joinable cell set
+    val servedPruned = Similarity.serveTopK(queries, posted, "vec_id",
+      "embedding", 3, cents, 2, pruneCells = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(servedPruned == batch,
+      s"pruned serve $servedPruned != batch reference $batch")
     // and the streamed vectors are themselves SERVABLE as candidates:
     // a base vector whose nearest neighbors include a streamed one
     // (vec() is periodic in the seed, so 100 ≡ some base geometry)
