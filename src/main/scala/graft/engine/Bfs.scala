@@ -72,16 +72,20 @@ object Bfs {
 
   private def runStatic(scope: CheckpointScope, canon: DataFrame,
       seeds: DataFrame, maxHops: Int): DataFrame = {
-    val sym = scope.ckpt(canon.repartition(col("src"))
+    // LAZY setup checkpoints (setup fusion, see [[FusedRounds]]): the
+    // layout and dist₀ materialize inside the first eager round's job
+    val sym = scope.ckptLazy(canon.repartition(col("src"))
       .sortWithinPartitions(col("src")))
     val nodes = sym.select(col("src").as("node")).distinct()
     val sd = seeds.select(col(seeds.columns(0)).cast("long").as("node"))
       .distinct().withColumn("__seed", lit(true))
     var distIds = List.empty[Int]
-    var dist = scope.ckpt(nodes.join(broadcast(sd), Seq("node"), "left")
+    var dist = scope.ckptLazy(nodes.join(broadcast(sd), Seq("node"), "left")
       .select(col("node"),
         when(col("__seed"), lit(0L)).otherwise(lit(null).cast("long")).as("dist")))
     distIds = scope.last
+    // two hop rounds per scheduled job (see [[FusedRounds]])
+    val fused = new FusedRounds(scope, maxHops)
     for (k <- 1 to maxHops) {
       // frontier: nodes first reached in round k-1 — a narrow filter
       // over the checkpointed table, already node-partitioned
@@ -92,15 +96,14 @@ object Bfs {
       val reached = sym.join(frontier, Seq("src"))
         .select(col("dst").as("node")).distinct()
         .withColumn("__new", lit(true))
-      val next = scope.ckpt(dist.join(reached, Seq("node"), "left")
+      val next = fused.ckptRound(dist.join(reached, Seq("node"), "left")
         .select(col("node"),
           when(col("dist").isNotNull, col("dist"))
             .when(col("__new"), lit(k.toLong))
-            .otherwise(lit(null).cast("long")).as("dist")))
-      val nextIds = scope.last
-      scope.free(distIds)
+            .otherwise(lit(null).cast("long")).as("dist")),
+        distIds)
       dist = next
-      distIds = nextIds
+      distIds = fused.last
     }
     scope.freeAllBut(distIds)
     dist

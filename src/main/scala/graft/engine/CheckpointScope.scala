@@ -86,6 +86,22 @@ private[graft] object StaticPlan {
   def scopedAqeOff[T](ss: org.apache.spark.sql.SparkSession)(body: => T): T =
     scoped(ss, ss.conf.get("spark.sql.shuffle.partitions").toInt)(body)
 
+  /** Static scope with a CORPUS-DERIVED partition count — the graph
+    * engines' `roundPartitions(nEdges)` discipline extended to the ANN
+    * construction pipelines: `rows` is the largest frame the body
+    * materializes (e.g. corpus × probe depth), and the scope prices its
+    * checkpoints/training rounds at `roundPartitions(rows)` instead of
+    * the session's full width. At toy SFs this deletes the 32-task
+    * scheduling floor JobProbe measured on ~10³-row materializations
+    * (q_ann_tuning: 28 s of job time that was mostly idle task
+    * dispatch); at scale the count grows with the data and is capped at
+    * the session's shuffle-partition setting — the caller's scale
+    * intent — so a 1000-executor layout keeps its width. The final
+    * returned plan still executes under the caller's adaptive conf
+    * (scopes only price materializations that run INSIDE the body). */
+  def scopedSized[T](ss: org.apache.spark.sql.SparkSession, rows: Long)(body: => T): T =
+    scoped(ss, roundPartitions(rows, ss))(body)
+
   /** Eager localCheckpoint whose EXPOSED attribute ids are fresh.
     *
     * Under a static scope a checkpoint's LogicalRDD keeps its
@@ -112,6 +128,44 @@ private[graft] object StaticPlan {
     val cap = ss.conf.get("spark.sql.shuffle.partitions").toInt
     math.max(1L, math.min(cap.toLong, (nRows + rowsPerPart - 1) / rowsPerPart)).toInt
   }
+}
+
+/**
+ * Round-FUSION helper for the iterative engines: checkpoint every 2nd
+ * round LAZILY ([[CheckpointScope.ckptLazy]]) so two narrow rounds
+ * materialize inside ONE scheduled job. JobProbe (round 10) measured
+ * the sf-scale cost of the graph engines as pure iteration latency —
+ * job-time sum ≈ wall, one job per round checkpoint — so halving the
+ * scheduled jobs halves the floor; at real scale the fused job does
+ * the same stages' work, just with one fewer driver round-trip. The
+ * LAST round is always eager (the caller consumes the result), and
+ * freeing a lazy round's inputs is DEFERRED until the next eager
+ * materialization: a localCheckpoint is unrecomputable once freed, so
+ * an input a not-yet-run lazy plan still references must stay pinned.
+ */
+private[graft] final class FusedRounds(scope: CheckpointScope, rounds: Int) {
+  private var r = 0
+  private var deferred: List[Int] = Nil
+
+  /** Checkpoint round state (lazy on odd rounds except the last);
+    * `dead` = the ids this round's input frame pins, freed as soon as
+    * this round (and any deferred lazy predecessor) has materialized. */
+  def ckptRound(df: DataFrame, dead: List[Int]): DataFrame = {
+    r += 1
+    if (r % 2 == 1 && r < rounds) {
+      val out = scope.ckptLazy(df)
+      deferred = dead ::: deferred
+      out
+    } else {
+      val out = scope.ckpt(df)
+      scope.free(dead ::: deferred)
+      deferred = Nil
+      out
+    }
+  }
+
+  /** Ids pinned by the most recent [[ckptRound]]. */
+  def last: List[Int] = scope.last
 }
 
 private[graft] final class CheckpointScope(sc: SparkContext) {

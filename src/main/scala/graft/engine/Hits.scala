@@ -118,6 +118,10 @@ object Hits {
     var hub = scope.ckpt(nodes.withColumn("hub", lit(scale)))
     var prevIds = scope.last
     var auth: DataFrame = null
+    // two hub/auth rounds per scheduled job (see [[FusedRounds]]): the
+    // hub-side checkpoint is the round's one action; on odd rounds it
+    // goes lazy and the next eager round's job materializes both
+    val fused = new FusedRounds(scope, iters)
     for (_ <- 1 to iters) {
       // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
       // floor divisions below are safe. Raw aggregates are node-sized,
@@ -141,18 +145,19 @@ object Hits {
       val authN = authRaw.crossJoin(broadcast(aSumDf))
         .select(col("dst").as("anode"),
           expr(s"(araw * $scale) div __asum").as("auth"))
-      val hubRaw = scope.ckpt(authN.join(eByDst, col("anode") === col("dst"))
-        .select(col("src"), col("auth"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("hraw")))
-      val hubRawIds = scope.last
+      val hubRaw = fused.ckptRound(
+        authN.join(eByDst, col("anode") === col("dst"))
+          .select(col("src"), col("auth"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("hraw")),
+        prevIds)
+      val hubRawIds = fused.last
       val hSumDf = hubRaw.agg(coalesce(sum(col("hraw")), lit(0L)).as("__hsum"))
       val hubN = hubRaw.crossJoin(broadcast(hSumDf))
         .select(col("src").as("node"),
           expr(s"(hraw * $scale) div __hsum").as("hub"))
-      // the previous round's tables are dead once this round's raw
-      // aggregates are materialized (hubN/authN are narrow views over
-      // this round's checkpoints)
-      scope.free(prevIds)
+      // the previous round's tables die once this round's raw
+      // aggregates are materialized — ckptRound frees them then
+      // (deferred across lazy rounds; see [[FusedRounds]])
       hub = hubN; auth = authN
       prevIds = authRawIds ::: hubRawIds
     }

@@ -74,22 +74,26 @@ object KCore {
 
   private def runStatic(scope: CheckpointScope, canon: DataFrame,
       k: Int, rounds: Int): DataFrame = {
-    var e = scope.ckpt(canon.repartition(col("src"))
+    // LAZY layout checkpoint (setup fusion): it materializes inside the
+    // first eager round's job with its pinned layout intact
+    var e = scope.ckptLazy(canon.repartition(col("src"))
       .sortWithinPartitions(col("src")))
     var eIds = scope.last
+    // two peel rounds per scheduled job (see [[FusedRounds]]): the
+    // per-round checkpoint job IS the engine's sf-scale cost
+    val fused = new FusedRounds(scope, rounds)
     for (_ <- 1 to rounds) {
       // degree in the CURRENT surviving subgraph (symmetrized edges:
       // count per src IS the undirected degree)
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("src").as("node"))
-      val next = scope.ckpt(e
+      val next = fused.ckptRound(e
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst"))
-      val nextIds = scope.last
-      scope.free(eIds)
+        .select("src", "dst"),
+        eIds)
       e = next
-      eIds = nextIds
+      eIds = fused.last
     }
     scope.freeAllBut(eIds)
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))

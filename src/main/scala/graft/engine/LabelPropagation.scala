@@ -66,16 +66,21 @@ object LabelPropagation {
       seeds: DataFrame, iters: Int): DataFrame = {
     val sn = seeds.columns(0)
     val sl = seeds.columns(1)
-    val sym = scope.ckpt(canon.repartition(col("dst"))
+    // LAZY setup checkpoints (setup fusion, see [[FusedRounds]]): the
+    // layout, base and lab₀ materialize inside the first eager round's
+    // job with their pinned layouts intact
+    val sym = scope.ckptLazy(canon.repartition(col("dst"))
       .sortWithinPartitions(col("dst")))
     val nodes = sym.select(col("src").as("node")).distinct()
     // deterministic seed collapse: smallest label wins
     val sd = seeds.groupBy(col(sn).as("node")).agg(min(col(sl)).as("__seed"))
-    val base = scope.ckpt(nodes.join(sd, Seq("node"), "left"))
+    val base = scope.ckptLazy(nodes.join(sd, Seq("node"), "left"))
     var labIds = List.empty[Int]
-    var lab = scope.ckpt(base.withColumn("label", col("__seed"))
+    var lab = scope.ckptLazy(base.withColumn("label", col("__seed"))
       .select("node", "label"))
     labIds = scope.last
+    // two vote rounds per scheduled job (see [[FusedRounds]])
+    val fused = new FusedRounds(scope, iters)
     for (_ <- 1 to iters) {
       // one explicit shuffle by the adopting node: the (node, label)
       // count AND the per-node rank window are then both satisfied by
@@ -90,12 +95,11 @@ object LabelPropagation {
             .orderBy(col("__c").desc, col("label").asc)))
         .filter(col("__rk") === 1)
         .select(col("node"), col("label").as("__adopt"))
-      val next = scope.ckpt(base.join(pick, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__seed"), col("__adopt")).as("label")))
-      val nextIds = scope.last
-      scope.free(labIds)
+      val next = fused.ckptRound(base.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), col("__adopt")).as("label")),
+        labIds)
       lab = next
-      labIds = nextIds
+      labIds = fused.last
     }
     scope.freeAllBut(labIds)
     lab

@@ -111,10 +111,17 @@ object PageRank {
   private def coreStatic(scope: CheckpointScope, canon: DataFrame,
       seedsOpt: Option[DataFrame], iters: Int, scale: Long): DataFrame = {
     def ckpt(df: DataFrame): DataFrame = scope.ckpt(df)
+    // setup checkpoints are LAZY (setup fusion, the [[FusedRounds]]
+    // idea applied to init): the edge layout, the base table and the
+    // initial ranks all materialize inside the two actions the setup
+    // already schedules (the scalar-count head() and the first eager
+    // round) — under a static scope a lazy localCheckpoint is genuinely
+    // lazy (no AQE stage materialization), so init goes from 4
+    // scheduled jobs to 1 with identical pinned layouts.
     // src-partitioned AND src-sorted static edge layout: the checkpoint
     // carries both under static planning, so each round's sort-merge
     // contribution join neither exchanges nor re-sorts the edge side
-    val e = ckpt(canon.repartition(col("src"))
+    val e = scope.ckptLazy(canon.repartition(col("src"))
       .sortWithinPartitions(col("src")))
     // distinct leaves nodes hash-partitioned by node; the left joins
     // against deg (partitioned by src) and the broadcast seed flag keep
@@ -132,7 +139,7 @@ object PageRank {
           .select(col("node"), coalesce(col("__seed"), lit(false)).as("is_seed"))
       case None => nodes.select(col("node"), lit(true).as("is_seed"))
     }
-    val base = ckpt(withSeed.join(deg, col("node") === col("src"), "left")
+    val base = scope.ckptLazy(withSeed.join(deg, col("node") === col("src"), "left")
       .select(col("node"), col("is_seed"), col("outw")))
     // ONE action for both scalars (node count + seed count)
     val cnts = base.agg(count(lit(1)),
@@ -147,8 +154,14 @@ object PageRank {
     }
     require(nSeed > 0, "personalized PageRank needs at least one seed present in the graph")
 
-    var ranks = ckpt(base.withColumn("pr",
+    var ranks = scope.ckptLazy(base.withColumn("pr",
       when(col("is_seed"), lit(scale / nSeed)).otherwise(lit(0L))))
+    var rankIds = scope.last
+    // every 2nd round checkpoints LAZILY so two one-shuffle rounds
+    // materialize in ONE scheduled job — the per-round job latency IS
+    // the engine's sf-scale cost (JobProbe r10: job-sum ≈ wall); see
+    // [[FusedRounds]] for the deferred-freeing discipline
+    val fused = new FusedRounds(scope, iters)
     for (_ <- 1 to iters) {
       // dangling mass: 1-row agg over the materialized ranks table,
       // kept IN-PLAN as a broadcast scalar — the iteration schedules
@@ -165,13 +178,16 @@ object PageRank {
       // division (identical to the engine's `div`); floor(D/|S|) is the
       // engine's `div` on the broadcast dangling scalar — both landing
       // only on seeds; non-seeds keep inflow
-      ranks = ckpt(base.join(inflow, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(dangDf))
-        .select(col("node"), col("is_seed"), col("outw"),
-          (when(col("is_seed"), lit(scale * 15 / 100 / nSeed) +
-            expr(s"__dang div ${nSeed}L"))
-            .otherwise(lit(0L)) +
-            coalesce(col("inflow"), lit(0L))).as("pr")))
+      ranks = fused.ckptRound(
+        base.join(inflow, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(dangDf))
+          .select(col("node"), col("is_seed"), col("outw"),
+            (when(col("is_seed"), lit(scale * 15 / 100 / nSeed) +
+              expr(s"__dang div ${nSeed}L"))
+              .otherwise(lit(0L)) +
+              coalesce(col("inflow"), lit(0L))).as("pr")),
+        rankIds)
+      rankIds = fused.last
     }
     // the final ranks checkpoint is the return value; every other
     // checkpoint (edges, base, intermediate rounds) is dead weight now

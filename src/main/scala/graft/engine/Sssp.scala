@@ -63,32 +63,35 @@ object Sssp {
 
   private def runStatic(scope: CheckpointScope, canon: DataFrame,
       seeds: DataFrame, rounds: Int): DataFrame = {
-    // src-partitioned, src-sorted pinned layout for the relaxation joins
-    val e = scope.ckpt(canon.repartition(col("src"))
+    // src-partitioned, src-sorted pinned layout for the relaxation
+    // joins — LAZY, like dist₀ below (setup fusion): both materialize
+    // inside the first eager round's job
+    val e = scope.ckptLazy(canon.repartition(col("src"))
       .sortWithinPartitions(col("src")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val sd = seeds.select(col(seeds.columns(0)).cast("long").as("node"))
       .distinct().withColumn("__seed", lit(true))
     var distIds = List.empty[Int]
-    var dist = scope.ckpt(nodes.join(broadcast(sd), Seq("node"), "left")
+    var dist = scope.ckptLazy(nodes.join(broadcast(sd), Seq("node"), "left")
       .select(col("node"),
         when(col("__seed"), lit(0L)).otherwise(lit(null).cast("long")).as("dist")))
     distIds = scope.last
+    // two relaxation rounds per scheduled job (see [[FusedRounds]])
+    val fused = new FusedRounds(scope, rounds)
     for (_ <- 1 to rounds) {
       val relaxed = dist.filter(col("dist").isNotNull)
         .join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
-      val next = scope.ckpt(dist
+      val next = fused.ckptRound(dist
         .join(relaxed, col("node") === col("dst"), "left")
         .select(col("node"),
           when(col("dist").isNull, col("nd"))
             .when(col("nd").isNull, col("dist"))
-            .otherwise(least(col("dist"), col("nd"))).as("dist")))
-      val nextIds = scope.last
-      scope.free(distIds)
+            .otherwise(least(col("dist"), col("nd"))).as("dist")),
+        distIds)
       dist = next
-      distIds = nextIds
+      distIds = fused.last
     }
     scope.freeAllBut(distIds)
     dist

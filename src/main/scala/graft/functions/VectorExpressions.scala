@@ -649,16 +649,108 @@ object NearestCells {
   }
 }
 
+/**
+ * Driver-resident indexed merge table for [[BpeSegment]]: pair → the
+ * sorted list of rule ranks carrying that pair (a trained table holds
+ * each pair once, but the index is exact for arbitrary tables). Built
+ * lazily ONCE per expression instance and shared by reference across
+ * the plan (the AdcLookup discipline), so the per-word kernel pays
+ * O(1) hash lookups instead of iterating the rule table.
+ */
+final class BpeRules(val l: Array[String], val r: Array[String])
+    extends Serializable {
+  require(l.length == r.length, "BpeRules: ragged rule table")
+  @transient private lazy val ranks: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](l.length * 2)
+    var i = 0
+    while (i < l.length) {
+      val k = key(l(i), r(i))
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i) else prev :+ i)
+      i += 1
+    }
+    m
+  }
+
+  // length-prefixed so ("ab","c") and ("a","bc") cannot collide for
+  // any symbol alphabet (a symbol may contain any character)
+  @inline private def key(a: String, b: String): String =
+    a.length + ":" + a + b
+
+  /** Smallest rule rank ≥ `from` whose pair is (a, b); Int.MaxValue if
+    * none. Ranks per pair are ascending by construction → the ceiling
+    * is a linear scan over a (virtually always length-1) array. */
+  def ceilRank(a: String, b: String, from: Int): Int = {
+    val ts = ranks.get(key(a, b))
+    if (ts == null) return Int.MaxValue
+    var i = 0
+    while (i < ts.length) { if (ts(i) >= from) return ts(i); i += 1 }
+    Int.MaxValue
+  }
+}
+
 /** The per-word greedy merge loop behind [[BpeSegment]], shared by
   * interpreted eval and generated code. */
 object BpeSeg {
-  /** Apply `l(i) + r(i)` merge rules IN ORDER, one left-to-right greedy
-    * pass per rule (a merged pair cannot immediately re-merge within
-    * the same pass) — exactly the alternation the corpus-wide
-    * gaps-and-islands rewrite (TextOps.bpeRounds and the oracle's
-    * unrolled rounds) produces per word, so segmenting words
-    * independently yields the identical final state. */
-  def segment(word: String, l: Array[String], r: Array[String]): Array[String] = {
+  /**
+   * Apply `l(i) + r(i)` merge rules IN ORDER, one left-to-right greedy
+   * pass per rule (a merged pair cannot immediately re-merge within
+   * the same pass) — exactly the alternation the corpus-wide
+   * gaps-and-islands rewrite (TextOps.bpeRounds and the oracle's
+   * unrolled rounds) produces per word, so segmenting words
+   * independently yields the identical final state.
+   *
+   * Cost shape: instead of one pass per RULE (O(nRules × len) — wrong
+   * shape at a production 32k-merge table: ~32k passes for a 10-symbol
+   * word), the loop jumps straight to the next rule that can actually
+   * fire: the minimum rank ≥ cursor over the word's current adjacent
+   * pairs (O(1) hash lookups via [[BpeRules]]). Every iteration merges
+   * at least one pair, so the cost is O(len × firing passes) ≤ O(len²)
+   * per word, INDEPENDENT of the rule-table size. The skipped rules
+   * are exactly the passes that would have scanned the word and
+   * changed nothing, so the result is bit-identical to the per-rule
+   * loop (kept as [[segmentRulePass]], the parity-spec oracle).
+   *
+   * NOTE this is deliberately NOT the textbook rank-priority heap
+   * merge ("repeatedly merge the lowest-rank pair present"): that
+   * variant REVISITS earlier ranks when a later merge recreates an
+   * earlier rule's pair (possible when one symbol string is derivable
+   * by two rules, e.g. rules (ab,c) < (a,bc) < (abc,d) on a word where
+   * only the (a,bc) route fires), which the engine's corpus-wide
+   * round semantics — and the DuckDB oracle's unrolled rounds — do
+   * not. The monotone cursor (`from = fired rank + 1`) pins the
+   * engine's semantics while keeping the same asymptotics.
+   */
+  def segment(word: String, rules: BpeRules): Array[String] = {
+    var syms: Array[String] = word.split("").filter(_.nonEmpty)
+    var from = 0
+    while (syms.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val t = rules.ceilRank(syms(i), syms(i + 1), from)
+        if (t < best) best = t
+        i += 1
+      }
+      if (best == Int.MaxValue) return syms
+      val lt = rules.l(best); val rt = rules.r(best)
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == lt && syms(j + 1) == rt) {
+          out += syms(j) + syms(j + 1); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.toArray
+      from = best + 1
+    }
+    syms
+  }
+
+  /** The naive one-greedy-pass-PER-RULE loop — the reference the fast
+    * kernel must match bit-for-bit; kept for the parity spec and the
+    * rule-table-size stress (O(nRules × len) per word by design). */
+  def segmentRulePass(word: String, l: Array[String], r: Array[String]): Array[String] = {
     var syms: Array[String] = word.split("").filter(_.nonEmpty)
     var t = 0
     while (t < l.length) {
@@ -678,8 +770,8 @@ object BpeSeg {
 
   /** Codegen entry point: UTF8String word → ArrayData of symbols. */
   def segmentData(word: org.apache.spark.unsafe.types.UTF8String,
-      l: Array[String], r: Array[String]): ArrayData =
-    ArrayData.toArrayData(segment(word.toString, l, r)
+      rules: BpeRules): ArrayData =
+    ArrayData.toArrayData(segment(word.toString, rules)
       .map(org.apache.spark.unsafe.types.UTF8String.fromString))
 }
 
@@ -708,15 +800,22 @@ case class BpeSegment(child: Expression, lhs: Array[String], rhs: Array[String])
         s"bpe_segment needs a string word, got $other")
     }
 
+  // One indexed rule table per expression instance, shared by
+  // reference across interpreted eval and every generated-code
+  // reference (addReferenceObj) — the pair->rank hash is built once,
+  // not per row/per task on the driver side; executors build it once
+  // per deserialized instance (the index itself is @transient lazy).
+  @transient private lazy val rules = new BpeRules(lhs, rhs)
+
   protected override def nullSafeEval(input: Any): Any =
     BpeSeg.segmentData(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], lhs, rhs)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], rules)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lRef = ctx.addReferenceObj("bpeLhs", lhs, "java.lang.String[]")
-    val rRef = ctx.addReferenceObj("bpeRhs", rhs, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("bpeRules", rules,
+      "graft.functions.BpeRules")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeSeg.segmentData($c, $lRef, $rRef)")
+      s"graft.functions.BpeSeg.segmentData($c, $rRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -589,15 +589,21 @@ object Similarity {
    * lrank ≤ p in (cos DESC, b) order — exactly the row_number a
    * standalone [[topKFromAssign]] over the `rank <= p` slice computes.
    *
-   * `materialize` (pass an eager checkpoint) pins the scored+ranked
-   * pair table so every slice — and every downstream consumer in a
-   * unioned report — replays a filter over one cached frame, not the
-   * join. Returns depth → (a, rank, b), each hash-identical to
+   * `materialize` pins the scored+ranked pair table so every slice —
+   * and every downstream consumer in a unioned report — replays a
+   * filter over one cached frame, not the join. The DEFAULT is a LAZY
+   * localCheckpoint (materializes inside the first consumer's action,
+   * shared by the rest): the sharing is the function's whole contract,
+   * so a caller that forgets to pass one must not silently re-run the
+   * quadratic scoring once per slice. Pass an eager checkpoint (e.g.
+   * `StaticPlan.ckptFresh`) to control WHEN it materializes, or
+   * `identity` to explicitly opt out of the pin (the caller then owns
+   * the replay). Returns depth → (a, rank, b), each hash-identical to
    * `topKFromAssign(ranked.filter(rank <= p).drop("rank"), …)`.
    */
   def topKFromAssignSlices(ranked: DataFrame, idCol: String, vecCol: String,
       k: Int, depths: Seq[Int], cellCap: Int = Int.MaxValue,
-      materialize: DataFrame => DataFrame = identity): Map[Int, DataFrame] = {
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): Map[Int, DataFrame] = {
     require(depths.nonEmpty, "topKFromAssignSlices: depths must be non-empty")
     val ds = depths.distinct
     val maxP = ds.max
@@ -649,7 +655,7 @@ object Similarity {
    */
   def topKLshMpSlices(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int, dims: Int, nProbes: Int,
-      materialize: DataFrame => DataFrame = identity)
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false))
       : (DataFrame, DataFrame) = {
     val home = emb.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), nPlanes, dims).as("home"))
@@ -701,28 +707,48 @@ object Similarity {
    * in [[topKFromAssign]]. Returns (a, rank, b).
    *
    * `pruneCells = true` collects the batch's distinct probed cells
-   * (bounded by nCells — one tiny job against the broadcast-matrix
-   * assignment) and pushes `cell IN (...)` onto the postings side, so
-   * a cell-PARTITIONED postings table reads only the probed
+   * (bounded by nCells — one tiny job against the CHECKPOINTED
+   * broadcast-matrix assignment, which the scoring join then reuses:
+   * without the pin, the prune collect and the join would each run the
+   * NearestCells scan) and pushes `cell IN (...)` onto the postings
+   * side, so a cell-PARTITIONED postings table reads only the probed
    * partitions. This is the 100 TB serve layout: scan cost tracks
    * nProbe × |batch| cells, not corpus size. Spark's dynamic partition
    * pruning does NOT fire here on its own (probed: the query side
    * carries no selective predicate the DPP heuristic recognizes), so
    * the prune is explicit. Results are identical either way — the IN
    * list is exactly the set of cells the join could match.
+   *
+   * Above `pruneInMax` distinct probed cells (a 10M-query batch over a
+   * 2^20-cell index would otherwise plan a million-literal IN list),
+   * the prune falls back to a BROADCAST LEFT-SEMI join of the probed
+   * cell set against the postings scan — same row set, bounded plan
+   * size, still one tiny broadcast (≤ nCells longs). Partition-level
+   * file pruning is lost in that regime, but a batch probing most
+   * cells touches most partitions anyway.
    */
   def serveTopK(queries: DataFrame, postings: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nProbe: Int,
-      cellCap: Int = Int.MaxValue, pruneCells: Boolean = false): DataFrame = {
-    val qs = ivfAssignFromCentroids(queries, idCol, vecCol, cents, nProbe)
+      cellCap: Int = Int.MaxValue, pruneCells: Boolean = false,
+      pruneInMax: Int = 1024): DataFrame = {
+    val qs0 = ivfAssignFromCentroids(queries, idCol, vecCol, cents, nProbe)
       .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"),
         norm(col(vecCol)).as("an"))
+    // pin the (tiny: |batch|×nProbe rows) assignment ONLY when pruning
+    // needs to read it twice; the unpruned path stays single-pass lazy
+    val qs = if (pruneCells) graft.engine.StaticPlan.ckptFresh(qs0) else qs0
     val homeAll =
       if (!pruneCells) postings
       else {
-        val probed = qs.select("cell").distinct()
+        val probedDf = qs.select("cell").distinct()
+        // limit(max+1): if fewer than that come back it IS the full
+        // set — emit prunable IN literals; otherwise semi-join
+        val probedCap = probedDf.limit(pruneInMax + 1)
           .collect().map(_.getLong(0)).sorted
-        postings.filter(col("cell").isin(probed.toIndexedSeq: _*))
+        if (probedCap.length <= pruneInMax)
+          postings.filter(col("cell").isin(probedCap.toIndexedSeq: _*))
+        else
+          postings.join(broadcast(probedDf), Seq("cell"), "left_semi")
       }
     val home = (if (cellCap == Int.MaxValue) homeAll
       else homeAll

@@ -1389,9 +1389,15 @@ object NorthStarQueries {
       // derives the identical count from its own count(*).
       (s, d) => {
         val e = emb(s, d)
-        val cells = Similarity.ivfCellsFor(e.count(), IVF_TGT_CELL, 16)
-        Similarity.semDedup(e, "vec_id", "embedding",
-          SEM_TAU, cells, KM_ITERS, DIMS, TRAIN_MOD).orderBy("vec_id")
+        val n = e.count()
+        val cells = Similarity.ivfCellsFor(n, IVF_TGT_CELL, 16)
+        // corpus-sized construction scope (see q_ann_tuning): training
+        // rounds and the member checkpoint are priced by data size, not
+        // the session's full width — capped there at real scale
+        graft.engine.StaticPlan.scopedSized(s, n) {
+          Similarity.semDedup(e, "vec_id", "embedding",
+            SEM_TAU, cells, KM_ITERS, DIMS, TRAIN_MOD).orderBy("vec_id")
+        }
       },
       s"WITH ${sqlKmeansCtes(16, 1, KM_ITERS, "m", TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
         "pr AS (SELECT l.vec_id AS a, r.vec_id AS b FROM mhome l " +
@@ -1681,10 +1687,18 @@ object NorthStarQueries {
       // the same way; codebook training stays trainMod-sampled.
       (s, d) => {
         val e = emb(s, d)
-        val cells = Similarity.ivfCellsFor(e.count(), IVF_TGT_CELL, 16)
-        Similarity.topKIvfPq(e, "vec_id", "embedding", 3,
-            cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
-          .orderBy("a", "rank")
+        val n = e.count()
+        val cells = Similarity.ivfCellsFor(n, IVF_TGT_CELL, 16)
+        // corpus-sized construction scope (see q_ann_tuning): the slim
+        // member checkpoint is n×(nProbe+1) rows — price it (and the
+        // sampled training rounds) by size, capped at the session width
+        // (A-B-A'd against n×20: the 1-part scope measured faster here,
+        // the shortlist/ADC tail is light for raw PQ)
+        graft.engine.StaticPlan.scopedSized(s, n * 5) {
+          Similarity.topKIvfPq(e, "vec_id", "embedding", 3,
+              cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
+            .orderBy("a", "rank")
+        }
       },
       s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
         s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, trainMod = TRAIN_MOD)}, " +
@@ -1718,10 +1732,15 @@ object NorthStarQueries {
       // Coarse cells corpus-derived (see q_semdedup / q_ann_pq).
       (s, d) => {
         val e = emb(s, d)
-        val cells = Similarity.ivfCellsFor(e.count(), IVF_TGT_CELL, 16)
-        Similarity.topKIvfPqResidual(e, "vec_id", "embedding", 3,
-            cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
-          .orderBy("a", "rank")
+        val n = e.count()
+        val cells = Similarity.ivfCellsFor(n, IVF_TGT_CELL, 16)
+        // corpus-sized construction scope — see q_ann_pq (n×20: the
+        // 1-part variant measured 7.3-7.5 s vs 6.9-7.2 s here)
+        graft.engine.StaticPlan.scopedSized(s, n * 20) {
+          Similarity.topKIvfPqResidual(e, "vec_id", "embedding", 3,
+              cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
+            .orderBy("a", "rank")
+        }
       },
       {
         val snum = "mm.t" + (0 until PQ_M).map(mi =>
@@ -1927,14 +1946,21 @@ object NorthStarQueries {
       // so the double is bit-identical across engines. The O(n²) side
       // is the measurement harness, not the serving path.
       (s, d) => {
+        // corpus-sized construction scope (see q_ann_tuning): the
+        // largest materialized frame is the 64-cell assignment probed
+        // 20-deep (n×20 rows) feeding kmw; construction jobs are priced
+        // by data size, capped at the session width at real scale
+        val nCorpus = emb(s, d).count()
+        graft.engine.StaticPlan.scopedSized(s, nCorpus * 20) {
+        import graft.engine.StaticPlan.ckptFresh
         // exact ground truth over the probe sample only (broadcast
         // sample × corpus); the approximate sides stay corpus-wide and
         // the semi-joins score just the probes — the recall estimate is
         // unchanged in expectation, and the harness itself now scales.
         // One run feeds all seven hit counts.
-        val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3,
-            PROBE_MOD)
-          .select("a", "b").localCheckpoint()
+        val exact = ckptFresh(Similarity.topK(emb(s, d), "vec_id",
+            "embedding", 3, PROBE_MOD)
+          .select("a", "b"))
         // the (lsh, lsh_mp) and (nprobe 1, 2) config pairs each share
         // ONE scored-pair pass (probe-depth slicing, topKFromAssignSlices
         // scaladoc) — 4 quadratic scorings become 2. LAZY checkpoints:
@@ -1995,6 +2021,7 @@ object NorthStarQueries {
             col("n_hits_kmeans").cast("double") / col("n_exact").cast("double"))
           .withColumn("recall_kmw",
             col("n_hits_kmw").cast("double") / col("n_exact").cast("double"))
+        }
       },
       "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
@@ -2054,8 +2081,15 @@ object NorthStarQueries {
       // this frontier instead of hardcoded constants; at 100 TB the same
       // report runs on a sample. Counts are integers, recall is one
       // final division — hash-exact across engines.
-      (s, d) => graft.engine.StaticPlan.scopedAqeOff(s) {
+      (s, d) => {
         val e = emb(s, d)
+        // size the scope from the corpus: the largest materialized frame
+        // is the 64-cell assignment probed 20-deep (n×20 rows). At sf0.1
+        // this prices the ~80 construction jobs at 4 tasks instead of 32
+        // (A/B-measured 11.3 → 7.5 s wall, hash-identical); at scale
+        // roundPartitions caps at the session width (the scale intent).
+        val nCorpus = e.count()
+        graft.engine.StaticPlan.scopedSized(s, nCorpus * 20) {
         import graft.engine.StaticPlan.ckptFresh
         // The whole report CONSTRUCTS (and its sub-pipelines train)
         // under a static scope: every materialization is one job
@@ -2250,6 +2284,7 @@ object NorthStarQueries {
           .select("method", "param", "probes", "n_hits", "n_cands", "recall")
           .orderBy("method", "param", "probes")
         } finally pool.shutdownNow()
+        }
       },
       {
         def top3(l: String, r: String, key: String) =

@@ -1019,6 +1019,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(servedPruned == batch,
       s"pruned serve $servedPruned != batch reference $batch")
+    // semi-join fallback: force the probed-cell set over the IN-list
+    // budget (pruneInMax = 1 < distinct probed cells) — the prune must
+    // switch to a broadcast left-semi join, row-identical, with NO
+    // cell IN (...) literals in the plan (the adversarial case is a
+    // 10M-query batch probing 2^20 cells: a million-literal IN list)
+    val servedSemi = Similarity.serveTopK(queries, posted, "vec_id",
+      "embedding", 3, cents, 2, pruneCells = true, pruneInMax = 1)
+    val servedSemiRows = servedSemi
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(servedSemiRows == batch,
+      s"semi-join pruned serve $servedSemiRows != batch reference $batch")
+    val semiPlan = servedSemi.queryExecution.optimizedPlan
+    val inLists = semiPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.find {
+          case i: org.apache.spark.sql.catalyst.expressions.In =>
+            i.list.length > 1
+          case i: org.apache.spark.sql.catalyst.expressions.InSet =>
+            i.hset.size > 1
+          case _ => false
+        }.isDefined => f
+    }
+    assert(inLists.isEmpty,
+      s"fallback still plans a cell IN-list:\n$semiPlan")
+    val semiJoins = semiPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semiJoins.nonEmpty, s"no left-semi prune join in:\n$semiPlan")
     // and the streamed vectors are themselves SERVABLE as candidates:
     // a base vector whose nearest neighbors include a streamed one
     // (vec() is periodic in the seed, so 100 ≡ some base geometry)

@@ -1126,4 +1126,92 @@ class TextSimilaritySpec extends SparkSpec {
       .flatMap(_.collect { case n: graft.functions.NearestCells => n })
     assert(nodes.nonEmpty, "NearestCells node missing from the optimized plan")
   }
+
+  test("BPE kernel: rank-skipping segment ≡ one-pass-per-rule reference") {
+    import graft.functions.{BpeRules, BpeSeg}
+    // deterministic pseudo-random words + rule tables; rules are built
+    // the way training builds them (pairs of symbols that exist), plus
+    // arbitrary junk pairs the kernel must skip without effect
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    (1 to 300).foreach { _ =>
+      val word = (1 to (1 + rnd.nextInt(14)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val nRules = rnd.nextInt(12)
+      val ls = new scala.collection.mutable.ArrayBuffer[String]
+      val rs = new scala.collection.mutable.ArrayBuffer[String]
+      // grow a symbol pool so later rules can reference merged symbols
+      val pool = new scala.collection.mutable.ArrayBuffer[String]
+      pool ++= alpha.map(_.toString)
+      (1 to nRules).foreach { _ =>
+        val a = pool(rnd.nextInt(pool.length))
+        val b = pool(rnd.nextInt(pool.length))
+        ls += a; rs += b
+        if (a.length + b.length <= 6) pool += (a + b)
+      }
+      val fast = BpeSeg.segment(word, new BpeRules(ls.toArray, rs.toArray))
+      val ref = BpeSeg.segmentRulePass(word, ls.toArray, rs.toArray)
+      assert(fast.toSeq == ref.toSeq,
+        s"word=$word rules=${ls.zip(rs)}: ${fast.toSeq} != ${ref.toSeq}")
+    }
+    // the case that shows why a rank-priority HEAP would be wrong:
+    // rules (ab,c) < (a,bc) < ... must NOT revisit (ab,c) after (a,bc)
+    // fires — the cursor is monotone, like the corpus-round semantics
+    val l3 = Array("b", "ab", "a")
+    val r3 = Array("c", "c", "bc")
+    // word "abc": rule0 merges (b,c) -> [a, bc]; rule1 (ab,c) absent;
+    // rule2 merges (a,bc) -> [abc]. A heap that revisits rank1 after
+    // later merges would behave differently on tables where an earlier
+    // pair is recreated; pin the reference behavior explicitly.
+    assert(BpeSeg.segment("abc", new BpeRules(l3, r3)).toSeq == Seq("abc"))
+    assert(BpeSeg.segmentRulePass("abc", l3, r3).toSeq == Seq("abc"))
+  }
+
+  test("BPE kernel: per-word cost independent of rule-table size (32k rules)") {
+    import graft.functions.{BpeRules, BpeSeg}
+    // a production-shaped table: 32k rules, of which only a handful
+    // apply to any given word. The fast kernel must be near-flat in
+    // table size; the reference loop is linear in it by design.
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    def mkRules(n: Int): (Array[String], Array[String]) = {
+      val pool = new scala.collection.mutable.ArrayBuffer[String]
+      pool ++= alpha.map(_.toString)
+      val ls = new Array[String](n); val rs = new Array[String](n)
+      (0 until n).foreach { i =>
+        val a = pool(rnd.nextInt(pool.length))
+        val b = pool(rnd.nextInt(pool.length))
+        ls(i) = a; rs(i) = b
+        if (a.length + b.length <= 8) pool += (a + b)
+      }
+      (ls, rs)
+    }
+    val words = (1 to 2000).map(_ => (1 to (3 + rnd.nextInt(12)))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString).toArray
+    def timeFast(rules: BpeRules): Double = {
+      val t0 = System.nanoTime()
+      var i = 0; var acc = 0
+      while (i < words.length) { acc += BpeSeg.segment(words(i), rules).length; i += 1 }
+      assert(acc > 0)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val (ls64, rs64) = mkRules(64)
+    val (ls32k, rs32k) = mkRules(32768)
+    val rules64 = new BpeRules(ls64, rs64)
+    val rules32k = new BpeRules(ls32k, rs32k)
+    // warm up JIT on both paths, then measure
+    timeFast(rules64); timeFast(rules32k)
+    val t64 = timeFast(rules64)
+    val t32k = timeFast(rules32k)
+    // correctness at 32k rules vs the reference loop (subsample: the
+    // reference is O(nRules·len) per word — 100 words is plenty)
+    words.take(100).foreach { w =>
+      assert(BpeSeg.segment(w, rules32k).toSeq ==
+        BpeSeg.segmentRulePass(w, ls32k, rs32k).toSeq, s"word=$w")
+    }
+    // near-flat: 512x more rules must cost < 8x (observed ~1-2x; the
+    // reference loop is ~512x here). Generous bound: CI noise.
+    assert(t32k < t64 * 8 + 50,
+      f"32k-rule table cost $t32k%.1f ms vs 64-rule $t64%.1f ms — not flat")
+  }
 }

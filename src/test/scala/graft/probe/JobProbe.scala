@@ -41,7 +41,11 @@ object JobProbe {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      // drain the async listener bus: poll until every seen job-start
+      // has its job-end (waitUntilEmpty is private[spark]); a fixed
+      // sleep under-counted job durations on busy passes
+      val deadline = System.nanoTime() + 3000000000L
+      while (!starts.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
       import scala.jdk.CollectionConverters._
       val sum = done.asScala.map(_._1).sum
       println(f"pass $i: $dt%6.2f s, ${jobs.get() - j0} jobs, job-time sum $sum%.2f s")

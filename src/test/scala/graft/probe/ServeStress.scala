@@ -56,11 +56,14 @@ object ServeStress {
         val posted = spark.read.parquet(path)
         val df = Similarity.serveTopK(queries, posted, "vec_id",
           "embedding", 3, cents, 2, pruneCells = prune)
+        // capture the row count from the timed passes themselves — a
+        // fourth untimed count() re-ran a full serve per configuration
+        var rows = 0L
         val t = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); df.count()
+          val t0 = System.nanoTime(); rows = df.count()
           (System.nanoTime() - t0) / 1e9
         }.min
-        (t, df.count())
+        (t, rows)
       }
       val (tp, np) = serve(pPart, prune = false)
       val (tpp, npp) = serve(pPart, prune = true)
@@ -69,6 +72,27 @@ object ServeStress {
       assert(np == npp, s"pruned serve changed the result: $np vs $npp")
       println(f"s=$s%3d cells=$cells%5d part=$tp%6.2f part+prune=$tpp%6.2f " +
         f"flat=$tf%6.2f flat+prune=$tfp%6.2f s")
+      // WIDE batch (probes most cells): the prune must fall back to the
+      // broadcast semi-join (IN budget exceeded) — bounded plan size,
+      // row-identical to the unpruned serve. Timed: plan+run must stay
+      // in the same regime as the unpruned serve, not blow up planning.
+      val wideQ = e.filter(col("vec_id") % 7 === 0).localCheckpoint(true)
+      def serveWide(prune: Boolean): (Double, Long) = {
+        val posted = spark.read.parquet(pPart)
+        val df = Similarity.serveTopK(wideQ, posted, "vec_id",
+          "embedding", 3, cents, 2, pruneCells = prune, pruneInMax = 64)
+        var rows = 0L
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); rows = df.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (t, rows)
+      }
+      val (twn, nwn) = serveWide(prune = false)
+      val (tws, nws) = serveWide(prune = true)
+      assert(nwn == nws, s"semi-join fallback changed the result: $nwn vs $nws")
+      println(f"s=$s%3d wide-batch unpruned=$twn%6.2f semiJoinFallback=$tws%6.2f s " +
+        f"(rows=$nwn)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

@@ -35,7 +35,10 @@ object TuneProbe {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      // drain the async listener bus (see JobProbe): poll until every
+      // job-start has its job-end instead of a fixed sleep
+      val deadline = System.nanoTime() + 3000000000L
+      while (!starts.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
       println(f"pass $i: $dt%6.2f s, ${jobs.get() - j0} jobs")
       import scala.jdk.CollectionConverters._
       val sum = done.asScala.map(_._1).sum
