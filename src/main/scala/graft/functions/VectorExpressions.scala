@@ -822,6 +822,126 @@ case class BpeSegment(child: Expression, lhs: Array[String], rhs: Array[String])
     copy(child = newChild)
 }
 
+/**
+ * Driver-resident unigram vocabulary for [[UnigramSegment]]: piece →
+ * weight (training usage count), plus the max piece length that bounds
+ * the Viterbi window. Shared by reference across the plan (the
+ * AdcLookup/BpeRules discipline).
+ */
+final class UnigramVocab(val pieces: Array[String], val cnts: Array[Long])
+    extends Serializable {
+  require(pieces.length == cnts.length, "UnigramVocab: ragged arrays")
+  val maxLen: Int = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+  @transient private lazy val m: java.util.HashMap[String, java.lang.Long] = {
+    val h = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { h.put(pieces(i), cnts(i)); i += 1 }
+    h
+  }
+  /** Weight of `piece`, or -1 when absent. */
+  def cnt(piece: String): Long = {
+    val v = m.get(piece)
+    if (v == null) -1L else v.longValue()
+  }
+}
+
+/** The per-word Viterbi segmentation behind [[UnigramSegment]], shared
+  * by interpreted eval and generated code. */
+object UnigramSeg {
+  private final val SEP = '\u0001'
+
+  /**
+   * INTEGER-EXACT Viterbi segmentation under a unigram vocabulary —
+   * the hard-EM (Viterbi) decode of a SentencePiece-style unigram
+   * tokenizer (Kudo 2018), with the log-probability objective replaced
+   * by an integer-exact surrogate so results are bit-identical across
+   * engines (a float log-prob sum is IEEE-order-dependent and ln()
+   * differs across runtimes): among all segmentations into vocabulary
+   * pieces, pick (fewest pieces) → (max total piece weight) →
+   * (lexicographically smallest '\u0001'-joined path). Coverage: a
+   * single character absent from the vocabulary is always allowed at
+   * weight 0, so every word segments. The DuckDB oracle unrolls the
+   * identical DP per position with the identical three-key tie-break
+   * (row_number OVER (ORDER BY k, f DESC, path)).
+   */
+  def segment(word: String, v: UnigramVocab): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val L = math.max(1, v.maxLen)
+    val bk = new Array[Int](n + 1)
+    val bf = new Array[Long](n + 1)
+    val bp = new Array[String](n + 1)
+    bk(0) = 0; bf(0) = 0L; bp(0) = ""
+    var i = 1
+    while (i <= n) {
+      var sk = Int.MaxValue; var sf = Long.MinValue; var sp: String = null
+      var j = math.max(0, i - L)
+      while (j < i) {
+        val piece = word.substring(j, i)
+        val c0 = v.cnt(piece)
+        // unknown single chars allowed at weight 0 (coverage fallback)
+        val c = if (c0 >= 0L) c0 else if (i - j == 1) 0L else -1L
+        if (c >= 0L) {
+          val nk = bk(j) + 1
+          val nf = bf(j) + c
+          val np = if (bp(j).isEmpty) piece else bp(j) + SEP + piece
+          if (nk < sk || (nk == sk && (nf > sf ||
+              (nf == sf && (sp == null || np.compareTo(sp) < 0))))) {
+            sk = nk; sf = nf; sp = np
+          }
+        }
+        j += 1
+      }
+      bk(i) = sk; bf(i) = sf; bp(i) = sp
+      i += 1
+    }
+    bp(n).split(SEP)
+  }
+
+  /** Codegen entry point: UTF8String word → ArrayData of pieces. */
+  def segmentData(word: org.apache.spark.unsafe.types.UTF8String,
+      v: UnigramVocab): ArrayData =
+    ArrayData.toArrayData(segment(word.toString, v)
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+}
+
+/**
+ * Viterbi unigram segmentation as a per-row codegen'd kernel (see
+ * [[UnigramSeg.segment]]): training (candidate counting + Viterbi-EM
+ * usage rounds, TextOps.unigramTrain) is distributed; applying the
+ * learned vocabulary is one narrow pass — each word segments
+ * independently against the driver-resident vocabulary, exactly the
+ * [[BpeSegment]] apply discipline.
+ */
+case class UnigramSegment(child: Expression, vocab: UnigramVocab)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_segment"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unigram_segment needs a string word, got $other")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    UnigramSeg.segmentData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("unigramVocab", vocab,
+      "graft.functions.UnigramVocab")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramSeg.segmentData($c, $vRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product as a `Column`. */
   def vecDot(a: Column, b: Column): Column =
@@ -860,6 +980,11 @@ object VectorFunctions {
     * (see [[BpeSegment]]). */
   def bpeSegment(word: Column, lhs: Array[String], rhs: Array[String]): Column =
     ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), lhs, rhs))
+
+  /** Viterbi unigram segmentation under a fixed vocabulary as a
+    * `Column` (see [[UnigramSegment]]). */
+  def unigramSegment(word: Column, vocab: UnigramVocab): Column =
+    ColumnBridge.column(UnigramSegment(ColumnBridge.expression(word), vocab))
 
   /** Top-p nearest-centroid cell ids as a `Column` (see
     * [[NearestCells]]). `cents` = (cid, components as doubles — exact

@@ -47,6 +47,12 @@ object NorthStarQueries {
   private val DSIR_B = 256     // DSIR hashed-feature buckets
   private val PACK_L = 32      // packed training-sequence length (tokens)
   private val BPE_MERGES = 8   // BPE training rounds (q_bpe_train)
+  private val UNI_PLEN = 4     // unigram tokenizer: max candidate piece length
+  private val UNI_MIN_CNT = 3L // unigram: min candidate count (len >= 2)
+  private val UNI_MIN_USE = 2L // unigram: min round-1 usage to survive pruning
+  private val UNI_MAX_WORD = 10 // unigram: words longer than this are excluded
+                                // from training/apply in BOTH engines (the
+                                // oracle unrolls one Viterbi-DP CTE per position)
   private val BLOOM_BITS = 131072 // decontamination Bloom filter size
   private val SRC_CAP = 15     // per-source doc cap (q_source_cap)
   // Exact/ground-truth sides (recall, eval, audits) query only every
@@ -375,6 +381,68 @@ object NorthStarQueries {
     * deterministic argmax → gaps-and-islands non-overlap rewrite.
     * Frequency-weighted counts equal per-occurrence corpus counts
     * exactly, so the emitted rules match corpus-row training. */
+  /** Unrolled Viterbi-DP CTEs for the unigram-tokenizer oracle
+    * (TextOps.unigramTrain / graft.functions.UnigramSeg mirror): for
+    * each position i = 1..maxWord, the best (k, f, path) per word of
+    * `wordsCte` under vocabulary CTE `voc` — candidates are the
+    * ≤ plen-length suffix pieces ending at i (multi-char INNER join:
+    * absent pieces drop; single-char LEFT join: the weight-0 coverage
+    * fallback), winner by the kernel's integer tie-break
+    * (k ASC, f DESC, path ASC with chr(1)-joined paths). Emits
+    * `<tag>dp0..<tag>dpN` and `<tag>seg` (word, freq, k, piece rows). */
+  private def sqlUniDp(tag: String, wordsCte: String, voc: String): String = {
+    val maxWord = UNI_MAX_WORD
+    val dps = (1 to maxWord).map { i =>
+      val branches = (math.max(0, i - UNI_PLEN) until i).map { j =>
+        val pl = i - j
+        val pe = s"substr(d.word, ${j + 1}, $pl)"
+        val pathE = s"CASE WHEN d.path = '' THEN $pe ELSE d.path || chr(1) || $pe END AS path"
+        if (pl == 1)
+          s"SELECT d.word, d.freq, d.k + 1 AS k, d.f + coalesce(pc.cnt, 0) AS f, $pathE " +
+            s"FROM ${tag}dp$j d LEFT JOIN $voc pc ON pc.piece = $pe WHERE len(d.word) >= $i"
+        else
+          s"SELECT d.word, d.freq, d.k + 1 AS k, d.f + pc.cnt AS f, $pathE " +
+            s"FROM ${tag}dp$j d JOIN $voc pc ON pc.piece = $pe WHERE len(d.word) >= $i"
+      }.mkString(" UNION ALL ")
+      s"${tag}dp$i AS MATERIALIZED (SELECT word, freq, k, f, path FROM (" +
+        "SELECT word, freq, k, f, path, row_number() OVER (" +
+        s"PARTITION BY word ORDER BY k, f DESC, path) AS rn FROM ($branches)) WHERE rn = 1)"
+    }
+    val fin = (1 to maxWord).map(i =>
+      s"SELECT word, freq, k, path FROM ${tag}dp$i WHERE len(word) = $i")
+      .mkString(" UNION ALL ")
+    s"${tag}dp0 AS (SELECT word, freq, 0 AS k, CAST(0 AS BIGINT) AS f, '' AS path FROM $wordsCte), " +
+      dps.mkString(", ") + ", " +
+      s"${tag}fin AS MATERIALIZED (SELECT word, freq, k, path FROM ($fin)), " +
+      s"${tag}seg AS MATERIALIZED (SELECT word, freq, k, " +
+      s"unnest(string_split(path, chr(1))) AS piece FROM ${tag}fin)"
+  }
+
+  /** Shared unigram-training CTE chain (candidates → round-1 DP/usage →
+    * prune → round-2 DP/usage → `ufin` final vocab). */
+  private def sqlUniTrainCtes: String =
+    s"uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (" +
+      s"SELECT word FROM (SELECT unnest($TOKS) AS word FROM documents " +
+      s"WHERE doc_id % $TRAIN_MOD = 0) WHERE len(word) <= $UNI_MAX_WORD) GROUP BY word), " +
+      "up1 AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM uw), " +
+      s"up2 AS (SELECT word, freq, i, unnest(${(1 to UNI_PLEN).mkString("[", ",", "]")}) AS l FROM up1), " +
+      "ucand AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+      "SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, freq FROM up2 " +
+      "WHERE i + l - 1 <= len(word)) GROUP BY piece), " +
+      s"uv0 AS MATERIALIZED (SELECT piece, cnt FROM ucand WHERE len(piece) = 1 OR cnt >= $UNI_MIN_CNT), " +
+      sqlUniDp("u1", "uw", "uv0") + ", " +
+      "uuse1 AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM u1seg GROUP BY piece), " +
+      "uv1 AS MATERIALIZED (" +
+      "SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt FROM uv0 v " +
+      "LEFT JOIN uuse1 u USING (piece) WHERE len(v.piece) = 1 " +
+      s"UNION ALL SELECT u.piece, u.cnt FROM uuse1 u WHERE len(u.piece) >= 2 AND u.cnt >= $UNI_MIN_USE), " +
+      sqlUniDp("u2", "uw", "uv1") + ", " +
+      "uuse2 AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM u2seg GROUP BY piece), " +
+      "ufin AS MATERIALIZED (" +
+      "SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt FROM uv1 v " +
+      "LEFT JOIN uuse2 u USING (piece) WHERE len(v.piece) = 1 " +
+      "UNION ALL SELECT u.piece, u.cnt FROM uuse2 u WHERE len(u.piece) >= 2)"
+
   private def sqlBpeCtes(nMerges: Int, docWhere: String = ""): String = {
     val sb = new StringBuilder
     sb ++= s"tok AS (SELECT doc_id, $TOKS AS toks FROM documents$docWhere), "
@@ -2693,6 +2761,64 @@ object NorthStarQueries {
         "CAST(sum(ns) AS BIGINT) AS n_subwords, " +
         "CAST(sum(nc) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS chars_per_subword " +
         "FROM perdoc GROUP BY batch ORDER BY batch"),
+
+    Q("q_unigram_train",
+      // Unigram (SentencePiece-style) tokenizer trained by Viterbi-EM
+      // (Kudo 2018, hard-EM variant; r10 verdict #8): substring
+      // candidates from a TRAIN_MOD doc sample -> Viterbi segmentation
+      // under an INTEGER-EXACT objective (fewest pieces, then max total
+      // weight, then lexicographic path -- a float log-prob sum would
+      // be IEEE-order- and libm-dependent across engines) -> usage
+      // pruning -> re-estimation. The artifact is the final vocabulary
+      // with its usage counts; the oracle unrolls the identical DP one
+      // CTE per word position with the identical three-key tie-break.
+      (s, d) => TextOps.unigramTrain(docs(s, d), "doc_id", "text",
+        UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD, TRAIN_MOD)
+        .orderBy("piece"),
+      s"WITH $sqlUniTrainCtes " +
+        "SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
+        "CAST(cnt AS BIGINT) AS usage FROM ufin ORDER BY piece"),
+
+    Q("q_unigram_apply",
+      // The APPLY half of the unigram lifecycle (the q_bpe_apply shape):
+      // vocabulary trained on the sample, FULL corpus re-segmented in
+      // one narrow codegen'd kernel pass (per-word Viterbi against the
+      // driver-resident vocabulary, memoized over the distinct-word
+      // dictionary), reporting per-source compression. Words longer
+      // than UNI_MAX_WORD are excluded in both engines (the oracle DP
+      // is unrolled per position).
+      (s, d) => {
+        val all = docs(s, d)
+        val (vp, vc) = TextOps.unigramLearnedVocab(all, "doc_id", "text",
+          UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD, TRAIN_MOD)
+        val voc = new graft.functions.UnigramVocab(vp, vc)
+        val seg = graft.functions.VectorFunctions.unigramSegment(col("word"), voc)
+        val occ = all.repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+          .filter(length(col("word")) <= UNI_MAX_WORD)
+        val dict = occ.select("word").distinct()
+          .select(col("word"), length(col("word")).cast("long").as("nc1"),
+            size(seg).cast("long").as("ns1"))
+        occ.join(broadcast(dict), "word")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("nc1")).as("n_chars"),
+            sum(col("ns1")).as("n_pieces"))
+          .withColumn("chars_per_piece",
+            col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .orderBy("source")
+      },
+      s"WITH $sqlUniTrainCtes, " +
+        s"aw0 AS (SELECT source, word FROM (SELECT source, unnest($TOKS) AS word " +
+        s"FROM documents) WHERE len(word) <= $UNI_MAX_WORD), " +
+        "awords AS MATERIALIZED (SELECT word, CAST(1 AS BIGINT) AS freq " +
+        "FROM aw0 GROUP BY word), " +
+        sqlUniDp("ua", "awords", "ufin") + " " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(aw0.word)) AS BIGINT) AS n_chars, " +
+        "CAST(sum(f.k) AS BIGINT) AS n_pieces, " +
+        "CAST(sum(len(aw0.word)) AS DOUBLE) / CAST(sum(f.k) AS DOUBLE) AS chars_per_piece " +
+        "FROM aw0 JOIN uafin f USING (word) GROUP BY source ORDER BY source"),
 
     Q("q_knn_eval",
       // Leave-one-out 3-NN label accuracy over the embeddings — the

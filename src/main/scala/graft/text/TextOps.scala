@@ -886,6 +886,103 @@ object TextOps {
   }
 
   /**
+   * Unigram (SentencePiece-style) tokenizer TRAINING by Viterbi-EM
+   * (Kudo 2018, hard-EM variant) with an integer-exact objective — the
+   * companion of [[bpeTrain]] on the same lifecycle: train on a
+   * `trainMod` doc sample, ship a constant-size vocabulary artifact,
+   * apply full-corpus in one narrow kernel pass
+   * ([[graft.functions.VectorFunctions.unigramSegment]]).
+   *
+   * Pipeline (all counts integer, all steps oracle-replicable):
+   *  1. CANDIDATES: every substring of length 1..`maxPieceLen` of the
+   *     sampled distinct-word table, weighted by word frequency; keep
+   *     single chars (coverage) plus pieces with count ≥ `minCount`.
+   *  2. E-STEP 1: Viterbi-segment each distinct word under candidate
+   *     counts ([[graft.functions.UnigramSeg.segment]]: fewest pieces →
+   *     max total weight → lexicographic path — the integer surrogate
+   *     for the log-prob objective, bit-identical across engines);
+   *     usage(p) = Σ freq(word) · uses.
+   *  3. PRUNE (the SentencePiece vocabulary-shrink step): keep single
+   *     chars (usage or 0) and multi-char pieces with usage ≥ `minUse`.
+   *  4. E-STEP 2: re-segment under the pruned vocabulary's usage
+   *     weights; the artifact is each surviving piece with its final
+   *     usage (single chars always retained).
+   *
+   * Words longer than `maxWord` are excluded from training in BOTH
+   * engines (the oracle unrolls the Viterbi DP one CTE per position;
+   * ultra-long tokens are noise at any corpus size — SentencePiece
+   * itself caps candidate/sentence lengths).
+   *
+   * The vocabulary is collected to the driver between rounds — a
+   * constant-size index artifact (bounded by alphabet^maxPieceLen,
+   * 36⁴ ≈ 1.7M worst case, vocab-sized in practice), the
+   * centroid/merge-rule discipline; word tables stay distributed.
+   */
+  def unigramLearnedVocab(docsDf: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int = 4, minCount: Long = 3L, minUse: Long = 2L,
+      maxWord: Int = 10, trainMod: Long = 1L): (Array[String], Array[Long]) = {
+    require(maxPieceLen >= 1 && minCount >= 1 && minUse >= 1 && maxWord >= 1)
+    val sampled =
+      if (trainMod == 1L) docsDf
+      else docsDf.filter(col(idCol) % trainMod === 0)
+    val words = sampled
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) <= maxWord)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val cand = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("word")))
+      .select(col("word").substr(col("i"), col("l")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= minCount)
+    def collectVocab(df: DataFrame): (Array[String], Array[Long]) = {
+      val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2))
+    }
+    val (p0, c0) = collectVocab(cand)
+    val v0 = new graft.functions.UnigramVocab(p0, c0)
+    def usage(v: graft.functions.UnigramVocab): DataFrame = words
+      .select(col("freq"),
+        explode(graft.functions.VectorFunctions.unigramSegment(col("word"), v))
+          .as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+    val (u1p, u1c) = collectVocab(usage(v0))
+    val u1 = u1p.zip(u1c).toMap
+    // prune: single chars of the candidate vocab survive at their
+    // (possibly zero) usage; multi-char pieces need usage >= minUse
+    val v1pairs = (p0.filter(_.length == 1)
+        .map(p => (p, u1.getOrElse(p, 0L))) ++
+      u1p.zip(u1c).filter { case (p, c) => p.length >= 2 && c >= minUse })
+      .sortBy(_._1)
+    val v1 = new graft.functions.UnigramVocab(
+      v1pairs.map(_._1), v1pairs.map(_._2))
+    val (u2p, u2c) = collectVocab(usage(v1))
+    val u2 = u2p.zip(u2c).toMap
+    val fin = (v1pairs.filter(_._1.length == 1)
+        .map { case (p, _) => (p, u2.getOrElse(p, 0L)) } ++
+      u2p.zip(u2c).filter(_._1.length >= 2))
+      .sortBy(_._1)
+    (fin.map(_._1), fin.map(_._2))
+  }
+
+  /** [[unigramLearnedVocab]] as the trained-artifact table:
+    * (piece, piece_len, usage), ordered by piece. */
+  def unigramTrain(docsDf: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int = 4, minCount: Long = 3L, minUse: Long = 2L,
+      maxWord: Int = 10, trainMod: Long = 1L): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val (p, c) = unigramLearnedVocab(docsDf, idCol, textCol, maxPieceLen,
+      minCount, minUse, maxWord, trainMod)
+    p.zip(c).toSeq.map { case (pc, cc) => (pc, pc.length.toLong, cc) }
+      .toDF("piece", "piece_len", "usage").orderBy("piece")
+  }
+
+  /**
    * Edit-distance near-duplicate pairs with offset double-blocking —
    * the short-text / title dedup pass (where shingle-Jaccard is too
    * coarse): candidate pairs must share a (blockCol, length-band)

@@ -1194,4 +1194,71 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(stChunks === bChunks)
   }
+
+  test("state soak: zip/ziplatest state stays O(keys), not O(history), " +
+      "under 100k skewed-key events") {
+    withRocksDb {
+      // skewed keys: key 1 carries ~half the traffic, 63 others share
+      // the rest — the shape that makes an O(history) state bug visible
+      // while balanced per-SIDE traffic keeps zip's queues drainable
+      val nKeys = 64
+      def key(i: Int): Long = if (i % 2 == 0) 1L else (i % nKeys).toLong + 2L
+      def wave(n: Int, tsBase: Long): Seq[(Ev, Ev)] =
+        (0 until n).map { i =>
+          val k = key(i)
+          (Ev(k, tsBase + i * 2L, i.toDouble),
+           Ev(k, tsBase + i * 2L + 1L, 1000.0 + i))
+        }
+      def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+        val ops = q.lastProgress.stateOperators
+        assert(ops.nonEmpty, "no state operator in progress")
+        ops.map(_.numRowsTotal).sum
+      }
+      // --- zip: queues drain per balanced wave; state rows == keys ---
+      val a = new Streaming.EventBus(spark)
+      val b = new Streaming.EventBus(spark)
+      val out = Streaming.zipStream(a.eventsTyped, b.eventsTyped)
+      val q = out.toDF().writeStream.format("memory").queryName("soak_zip")
+        .outputMode("append").start()
+      val w1 = wave(25000, 0L)
+      a.emit(w1.map(_._1): _*); b.emit(w1.map(_._2): _*)
+      q.processAllAvailable()
+      val rows1 = stateRows(q)
+      val mem1 = q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+      // 50k more events: state rows must NOT grow with history
+      val w2 = wave(25000, 100000L)
+      a.emit(w2.map(_._1): _*); b.emit(w2.map(_._2): _*)
+      q.processAllAvailable()
+      val rows2 = stateRows(q)
+      q.stop()
+      assert(spark.table("soak_zip").count() == 50000L,
+        "every balanced pair must emit")
+      assert(rows1 <= nKeys + 1 && rows2 <= nKeys + 1,
+        s"zip state rows grew beyond the key set: $rows1 -> $rows2")
+      assert(rows2 <= rows1,
+        s"zip state rows grew with history: $rows1 -> $rows2")
+      // ValueState per key = (two drained queues, idx): bytes per key
+      // must stay bounded (queues drained each balanced wave). RocksDB
+      // may report 0 for memoryUsedBytes; only assert when it reports.
+      if (mem1 > 0) assert(mem1 / math.max(rows1, 1) < 65536,
+        s"zip per-key state suspiciously large: $mem1 bytes / $rows1 keys")
+
+      // --- ziplatest: state is literally two latest values per key ---
+      val a2 = new Streaming.EventBus(spark)
+      val b2 = new Streaming.EventBus(spark)
+      val out2 = Streaming.ziplatestStream(a2.eventsTyped, b2.eventsTyped)
+      val q2 = out2.toDF().writeStream.format("memory").queryName("soak_zl")
+        .outputMode("append").start()
+      a2.emit(w1.map(_._1): _*); b2.emit(w1.map(_._2): _*)
+      q2.processAllAvailable()
+      a2.emit(w2.map(_._1): _*); b2.emit(w2.map(_._2): _*)
+      q2.processAllAvailable()
+      val zlRows = stateRows(q2)
+      q2.stop()
+      assert(spark.table("soak_zl").count() == 100000L,
+        "ziplatest emits one row per input event (partial mode)")
+      assert(zlRows <= nKeys + 1,
+        s"ziplatest state rows grew beyond the key set: $zlRows")
+    }
+  }
 }

@@ -1214,4 +1214,50 @@ class TextSimilaritySpec extends SparkSpec {
     assert(t32k < t64 * 8 + 50,
       f"32k-rule table cost $t32k%.1f ms vs 64-rule $t64%.1f ms — not flat")
   }
+
+  test("unigram kernel: Viterbi DP equals brute-force enumeration") {
+    import graft.functions.{UnigramSeg, UnigramVocab}
+    val SEP = '\u0001'
+    // brute force: enumerate ALL segmentations, apply the same
+    // integer-exact objective (k asc, weight sum desc, path asc)
+    def brute(word: String, v: UnigramVocab): Array[String] = {
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(v.maxLen, s.length)).flatMap { l =>
+          val p = s.substring(0, l)
+          val c = v.cnt(p)
+          if (c >= 0 || l == 1) segs(s.substring(l)).map(p :: _) else Seq.empty
+        }
+      def weight(p: String): Long = math.max(0L, v.cnt(p))
+      segs(word).minBy(seg =>
+        (seg.length, -seg.map(weight).sum, seg.mkString(SEP.toString)))(
+        Ordering.Tuple3(Ordering.Int, Ordering.Long, Ordering.String))
+        .toArray
+    }
+    val rnd = new scala.util.Random(11)
+    val alpha = "abc"
+    (1 to 400).foreach { _ =>
+      val word = (1 to (1 + rnd.nextInt(9)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      // vocab: all single chars + random multi-char pieces with random
+      // weights (ties on weight are common by construction — the
+      // lexicographic key must break them identically)
+      val pieces = scala.collection.mutable.LinkedHashMap[String, Long]()
+      alpha.foreach(c => pieces(c.toString) = rnd.nextInt(4).toLong)
+      (1 to 6).foreach { _ =>
+        val l = 2 + rnd.nextInt(3)
+        val pc = (1 to l).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        pieces(pc) = rnd.nextInt(4).toLong
+      }
+      val v = new UnigramVocab(pieces.keys.toArray, pieces.values.toArray)
+      val fast = UnigramSeg.segment(word, v)
+      val ref = brute(word, v)
+      assert(fast.toSeq == ref.toSeq,
+        s"word=$word vocab=$pieces: ${fast.toSeq} != ${ref.toSeq}")
+      assert(fast.mkString("") == word, "segmentation must cover the word")
+    }
+    // unknown single chars segment at weight 0 (coverage fallback)
+    val v0 = new UnigramVocab(Array("ab"), Array(5L))
+    assert(UnigramSeg.segment("abz", v0).toSeq == Seq("ab", "z"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.probe
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf1-scale fixture generator (r10 verdict #5): writes a
+  * 10× (arg-selectable) scale-up of the sf0.1 fixtures to
+  * /tmp/sf{S}/<table>.parquet so the registry tail can run against a
+  * REAL persisted fixture family instead of in-memory perturbation
+  * unions. Recipes are the committed stress-probe perturbations:
+  *  - embeddings: per-copy deterministic component jitter (EmbStress) —
+  *    copies are near the base geometry but not identical, ids shifted;
+  *  - documents: per-copy word-prefix tag (TextStress) — trigram
+  *    structure inside a copy mirrors the base, copies share nothing;
+  *    n_chars recomputed over the perturbed text;
+  *  - orders/lineitem: disjoint key-shifted copies (order/cust/supp/part
+  *    keys shifted by copy × max+1) — the trade graph becomes s
+  *    disjoint copies of the base graph, per-copy structure identical;
+  *  - events and the small dimensions copy through verbatim.
+  * Everything is a pure function of (base row, copy index) — re-running
+  * reproduces byte-identical fixtures. */
+object SfGen {
+  def main(args: Array[String]): Unit = {
+    val s = if (args.nonEmpty) args(0).toInt else 10
+    val outDir = if (args.length > 1) args(1) else s"/tmp/sf1"
+    val srcDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def copies(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until s).map(k => if (k == 0) base else f(base, k))
+        .reduce(_.unionByName(_))
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      println(s"wrote $name: " +
+        spark.read.parquet(s"$outDir/$name.parquet").count())
+    }
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nV = emb.agg(max("vec_id")).head.getLong(0) + 1
+    write(copies(emb) { (b, k) =>
+      b.select((col("vec_id") + lit(k * nV)).as("vec_id"),
+        expr(s"transform(embedding, (x, d) -> x + " +
+          s"cast(((vec_id * 31 + $k * 17 + d * 5) % 7 - 3) as float) * 0.05f)")
+          .as("embedding"),
+        col("label"))
+    }, "embeddings")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nD = docs.agg(max("doc_id")).head.getLong(0) + 1
+    write(copies(docs) { (b, k) =>
+      val t = regexp_replace(col("text"), "\\b(\\w)", s"c$k$$1")
+      b.select((col("doc_id") + lit(k * nD)).as("doc_id"), t.as("text"),
+        col("lang"), col("source"), length(t).cast("long").as("n_chars"))
+    }, "documents")
+
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val nO = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    val nC = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    write(copies(ord) { (b, k) =>
+      b.withColumn("o_orderkey", col("o_orderkey") + lit(k * nO))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * nC))
+    }, "orders")
+
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val supp = spark.read.parquet(s"$srcDir/supplier.parquet")
+    val nS = supp.agg(max("s_suppkey")).head.getLong(0) + 1
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    val nP = part.agg(max("p_partkey")).head.getLong(0) + 1
+    write(copies(li) { (b, k) =>
+      b.withColumn("l_orderkey", col("l_orderkey") + lit(k * nO))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * nS))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * nP))
+    }, "lineitem")
+
+    // verbatim pass-through (dimension tables + events): byte-copy the
+    // files — a Spark read/write round-trip would fail on events'
+    // TIMESTAMP(NANOS) (see Tables.events) and needlessly rewrite dims
+    Seq("customer", "supplier", "part", "nation", "region", "events")
+      .foreach { t =>
+        val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
+        val dst = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        if (java.nio.file.Files.isDirectory(src)) {
+          java.nio.file.Files.createDirectories(dst)
+          java.nio.file.Files.list(src).forEach { p =>
+            java.nio.file.Files.copy(p, dst.resolve(p.getFileName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } else java.nio.file.Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(s"copied $t")
+      }
+    spark.stop()
+  }
+}
