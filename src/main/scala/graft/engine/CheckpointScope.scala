@@ -120,6 +120,22 @@ private[graft] object StaticPlan {
       org.apache.spark.sql.functions.col(n).as(n)).toIndexedSeq: _*)
   }
 
+  /** LAZY [[ckptFresh]]: same fresh-attribute re-aliasing over a
+    * `localCheckpoint(false)` — the pinned RDD materializes inside the
+    * FIRST consumer's job (and is computed once, shared by the rest)
+    * instead of scheduling its own blocking job at construction time.
+    * Under a static scope this is genuinely lazy (no AQE stage
+    * materialization), so a report that unions N checkpointed
+    * sub-pipelines runs as ONE scheduled job instead of N+1 — the
+    * per-job floor deletion of SCALE.md round-11. Use the eager form
+    * when the caller needs to control WHEN materialization happens
+    * (e.g. overlapping driver-parallel training chains). */
+  def ckptFreshLazy(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(false)
+    c.select(c.columns.map(n =>
+      org.apache.spark.sql.functions.col(n).as(n)).toIndexedSeq: _*)
+  }
+
   /** Partition count for round tables: enough to keep ~`rowsPerPart`
     * rows per task, capped at the session's shuffle-partition setting
     * (the caller's scale intent — thousands on a real cluster). */

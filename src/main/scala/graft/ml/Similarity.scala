@@ -258,11 +258,15 @@ object Similarity {
     if (trainMod == 1) df else df.filter(col(idCol) % trainMod === 0)
   }
 
-  /** Alias for [[graft.engine.StaticPlan.ckptFresh]] — eager
+  /** Alias for [[graft.engine.StaticPlan.ckptFreshLazy]] — LAZY
     * localCheckpoint with fresh exposed attribute ids (see there for
-    * the static-scope "conflicting references" rationale). */
+    * the static-scope "conflicting references" rationale). Lazy since
+    * round 11: the pinned member/residual tables materialize inside
+    * the first consumer's job (computed once, shared by both join
+    * sides via the persisted blocks) instead of scheduling their own
+    * blocking construction jobs — the per-job floor deletion. */
   private def ckptFresh(df: DataFrame): DataFrame =
-    graft.engine.StaticPlan.ckptFresh(df)
+    graft.engine.StaticPlan.ckptFreshLazy(df)
 
   /** Integer quantization of an embedding: floor(x · QUANT) per
     * component. Both engines compute the identical float→double→

@@ -2020,7 +2020,9 @@ object NorthStarQueries {
         // by data size, capped at the session width at real scale
         val nCorpus = emb(s, d).count()
         graft.engine.StaticPlan.scopedSized(s, nCorpus * 20) {
-        import graft.engine.StaticPlan.ckptFresh
+        // lazy fresh checkpoint: materializes inside the single final
+        // action together with the slice tables (see q_ann_tuning)
+        import graft.engine.StaticPlan.{ckptFreshLazy => ckptFresh}
         // exact ground truth over the probe sample only (broadcast
         // sample × corpus); the approximate sides stay corpus-wide and
         // the semi-joins score just the probes — the recall estimate is
@@ -2158,6 +2160,14 @@ object NorthStarQueries {
         // roundPartitions caps at the session width (the scale intent).
         val nCorpus = e.count()
         graft.engine.StaticPlan.scopedSized(s, nCorpus * 20) {
+        // EAGER fresh checkpoints here — measured, not assumed: the
+        // lazy variant (ckptFreshLazy) was tried in r11 and REVERTED
+        // for this query: its 12 config rows consume the shared tables
+        // through broadcast builds, and concurrent broadcast-build jobs
+        // racing to materialize the same lazy checkpoint DUPLICATE the
+        // upstream compute (JobProbe: job-sum 20 s -> 35 s, wall +0.5).
+        // The driver-parallel eager futures below materialize each
+        // shared table exactly once before its consumers fan out.
         import graft.engine.StaticPlan.ckptFresh
         // The whole report CONSTRUCTS (and its sub-pipelines train)
         // under a static scope: every materialization is one job
