@@ -79,6 +79,7 @@ object Bench {
     // any reader normalize this artifact against host drift — compare
     // query_sec / canary_sec across rounds, never raw seconds.
     val canarySec = HostCanary.canarySec(spark, sfDir)
+    val canaryJobSec = HostCanary.canaryJobSec(spark, sfDir)
 
     val all = SparkEntry.queries
     // static shuffle count of the final plan (hash/range/single-partition
@@ -197,7 +198,7 @@ object Bench {
         s""""protocol":"per-query min of 3 steady passes after 1 cold pass; rates best-of-3 on warm plans (r7+; earlier rounds reported the single second pass)",""" +
         s""""value_cold":$totalCold,"queries_cold":$qsCold,"shuffles":$qsEx,""" +
         s""""jobs":$qsJobs,""" +
-        s""""canary_sec":$canarySec,""" +
+        s""""canary_sec":$canarySec,"canary_job_sec":$canaryJobSec,""" +
         s""""canary_protocol":"frozen code-independent workload (HostCanary: 64M xxhash64 fold + 64k-key groupBy + lineitem scan-agg), min-of-3, same session; divide query seconds by canary_sec before comparing across rounds",""" +
         s""""n_queries":${results.size},"events_rows":$nEvents,""" +
         s""""pipeline_events_per_sec":$pipelineRate,""" +

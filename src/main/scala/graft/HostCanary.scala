@@ -52,4 +52,22 @@ object HostCanary {
     * interference and JIT ramp, same as the bench protocol). */
   def canarySec(spark: SparkSession, sfDir: String, passes: Int = 3): Double =
     (1 to passes).map(_ => onePass(spark, sfDir)).min
+
+  /**
+   * JOB-FLOOR canary (new in r11, a SECOND frozen metric — the
+   * composite above is untouched): seconds for 24 near-empty scheduled
+   * jobs (one 4-task stage each), i.e. the per-job scheduling latency
+   * the sf-scale registry tail is bound by (JobProbe r10/r11: the
+   * ANN/graph tail is job-count × this floor, NOT compute). The
+   * compute-bound composite canary does not track this floor — r11
+   * measured them moving independently — so latency-bound bars divide
+   * by THIS anchor instead. Emitted as `canary_job_sec`.
+   */
+  def canaryJobSec(spark: SparkSession, sfDir: String, passes: Int = 3): Double =
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 24) { spark.range(0, 4, 1, 4).count(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }.min
 }

@@ -89,9 +89,13 @@ object Hits {
     // under static planning, so every round's sort-merge join skips
     // re-sorting the edge side (the big side) — only the node-sized
     // rank tables sort per round
-    val e = scope.ckpt(canon.repartition(col("src"))
+    // LAZY setup checkpoints (setup fusion, see [[FusedRounds]]): the
+    // two edge layouts materialize inside the node-count action / the
+    // first eager round's job with their pinned layouts intact; nodes
+    // stays eager because its count() gates the scale precondition
+    val e = scope.ckptLazy(canon.repartition(col("src"))
       .sortWithinPartitions(col("src")))
-    val eByDst = scope.ckpt(e.repartition(col("dst"))
+    val eByDst = scope.ckptLazy(e.repartition(col("dst"))
       .sortWithinPartitions(col("dst")))
     val nodes = scope.ckpt(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
@@ -115,7 +119,7 @@ object Hits {
     // L1-sum broadcast subquery computes every authRaw partition first,
     // persisting it; the main path then reads the persisted blocks) —
     // computed once, lineage-cut, no extra barrier.
-    var hub = scope.ckpt(nodes.withColumn("hub", lit(scale)))
+    var hub = scope.ckptLazy(nodes.withColumn("hub", lit(scale)))
     var prevIds = scope.last
     var auth: DataFrame = null
     // two hub/auth rounds per scheduled job (see [[FusedRounds]]): the

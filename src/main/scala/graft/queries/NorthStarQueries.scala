@@ -2236,6 +2236,11 @@ object NorthStarQueries {
         // quadratic scoring joins drop from 8 to 4 and the final union
         // job replays slim checkpoint filters instead of join+window
         // per branch. Slice futures chain off their assignment futures.
+        // slice tables stay EAGER too — second measured negative: each
+        // slice table feeds TWO config rows, and those are SIBLING
+        // subtrees of the one report job, so lazy slices get their
+        // quadratic scoring computed concurrently by both consumers
+        // (persist race — JobProbe: job-sum 20 -> 22 s, wall +1.5)
         val lshSlF = scala.concurrent.Future(Similarity.topKLshMpSlices(
           e, id, v, 3, PLANES, DIMS, NPROBES, ckptFresh))
         val mcandF = scala.concurrent.Future(ckptFresh(

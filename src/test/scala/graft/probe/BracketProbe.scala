@@ -18,7 +18,8 @@ object BracketProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cPre = graft.HostCanary.canarySec(spark, sfDir)
-    println(f"canary_pre $cPre%.3f")
+    val cjPre = graft.HostCanary.canaryJobSec(spark, sfDir)
+    println(f"canary_pre $cPre%.3f canary_job_pre $cjPre%.3f")
     names.foreach { qname =>
       val fn = graft.SparkEntry.queries(qname)
       val samples = (1 to passes).map { i =>
@@ -32,8 +33,8 @@ object BracketProbe {
         f"(min ${samples.min}%.2f, steady-min ${samples.drop(1).min}%.2f)")
     }
     val cPost = graft.HostCanary.canarySec(spark, sfDir)
-    println(f"canary_post $cPost%.3f")
-    names.foreach(_ => ())
+    val cjPost = graft.HostCanary.canaryJobSec(spark, sfDir)
+    println(f"canary_post $cPost%.3f canary_job_post $cjPost%.3f")
     spark.stop()
   }
 }

@@ -37,8 +37,12 @@ object RegScan {
       canaries += ((atQuery, c)); c
     }
     val canaryPre = canary(0)
+    // job-floor anchor (canaryJobSec): the latency-bound tail divides
+    // by THIS, the compute canary does not track scheduling latency
+    val canaryJobPre = HostCanary.canaryJobSec(spark, sfDir)
     val out = new StringBuilder
     out.append(f"canary_pre $canaryPre%.3f (frozen HostCanary workload, min-of-3)\n")
+    out.append(f"canary_job_pre $canaryJobPre%.3f (24 near-empty jobs, min-of-3)\n")
     val sel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     val times = sel.zipWithIndex.map { case ((name, fn), i) =>
@@ -54,7 +58,9 @@ object RegScan {
       name -> samples.min
     }
     val canaryPost = canary(sel.size)
+    val canaryJobPost = HostCanary.canaryJobSec(spark, sfDir)
     out.append(f"canary_post $canaryPost%.3f\n")
+    out.append(f"canary_job_post $canaryJobPost%.3f\n")
     times.sortBy(-_._2).foreach { case (n, s) =>
       out.append(f"$s%7.2f  $n%s\n") }
     out.append(f"TOTAL(min-of-$passes) ${times.map(_._2).sum}%.1f s over ${times.size} queries\n")
@@ -66,6 +72,7 @@ object RegScan {
       f""""$n%s":$s%.3f""" }.mkString(
       s"""{"sf_dir":"$sfDir","protocol":"min-of-$passes count()","n_queries":${times.size},""" +
         f""""canary_sec":$canaryPre%.3f,"canary_pre":$canaryPre%.3f,"canary_post":$canaryPost%.3f,""" +
+        f""""canary_job_pre":$canaryJobPre%.3f,"canary_job_post":$canaryJobPost%.3f,""" +
         s""""canary_series":$series,""" +
         s""""canary_protocol":"frozen code-independent workload (HostCanary), min-of-3, bracketed: pre + every $canaryEvery queries + post (series = [query_index, canary_sec]); quote the pair around the queries you read",""" +
         f""""total_sec":${times.map(_._2).sum}%.1f,"queries":{""", ",", "}}")
