@@ -1608,16 +1608,24 @@ object RelationalQueries {
       (s, d) => {
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
+        // materialize the trade-edge build ONCE: both engines
+        // canonicalize their input, and the PageRank stage's coreE
+        // additionally references e under two semi-joins — without the
+        // pin the orders⋈lineitem join executes once per consumer
+        // (Spark has no cross-reference CSE; the q_triangles lesson)
+        val e = graft.engine.StaticPlan.ckptFresh(
+          l.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst")))
         val core = graft.engine.KCore.run(e, k = 8, rounds = 2)
           .select("node")
         val coreE = e
           .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        graft.engine.PageRank.run(coreE, "src", "dst", iters = 2)
+        val ranks = graft.engine.PageRank.run(coreE, "src", "dst", iters = 2)
           .orderBy(col("pr").desc, col("node")).limit(20)
+        graft.engine.Checkpoints.release(e)
+        ranks
       },
       "WITH raw AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, " +
         "l_suppkey * 2 + 1 AS v FROM orders JOIN lineitem " +
