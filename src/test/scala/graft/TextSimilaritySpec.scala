@@ -1260,4 +1260,47 @@ class TextSimilaritySpec extends SparkSpec {
     val v0 = new UnigramVocab(Array("ab"), Array(5L))
     assert(UnigramSeg.segment("abz", v0).toSeq == Seq("ab", "z"))
   }
+
+  test("unigram kernel: per-word cost independent of vocabulary size (32k pieces)") {
+    import graft.functions.{UnigramSeg, UnigramVocab}
+    // production-shaped vocab: 32k pieces; the Viterbi window is
+    // O(len × maxPieceLen) hash lookups per word, so cost must be
+    // near-flat in vocabulary size (the BPE-kernel discipline)
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefgh"
+    def mkVocab(n: Int): UnigramVocab = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      alpha.foreach(c => m(c.toString) = 1L + rnd.nextInt(50))
+      // lengths 2..5 over an 8-char alphabet: 8^2+8^3+8^4+8^5 = 37,440
+      // distinct pieces available, so 32k is reachable (len 2..4 alone
+      // caps at 4,672 — the first draft of this test looped forever)
+      while (m.size < n) {
+        val l = 2 + rnd.nextInt(4)
+        val pc = (1 to l).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        if (!m.contains(pc)) m(pc) = 1L + rnd.nextInt(50)
+      }
+      new UnigramVocab(m.keys.toArray, m.values.toArray)
+    }
+    val words = (1 to 2000).map(_ => (3 + rnd.nextInt(12)))
+      .map(n => (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      .toArray
+    def timeSeg(v: UnigramVocab): Double = {
+      val t0 = System.nanoTime()
+      var i = 0; var acc = 0
+      while (i < words.length) { acc += UnigramSeg.segment(words(i), v).length; i += 1 }
+      assert(acc > 0)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val v64 = mkVocab(64)
+    val v32k = mkVocab(32768)
+    timeSeg(v64); timeSeg(v32k) // JIT warm both paths
+    val t64 = timeSeg(v64)
+    val t32k = timeSeg(v32k)
+    assert(t32k < t64 * 8 + 50,
+      f"32k-piece vocab cost $t32k%.1f ms vs 64-piece $t64%.1f ms — not flat")
+    // coverage invariant holds at any vocab: concatenation reproduces
+    words.take(50).foreach { w =>
+      assert(UnigramSeg.segment(w, v32k).mkString("") == w)
+    }
+  }
 }
