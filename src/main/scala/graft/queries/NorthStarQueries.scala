@@ -47,6 +47,9 @@ object NorthStarQueries {
   private val DSIR_B = 256     // DSIR hashed-feature buckets
   private val PACK_L = 32      // packed training-sequence length (tokens)
   private val BPE_MERGES = 8   // BPE training rounds (q_bpe_train)
+  private val EDIT_BLOCK_CAP = 128 // edit-distance dedup: per-(block, band)
+                               // member cap — bounds the quadratic term
+                               // (binds at sf0.1: max block 236)
   private val UNI_PLEN = 4     // unigram tokenizer: max candidate piece length
   private val UNI_MIN_CNT = 3L // unigram: min candidate count (len >= 2)
   private val UNI_MIN_USE = 2L // unigram: min round-1 usage to survive pruning
@@ -1000,19 +1003,29 @@ object NorthStarQueries {
       // by half a band — so near-dups straddling a band boundary are
       // still caught (no recall cliff at band edges) — then a bounded
       // Levenshtein over the 80-char prefix decides. The all-pairs
-      // O(n²) collapses to in-block pairs; distance cost is O(80²) per
-      // pair regardless of document size.
+      // O(n²) collapses to in-block pairs, and EDIT_BLOCK_CAP bounds
+      // each block (the LSH_BUCKET_CAP discipline; the r11 sf1 rung
+      // measured the uncapped join super-linear — a (lang, band) block
+      // holds a fixed corpus fraction). The cap BINDS at sf0.1 (max
+      // block 236 > 128), so the gate tests the capped path; the
+      // oracle ranks identically.
       (s, d) => TextOps.editDistancePairs(docs(s, d), "doc_id", "text",
           blockCol = "lang", lenCol = "n_chars", bandWidth = 50,
-          prefixLen = 80, maxDist = 20)
+          prefixLen = 80, maxDist = 20, blockCap = EDIT_BLOCK_CAP)
         .orderBy("id_a", "id_b"),
       "WITH dd AS MATERIALIZED (SELECT doc_id, lang, " +
         "substr(text, 1, 80) AS t, n_chars FROM documents), " +
+        "dd0 AS MATERIALIZED (SELECT * FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY lang, n_chars // 50 ORDER BY doc_id) AS r FROM dd) " +
+        s"WHERE r <= $EDIT_BLOCK_CAP), " +
+        "dd1 AS MATERIALIZED (SELECT * FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY lang, (n_chars + 25) // 50 ORDER BY doc_id) AS r FROM dd) " +
+        s"WHERE r <= $EDIT_BLOCK_CAP), " +
         "c0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "a.t AS ta, b.t AS tb FROM dd a JOIN dd b ON a.lang = b.lang " +
+        "a.t AS ta, b.t AS tb FROM dd0 a JOIN dd0 b ON a.lang = b.lang " +
         "AND a.n_chars // 50 = b.n_chars // 50 AND a.doc_id < b.doc_id), " +
         "c1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "a.t AS ta, b.t AS tb FROM dd a JOIN dd b ON a.lang = b.lang " +
+        "a.t AS ta, b.t AS tb FROM dd1 a JOIN dd1 b ON a.lang = b.lang " +
         "AND (a.n_chars + 25) // 50 = (b.n_chars + 25) // 50 " +
         "AND a.doc_id < b.doc_id), " +
         "cand AS (SELECT DISTINCT id_a, id_b, ta, tb FROM " +

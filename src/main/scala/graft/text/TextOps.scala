@@ -1006,17 +1006,36 @@ object TextOps {
    * maxDist > bandWidth/2, pairs whose lengths differ by more than
    * bandWidth/2 can be missed (widen bandWidth to keep the guarantee).
    *
+   * `blockCap` bounds the quadratic term (the LSH_BUCKET_CAP /
+   * FAISS-max-codes discipline): each (block, band) keeps only its
+   * blockCap LOWEST-id members per banding, so in-block pairs are
+   * ≤ cap² however the corpus grows. WITHOUT it the length-band blocks
+   * are unbounded — the r11 sf1 rung measured the uncapped join
+   * super-linear (43 s at 10× data, exponent ≈ 1.5: a (lang, band)
+   * block holds a fixed FRACTION of the corpus, so in-block pairs grow
+   * quadratically; at 100 TB this is the difference between a dedup
+   * pass and a non-terminating one). Capped members are dropped from
+   * the block entirely (deterministic by id) — the documented
+   * recall/cost knob; prefer a finer blockCol when recall must be
+   * complete.
+   *
    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, lenCol: String, bandWidth: Int, prefixLen: Int,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, blockCap: Int = Int.MaxValue): DataFrame = {
     require(bandWidth >= 2, "bandWidth must be >= 2 (half-offset banding)")
+    require(blockCap >= 1, "blockCap must be >= 1")
     val half = bandWidth / 2
     def banded(off: Int): DataFrame = {
-      val d = docs.select(col(blockCol).as("__blk"),
+      val d0 = docs.select(col(blockCol).as("__blk"),
         floor((col(lenCol) + off) / bandWidth).cast("long").as("__band"),
         col(idCol).as("__id"), col(textCol).substr(1, prefixLen).as("__t"))
+      val d = if (blockCap == Int.MaxValue) d0
+        else d0.withColumn("__r", row_number().over(
+            Window.partitionBy(col("__blk"), col("__band"))
+              .orderBy(col("__id"))))
+          .filter(col("__r") <= blockCap).drop("__r")
       d.join(d.select(col("__blk"), col("__band"), col("__id").as("__id2"),
           col("__t").as("__t2")), Seq("__blk", "__band"))
         .filter(col("__id") < col("__id2"))
