@@ -115,4 +115,47 @@ class CheckpointScopeSpec extends SparkSpec {
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
+
+  test("FusedRounds: odd rounds lazy, last round eager, deferred frees " +
+      "only flush after an eager materialization") {
+    import graft.engine.FusedRounds
+    val scope = new CheckpointScope(spark.sparkContext)
+    val fused = new FusedRounds(scope, rounds = 3)
+    var cur = scope.ckpt(spark.range(50).toDF())   // state_0, eager
+    var curIds = scope.last
+    val state0Ids = curIds
+    // round 1: LAZY — state_0 must NOT be freed yet (the lazy plan
+    // still references it and a localCheckpoint is unrecomputable)
+    cur = fused.ckptRound(cur.withColumn("r", lit(1)), curIds)
+    curIds = fused.last
+    val r1Ids = curIds
+    assert(state0Ids.forall(persistedIds.contains),
+      "lazy round freed its not-yet-materialized input")
+    // round 2: EAGER — materializes round 1 inside its own job, then
+    // flushes both the round-1 input (deferred) and round-1 itself...
+    cur = fused.ckptRound(cur.withColumn("r", lit(2)), curIds)
+    curIds = fused.last
+    assert(state0Ids.forall(id => !persistedIds.contains(id)),
+      "deferred free of state_0 did not flush at the eager round")
+    assert(r1Ids.forall(id => !persistedIds.contains(id)),
+      "round-1 state should be dead after round 2 materializes")
+    // round 3 (the last): always EAGER even though 3 is odd
+    cur = fused.ckptRound(cur.withColumn("r", lit(3)), curIds)
+    assert(cur.count() === 50)
+    assert(cur.columns.count(_ == "r") === 1)
+    scope.freeAllBut(Nil)
+  }
+
+  test("FusedRounds: a single-round loop stays eager (the caller consumes it)") {
+    import graft.engine.FusedRounds
+    val scope = new CheckpointScope(spark.sparkContext)
+    val fused = new FusedRounds(scope, rounds = 1)
+    val base = scope.ckpt(spark.range(10).toDF())
+    val baseIds = scope.last
+    val out = fused.ckptRound(base.withColumn("r", lit(1)), baseIds)
+    // eager: the round materialized and freed its input immediately
+    assert(baseIds.forall(id => !persistedIds.contains(id)))
+    assert(out.count() === 10)
+    scope.freeAllBut(Nil)
+  }
 }
