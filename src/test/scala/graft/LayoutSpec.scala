@@ -186,4 +186,46 @@ class LayoutSpec extends SparkSpec {
       .groupBy(input_file_name()).count().collect().map(_.getLong(1))
     assert(perFile.forall(_ <= 1000L) && perFile.sum == 10000L)
   }
+
+  test("IndexStore: centroid/BPE/unigram artifacts round-trip and serve identically") {
+    import graft.ml.Similarity
+    import graft.sources.IndexStore
+    import graft.text.TextOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // --- centroids: train -> save -> load -> serve == direct serve ---
+    val cents = Similarity.kmeansCentroids(
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q")),
+      "vec_id", 8, 2, 64, trainMod = 2)
+    IndexStore.saveCentroids(cents, "/tmp/idxstore_cents")
+    val loaded = IndexStore.loadCentroids(spark, "/tmp/idxstore_cents")
+    val postings = Similarity.ivfAssignFromCentroids(
+        emb, "vec_id", "embedding", cents, 1)
+      .filter(col("isHome")).select("vec_id", "embedding", "cell")
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 16).localCheckpoint(true)
+    def rows(c: org.apache.spark.sql.DataFrame) =
+      Similarity.serveTopK(queries, postings, "vec_id", "embedding", 3, c, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows(loaded) == rows(cents),
+      "serving from the persisted centroids differs from the training session")
+    // --- BPE rules round-trip: same arrays, same segmentation ---
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (lhs, rhs) = TextOps.bpeLearnedRules(docs, "doc_id", "text", 6, 2L)
+    IndexStore.saveBpeRules(spark, lhs, rhs, "/tmp/idxstore_bpe")
+    val (l2, r2) = IndexStore.loadBpeRules(spark, "/tmp/idxstore_bpe")
+    assert(l2.toSeq == lhs.toSeq && r2.toSeq == rhs.toSeq)
+    val rules = new graft.functions.BpeRules(l2, r2)
+    assert(graft.functions.BpeSeg.segment("thecatsat", rules).toSeq ==
+      graft.functions.BpeSeg.segment("thecatsat",
+        new graft.functions.BpeRules(lhs, rhs)).toSeq)
+    // --- unigram vocabulary round-trip ---
+    val (vp, vc) = TextOps.unigramLearnedVocab(docs, "doc_id", "text",
+      4, 3L, 2L, 10, 2L)
+    IndexStore.saveUnigramVocab(spark, vp, vc, "/tmp/idxstore_uni")
+    val (vp2, vc2) = IndexStore.loadUnigramVocab(spark, "/tmp/idxstore_uni")
+    assert(vp2.toSeq == vp.toSeq && vc2.toSeq == vc.toSeq)
+    val v = new graft.functions.UnigramVocab(vp2, vc2)
+    assert(graft.functions.UnigramSeg.segment("training", v).mkString("") == "training")
+  }
 }
