@@ -78,13 +78,20 @@ object ConnectedComponents {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src").as("n")).agg(min(col("comp")).as("nbr"))
+      // the OLD label rides the round checkpoint, so the convergence
+      // probe is a NARROW count over the materialized round instead of
+      // a second per-round shuffle join of next against labels (which
+      // doubled every round's scheduled work — r11 probe fusion)
       val next = scope.ckpt(labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
-        .select(col("node"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp")))
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          col("comp").as("__old")))
       val nextIds = scope.last
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
-        .filter(col("comp") =!= col("old")).count()
+      changed = next.filter(col("comp") =!= col("__old")).count()
       scope.free(labelIds)
-      labels = next
+      // narrow projection over the checkpoint: partitioning preserved,
+      // next round's joins read the same pinned blocks
+      labels = next.select("node", "comp")
       labelIds = nextIds
       iter += 1
     }
