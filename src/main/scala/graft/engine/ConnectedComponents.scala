@@ -176,7 +176,13 @@ object ConnectedComponents {
         .select(col("x").as("u"), col("m").as("v"))
         .distinct())
       val smallIds = scope.last
-      changed = small.except(e).count() + e.except(small).count()
+      // convergence = |smallΔe| (edge sets are (u,v)-unique): ONE
+      // full-outer join over the two pinned tables counts both
+      // directions in a single job, where the old
+      // except + except ran two shuffle-diff jobs per round
+      changed = small.withColumn("__s", lit(1))
+        .join(e.withColumn("__e", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__s").isNull || col("__e").isNull).count()
       scope.free(eIds)
       e = small
       eIds = smallIds
