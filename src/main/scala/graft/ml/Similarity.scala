@@ -163,6 +163,28 @@ object Similarity {
     math.min(c, cap).toInt
   }
 
+  /** Corpus-derived probe-sample modulus — [[ivfCellsFor]]'s doubling
+    * discipline for the exact ground-truth sides: the smallest
+    * `floorMod`·2^k with expected probe count n/mod ≤ `targetProbes`.
+    * A PINNED modulus makes every "exact sample × corpus" pass
+    * (n/mod)·n — quadratic in the corpus (the r11 sf1 rung measured
+    * q_ann_tuning 15.8× at 10× data); a modulus that doubles as the
+    * corpus doubles keeps the probe set ~fixed, so the ground-truth
+    * term is O(targetProbes · n) — linear. The recall estimate over
+    * the deterministic 1/mod sample stays unbiased at any mod.
+    * Integer-only doubling ladder so a SQL oracle derives the
+    * identical modulus from its own count(*). */
+  def probeModFor(n: Long, targetProbes: Long, floorMod: Long = 16L,
+      maxMod: Long = 16L << 24): Long = {
+    require(targetProbes >= 1 && floorMod >= 1 && maxMod >= floorMod,
+      s"bad probeModFor args")
+    var cap = floorMod
+    while (cap * 2 <= maxMod) cap *= 2
+    var m = floorMod
+    while (m < cap && (n - 1) / targetProbes >= m) m *= 2
+    math.min(m, cap)
+  }
+
   /**
    * IVF (inverted-file) cosine top-k: vectors are assigned to the cell
    * of their nearest centroid, and the quadratic scoring runs within

@@ -59,10 +59,19 @@ object NorthStarQueries {
   private val BLOOM_BITS = 131072 // decontamination Bloom filter size
   private val SRC_CAP = 15     // per-source doc cap (q_source_cap)
   // Exact/ground-truth sides (recall, eval, audits) query only every
-  // PROBE_MOD-th vector: broadcast probe-sample × corpus instead of
+  // probeMod-th vector: broadcast probe-sample × corpus instead of
   // corpus × corpus, the only exact-cosine shape that survives corpus
-  // growth. Raise with corpus size to keep the probe set ~fixed.
-  private val PROBE_MOD = 16L
+  // growth. The modulus is DERIVED from the corpus
+  // (Similarity.probeModFor: smallest 16·2^k with expected probes
+  // n/mod ≤ PROBE_TGT) — a pinned modulus makes the ground-truth term
+  // (n/mod)·n, quadratic again (the r11 sf1 rung measured q_ann_tuning
+  // 15.8× at 10× data); the derived modulus doubles with the corpus so
+  // the term stays O(PROBE_TGT·n). Tuned so n=500 (sf0.001/0.01)
+  // derives the historical 16 and n=2000 (sf0.1) derives 64 — the
+  // derivation BINDS at the driver gate's own fixtures.
+  private val PROBE_TGT = 32L
+  private def probeModOf(e: DataFrame): Long =
+    Similarity.probeModFor(e.count(), PROBE_TGT)
   // In-query index TRAINING (k-means centroids, PQ codebooks) reads only
   // every TRAIN_MOD-th vector (the FAISS discipline: codebooks are
   // distribution statistics — train on a hash-sample, assign/encode/
@@ -241,6 +250,23 @@ object NorthStarQueries {
       s"FROM (VALUES $ladder) t(c), ${pfx}nsz " +
       s"WHERE ${pfx}nsz.n <= t.c * $targetCellRows)"
   }
+
+  /** Count-derived probe-sample modulus CTE `pmod` —
+    * Similarity.probeModFor's integer doubling rule in SQL (floor 16,
+    * doubling ladder, target PROBE_TGT expected probes), derived from
+    * the SAME count(*) the Spark side derives from. Ground-truth
+    * predicates read it as `vec_id % (SELECT m FROM pmod) = 0`. */
+  private def sqlProbeMod(src: String = "embeddings"): String = {
+    // BIGINT-cast ladder: a bare VALUES literal is INT32 in DuckDB and
+    // the top rungs overflow the `m * PROBE_TGT` growth test
+    val ladder = (0 to 24).map(k => s"(CAST(${16L << k} AS BIGINT))")
+      .mkString(",")
+    s"pmn AS (SELECT count(*) AS n FROM $src), " +
+      s"pmod AS (SELECT coalesce(min(t.m), ${16L << 24}) AS m " +
+      s"FROM (VALUES $ladder) t(m), pmn " +
+      s"WHERE pmn.n <= t.m * $PROBE_TGT)"
+  }
+  private val PMOD = "(SELECT m FROM pmod)"
 
   private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int,
       pfx: String = "k", trainMod: Long = 1,
@@ -1591,16 +1617,21 @@ object NorthStarQueries {
     Q("q_dedup_cosine",
       // Threshold 0.4 yields real near-dup pairs on the synthetic
       // embeddings (0.8 matched zero rows — a vacuous green).
-      // Exact-cosine near-dup AUDIT anchored at every PROBE_MOD-th
-      // vector (broadcast sample × corpus) — the all-pairs exact form
-      // is corpus × corpus and cannot survive 100×; the serving paths
-      // are q_dedup_cosine_lsh / q_semdedup.
-      (s, d) => Similarity.cosineNeighbors(emb(s, d), "vec_id", "embedding",
-          0.4, PROBE_MOD)
-        .orderBy("a", "b"),
-      "SELECT l.vec_id AS a, r.vec_id AS b, " +
+      // Exact-cosine near-dup AUDIT anchored at every probeMod-th
+      // vector (broadcast sample × corpus, corpus-derived modulus —
+      // see PROBE_TGT) — the all-pairs exact form is corpus × corpus
+      // and cannot survive 100×; the serving paths are
+      // q_dedup_cosine_lsh / q_semdedup.
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.cosineNeighbors(e, "vec_id", "embedding",
+            0.4, probeModOf(e))
+          .orderBy("a", "b")
+      },
+      s"WITH ${sqlProbeMod()} " +
+        "SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"${sqlCos("l.embedding", "r.embedding")} AS cos " +
-        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
         "AND l.vec_id <> r.vec_id " +
         s"AND ${sqlCos("l.embedding", "r.embedding")} >= 0.4e0 ORDER BY a, b"),
 
@@ -1637,13 +1668,17 @@ object NorthStarQueries {
     // ---------------- similarity search ----------------
     Q("q_ann_topk",
       // Exact ground truth for the probe sample (broadcast sample ×
-      // corpus; see PROBE_MOD) — the serving paths are the bucketed
-      // LSH/IVF queries below.
-      (s, d) => Similarity.topK(emb(s, d), "vec_id", "embedding", 3, PROBE_MOD)
-        .orderBy("a", "rank"),
-      "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+      // corpus; corpus-derived modulus, see PROBE_TGT) — the serving
+      // paths are the bucketed LSH/IVF queries below.
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.topK(e, "vec_id", "embedding", 3, probeModOf(e))
+          .orderBy("a", "rank")
+      },
+      s"WITH ${sqlProbeMod()} " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
         "AND l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
@@ -1977,13 +2012,15 @@ object NorthStarQueries {
       // one identical IEEE sequence in both engines; the dot products
       // downstream are exact small integers. Probe-sampled yardstick
       // like q_ann_topk; the bucketed paths apply to int8 unchanged.
-      (s, d) => Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3,
-          PROBE_MOD)
-        .orderBy("a", "rank"),
-      s"WITH $QUANT8 " +
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.topKInt8(e, "vec_id", "embedding", 3, probeModOf(e))
+          .orderBy("a", "rank")
+      },
+      s"WITH $QUANT8, ${sqlProbeMod()} " +
         "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.q", "r.q")} DESC, r.vec_id) AS rank " +
-        s"FROM qq l, qq r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        s"FROM qq l, qq r WHERE l.vec_id % $PMOD = 0 " +
         "AND l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
@@ -1993,11 +2030,11 @@ object NorthStarQueries {
       (s, d) => {
         // both sides probe-sampled (recall estimated over the sample);
         // exact feeds the count and the semi-join — one run, not two
-        val exact = Similarity.topK(emb(s, d), "vec_id", "embedding", 3,
-            PROBE_MOD)
+        val e = emb(s, d)
+        val pm = probeModOf(e)
+        val exact = Similarity.topK(e, "vec_id", "embedding", 3, pm)
           .select("a", "b").localCheckpoint()
-        val quant = Similarity.topKInt8(emb(s, d), "vec_id", "embedding", 3,
-            PROBE_MOD)
+        val quant = Similarity.topKInt8(e, "vec_id", "embedding", 3, pm)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nQ = exact.join(quant, Seq("a", "b"), "left_semi")
@@ -2006,14 +2043,14 @@ object NorthStarQueries {
           .withColumn("recall_quant",
             col("n_hits_quant").cast("double") / col("n_exact").cast("double"))
       },
-      s"WITH $QUANT8, " +
+      s"WITH $QUANT8, ${sqlProbeMod()}, " +
         "exact AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
         "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         "quant AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.q", "r.q")} DESC, r.vec_id) AS rank " +
-        s"FROM qq l, qq r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        s"FROM qq l, qq r WHERE l.vec_id % $PMOD = 0 " +
         "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         "e AS (SELECT count(*) AS n_exact FROM exact), " +
         "h AS (SELECT count(*) AS n_hits_quant FROM exact WHERE (a, b) IN (SELECT (a, b) FROM quant)) " +
@@ -2037,12 +2074,13 @@ object NorthStarQueries {
         // action together with the slice tables (see q_ann_tuning)
         import graft.engine.StaticPlan.{ckptFreshLazy => ckptFresh}
         // exact ground truth over the probe sample only (broadcast
-        // sample × corpus); the approximate sides stay corpus-wide and
-        // the semi-joins score just the probes — the recall estimate is
-        // unchanged in expectation, and the harness itself now scales.
+        // sample × corpus, corpus-derived modulus — see PROBE_TGT);
+        // the approximate sides stay corpus-wide and the semi-joins
+        // score just the probes — the recall estimate is unchanged in
+        // expectation, and the harness itself now scales.
         // One run feeds all seven hit counts.
         val exact = ckptFresh(Similarity.topK(emb(s, d), "vec_id",
-            "embedding", 3, PROBE_MOD)
+            "embedding", 3, Similarity.probeModFor(nCorpus, PROBE_TGT))
           .select("a", "b"))
         // the (lsh, lsh_mp) and (nprobe 1, 2) config pairs each share
         // ONE scored-pair pass (probe-depth slicing, topKFromAssignSlices
@@ -2106,9 +2144,10 @@ object NorthStarQueries {
             col("n_hits_kmw").cast("double") / col("n_exact").cast("double"))
         }
       },
-      "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+      s"WITH ${sqlProbeMod()}, " +
+        "ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
         "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         s"bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket FROM embeddings), " +
         "ls AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
@@ -2212,7 +2251,8 @@ object NorthStarQueries {
           fs.map(f => scala.concurrent.Await.result(f,
             scala.concurrent.duration.Duration.Inf))
         val exactF = scala.concurrent.Future(ckptFresh(
-          Similarity.topK(e, "vec_id", "embedding", 3, PROBE_MOD)
+          Similarity.topK(e, "vec_id", "embedding", 3,
+              Similarity.probeModFor(nCorpus, PROBE_TGT))
             .select("a", "b")))
         val nTot = e.agg(count(lit(1)).as("n"))
         // ordered scored-pair counts per config (x≠y meetings)
@@ -2391,9 +2431,10 @@ object NorthStarQueries {
           s"SELECT CAST(sum(m*h) - (SELECT n FROM nn) AS BIGINT) AS n_cands " +
             s"FROM (SELECT cell, count(*) AS m FROM $probe GROUP BY cell) " +
             s"JOIN (SELECT cell, count(*) AS h FROM $home GROUP BY cell) USING (cell)"
-        "WITH ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"WITH ${sqlProbeMod()}, " +
+          "ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
           s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-          s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+          s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
           "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
           s"bk AS (SELECT vec_id, embedding, ${sqlBucket(PLANES)} AS bucket FROM embeddings), " +
           s"ls AS (${top3("bk", "bk", "bucket")}), " +
@@ -2628,7 +2669,7 @@ object NorthStarQueries {
       // standing home-cell table (exactly what ivfAssignStream + the
       // bucketed sink maintain live — bucketed BY cell in production,
       // so the serve join is exchange-free on the postings side at any
-      // corpus size); queries = the PROBE_MOD sample as "today's query
+      // corpus size); queries = the probe-mod sample as "today's query
       // batch". serveTopK probes each query's 2 nearest cells via the
       // driver-resident centroid matrix and exact-reranks candidates
       // from the postings join — the StreamingSpec e2e proves the
@@ -2645,16 +2686,17 @@ object NorthStarQueries {
             e, "vec_id", "embedding", cents, 1)
           .filter(col("isHome"))
           .select(col("vec_id"), col("embedding"), col("cell"))
-        val queries = e.filter(col("vec_id") % PROBE_MOD === 0)
+        val queries = e.filter(col("vec_id") % probeModOf(e) === 0)
         Similarity.serveTopK(queries, postings, "vec_id", "embedding",
             3, cents, 2)
           .orderBy("a", "rank")
       },
-      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)} " +
+      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+        s"${sqlProbeMod()} " +
         "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         s"FROM kprobe l JOIN khome r USING (cell) " +
-        s"WHERE l.vec_id % $PROBE_MOD = 0 AND l.vec_id <> r.vec_id) " +
+        s"WHERE l.vec_id % $PMOD = 0 AND l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
     Q("q_bpe_train",
@@ -2863,7 +2905,7 @@ object NorthStarQueries {
         val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
         // leave-one-out over the probe sample (broadcast sample ×
         // corpus); at 100 TB the labeled eval set IS the sample
-        val nbr = Similarity.topK(e, "vec_id", "embedding", 3, PROBE_MOD)
+        val nbr = Similarity.topK(e, "vec_id", "embedding", 3, probeModOf(e))
         val votes = nbr
           .join(lbl.select(col("vec_id").as("b"), col("label").as("nlabel")), "b")
           .groupBy("a", "nlabel")
@@ -2881,9 +2923,10 @@ object NorthStarQueries {
             col("n_correct").cast("double") / col("n").cast("double"))
           .orderBy("label")
       },
-      "WITH nb AS (SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+      s"WITH ${sqlProbeMod()}, " +
+        "nb AS (SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
-        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PROBE_MOD = 0 " +
+        s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
         "AND l.vec_id <> r.vec_id) WHERE rank <= 3), " +
         "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), " +
         "v AS (SELECT nb.a, l.label AS nlabel, count(*) AS cnt, min(nb.rank) AS best " +

@@ -1056,6 +1056,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(Similarity.ivfCellsFor(Long.MaxValue, Long.MaxValue, 16) == 16)
   }
 
+  test("probeModFor: probe modulus doubles with the corpus") {
+    // reproduces the historical constant at the fixture sizes: n = 500
+    // (sf0.001/0.01) derives the old pinned 16 ...
+    assert(Similarity.probeModFor(500L, 32L) == 16L)
+    // ... and n = 2000 (sf0.1) derives 64 — the derivation BINDS at the
+    // driver gate's own fixture (the EDIT_BLOCK_CAP discipline)
+    assert(Similarity.probeModFor(2000L, 32L) == 64L)
+    // expected probe count stays ≤ target below the cap — the exact
+    // ground-truth term is O(target·n), not O(n²/const)
+    for (n <- Seq(1L, 500L, 2000L, 20000L, 123456L, 1000000000L)) {
+      val m = Similarity.probeModFor(n, 32L)
+      assert(m >= 16L && (n <= m * 32L || m == (16L << 24)))
+      // never overshoots: halving the modulus would exceed the target
+      // (smallest ladder value property)
+      assert(m == 16L || n > (m / 2) * 32L)
+    }
+    // floor binds on tiny corpora; huge targets don't overflow
+    assert(Similarity.probeModFor(1L, 32L) == 16L)
+    assert(Similarity.probeModFor(Long.MaxValue, Long.MaxValue) == 16L)
+  }
+
   test("NearestCells matrix assignment matches the join/window encoding") {
     // the retired broadcast-crossJoin + row_number encoding, inlined
     // here as the independent semantics pin: every (vector, centroid)
