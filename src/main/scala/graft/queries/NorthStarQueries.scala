@@ -50,6 +50,15 @@ object NorthStarQueries {
   private val EDIT_BLOCK_CAP = 128 // edit-distance dedup: per-(block, band)
                                // member cap — bounds the quadratic term
                                // (binds at sf0.1: max block 236)
+  // Stop-shingle document-frequency cap (Broder 1997's discipline for
+  // the resemblance sketch): a shingle present in df docs contributes
+  // df² pairs to the inverted-index self-join, and a TEMPLATED shingle
+  // (fixed fraction f of the corpus) makes that (f·n)² — quadratic. An
+  // ABSOLUTE cap is the point: hot shingles are boilerplate, not
+  // signal, so dropping them bounds every join key at cap² pairs
+  // forever. Binds at sf0.1 (max df 25, p99 = 18), not at sf0.01
+  // (max df 7) — the gate exercises both branches.
+  private val STOP_SHINGLE_DF = 16L
   private val UNI_PLEN = 4     // unigram tokenizer: max candidate piece length
   private val UNI_MIN_CNT = 3L // unigram: min candidate count (len >= 2)
   private val UNI_MIN_USE = 2L // unigram: min round-1 usage to survive pruning
@@ -1253,6 +1262,50 @@ object NorthStarQueries {
         "sizes AS (SELECT doc_id, count(*) AS sz FROM edges GROUP BY doc_id), " +
         "inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i FROM edges l " +
         "JOIN edges r USING (sid) WHERE l.doc_id < r.doc_id GROUP BY a, b) " +
+        "SELECT a, b, i, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
+        "ORDER BY jacc DESC, a, b LIMIT 100"),
+
+    Q("q_dedup_jaccard_capped",
+      // q_dedup_jaccard with Broder's STOP-SHINGLE discipline: shingles
+      // with document frequency > STOP_SHINGLE_DF are dropped BEFORE the
+      // inverted-index self-join, and sizes/Jaccard are computed over
+      // the surviving (informative) shingles. The uncapped baseline's
+      // hot-shingle term is Σ df² — quadratic when a templated shingle
+      // rides a fixed corpus fraction; here every join key is bounded
+      // at cap² pairs at ANY corpus size. The df groupBy shuffles on
+      // the SAME key (sid) as the pair join, so the guard adds one
+      // co-partitioned aggregation, not a new shuffle shape. The
+      // uncapped q_dedup_jaccard stays as the oracle-pinned exhaustive
+      // baseline; this is the production shape.
+      (s, d) => {
+        // edges0 feeds the df guard + the filtered edge set; edges
+        // feeds sizes + both self-join sides — materialize each once
+        val edges0 = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
+          .localCheckpoint()
+        val keep = edges0.groupBy("sid").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= STOP_SHINGLE_DF).select("sid")
+        val edges = edges0.join(keep, Seq("sid"), "left_semi")
+          .localCheckpoint()
+        val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val l = edges.select(col("doc_id").as("a"), col("sid"))
+        val r = edges.select(col("doc_id").as("b"), col("sid"))
+        val inter = l.join(r, "sid").filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .withColumn("jacc", col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+          .select("a", "b", "i", "jacc")
+          .orderBy(col("jacc").desc, col("a"), col("b")).limit(100)
+      },
+      s"WITH $DOC_TOKS, $TOKFPS, $SHSIDS, $EDGES_DISTINCT, " +
+        "keep AS (SELECT sid FROM (SELECT sid, count(*) AS df FROM edges " +
+        s"GROUP BY sid) WHERE df <= $STOP_SHINGLE_DF), " +
+        "fe AS (SELECT e.* FROM edges e JOIN keep USING (sid)), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM fe GROUP BY doc_id), " +
+        "inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i FROM fe l " +
+        "JOIN fe r USING (sid) WHERE l.doc_id < r.doc_id GROUP BY a, b) " +
         "SELECT a, b, i, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
         "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
         "ORDER BY jacc DESC, a, b LIMIT 100"),
