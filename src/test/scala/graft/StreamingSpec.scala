@@ -1261,4 +1261,92 @@ class StreamingSpec extends SparkSpec {
         s"ziplatest state rows grew beyond the key set: $zlRows")
     }
   }
+
+  test("restart durability: zipStream resumes transformWithState state " +
+      "from a real checkpointLocation (exactly-once output)") {
+    withRocksDb {
+      // The streaming half of the restart story (IndexStore is the
+      // batch half): stop a transformWithState query mid-stream with
+      // per-key state in flight, restart AGAINST THE SAME
+      // checkpointLocation, feed more events, and assert the combined
+      // output equals the uninterrupted run — state (zip's queued
+      // heads) must come back from the state store, not from reprocessing.
+      // The sink collects per batchId so a replayed post-crash batch
+      // overwrites rather than duplicates (the idempotent-sink contract
+      // Structured Streaming's exactly-once story requires).
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_zip_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Long, Long, Double, Double)]]
+      def startQ(out: org.apache.spark.sql.Dataset[Streaming.ZipOut]) =
+        out.toDF().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            batches(id) = b.collect().toSeq
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          }
+          .outputMode("append").start()
+      val a = new Streaming.EventBus(spark)
+      val b = new Streaming.EventBus(spark)
+      val out = Streaming.zipStream(a.eventsTyped, b.eventsTyped)
+      val q1 = startQ(out)
+      // run 1: A runs ahead — pairs 0..2 emit, A queues values 3,4 in state
+      a.emit((0 to 4).map(i => Ev(1L, i * 1000L, i.toDouble)): _*)
+      b.emit((0 to 2).map(i => Ev(1L, i * 1000L + 1, 100.0 + i)): _*)
+      q1.processAllAvailable()
+      q1.stop()
+      val run1 = batches.values.flatten.toSet
+      assert(run1.map(_._2) === (0 to 2).map(_.toLong).toSet,
+        "run 1 must emit exactly the completed pairs 0..2")
+      // data arriving WHILE the query is down, on both sides
+      a.emit((5 to 9).map(i => Ev(1L, i * 1000L, i.toDouble)): _*)
+      b.emit((3 to 9).map(i => Ev(1L, i * 1000L + 1, 100.0 + i)): _*)
+      // run 2: a NEW query instance against the same checkpoint — the
+      // queued A heads (3, 4) must pair with the first arriving B values
+      val q2 = startQ(Streaming.zipStream(a.eventsTyped, b.eventsTyped))
+      q2.processAllAvailable()
+      q2.stop()
+      val all = batches.values.flatten.toList
+      // exactly-once: no pair index appears twice across the restart
+      assert(all.size === all.map(_._2).distinct.size,
+        s"duplicated pair indices across restart: $all")
+      // equals the uninterrupted run: zip(0..9, 100..109) by index
+      val expected = (0 to 9).map(i => (1L, i.toLong, i.toDouble, 100.0 + i)).toSet
+      assert(all.toSet === expected,
+        "restarted run must produce the uninterrupted zip output")
+    }
+  }
+
+  test("restart durability: dedupStream suppression state survives a " +
+      "checkpointed restart") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Long, Double)]]
+      val bus = new Streaming.EventBus(spark)
+      def startQ() = Streaming.dedupStream(bus.events,
+          Seq("user_id", "value"), "ts", "10 seconds")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = b.collect().toSeq
+            .map(r => (r.getLong(0), r.getDouble(2)))
+        }
+        .outputMode("append").start()
+      val q1 = startQ()
+      bus.emit(Ev(1L, 1_000_000L, 1.0), Ev(2L, 2_000_000L, 2.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // while down: a DUPLICATE of (1, 1.0) within the watermark plus a
+      // fresh key — the duplicate is only suppressible if the dedup
+      // state store came back on restart
+      bus.emit(Ev(1L, 3_000_000L, 1.0), Ev(3L, 4_000_000L, 3.0))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = batches.values.flatten.toList
+      assert(all.size === all.distinct.size, s"duplicate emissions: $all")
+      assert(all.toSet === Set((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        "duplicate within watermark must stay suppressed across restart")
+    }
+  }
 }
