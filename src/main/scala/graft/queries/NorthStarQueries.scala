@@ -2752,6 +2752,43 @@ object NorthStarQueries {
         s"WHERE l.vec_id % $PMOD = 0 AND l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
+    Q("q_ann_serve_persisted",
+      // q_ann_serve routed through the DURABLE artifact: centroids
+      // train once, persist as parquet (IndexStore.saveCentroids — the
+      // nightly-train write), and the serve side loads them back with
+      // one tiny artifact read, exactly what a restarted serving
+      // cluster does. The serve plan itself carries ZERO training
+      // stages (the loaded centroids ride driver-resident, like
+      // q_ann_serve's — LayoutSpec pins the artifact-scan/leaf-set
+      // shape); the oracle is q_ann_serve's, because save → load is
+      // bit-identical (spec-proved round-trip). The artifact path is
+      // per-SF so the gate's three fixtures never collide.
+      (s, d) => {
+        val e = emb(s, d)
+        val path = s"/tmp/graft_idx/${new java.io.File(d).getName}_serve_cents"
+        val cents = Similarity.kmeansCentroids(
+          e.select(col("vec_id"),
+            Similarity.quantize(col("embedding")).as("q")),
+          "vec_id", 16, KM_ITERS, DIMS, TRAIN_MOD)
+        graft.sources.IndexStore.saveCentroids(cents, path)
+        val loaded = graft.sources.IndexStore.loadCentroids(s, path)
+        val postings = Similarity.ivfAssignFromCentroids(
+            e, "vec_id", "embedding", loaded, 1)
+          .filter(col("isHome"))
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val queries = e.filter(col("vec_id") % probeModOf(e) === 0)
+        Similarity.serveTopK(queries, postings, "vec_id", "embedding",
+            3, loaded, 2)
+          .orderBy("a", "rank")
+      },
+      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+        s"${sqlProbeMod()} " +
+        "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+        s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
+        s"FROM kprobe l JOIN khome r USING (cell) " +
+        s"WHERE l.vec_id % $PMOD = 0 AND l.vec_id <> r.vec_id) " +
+        "WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_bpe_train",
       // Tokenizer TRAINING on the cluster: 8 BPE merge rounds learned
       // from a TRAIN_MOD doc sample (Sennrich et al. 2016; rules are

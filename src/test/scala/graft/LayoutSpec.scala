@@ -228,4 +228,53 @@ class LayoutSpec extends SparkSpec {
     val v = new graft.functions.UnigramVocab(vp2, vc2)
     assert(graft.functions.UnigramSeg.segment("training", v).mkString("") == "training")
   }
+
+  test("persisted-serve plan shape: artifact loads as a parquet scan; " +
+      "the serve plan carries no training stages") {
+    import graft.ml.Similarity
+    import graft.sources.IndexStore
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q")),
+      "vec_id", 8, 2, 64, trainMod = 2)
+    IndexStore.saveCentroids(cents, "/tmp/idxstore_serve_shape")
+    val loaded = IndexStore.loadCentroids(spark, "/tmp/idxstore_serve_shape")
+    // the artifact read IS a parquet scan of the persisted path — the
+    // restart path provably serves from durable storage, not lineage.
+    // (LogicalRelation.toString omits the path; read the file-index
+    // root paths off the HadoopFsRelation.)
+    def scanPaths(leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+      leaf match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(",")
+            case other => other.toString
+          }
+        case other => other.toString
+      }
+    val artLeaves = loaded.queryExecution.optimizedPlan.collectLeaves()
+    assert(artLeaves.size == 1 &&
+      scanPaths(artLeaves.head).contains("idxstore_serve_shape"),
+      s"expected one parquet scan of the artifact, got:\n$artLeaves")
+    // serving FROM the loaded artifact: the serve plan's distributed
+    // leaves are the corpus/batch scans only (the centroids ride
+    // driver-resident) — zero Lloyd/training stages to re-run on restart
+    val postings = Similarity.ivfAssignFromCentroids(
+        emb, "vec_id", "embedding", loaded, 1)
+      .filter(col("isHome")).select("vec_id", "embedding", "cell")
+    val queries = emb.filter(col("vec_id") < 16)
+    val serve = Similarity.serveTopK(queries, postings, "vec_id",
+      "embedding", 3, loaded, 2)
+    val leaves = serve.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.forall(l => scanPaths(l).contains("embeddings.parquet") ||
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"serve plan must only scan the corpus/batch, got:\n$leaves")
+    // and it serves row-identically to the training-session centroids
+    def rows(c: org.apache.spark.sql.DataFrame) =
+      Similarity.serveTopK(queries, postings, "vec_id", "embedding", 3, c, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows(loaded) == rows(cents))
+  }
 }
