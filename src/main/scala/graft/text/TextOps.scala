@@ -793,7 +793,34 @@ object TextOps {
     val spark = docsDf.sparkSession
     import spark.implicits._
     bpeMergeRules(docsDf, idCol, textCol, nMerges, trainMod)
+      .map(r => (r._1, r._2, r._3, r._4))
       .toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
+  /** [[bpeTrain]] with BATCHED merge rounds: each round learns up to
+    * `batch` SYMBOL-DISJOINT merges from one pair count (greedy down
+    * the (count desc, lhs, rhs) order, skipping any pair sharing a
+    * symbol with an already-accepted one) and applies them all in ONE
+    * rewrite. Symbol-disjoint merges cannot interact — a merge never
+    * deletes a symbol, so adjacencies between untouched symbols (and
+    * their counts) are exactly what a sequential application would see,
+    * and matches of different accepted pairs are never adjacent (they
+    * would share the middle symbol), so the non-overlap run rule stays
+    * per-pair. This is the scheduling fix for production-size rule
+    * tables: `bpeTrain` drives one driver argmax job per merge — fine
+    * at the registry's 8, but 32k scheduled rounds at a real tokenizer
+    * vocabulary; batching makes the round count ~nMerges/batch while
+    * each round stays one count + one rewrite. batch = 1 is exactly
+    * [[bpeTrain]] (the oracle-pinned sequence); batch > 1 may pick a
+    * different (still valid) greedy sequence when a freshly-merged
+    * symbol would have out-counted a same-round pick. Returns
+    * (step, lhs, rhs, pair_count, round). */
+  def bpeTrainBatched(docsDf: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, trainMod: Long = 1L, batch: Int = 1): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    bpeMergeRules(docsDf, idCol, textCol, nMerges, trainMod, batch)
+      .toDF("step", "lhs", "rhs", "pair_count", "round").orderBy("step")
   }
 
   /** The learned merge table in step order — the constant-size
@@ -805,6 +832,26 @@ object TextOps {
       nMerges: Int, trainMod: Long = 1L): (Array[String], Array[String]) = {
     val rules = bpeMergeRules(docsDf, idCol, textCol, nMerges, trainMod)
     (rules.map(_._2).toArray, rules.map(_._3).toArray)
+  }
+
+  /** A single round's accepted merges: greedy down the
+    * (count desc, lhs, rhs) order, accepting a pair only while its
+    * symbols are untouched by every already-accepted pair — the
+    * disjointness that makes one-rewrite application exact. */
+  private def acceptDisjoint(top: Seq[(String, String, Long)],
+      take: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = top.iterator
+    while (acc.size < take && it.hasNext) {
+      val p = it.next()
+      if (!used(p._1) && !used(p._2)) {
+        acc += p
+        used += p._1
+        used += p._2
+      }
+    }
+    acc.toSeq
   }
 
   /** The merge rounds behind [[bpeTrain]]: the word-frequency state,
@@ -819,9 +866,11 @@ object TextOps {
     * remains (fully-merged or single-char vocab); pairs never reappear
     * after that. Returns (step, lhs, rhs, pair_count) tuples. */
   private def bpeMergeRules(docsDf: DataFrame, idCol: String, textCol: String,
-      nMerges: Int, trainMod: Long): Seq[(Long, String, String, Long)] = {
+      nMerges: Int, trainMod: Long,
+      batch: Int = 1): Seq[(Long, String, String, Long, Long)] = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = docsDf.sparkSession
     val sampled =
       if (trainMod == 1L) docsDf
@@ -845,24 +894,37 @@ object TextOps {
       // re-pin the layout under static planning (s0 itself was
       // materialized under the caller's adaptive planning)
       var st = s0.repartition(col("word")).localCheckpoint(true)
-      val rules = new scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]
-      var t = 0
+      val rules = new scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]
+      var round = 0L
       var exhausted = false
-      while (t < nMerges && !exhausted) {
+      while (rules.size < nMerges && round < nMerges && !exhausted) {
+        round += 1
+        val take = math.min(batch, nMerges - rules.size)
+        // batch = 1 keeps the historical limit(1) argmax plan; batched
+        // rounds fetch a candidate window wide enough to survive the
+        // greedy disjointness skips (skipped pairs recount next round)
+        val candWindow = if (batch == 1) 1 else take * 4 + 8
         val m = st.withColumn("nxt", lead(col("sym"), 1).over(wWord))
         // (c desc, sym, nxt) totally orders the pair table (pairs are
-        // unique group keys) — limit(1) is the deterministic argmax
-        val best = m.filter(col("nxt").isNotNull)
+        // unique group keys) — limit(n) is the deterministic top-n
+        val top = m.filter(col("nxt").isNotNull)
           .groupBy("sym", "nxt").agg(sum(col("freq")).as("c"))
-          .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
+          .orderBy(col("c").desc, col("sym"), col("nxt")).limit(candWindow)
           .collect()
-        if (best.isEmpty) exhausted = true
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        if (top.isEmpty) exhausted = true
         else {
-          val (l, r, c) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          rules += ((t + 1L, l, r, c))
-          val f = m.withColumn("ism",
-            col("sym") === lit(l) && col("nxt") === lit(r))
+          val accepted = acceptDisjoint(top, take)
+          accepted.foreach { case (l, r, c) =>
+            rules += ((rules.size + 1L, l, r, c, round))
+          }
+          // ONE rewrite applies every accepted merge: matches of
+          // different pairs are never adjacent (disjoint symbols), so
+          // the per-run non-overlap rule below stays per-pair exact
+          val ism0 = accepted.map { case (l, r, _) =>
+            col("sym") === lit(l) && col("nxt") === lit(r)
+          }.reduce(_ || _)
+          val f = m.withColumn("ism", ism0)
           val g = f.withColumn("isl", when(col("ism"), col("pos") -
             row_number().over(Window.partitionBy(col("word"),
               col("ism")).orderBy(col("pos")))))
@@ -879,7 +941,6 @@ object TextOps {
                 .otherwise(col("sym")).as("sym"))
             .localCheckpoint(true)
         }
-        t += 1
       }
       rules.toSeq
     }
