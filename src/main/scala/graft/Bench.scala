@@ -79,7 +79,7 @@ object Bench {
     // any reader normalize this artifact against host drift — compare
     // query_sec / canary_sec across rounds, never raw seconds.
     val canarySec = HostCanary.canarySec(spark, sfDir)
-    val canaryJobSec = HostCanary.canaryJobSec(spark, sfDir)
+    val canaryJobSec = HostCanary.canaryJobSec(spark)
 
     val all = SparkEntry.queries
     // static shuffle count of the final plan (hash/range/single-partition

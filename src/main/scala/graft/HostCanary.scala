@@ -61,9 +61,11 @@ object HostCanary {
    * ANN/graph tail is job-count × this floor, NOT compute). The
    * compute-bound composite canary does not track this floor — r11
    * measured them moving independently — so latency-bound bars divide
-   * by THIS anchor instead. Emitted as `canary_job_sec`.
+   * by THIS anchor instead. Emitted as `canary_job_sec`. Needs no
+   * fixture (unlike [[canarySec]]): the probe jobs are synthetic
+   * ranges, pure scheduler latency.
    */
-  def canaryJobSec(spark: SparkSession, sfDir: String, passes: Int = 3): Double =
+  def canaryJobSec(spark: SparkSession, passes: Int = 3): Double =
     (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       var i = 0

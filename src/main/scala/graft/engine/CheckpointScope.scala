@@ -158,6 +158,14 @@ private[graft] object StaticPlan {
  * freeing a lazy round's inputs is DEFERRED until the next eager
  * materialization: a localCheckpoint is unrecomputable once freed, so
  * an input a not-yet-run lazy plan still references must stay pinned.
+ *
+ * The deferred free additionally requires that the eager job TRUNCATES
+ * the lazy round's lineage (not merely caches its blocks) — otherwise
+ * losing those blocks later would recompute through the freed input.
+ * [[CheckpointScope]] guarantees this by setting the
+ * `spark.checkpoint.checkpointAllMarkedAncestors` local property on
+ * the engine's thread, so every marked lazy ancestor's checkpoint is
+ * finalized inside the job that materializes the eager round.
  */
 private[graft] final class FusedRounds(scope: CheckpointScope, rounds: Int) {
   private var r = 0
@@ -185,6 +193,19 @@ private[graft] final class FusedRounds(scope: CheckpointScope, rounds: Int) {
 }
 
 private[graft] final class CheckpointScope(sc: SparkContext) {
+  // FAULT-TOLERANCE of the lazy/eager round mix ([[FusedRounds]]):
+  // freeing a lazy round's inputs once the NEXT eager round
+  // materializes is only safe if the lazy round's own lineage was
+  // truncated during that job — otherwise a later block loss (executor
+  // failure) would recompute through the freed, unrecomputable eager
+  // checkpoint. `checkpointAllMarkedAncestors` is a per-thread local
+  // property read at RDD.doCheckpoint time: with it set, the job that
+  // materializes an eager round also finalizes every marked (lazy)
+  // ancestor's checkpoint, so lineage is cut exactly when the deferred
+  // free fires. Sticky on the engine's calling thread — benign for
+  // non-engine work (it only affects RDDs already marked for
+  // checkpointing).
+  sc.setLocalProperty("spark.checkpoint.checkpointAllMarkedAncestors", "true")
   private var seen = sc.getPersistentRDDs.keySet.toSet
   private var owned = List.empty[Int]
   private var lastIds = List.empty[Int]

@@ -49,4 +49,22 @@ object Checkpoints {
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }
+
+  /** [[release]] restricted to pins NOT shared with `keep`: frees the
+    * RDDs `df`'s plan pins except any that also back a `keep` frame.
+    * The serving-loop shape ([[graft.ml.Similarity.serveTopK]] with
+    * `pruneCells = true`): each batch's result plan pins that batch's
+    * query-assignment checkpoint, but may also reference long-lived
+    * pins the loop reuses across batches (a checkpointed postings or
+    * query table) — `releaseExcept(result, postings, queries)` frees
+    * only the per-batch pin. Same caveat as [[release]]: the freed
+    * pins are unrecomputable, so call only after the result's final
+    * use. */
+  def releaseExcept(df: DataFrame, keep: DataFrame*): Unit = {
+    val kept = keep.flatMap(pinnedIds).toSet
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if !kept.contains(l.rdd.id) => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -690,7 +690,14 @@ final class BpeRules(val l: Array[String], val r: Array[String])
 }
 
 /** The per-word greedy merge loop behind [[BpeSegment]], shared by
-  * interpreted eval and generated code. */
+  * interpreted eval and generated code.
+  *
+  * UNIT OF SEGMENTATION: UTF-16 code UNITS (the kernel seeds with
+  * `substring`-style single-char symbols), matching the registry's
+  * `[a-z0-9]` token alphabet. On non-BMP input (outside the Basic
+  * Multilingual Plane) a surrogate pair seeds as two unpaired half
+  * symbols, which diverges from a code-point/UTF-8 tokenizer — reuse
+  * on arbitrary strings requires a code-point pre-split upstream. */
 object BpeSeg {
   /**
    * Apply `l(i) + r(i)` merge rules IN ORDER, one left-to-right greedy
@@ -846,7 +853,15 @@ final class UnigramVocab(val pieces: Array[String], val cnts: Array[Long])
 }
 
 /** The per-word Viterbi segmentation behind [[UnigramSegment]], shared
-  * by interpreted eval and generated code. */
+  * by interpreted eval and generated code.
+  *
+  * UNIT OF SEGMENTATION: UTF-16 code UNITS — DP positions index
+  * `word.charAt`, and the lexicographic path tie-break compares
+  * UTF-16 units (`String.compareTo`), matching the registry's
+  * `[a-z0-9]` alphabet and the DuckDB oracle on BMP text. On non-BMP
+  * input a surrogate pair can split across pieces and the tie-break
+  * order diverges from code-point/UTF-8 ordering — reuse on arbitrary
+  * strings requires a code-point pre-split upstream. */
 object UnigramSeg {
   private final val SEP = '\u0001'
 

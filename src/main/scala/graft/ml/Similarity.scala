@@ -617,19 +617,24 @@ object Similarity {
    *
    * `materialize` pins the scored+ranked pair table so every slice —
    * and every downstream consumer in a unioned report — replays a
-   * filter over one cached frame, not the join. The DEFAULT is a LAZY
-   * localCheckpoint (materializes inside the first consumer's action,
-   * shared by the rest): the sharing is the function's whole contract,
-   * so a caller that forgets to pass one must not silently re-run the
-   * quadratic scoring once per slice. Pass an eager checkpoint (e.g.
-   * `StaticPlan.ckptFresh`) to control WHEN it materializes, or
-   * `identity` to explicitly opt out of the pin (the caller then owns
+   * filter over one cached frame, not the join. The DEFAULT is an
+   * EAGER checkpoint (`StaticPlan.ckptFresh`): the sharing is the
+   * function's whole contract, so a caller that forgets to pass one
+   * must not silently re-run the quadratic scoring once per slice —
+   * and an eager pin cannot hit the lazy-checkpoint footgun where
+   * concurrent broadcast-build/sibling-subtree consumers each compute
+   * the not-yet-materialized plan (the measured q_ann_tuning
+   * persist-race negative). Pass `StaticPlan.ckptFreshLazy` to
+   * EXPLICITLY opt into deferred materialization (single-consumer
+   * union reports under a static scope — the per-job-floor win), or
+   * `identity` to opt out of the pin entirely (the caller then owns
    * the replay). Returns depth → (a, rank, b), each hash-identical to
    * `topKFromAssign(ranked.filter(rank <= p).drop("rank"), …)`.
    */
   def topKFromAssignSlices(ranked: DataFrame, idCol: String, vecCol: String,
       k: Int, depths: Seq[Int], cellCap: Int = Int.MaxValue,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): Map[Int, DataFrame] = {
+      materialize: DataFrame => DataFrame =
+        graft.engine.StaticPlan.ckptFresh): Map[Int, DataFrame] = {
     require(depths.nonEmpty, "topKFromAssignSlices: depths must be non-empty")
     val ds = depths.distinct
     val maxP = ds.max
@@ -675,13 +680,16 @@ object Similarity {
    * the plain-LSH candidate set (pairs sharing their home bucket) is
    * exactly the multi-probe pairs whose query-side copy is the home
    * copy, so both configs' rankings fall out of a single quadratic
-   * pass — same running-count slicing as [[topKFromAssignSlices]].
+   * pass — same running-count slicing as [[topKFromAssignSlices]],
+   * same `materialize` contract (eager-checkpoint DEFAULT; lazy is an
+   * explicit opt-in via `StaticPlan.ckptFreshLazy`).
    * Returns (home-only top-k, multi-probe top-k), hash-identical to
    * ([[topKLsh]], [[topKLshMp]]) at the same parameters.
    */
   def topKLshMpSlices(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int, dims: Int, nProbes: Int,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(false))
+      materialize: DataFrame => DataFrame =
+        graft.engine.StaticPlan.ckptFresh)
       : (DataFrame, DataFrame) = {
     val home = emb.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), nPlanes, dims).as("home"))
@@ -752,6 +760,21 @@ object Similarity {
    * size, still one tiny broadcast (≤ nCells longs). Partition-level
    * file pruning is lost in that regime, but a batch probing most
    * cells touches most partitions anyway.
+   *
+   * STORAGE LIFECYCLE (`pruneCells = true`): the returned frame's plan
+   * pins the per-batch query-assignment checkpoint (tiny —
+   * |batch|×nProbe rows — but pinned until freed). A one-shot caller
+   * can ignore it; a LONG-LIVED serving loop must free each batch's
+   * pin after consuming the result, or pins accumulate one per batch
+   * until GC-driven cleanup:
+   * {{{
+   *   val res = Similarity.serveTopK(batch, postings, …, pruneCells = true)
+   *   sink(res)                                        // consume
+   *   Checkpoints.releaseExcept(res, postings, batch)  // free THIS batch's pin
+   * }}}
+   * ([[graft.engine.Checkpoints.releaseExcept]] keeps any long-lived
+   * pins the loop reuses — a checkpointed postings or query table —
+   * and frees only the assignment checkpoint this call created.)
    */
   def serveTopK(queries: DataFrame, postings: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nProbe: Int,

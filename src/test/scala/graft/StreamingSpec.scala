@@ -1019,6 +1019,20 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(servedPruned == batch,
       s"pruned serve $servedPruned != batch reference $batch")
+    // SERVING-LOOP HYGIENE (ADVICE r11): each pruneCells batch pins
+    // its query-assignment checkpoint; a long-lived loop must free it
+    // via Checkpoints.releaseExcept or pins accumulate one per batch.
+    // Three released batches end at the pre-loop persistent-RDD set.
+    val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 3).foreach { _ =>
+      val res = Similarity.serveTopK(queries, posted, "vec_id",
+        "embedding", 3, cents, 2, pruneCells = true)
+      res.count()
+      graft.engine.Checkpoints.releaseExcept(res)
+    }
+    val pinsAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((pinsAfter -- pinsBefore).isEmpty,
+      s"released serve batches leaked pins: ${pinsAfter -- pinsBefore}")
     // semi-join fallback: force the probed-cell set over the IN-list
     // budget (pruneInMax = 1 < distinct probed cells) — the prune must
     // switch to a broadcast left-semi join, row-identical, with NO
@@ -1347,6 +1361,48 @@ class StreamingSpec extends SparkSpec {
       assert(all.size === all.distinct.size, s"duplicate emissions: $all")
       assert(all.toSet === Set((1L, 1.0), (2L, 2.0), (3L, 3.0)),
         "duplicate within watermark must stay suppressed across restart")
+    }
+  }
+
+  test("restart durability: throttleStream admitted-window state survives " +
+      "a checkpointed restart (rate limit spans the outage)") {
+    withRocksDb {
+      // Third leg of the restart triple (zip / dedup / throttle): the
+      // rate limiter's admitted-times window must come back from the
+      // state store, or events arriving after the restart are admitted
+      // at their own timestamps instead of being pushed behind the
+      // pre-crash admissions.
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_thr_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Long, Double)]]
+      val bus = new Streaming.EventBus(spark)
+      def startQ() = Streaming.throttleStream(bus.eventsTyped,
+          maximum = 2, intervalSec = 1.0)
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = b.collect().toSeq
+            .map(r => (r.getLong(1), r.getDouble(2)))
+        }
+        .outputMode("append").start()
+      // run 1: two admits fill the window = [0, 100000]
+      val q1 = startQ()
+      bus.emit(Ev(1L, 0L, 1.0), Ev(1L, 100_000L, 2.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // while down: two more events inside the still-closed rate window
+      bus.emit(Ev(1L, 150_000L, 3.0), Ev(1L, 160_000L, 4.0))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = batches.values.flatten.toList
+      assert(all.size === all.distinct.size,
+        s"duplicated admissions across restart: $all")
+      // with state restored: v3 waits for window(0)+1s, v4 for
+      // window(1)+1s — a lost window would admit both at their own ts
+      assert(all.toSet === Set((0L, 1.0), (100_000L, 2.0),
+        (1_000_000L, 3.0), (1_100_000L, 4.0)),
+        s"rate limit must span the outage, got $all")
     }
   }
 }

@@ -18,7 +18,7 @@ object BracketProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cPre = graft.HostCanary.canarySec(spark, sfDir)
-    val cjPre = graft.HostCanary.canaryJobSec(spark, sfDir)
+    val cjPre = graft.HostCanary.canaryJobSec(spark)
     println(f"canary_pre $cPre%.3f canary_job_pre $cjPre%.3f")
     names.foreach { qname =>
       val fn = graft.SparkEntry.queries(qname)
@@ -33,7 +33,7 @@ object BracketProbe {
         f"(min ${samples.min}%.2f, steady-min ${samples.drop(1).min}%.2f)")
     }
     val cPost = graft.HostCanary.canarySec(spark, sfDir)
-    val cjPost = graft.HostCanary.canaryJobSec(spark, sfDir)
+    val cjPost = graft.HostCanary.canaryJobSec(spark)
     println(f"canary_post $cPost%.3f canary_job_post $cjPost%.3f")
     spark.stop()
   }

@@ -39,7 +39,7 @@ object RegScan {
     val canaryPre = canary(0)
     // job-floor anchor (canaryJobSec): the latency-bound tail divides
     // by THIS, the compute canary does not track scheduling latency
-    val canaryJobPre = HostCanary.canaryJobSec(spark, sfDir)
+    val canaryJobPre = HostCanary.canaryJobSec(spark)
     val out = new StringBuilder
     out.append(f"canary_pre $canaryPre%.3f (frozen HostCanary workload, min-of-3)\n")
     out.append(f"canary_job_pre $canaryJobPre%.3f (24 near-empty jobs, min-of-3)\n")
@@ -58,7 +58,7 @@ object RegScan {
       name -> samples.min
     }
     val canaryPost = canary(sel.size)
-    val canaryJobPost = HostCanary.canaryJobSec(spark, sfDir)
+    val canaryJobPost = HostCanary.canaryJobSec(spark)
     out.append(f"canary_post $canaryPost%.3f\n")
     out.append(f"canary_job_post $canaryJobPost%.3f\n")
     times.sortBy(-_._2).foreach { case (n, s) =>

@@ -63,6 +63,9 @@ object ServeStress {
           val t0 = System.nanoTime(); rows = df.count()
           (System.nanoTime() - t0) / 1e9
         }.min
+        // serving-loop hygiene (serveTopK scaladoc): free THIS batch's
+        // assignment pin, keep the loop-reused query checkpoint
+        graft.engine.Checkpoints.releaseExcept(df, queries)
         (t, rows)
       }
       val (tp, np) = serve(pPart, prune = false)
@@ -86,6 +89,7 @@ object ServeStress {
           val t0 = System.nanoTime(); rows = df.count()
           (System.nanoTime() - t0) / 1e9
         }.min
+        graft.engine.Checkpoints.releaseExcept(df, wideQ)
         (t, rows)
       }
       val (twn, nwn) = serveWide(prune = false)
