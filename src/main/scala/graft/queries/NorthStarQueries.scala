@@ -63,6 +63,7 @@ object NorthStarQueries {
   private val UNI_MIN_CNT = 3L // unigram: min candidate count (len >= 2)
   private val UNI_MIN_USE = 2L // unigram: min round-1 usage to survive pruning
   private val UNI_MAX_WORD = 10 // unigram: words longer than this are excluded
+  private val UNI_TARGET = 48  // unigram size-mode: total vocab budget (singles + top multis)
                                 // from training/apply in BOTH engines (the
                                 // oracle unrolls one Viterbi-DP CTE per position)
   private val BLOOM_BITS = 131072 // decontamination Bloom filter size
@@ -457,8 +458,19 @@ object NorthStarQueries {
   }
 
   /** Shared unigram-training CTE chain (candidates → round-1 DP/usage →
-    * prune → round-2 DP/usage → `ufin` final vocab). */
-  private def sqlUniTrainCtes: String =
+    * prune → round-2 DP/usage → `ufin` final vocab). `targetVocab` > 0
+    * mirrors [[graft.text.TextOps.unigramLearnedVocab]]'s size-mode
+    * prune: singles always survive, multi-char slots are the top
+    * (target − n_singles) by (usage desc, piece asc). */
+  private def sqlUniTrainCtes(targetVocab: Int = 0): String = {
+    val uv1Multi =
+      if (targetVocab > 0)
+        "UNION ALL SELECT piece, cnt FROM (" +
+          "SELECT u.piece, u.cnt, row_number() OVER (ORDER BY u.cnt DESC, u.piece) AS rk " +
+          "FROM uuse1 u WHERE len(u.piece) >= 2) " +
+          s"WHERE rk <= $targetVocab - (SELECT count(*) FROM uv0 WHERE len(piece) = 1)), "
+      else
+        s"UNION ALL SELECT u.piece, u.cnt FROM uuse1 u WHERE len(u.piece) >= 2 AND u.cnt >= $UNI_MIN_USE), "
     s"uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (" +
       s"SELECT word FROM (SELECT unnest($TOKS) AS word FROM documents " +
       s"WHERE doc_id % $TRAIN_MOD = 0) WHERE len(word) <= $UNI_MAX_WORD) GROUP BY word), " +
@@ -473,13 +485,14 @@ object NorthStarQueries {
       "uv1 AS MATERIALIZED (" +
       "SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt FROM uv0 v " +
       "LEFT JOIN uuse1 u USING (piece) WHERE len(v.piece) = 1 " +
-      s"UNION ALL SELECT u.piece, u.cnt FROM uuse1 u WHERE len(u.piece) >= 2 AND u.cnt >= $UNI_MIN_USE), " +
+      uv1Multi +
       sqlUniDp("u2", "uw", "uv1") + ", " +
       "uuse2 AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM u2seg GROUP BY piece), " +
       "ufin AS MATERIALIZED (" +
       "SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt FROM uv1 v " +
       "LEFT JOIN uuse2 u USING (piece) WHERE len(v.piece) = 1 " +
       "UNION ALL SELECT u.piece, u.cnt FROM uuse2 u WHERE len(u.piece) >= 2)"
+  }
 
   private def sqlBpeCtes(nMerges: Int, docWhere: String = ""): String = {
     val sb = new StringBuilder
@@ -2935,7 +2948,26 @@ object NorthStarQueries {
       (s, d) => TextOps.unigramTrain(docs(s, d), "doc_id", "text",
         UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD, TRAIN_MOD)
         .orderBy("piece"),
-      s"WITH $sqlUniTrainCtes " +
+      s"WITH ${sqlUniTrainCtes()} " +
+        "SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
+        "CAST(cnt AS BIGINT) AS usage FROM ufin ORDER BY piece"),
+
+    Q("q_unigram_target",
+      // Unigram training under SentencePiece's real vocabulary-SIZE
+      // objective (r11 verdict #8): Kudo's EM keeps a seed vocab and
+      // prunes to a TARGET size; ours swaps the usage floor for a
+      // top-(UNI_TARGET − n_singles) multi-char selection by
+      // (usage desc, piece asc) — a deterministic total order both
+      // engines replicate exactly. The budget BINDS on this corpus
+      // (floor mode keeps more multi-char pieces than the target
+      // leaves room for), so the artifact is a fixed-size vocabulary —
+      // the shippable-tokenizer contract a 100 TB train wants: vocab
+      // size is a model hyperparameter, not a corpus statistic.
+      (s, d) => TextOps.unigramTrain(docs(s, d), "doc_id", "text",
+        UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD, TRAIN_MOD,
+        UNI_TARGET)
+        .orderBy("piece"),
+      s"WITH ${sqlUniTrainCtes(UNI_TARGET)} " +
         "SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
         "CAST(cnt AS BIGINT) AS usage FROM ufin ORDER BY piece"),
 
@@ -2968,7 +3000,7 @@ object NorthStarQueries {
             col("n_chars").cast("double") / col("n_pieces").cast("double"))
           .orderBy("source")
       },
-      s"WITH $sqlUniTrainCtes, " +
+      s"WITH ${sqlUniTrainCtes()}, " +
         s"aw0 AS (SELECT source, word FROM (SELECT source, unnest($TOKS) AS word " +
         s"FROM documents) WHERE len(word) <= $UNI_MAX_WORD), " +
         "awords AS MATERIALIZED (SELECT word, CAST(1 AS BIGINT) AS freq " +

@@ -974,6 +974,16 @@ object TextOps {
    * ultra-long tokens are noise at any corpus size — SentencePiece
    * itself caps candidate/sentence lengths).
    *
+   * `targetVocab` > 0 switches the PRUNE step to SentencePiece's
+   * actual vocabulary-SIZE objective (Kudo prunes the seed vocab to a
+   * target size by likelihood loss; usage is our integer-exact
+   * surrogate): single chars always survive (coverage), and the
+   * multi-char slots are the top `targetVocab - nSingleChars` round-1
+   * pieces by (usage desc, piece asc) — a deterministic total order,
+   * so both engines pick the identical set. The `minUse` floor is
+   * ignored in this mode (the size budget IS the floor). A target
+   * smaller than the single-char alphabet keeps only the alphabet.
+   *
    * The vocabulary is collected to the driver between rounds — a
    * constant-size index artifact (bounded by alphabet^maxPieceLen,
    * 36⁴ ≈ 1.7M worst case, vocab-sized in practice), the
@@ -981,7 +991,8 @@ object TextOps {
    */
   def unigramLearnedVocab(docsDf: DataFrame, idCol: String, textCol: String,
       maxPieceLen: Int = 4, minCount: Long = 3L, minUse: Long = 2L,
-      maxWord: Int = 10, trainMod: Long = 1L): (Array[String], Array[Long]) = {
+      maxWord: Int = 10, trainMod: Long = 1L,
+      targetVocab: Int = 0): (Array[String], Array[Long]) = {
     require(maxPieceLen >= 1 && minCount >= 1 && minUse >= 1 && maxWord >= 1)
     val sampled =
       if (trainMod == 1L) docsDf
@@ -1014,11 +1025,17 @@ object TextOps {
     val (u1p, u1c) = collectVocab(usage(v0))
     val u1 = u1p.zip(u1c).toMap
     // prune: single chars of the candidate vocab survive at their
-    // (possibly zero) usage; multi-char pieces need usage >= minUse
-    val v1pairs = (p0.filter(_.length == 1)
-        .map(p => (p, u1.getOrElse(p, 0L))) ++
-      u1p.zip(u1c).filter { case (p, c) => p.length >= 2 && c >= minUse })
-      .sortBy(_._1)
+    // (possibly zero) usage. Multi-char slots: usage >= minUse (floor
+    // mode), or the top (targetVocab - nSingles) by (usage desc,
+    // piece asc) (size mode — the Kudo prune-to-target objective)
+    val singles = p0.filter(_.length == 1).map(p => (p, u1.getOrElse(p, 0L)))
+    val multis1 = u1p.zip(u1c).filter(_._1.length >= 2)
+    val kept =
+      if (targetVocab > 0)
+        multis1.sortBy { case (p, c) => (-c, p) }
+          .take(math.max(0, targetVocab - singles.length))
+      else multis1.filter(_._2 >= minUse)
+    val v1pairs = (singles ++ kept).sortBy(_._1)
     val v1 = new graft.functions.UnigramVocab(
       v1pairs.map(_._1), v1pairs.map(_._2))
     val (u2p, u2c) = collectVocab(usage(v1))
@@ -1034,11 +1051,12 @@ object TextOps {
     * (piece, piece_len, usage), ordered by piece. */
   def unigramTrain(docsDf: DataFrame, idCol: String, textCol: String,
       maxPieceLen: Int = 4, minCount: Long = 3L, minUse: Long = 2L,
-      maxWord: Int = 10, trainMod: Long = 1L): DataFrame = {
+      maxWord: Int = 10, trainMod: Long = 1L,
+      targetVocab: Int = 0): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
     val (p, c) = unigramLearnedVocab(docsDf, idCol, textCol, maxPieceLen,
-      minCount, minUse, maxWord, trainMod)
+      minCount, minUse, maxWord, trainMod, targetVocab)
     p.zip(c).toSeq.map { case (pc, cc) => (pc, pc.length.toLong, cc) }
       .toDF("piece", "piece_len", "usage").orderBy("piece")
   }

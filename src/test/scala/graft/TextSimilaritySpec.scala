@@ -1388,4 +1388,39 @@ class TextSimilaritySpec extends SparkSpec {
       assert(UnigramSeg.segment(w, v32k).mkString("") == w)
     }
   }
+
+  test("unigram targetVocab: fixed-size budget, greedy-prefix nesting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the hat and the bat"),
+      (3L, "a cat and a rat sat"), (4L, "the mat the cat the sat"))
+      .toDF("doc_id", "text")
+    def train(target: Int) = TextOps.unigramLearnedVocab(docs, "doc_id",
+      "text", 3, 1L, 1L, 10, 1L, targetVocab = target)
+    // floor mode at minUse=1 keeps EVERY round-1-used multi-char piece;
+    // a non-binding budget must reproduce it exactly (same prune set →
+    // same round-2 usages)
+    val (fp, fc) = train(0)
+    val nSingles = fp.count(_.length == 1)
+    val total = fp.length
+    assert(total > nSingles, "fixture must surface multi-char pieces")
+    val (bp, bc) = train(total + 10)
+    assert(bp.toSeq == fp.toSeq && bc.toSeq == fc.toSeq,
+      "non-binding budget must equal the minUse=1 floor vocabulary")
+    // a binding budget yields EXACTLY target pieces — vocab size is the
+    // hyperparameter, not a corpus statistic
+    val k = nSingles + (total - nSingles) / 2
+    val (kp, _) = train(k)
+    assert(kp.length == k, s"budget $k produced ${kp.length} pieces")
+    assert(fp.filter(_.length == 1).toSeq == kp.filter(_.length == 1).toSeq,
+      "single chars (coverage) must always survive the budget")
+    // greedy-prefix property: the multi-char set is nested as the
+    // budget grows (selection is a prefix of one fixed total order)
+    val mk = kp.filter(_.length >= 2).toSet
+    val mk1 = train(k + 1)._1.filter(_.length >= 2).toSet
+    assert(mk.subsetOf(mk1) && mk1.size == mk.size + 1,
+      s"budget $k multis $mk must nest inside budget ${k + 1} multis $mk1")
+    // a budget below the alphabet keeps only the alphabet
+    assert(train(1)._1.forall(_.length == 1))
+  }
 }
