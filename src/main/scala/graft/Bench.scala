@@ -186,6 +186,19 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }.max
     val slideRate = rate("q_arraymean")
+    // The sliding-mean "rate" at sf0.1 is a ~0.05-0.1 s measurement —
+    // one-to-two scheduler jobs at the per-job floor — so raw values/s
+    // tracks HOST scheduling latency, not operator throughput (the
+    // r10→r11 "14% drop" was the job canary at its 78 ms/job worst on
+    // a code-identical path: git diff r10→r11 over EventQueries/
+    // EventStream/Tables/Aggregators is EMPTY). Price it in job-floor
+    // units against a canary sampled HERE (the session-start one can
+    // drift by the time 60+ queries have run): sec / (canary_job/24)
+    // ≈ how many floor-priced jobs the measurement took. Compare THIS
+    // across rounds; raw sliding_mean values/s only moves with the
+    // floor.
+    val canaryJobAtSlide = HostCanary.canaryJobSec(spark)
+    val slideJobfloorUnits = (nEvents / slideRate) / (canaryJobAtSlide / 24.0)
 
     val qs = results.map { case (k, v, _, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val qsCold = cold.map { case (k, v, _, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -206,6 +219,9 @@ object Bench {
         s""""zip_pairs_per_sec":$zipRate,"reference_zip_pairs_per_sec":27399,""" +
         s""""zip_shape":"two 50000-element sequences -> zip -> count (BASELINE.md appendix shape), best of 3",""" +
         s""""sliding_mean_values_per_sec":$slideRate,""" +
+        s""""sliding_mean_jobfloor_units":$slideJobfloorUnits,""" +
+        s""""sliding_mean_canary_job_sec":$canaryJobAtSlide,""" +
+        s""""sliding_mean_note":"sf0.1 sliding-mean is a 1-2-job measurement at the scheduler floor; compare jobfloor_units (sec / adjacent per-job canary) across rounds, never raw values/s",""" +
         s""""reference_sliding_mean_values_per_sec":16302}"""
     // sbt interleaves [info]/[error] noise on stdout, which broke the
     // driver's JSON extraction in round 1 (BENCH_r01 "parsed": null).

@@ -78,10 +78,32 @@ object SfGen {
         .withColumn("l_partkey", col("l_partkey") + lit(k * nP))
     }, "lineitem")
 
-    // verbatim pass-through (dimension tables + events): byte-copy the
-    // files — a Spark read/write round-trip would fail on events'
-    // TIMESTAMP(NANOS) (see Tables.events) and needlessly rewrite dims
-    Seq("customer", "supplier", "part", "nation", "region", "events")
+    // events: s disjoint-USER copies — more keys, same per-key run
+    // length, the realistic scale shape for the keyed event pipelines
+    // (combine/timing/running-agg families, unmeasured at sf1 before
+    // r12). The fixture's ts is INT64 TIMESTAMP(NANOS), which vanilla
+    // Spark refuses to read; read nanos-as-long and WRITE a regular
+    // micros timestamp — Tables.events consumes either encoding and
+    // the queries only ever see micros (`ts div 1000`) anyway.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evRaw = spark.read.parquet(s"$srcDir/events.parquet")
+    // the fixture's ts may resolve as nanos-long (legacy flag honored)
+    // or as TIMESTAMP_NTZ (native nanos read) — Tables.events' dispatch
+    val tsUs = evRaw.schema("ts").dataType.typeName match {
+      case "long" => timestamp_micros(expr("ts div 1000"))
+      case _      => col("ts").cast("timestamp")
+    }
+    val ev = evRaw.withColumn("ts", tsUs)
+    val nE = ev.agg(max("event_id")).head.getLong(0) + 1
+    val nU = ev.agg(max("user_id")).head.getLong(0) + 1
+    write(copies(ev) { (b, k) =>
+      b.withColumn("event_id", col("event_id") + lit(k * nE))
+        .withColumn("user_id", col("user_id") + lit(k * nU))
+    }, "events")
+
+    // verbatim pass-through (dimension tables): byte-copy the files —
+    // the dims stay reference-sized (broadcast side) at every rung
+    Seq("customer", "supplier", "part", "nation", "region")
       .foreach { t =>
         val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
         val dst = java.nio.file.Paths.get(s"$outDir/$t.parquet")
