@@ -1144,6 +1144,35 @@ object NorthStarQueries {
         "SELECT node AS doc_id, min(comp) AS cluster FROM walk " +
         "GROUP BY node ORDER BY doc_id"),
 
+    Q("q_dedup_clusters_star",
+      // The SAME pairs→clusters contract through the HIGH-DIAMETER
+      // engine: alternating large-star/small-star (Kiveris et al.,
+      // SoCC'14, ConnectedComponents.runStar) — O(log n) rounds in
+      // component size where min-label propagation is O(diameter).
+      // Dedup graphs are shallow (diameter 3-5), so q_dedup_clusters
+      // keeps min-label; THIS row pins the scale path the 100 TB
+      // web-graph / session-stitching shapes need, under the driver's
+      // oracle gate rather than only the ScalaTest parity specs. Both
+      // engines converge to min-id-per-component, so the oracle is the
+      // identical recursive walk.
+      (s, d) => {
+        val sigs = TextOps.minhashSigArray(docs(s, d), "doc_id", "text", K, H)
+        val bands = TextOps.lshBandsArr(sigs, "doc_id", BANDS, R)
+        val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
+        graft.engine.ConnectedComponents.runStar(cand)
+          .select(col("node").as("doc_id"), col("comp").as("cluster"))
+          .orderBy("doc_id")
+      },
+      s"WITH RECURSIVE $MINHASH_CANDS, " +
+        "e2 AS (SELECT a AS src, b AS dst FROM cand " +
+        "UNION ALL SELECT b AS src, a AS dst FROM cand), " +
+        "walk(node, comp) AS (" +
+        "SELECT DISTINCT src, src FROM e2 " +
+        "UNION " +
+        "SELECT e2.src, w.comp FROM e2 JOIN walk w ON w.node = e2.dst) " +
+        "SELECT node AS doc_id, min(comp) AS cluster FROM walk " +
+        "GROUP BY node ORDER BY doc_id"),
+
     Q("q_dedup_keep_best",
       // Policy-driven keeper selection: per duplicate cluster keep the
       // LONGEST version (ties -> smallest doc_id), not the min-id —
