@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // javax.imageio defaults to useCache=true: every ImageIO.read/write
+  // on a non-file stream spools through a TEMP FILE in java.io.tmpdir
+  // (FileCache(In|Out)putStream) — one disk create/write/delete per
+  // image. For a corpus of small in-memory payloads that is pure
+  // per-row disk I/O priced by tmpdir state, not by the codec
+  // (measured: the three PNG queries at sf0.1 swung 0.3 ↔ 3.5 s with
+  // ZERO code change when the host's tmp went cold). In-memory streams
+  // are strictly correct here — payloads are bounded (KB-scale tiles),
+  // executors decode thousands per partition. JVM-global by imageio
+  // design; set once when the library loads, on every executor via
+  // the task closure touching this object.
+  ImageIO.setUseCache(false)
+
   case class MediaItem(
       media_id: Long,
       media_type: String,   // "image" | "audio" | "video"
