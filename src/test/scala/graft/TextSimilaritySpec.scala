@@ -555,6 +555,12 @@ class TextSimilaritySpec extends SparkSpec {
     assert(f.media_type == "image" && f.feature.sum == 256.0f)
     // a corrupt payload fails loudly, not silently
     intercept[Exception](Multimodal.decodeImage(Array[Byte](1, 2, 3)))
+    // the imageio DISK cache must stay off: useCache=true spools every
+    // read/write through a temp file in java.io.tmpdir — one hidden
+    // disk round-trip per image, measured 10x on the PNG queries when
+    // the host's tmp went cold (SCALE.md round-12)
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO disk cache re-enabled: per-image temp-file I/O returns")
   }
 
   test("vec_dot: mismatched lengths yield NULL, not a partial score") {
