@@ -3690,6 +3690,61 @@ object NorthStarQueries {
         "CAST(max(tgt) AS BIGINT) AS target_tokens " +
         "FROM cum WHERE cb < tgt GROUP BY source ORDER BY source"),
 
+    Q("q_mix_temperature",
+      // TEMPERATURE-sampled training mix (the multilingual-LM source
+      // rebalance: sample share ∝ size^α, α = 0.5 here): unlike
+      // q_token_mix_weighted's STATIC weight column, the weight is
+      // derived from the corpus itself — w_s = isqrt(source tokens) —
+      // so small sources are upsampled relative to proportional
+      // sampling and large ones damped, with no hand-tuned table.
+      // isqrt = floor(sqrt(double(n))) is bit-reproducible across
+      // engines for n far below 2^52 (one correctly-rounded IEEE sqrt
+      // of an exactly-representable integer; the floor cannot flip at
+      // these magnitudes), everything after it is integer arithmetic,
+      // and admission is the same hash-order cumulative-sum window as
+      // the rest of the mix family. Scale shape: one narrow token
+      // projection, one S-row aggregate broadcast back, one per-source
+      // keyed window — no new shuffle class.
+      (s, d) => {
+        val dd = docs(s, d).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+          (col("doc_id") * 2654435761L % 1000003L).as("h"))
+        val srcW = dd.groupBy("source")
+          .agg(sum(col("n_tok")).as("src_tok"))
+          .withColumn("w",
+            floor(sqrt(col("src_tok").cast("double"))).cast("long"))
+        val tot = dd.agg(sum(col("n_tok")).as("tt"))
+          .crossJoin(srcW.agg(sum(col("w")).as("sw")))
+        val wSrc = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        dd.join(broadcast(srcW), "source").crossJoin(broadcast(tot))
+          .withColumn("tgt", expr("(tt * w) div (sw * 2)"))
+          .withColumn("cb", coalesce(sum(col("n_tok")).over(wSrc), lit(0L)))
+          .filter(col("cb") < col("tgt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("n_tok")).as("n_tokens_kept"),
+            max(col("w")).as("weight"),
+            max(col("tgt")).as("target_tokens"))
+          .orderBy("source")
+      },
+      s"WITH dd AS (SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n_tok, " +
+        "(doc_id * 2654435761) % 1000003 AS h FROM documents), " +
+        "sw AS (SELECT source, CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) " +
+        "AS BIGINT) AS w FROM dd GROUP BY source), " +
+        "tot AS (SELECT (SELECT CAST(sum(n_tok) AS BIGINT) FROM dd) AS tt, " +
+        "(SELECT CAST(sum(w) AS BIGINT) FROM sw) AS sw2), " +
+        "cum AS (SELECT dd.*, sw.w, (tt * w) // (sw2 * 2) AS tgt, " +
+        "coalesce(sum(n_tok) OVER (PARTITION BY dd.source ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb " +
+        "FROM dd JOIN sw ON sw.source = dd.source, tot) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept, " +
+        "CAST(max(w) AS BIGINT) AS weight, " +
+        "CAST(max(tgt) AS BIGINT) AS target_tokens " +
+        "FROM cum WHERE cb < tgt GROUP BY source ORDER BY source"),
+
     Q("q_source_overlap",
       // Cross-source contamination report: for every source pair, the
       // count of shared distinct 8-gram shingles and the overlap
