@@ -754,4 +754,45 @@ class PropertySpec extends SparkSpec {
         if (canon.nonEmpty) assert(got(canon.toSeq) == expect)
     }
   }
+
+  test("temperature mix upsamples small sources (share ∝ size^0.5)") {
+    // Two exact consequences of tgt_s = (tt · isqrt(size_s)) div (2Σw):
+    //  (1) targets are weakly INCREASING in source size (isqrt is
+    //      monotone; same denominator, same floor);
+    //  (2) small sources get a LARGER fraction of themselves than
+    //      sources ≥ 4× their size — the upsampling that defines
+    //      temperature sampling. Pairwise proportionality can invert
+    //      at isqrt step boundaries (size 99 → w 9 vs size 100 → w 10),
+    //      so the 4× separation + one-floor-unit slack makes the bound
+    //      exact, not statistical. Cross-multiplied integers, no
+    //      float division.
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, d)
+      .select("source", "target_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcTok = graft.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.text.TextOps.tokens(
+            org.apache.spark.sql.functions.col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(
+        org.apache.spark.sql.functions.sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.keySet == srcTok.keySet)
+    for (a <- rows.keys; b <- rows.keys if srcTok(a) <= srcTok(b)) {
+      assert(rows(a) <= rows(b),
+        s"targets must be monotone in size: $a(${srcTok(a)})→${rows(a)} " +
+          s"vs $b(${srcTok(b)})→${rows(b)}")
+    }
+    val quads = for {
+      a <- rows.keys; b <- rows.keys
+      if srcTok(a) >= 4L && srcTok(b) >= 4L * srcTok(a)
+    } yield (a, b)
+    quads.foreach { case (a, b) =>
+      // tgt_a/size_a ≥ tgt_b/size_b, with slack for tgt's single floor
+      assert(rows(a) * srcTok(b) + srcTok(a) >= rows(b) * srcTok(a),
+        s"small source $a (${srcTok(a)} tok, tgt ${rows(a)}) sampled " +
+          s"thinner than $b (${srcTok(b)} tok, tgt ${rows(b)})")
+    }
+  }
 }
