@@ -675,7 +675,7 @@ final class BpeRules(val l: Array[String], val r: Array[String])
   // length-prefixed so ("ab","c") and ("a","bc") cannot collide for
   // any symbol alphabet (a symbol may contain any character)
   @inline private def key(a: String, b: String): String =
-    a.length + ":" + a + b
+    s"${a.length}:$a$b"
 
   /** Smallest rule rank ≥ `from` whose pair is (a, b); Int.MaxValue if
     * none. Ranks per pair are ascending by construction → the ceiling

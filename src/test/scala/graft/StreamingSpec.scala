@@ -1031,8 +1031,8 @@ class StreamingSpec extends SparkSpec {
       graft.engine.Checkpoints.releaseExcept(res)
     }
     val pinsAfter = spark.sparkContext.getPersistentRDDs.keySet
-    assert((pinsAfter -- pinsBefore).isEmpty,
-      s"released serve batches leaked pins: ${pinsAfter -- pinsBefore}")
+    val leaked = pinsAfter.toSet -- pinsBefore.toSet
+    assert(leaked.isEmpty, s"released serve batches leaked pins: $leaked")
     // semi-join fallback: force the probed-cell set over the IN-list
     // budget (pruneInMax = 1 < distinct probed cells) — the prune must
     // switch to a broadcast left-semi join, row-identical, with NO

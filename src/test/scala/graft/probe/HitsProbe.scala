@@ -76,7 +76,7 @@ object HitsProbe {
         coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
-    val dead = preFinal -- before
+    val dead = preFinal.toSet -- before.toSet
     sc.getPersistentRDDs.foreach { case (id, r) =>
       if (dead.contains(id)) r.unpersist(false) }
     out

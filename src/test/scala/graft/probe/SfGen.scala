@@ -41,7 +41,7 @@ object SfGen {
     }
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val nV = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val nV = emb.agg(max("vec_id")).head().getLong(0) + 1
     write(copies(emb) { (b, k) =>
       b.select((col("vec_id") + lit(k * nV)).as("vec_id"),
         expr(s"transform(embedding, (x, d) -> x + " +
@@ -51,7 +51,7 @@ object SfGen {
     }, "embeddings")
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val nD = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val nD = docs.agg(max("doc_id")).head().getLong(0) + 1
     write(copies(docs) { (b, k) =>
       val t = regexp_replace(col("text"), "\\b(\\w)", s"c$k$$1")
       b.select((col("doc_id") + lit(k * nD)).as("doc_id"), t.as("text"),
@@ -59,9 +59,9 @@ object SfGen {
     }, "documents")
 
     val ord = spark.read.parquet(s"$srcDir/orders.parquet")
-    val nO = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val nO = ord.agg(max("o_orderkey")).head().getLong(0) + 1
     val cust = spark.read.parquet(s"$srcDir/customer.parquet")
-    val nC = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    val nC = cust.agg(max("c_custkey")).head().getLong(0) + 1
     write(copies(ord) { (b, k) =>
       b.withColumn("o_orderkey", col("o_orderkey") + lit(k * nO))
         .withColumn("o_custkey", col("o_custkey") + lit(k * nC))
@@ -69,9 +69,9 @@ object SfGen {
 
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
     val supp = spark.read.parquet(s"$srcDir/supplier.parquet")
-    val nS = supp.agg(max("s_suppkey")).head.getLong(0) + 1
+    val nS = supp.agg(max("s_suppkey")).head().getLong(0) + 1
     val part = spark.read.parquet(s"$srcDir/part.parquet")
-    val nP = part.agg(max("p_partkey")).head.getLong(0) + 1
+    val nP = part.agg(max("p_partkey")).head().getLong(0) + 1
     write(copies(li) { (b, k) =>
       b.withColumn("l_orderkey", col("l_orderkey") + lit(k * nO))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * nS))
@@ -94,8 +94,8 @@ object SfGen {
       case _      => col("ts").cast("timestamp")
     }
     val ev = evRaw.withColumn("ts", tsUs)
-    val nE = ev.agg(max("event_id")).head.getLong(0) + 1
-    val nU = ev.agg(max("user_id")).head.getLong(0) + 1
+    val nE = ev.agg(max("event_id")).head().getLong(0) + 1
+    val nU = ev.agg(max("user_id")).head().getLong(0) + 1
     write(copies(ev) { (b, k) =>
       b.withColumn("event_id", col("event_id") + lit(k * nE))
         .withColumn("user_id", col("user_id") + lit(k * nU))
