@@ -204,8 +204,25 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   // ancestor's checkpoint, so lineage is cut exactly when the deferred
   // free fires. Sticky on the engine's calling thread — benign for
   // non-engine work (it only affects RDDs already marked for
-  // checkpointing).
+  // checkpointing). The property is a THREAD-local: it is snapshotted
+  // here and restored by [[guarded]]'s finally (nesting-safe — an
+  // inner engine's scope restores the outer scope's "true"), so it
+  // can neither leak to unrelated later work on a pooled thread nor
+  // clobber an enclosing scope. And because it only takes effect on
+  // the constructing thread, [[track]]/[[free]] ASSERT same-thread
+  // use — an eager-ckpt round running on a different pool thread
+  // would otherwise silently lose lineage truncation and make the
+  // deferred free unsafe (r12 advice).
+  private val prevCkptAll =
+    sc.getLocalProperty("spark.checkpoint.checkpointAllMarkedAncestors")
   sc.setLocalProperty("spark.checkpoint.checkpointAllMarkedAncestors", "true")
+  private val owner = Thread.currentThread()
+  private def assertOwner(what: String): Unit =
+    require(Thread.currentThread() eq owner,
+      s"CheckpointScope.$what on thread '" +
+        Thread.currentThread().getName + "' but the scope (and its " +
+        "checkpointAllMarkedAncestors thread-local) belongs to '" +
+        owner.getName + "'; off-thread rounds lose lineage truncation")
   private var seen = sc.getPersistentRDDs.keySet.toSet
   private var owned = List.empty[Int]
   private var lastIds = List.empty[Int]
@@ -222,6 +239,7 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   def ckptLazy(df: DataFrame): DataFrame = track(df.localCheckpoint(false))
 
   private def track(out: DataFrame): DataFrame = {
+    assertOwner("ckpt")
     // EXACT attribution: a checkpointed Dataset's plan is a LogicalRDD
     // leaf wrapping the very RDD that was persisted — read its id from
     // the plan instead of diffing the global persistent-RDD registry,
@@ -243,6 +261,7 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
 
   /** Unpersist the given owned ids now (they must be dead). */
   def free(ids: List[Int]): Unit = {
+    assertOwner("free")
     val rdds = sc.getPersistentRDDs
     ids.foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
     owned = owned.filterNot(ids.contains)
@@ -262,5 +281,12 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   def guarded[T](body: => T): T =
     try body catch {
       case scala.util.control.NonFatal(e) => freeAllBut(Nil); throw e
-    }
+    } finally
+      // end-of-engine hygiene: restore the constructor's snapshot (a
+      // null snapshot REMOVES the key). Safe for results referencing
+      // still-lazy checkpoints: their pins are in `keep`, never freed,
+      // so a post-scope materialization without the property merely
+      // recomputes through live ancestors.
+      sc.setLocalProperty(
+        "spark.checkpoint.checkpointAllMarkedAncestors", prevCkptAll)
 }

@@ -185,6 +185,33 @@ object Similarity {
     math.min(m, cap)
   }
 
+  /** Corpus-derived TRAINING-sample modulus — [[probeModFor]]'s doubling
+    * discipline applied to the index-training side (the FAISS rule:
+    * codebooks/centroids are distribution statistics, so train on a
+    * bounded sample and assign/encode full-corpus). A PINNED modulus
+    * makes every Lloyd/PQ training pass O(n/mod · iters · cells) — a
+    * fixed FRACTION of the corpus, linear but pointlessly so: at
+    * 100 TB a 1-in-4 sample is ~10⁶× more data than codebook
+    * statistics need. The derived modulus doubles as the corpus
+    * doubles, so the training set stays ~`targetTrain` rows — the
+    * training term becomes O(targetTrain · iters · cells), constant in
+    * the corpus. Floor 4 keeps the historical sample at small n; the
+    * seed requirement (largest seed count is 64 cells) is covered for
+    * any n ≥ 256 because the derived sample is always > targetTrain/2
+    * once the ladder grows and n/4 ≥ 64 below that. Integer-only
+    * doubling ladder so a SQL oracle derives the identical modulus
+    * from its own count(*). */
+  def trainModFor(n: Long, targetTrain: Long, floorMod: Long = 4L,
+      maxMod: Long = 4L << 24): Long = {
+    require(targetTrain >= 1 && floorMod >= 1 && maxMod >= floorMod,
+      s"bad trainModFor args")
+    var cap = floorMod
+    while (cap * 2 <= maxMod) cap *= 2
+    var m = floorMod
+    while (m < cap && (n - 1) / targetTrain >= m) m *= 2
+    math.min(m, cap)
+  }
+
   /**
    * IVF (inverted-file) cosine top-k: vectors are assigned to the cell
    * of their nearest centroid, and the quadratic scoring runs within
@@ -1158,10 +1185,13 @@ object Similarity {
     * their builders, so no extra materialization barrier is paid;
     * `cellCap` (default: unbounded) keeps only the cellCap LOWEST-id
     * home members per cell (FAISS's max-codes-per-cell knob, the hard
-    * |cell|·cap work bound). Returns (cell, x, y) struct pairs with
-    * x.id ≠ y.id, `member` evaluated on both sides. */
+    * |cell|·cap work bound); `xPred` (default: all rows) restricts the
+    * QUERY side — the serving-batch shape: a small query batch probes
+    * the full postings without generating corpus-wide pairs. Returns
+    * (cell, x, y) struct pairs with x.id ≠ y.id, `member` evaluated on
+    * both sides. */
   private def inCellStructPairs(am: DataFrame, member: Column,
-      idCol: String, cellCap: Int): DataFrame = {
+      idCol: String, cellCap: Int, xPred: Column = lit(true)): DataFrame = {
     val homeAll = am.filter(col("isHome"))
     val home = (if (cellCap == Int.MaxValue) homeAll
       else homeAll
@@ -1169,7 +1199,7 @@ object Similarity {
           Window.partitionBy(col("cell")).orderBy(col(idCol))))
         .filter(col("__hr") <= cellCap))
       .select(col("cell"), member.as("y"))
-    am.select(col("cell"), member.as("x"))
+    am.filter(xPred).select(col("cell"), member.as("x"))
       .join(home, "cell")
       .filter(col("x.id") =!= col("y.id"))
   }
@@ -1184,10 +1214,73 @@ object Similarity {
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
 
     // all m codebooks trained jointly (one Lloyd round per iteration
-    // covers every subspace), codes assigned in one pivot pass, then
-    // the constant-size index COLLECTED and served as dense literals
-    // (see PqIndex — the FAISS ADC-table shape)
+    // covers every subspace); the coarse quantizer is trained here or
+    // arrives pre-trained (`centsPre` — a tuning sweep trains 16-cell
+    // k-means ONCE and shares it across the ivf_kmeans / ivf_pq /
+    // ivf_pq_res configs)
     val cbAll = pqCodebooksAll(embQ, idCol, m, subDim, pqK, pqIters, trainMod)
+    val coarse = centsPre.getOrElse(kmeansCentroids(
+      embQ.select(col(idCol), col("qq").as("q")), idCol, nCells, kmIters,
+      dims, trainMod))
+    pqRankedPairsFrom(emb, idCol, vecCol, dims, nProbe, m, pqK,
+      coarse, cbAll, cellCap)
+  }
+
+  /** Train the two constant-size artifacts of an IVF-PQ index — the
+    * coarse k-means centroids ((cid, cq), nCells rows) and the jointly
+    * trained per-subspace PQ codebooks ((mi, cid, cq, cnt), m·pqK
+    * rows) — WITHOUT building the serving plan. The nightly-train half
+    * of the persisted-PQ lifecycle: persist both via
+    * [[graft.sources.IndexStore.saveCentroids]] /
+    * [[graft.sources.IndexStore.savePqCodebooks]], then serve any
+    * later batch with [[topKIvfPqServe]] — zero training stages in any
+    * restart's plan. */
+  def pqTrainArtifacts(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, kmIters: Int, dims: Int, m: Int, pqK: Int, pqIters: Int,
+      trainMod: Long = 1): (DataFrame, DataFrame) = {
+    val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
+    val cents = kmeansCentroids(
+      embQ.select(col(idCol), col("qq").as("q")), idCol, nCells, kmIters,
+      dims, trainMod)
+    val cbAll = pqCodebooksAll(embQ, idCol, m, dims / m, pqK, pqIters,
+      trainMod)
+    (cents, cbAll)
+  }
+
+  /** IVF-PQ top-k served ENTIRELY from pre-trained artifacts (the
+    * [[topKIvfPq]] read path with both quantizers arriving trained —
+    * e.g. loaded from [[graft.sources.IndexStore]] after a restart):
+    * the plan assigns cells and codes against the given tables and
+    * scores/reranks exactly as [[topKIvfPq]] does, but contains ZERO
+    * Lloyd rounds. Bit-identical to serving from the training session
+    * because both artifacts round-trip exactly (integer centroid sums,
+    * long codes). */
+  def topKIvfPqServe(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int, nProbe: Int, m: Int, pqK: Int,
+      cents: DataFrame, cbAll: DataFrame, rerank: Int = 0,
+      cellCap: Int = Int.MaxValue, queryPred: Column = lit(true)): DataFrame = {
+    val ranked = pqRankedPairsFrom(emb, idCol, vecCol, dims, nProbe, m, pqK,
+      cents, cbAll, cellCap, queryPred)
+    if (rerank <= 0)
+      ranked.filter(col("rank") <= k).select("a", "rank", "b")
+    else
+      rerankShortlist(emb, idCol, vecCol,
+        ranked.filter(col("rank") <= rerank).select("a", "b"), k)
+  }
+
+  /** The serving half of [[pqRankedPairs]]: rank all IVF candidates by
+    * the PQ table score against an ALREADY-TRAINED coarse quantizer +
+    * codebook pair. */
+  private def pqRankedPairsFrom(emb: DataFrame, idCol: String,
+      vecCol: String, dims: Int, nProbe: Int, m: Int, pqK: Int,
+      coarse: DataFrame, cbAll: DataFrame, cellCap: Int,
+      queryPred: Column = lit(true)): DataFrame = {
+    val subDim = dims / m
+    val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
+
+    // codes assigned in one pivot pass, then the constant-size index
+    // COLLECTED and served as dense literals (see PqIndex — the FAISS
+    // ADC-table shape)
     val idx = collectPqIndex(cbAll, m, pqK)
     val codesWide = denseCodes(
       pqAssignCodes(embQ, idCol, cbAll, m, subDim), idCol, idx)
@@ -1201,13 +1294,7 @@ object Similarity {
         .reduce(_ + _)))
 
     // IVF candidates (exactly-once emission, as in topKIvfKmeans),
-    // carrying dense codes + approx norm instead of the vector; the
-    // coarse quantizer is trained here or arrives pre-trained
-    // (`centsPre` — a tuning sweep trains 16-cell k-means ONCE and
-    // shares it across the ivf_kmeans / ivf_pq / ivf_pq_res configs)
-    val coarse = centsPre.getOrElse(kmeansCentroids(
-      embQ.select(col(idCol), col("qq").as("q")), idCol, nCells, kmIters,
-      dims, trainMod))
+    // carrying dense codes + approx norm instead of the vector
     // the slim member table (id, cell, isHome, vn, m codes — no float
     // vector) is CHECKPOINTED before the pair join: both join sides of
     // inCellStructPairs read the materialized rows instead of each
@@ -1219,7 +1306,7 @@ object Similarity {
     val member = struct(
       col(idCol).as("id") +: col("isHome") +: col("vn") +:
         (0 until m).map(mi => col(s"c$mi")): _*)
-    val pairs = inCellStructPairs(assign, member, idCol, cellCap)
+    val pairs = inCellStructPairs(assign, member, idCol, cellCap, queryPred)
     // scoring = m literal-table lookups summed in fixed order — pure
     // projection, no joins, fully inside whole-stage codegen
     val score = (0 until m)

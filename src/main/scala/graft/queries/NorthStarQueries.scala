@@ -82,12 +82,23 @@ object NorthStarQueries {
   private val PROBE_TGT = 32L
   private def probeModOf(e: DataFrame): Long =
     Similarity.probeModFor(e.count(), PROBE_TGT)
-  // In-query index TRAINING (k-means centroids, PQ codebooks) reads only
-  // every TRAIN_MOD-th vector (the FAISS discipline: codebooks are
-  // distribution statistics — train on a hash-sample, assign/encode/
-  // rerank full-corpus). Raise with corpus size; the sample must still
-  // cover the largest seed count (64 cells → ≥ 64 sampled vectors).
-  private val TRAIN_MOD = 4L
+  // In-query index TRAINING (k-means centroids, PQ codebooks, tokenizer
+  // rule learning) reads only every trainMod-th row (the FAISS
+  // discipline: codebooks are distribution statistics — train on a
+  // hash-sample, assign/encode/rerank full-corpus). Like PROBE_TGT the
+  // modulus is DERIVED from the corpus (Similarity.trainModFor:
+  // smallest 4·2^k with expected training rows n/mod ≤ TRAIN_TGT) — a
+  // pinned modulus trains on a fixed FRACTION of the corpus forever
+  // (25% of 100 TB for statistics ~256 rows saturate). Tuned so the
+  // gate's fixtures BIND: n=500 (sf0.001/0.01 embeddings, and the
+  // sf0.001/0.01 documents) derives the historical 4, n=2000 (sf0.1
+  // embeddings) derives 8, n=5000 (sf0.1 documents) derives 32 — and
+  // the derived sample always covers the largest seed count (64 cells)
+  // for any corpus ≥ 256 rows (sample > TRAIN_TGT/2 once the ladder
+  // grows, n/4 ≥ 64 below that).
+  private val TRAIN_TGT = 256L
+  private def trainModOf(df: DataFrame): Long =
+    Similarity.trainModFor(df.count(), TRAIN_TGT)
   // Count-min sketch (q_heavy_hitters): D independent hash rows of W
   // buckets, h_j(fp) = (fp·a_j + b_j) mod 1000003 mod W. W = 32 is
   // deliberately tight for the 31-type fixture vocabulary so collisions
@@ -278,8 +289,25 @@ object NorthStarQueries {
   }
   private val PMOD = "(SELECT m FROM pmod)"
 
+  /** Count-derived TRAINING-sample modulus CTE `tmod` —
+    * Similarity.trainModFor's integer doubling rule in SQL (floor 4,
+    * doubling ladder, target TRAIN_TGT expected training rows),
+    * derived from the SAME count(*) the Spark side derives from.
+    * Training-slice predicates read it as `id % (SELECT m FROM tmod)
+    * = 0`. `src` may be a base table, a CTE (place this AFTER it in
+    * the WITH list), or a parenthesized subquery. */
+  private def sqlTrainMod(src: String = "embeddings"): String = {
+    val ladder = (0 to 24).map(k => s"(CAST(${4L << k} AS BIGINT))")
+      .mkString(",")
+    s"tmn AS (SELECT count(*) AS n FROM $src), " +
+      s"tmod AS (SELECT coalesce(min(t.m), ${4L << 24}) AS m " +
+      s"FROM (VALUES $ladder) t(m), tmn " +
+      s"WHERE tmn.n <= t.m * $TRAIN_TGT)"
+  }
+  private val TMOD = "(SELECT m FROM tmod)"
+
   private def sqlKmeansCtes(nCells: Int, nProbe: Int, iters: Int,
-      pfx: String = "k", trainMod: Long = 1,
+      pfx: String = "k", trainMod: String = "1",
       src: String = "embeddings", derivedTarget: Long = 0): String = {
     def score(q: String, c: String) = s"${sqlDot(q, c)} / sqrt(${sqlDot(c, c)})"
     val sumList = (1 to DIMS).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
@@ -293,7 +321,7 @@ object NorthStarQueries {
     sb ++= s"${pfx}qe AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QUANT}) AS BIGINT)) AS q " +
       s"FROM $src), "
-    val trainSrc = if (trainMod == 1) s"${pfx}qe" else {
+    val trainSrc = if (trainMod == "1") s"${pfx}qe" else {
       sb ++= s"${pfx}qt AS (SELECT * FROM ${pfx}qe WHERE vec_id % $trainMod = 0), "
       s"${pfx}qt"
     }
@@ -332,7 +360,7 @@ object NorthStarQueries {
     * each subspace; the final code assignment `pk{mi}` stays
     * full-corpus. */
   private def sqlPqCtes(m: Int, subDim: Int, pqK: Int, iters: Int,
-      qe: String = "kqe", pfx: String = "p", trainMod: Long = 1): String = {
+      qe: String = "kqe", pfx: String = "p", trainMod: String = "1"): String = {
     // zero-norm guard mirrors Similarity.cbScore (all-zero RESIDUAL
     // centroids are possible; NaN-vs-NULL 0/0 ordering diverges)
     def score(q: String, c: String) =
@@ -345,7 +373,7 @@ object NorthStarQueries {
       val sumList = (1 to subDim).map(d => s"CAST(sum(q[$d]) AS BIGINT)")
         .mkString("[", ", ", "]")
       sb ++= s"${pfx}e$mi AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM $qe), "
-      val trainSrc = if (trainMod == 1) s"${pfx}e$mi" else {
+      val trainSrc = if (trainMod == "1") s"${pfx}e$mi" else {
         sb ++= s"${pfx}et$mi AS MATERIALIZED (SELECT * FROM ${pfx}e$mi " +
           s"WHERE vec_id % $trainMod = 0), "
         s"${pfx}et$mi"
@@ -473,7 +501,7 @@ object NorthStarQueries {
         s"UNION ALL SELECT u.piece, u.cnt FROM uuse1 u WHERE len(u.piece) >= 2 AND u.cnt >= $UNI_MIN_USE), "
     s"uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (" +
       s"SELECT word FROM (SELECT unnest($TOKS) AS word FROM documents " +
-      s"WHERE doc_id % $TRAIN_MOD = 0) WHERE len(word) <= $UNI_MAX_WORD) GROUP BY word), " +
+      s"WHERE doc_id % $TMOD = 0) WHERE len(word) <= $UNI_MAX_WORD) GROUP BY word), " +
       "up1 AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM uw), " +
       s"up2 AS (SELECT word, freq, i, unnest(${(1 to UNI_PLEN).mkString("[", ",", "]")}) AS l FROM up1), " +
       "ucand AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
@@ -1598,10 +1626,12 @@ object NorthStarQueries {
         // the session's full width — capped there at real scale
         graft.engine.StaticPlan.scopedSized(s, n) {
           Similarity.semDedup(e, "vec_id", "embedding",
-            SEM_TAU, cells, KM_ITERS, DIMS, TRAIN_MOD).orderBy("vec_id")
+            SEM_TAU, cells, KM_ITERS, DIMS,
+            Similarity.trainModFor(n, TRAIN_TGT)).orderBy("vec_id")
         }
       },
-      s"WITH ${sqlKmeansCtes(16, 1, KM_ITERS, "m", TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
+      s"WITH ${sqlTrainMod()}, " +
+        s"${sqlKmeansCtes(16, 1, KM_ITERS, "m", TMOD, derivedTarget = IVF_TGT_CELL)}, " +
         "pr AS (SELECT l.vec_id AS a, r.vec_id AS b FROM mhome l " +
         "JOIN mhome r USING (cell) WHERE l.vec_id < r.vec_id " +
         s"AND ${sqlCos("l.embedding", "r.embedding")} >= CAST($SEM_TAU AS DOUBLE)) " +
@@ -1870,13 +1900,16 @@ object NorthStarQueries {
       // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
       // over integer-quantized vectors lift recall@3 from 0.33 (seed
       // centroids, q_ann_ivf2) to 0.52 at the SAME cells/nprobe operating
-      // point (sf0.01, TRAIN_MOD-sampled training — see q_ann_tuning).
+      // point (sf0.01, trainMod-sampled training — see q_ann_tuning).
       // The oracle unrolls the identical rounds on the identical sample —
       // integer centroid sums make that exact.
-      (s, d) => Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
-          16, KM_ITERS, DIMS, 2, TRAIN_MOD)
-        .orderBy("a", "rank"),
-      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)} " +
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.topKIvfKmeans(e, "vec_id", "embedding", 3,
+            16, KM_ITERS, DIMS, 2, trainModOf(e))
+          .orderBy("a", "rank")
+      },
+      s"WITH ${sqlTrainMod()}, ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TMOD)} " +
         "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
@@ -1889,7 +1922,7 @@ object NorthStarQueries {
       // broadcast-table lookups (the float vector never enters the cell
       // shuffle — ~30× fewer index bytes at 100 TB), and true cosine
       // re-ranks only the PQ top-48 per query. Probe-measured (sf0.01,
-      // TRAIN_MOD-sampled codebooks): recall@3 0.67 at rerank-48 vs the
+      // trainMod-sampled codebooks): recall@3 0.67 at rerank-48 vs the
       // 0.74 ceiling of exact-scoring every candidate (q_ann_tuning's
       // ivf_kmeans 16/4 row) — rerank size is the float-work/recall
       // knob, at 24k exactly-scored pairs vs the ceiling's 62k.
@@ -1907,12 +1940,14 @@ object NorthStarQueries {
         // the shortlist/ADC tail is light for raw PQ)
         graft.engine.StaticPlan.scopedSized(s, n * 5) {
           Similarity.topKIvfPq(e, "vec_id", "embedding", 3,
-              cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
+              cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK,
+              Similarity.trainModFor(n, TRAIN_TGT))
             .orderBy("a", "rank")
         }
       },
-      s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
-        s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, trainMod = TRAIN_MOD)}, " +
+      s"WITH ${sqlTrainMod()}, " +
+        s"${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TMOD, derivedTarget = IVF_TGT_CELL)}, " +
+        s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, trainMod = TMOD)}, " +
         "ppair AS (SELECT l.vec_id AS a, r.vec_id AS b, (" +
         (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
         ") / (la.vn * rb.vn) AS pqcos " +
@@ -1936,7 +1971,7 @@ object NorthStarQueries {
       // pair scoring expands x̂a·x̂b = μμ + Σ_m (μ·cw + μ·cw + cw·cw)
       // from three broadcast table families, so the float vector still
       // never enters the cell shuffle. Probe-measured (sf0.01,
-      // TRAIN_MOD-sampled codebooks): recall parity with raw-PQ
+      // trainMod-sampled codebooks): recall parity with raw-PQ
       // q_ann_pq (0.70 vs 0.67 at rerank-48) — the synthetic embeddings
       // are near-isotropic, so the centroid absorbs little structure;
       // on real clustered corpora residual encoding is the standard win.
@@ -1949,16 +1984,18 @@ object NorthStarQueries {
         // 1-part variant measured 7.3-7.5 s vs 6.9-7.2 s here)
         graft.engine.StaticPlan.scopedSized(s, n * 20) {
           Similarity.topKIvfPqResidual(e, "vec_id", "embedding", 3,
-              cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD)
+              cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK,
+              Similarity.trainModFor(n, TRAIN_TGT))
             .orderBy("a", "rank")
         }
       },
       {
         val snum = "mm.t" + (0 until PQ_M).map(mi =>
           s" + ab$mi.t + ba$mi.t + cc$mi.t").mkString
-        s"WITH ${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD, derivedTarget = IVF_TGT_CELL)}, " +
+        s"WITH ${sqlTrainMod()}, " +
+          s"${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TMOD, derivedTarget = IVF_TGT_CELL)}, " +
           s"${sqlResidualPreCtes()}, " +
-          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", trainMod = TRAIN_MOD)}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", trainMod = TMOD)}, " +
           s"${sqlResidualTableCtes(PQ_M, DIMS / PQ_M)}, " +
           "rpair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, " +
           "CASE WHEN la.vn * rb.vn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
@@ -2164,6 +2201,7 @@ object NorthStarQueries {
         // 20-deep (n×20 rows) feeding kmw; construction jobs are priced
         // by data size, capped at the session width at real scale
         val nCorpus = emb(s, d).count()
+        val tmod = Similarity.trainModFor(nCorpus, TRAIN_TGT)
         graft.engine.StaticPlan.scopedSized(s, nCorpus * 20) {
         // lazy fresh checkpoint: materializes inside the single final
         // action together with the slice tables (see q_ann_tuning)
@@ -2197,7 +2235,7 @@ object NorthStarQueries {
         // nProbe 4 is the 16-cell frontier point: recall 0.596 at 62k
         // candidates (vs 0.41 at nprobe 2 / 31k).
         val kme = Similarity.topKIvfKmeans(emb(s, d), "vec_id", "embedding", 3,
-            16, KM_ITERS, DIMS, 4, TRAIN_MOD)
+            16, KM_ITERS, DIMS, 4, tmod)
           .select("a", "b")
         // The WIDE frontier: 64 k-means cells probed 20-deep — finer
         // quantization at a similar scan fraction. Probe-measured
@@ -2207,7 +2245,7 @@ object NorthStarQueries {
         // slice.
         val kmw = Similarity.topKFromAssign(
             Similarity.ivfKmeansAssignRanked(emb(s, d), "vec_id", "embedding",
-              64, KM_ITERS, DIMS, 20, TRAIN_MOD).drop("rank"),
+              64, KM_ITERS, DIMS, 20, tmod).drop("rank"),
             "vec_id", "embedding", 3)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
@@ -2239,7 +2277,7 @@ object NorthStarQueries {
             col("n_hits_kmw").cast("double") / col("n_exact").cast("double"))
         }
       },
-      s"WITH ${sqlProbeMod()}, " +
+      s"WITH ${sqlProbeMod()}, ${sqlTrainMod()}, " +
         "ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
@@ -2264,12 +2302,12 @@ object NorthStarQueries {
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM probe l JOIN home r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
-        s"${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+        s"${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TMOD)}, " +
         "lvk AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM kprobe l JOIN khome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3), " +
-        s"${sqlKmeansCtes(64, 20, KM_ITERS, "w", TRAIN_MOD)}, " +
+        s"${sqlKmeansCtes(64, 20, KM_ITERS, "w", TMOD)}, " +
         "lvw AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
         "FROM wprobe l JOIN whome r USING (cell) WHERE l.vec_id <> r.vec_id) " +
@@ -2306,6 +2344,7 @@ object NorthStarQueries {
         // (A/B-measured 11.3 → 7.5 s wall, hash-identical); at scale
         // roundPartitions caps at the session width (the scale intent).
         val nCorpus = e.count()
+        val tmod = Similarity.trainModFor(nCorpus, TRAIN_TGT)
         graft.engine.StaticPlan.scopedSized(s, nCorpus * 20) {
         // EAGER fresh checkpoints here — measured, not assumed: the
         // lazy variant (ckptFreshLazy) was tried in r11 and REVERTED
@@ -2362,20 +2401,20 @@ object NorthStarQueries {
         val id = "vec_id"; val v = "embedding"
         val wideAssignF = scala.concurrent.Future(
           ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 64,
-            KM_ITERS, DIMS, 20, TRAIN_MOD)))
+            KM_ITERS, DIMS, 20, tmod)))
         // ALL 16-cell configs (ivf_kmeans 16/2, 16/4, ivf_pq, ivf_pq_res)
         // share ONE coarse k-means training: the assignment table is a
         // rank slice and the PQ pipelines take the centroids pre-trained
         val cents16F = scala.concurrent.Future(Similarity.kmeansCentroids(
           e.select(col(id), Similarity.quantize(col(v)).as("q")),
-          id, 16, KM_ITERS, DIMS, TRAIN_MOD))
+          id, 16, KM_ITERS, DIMS, tmod))
         // 8-cell k-means and seed-IVF assignments share ONE materialized
         // ranked table each, like a16/wideAssign — per-config re-derivation
         // retrained k-means and re-scored every (vector, centroid) pair
         // TWICE per row (top-k side + candidate-count side)
         val a8F = scala.concurrent.Future(
           ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 8,
-            KM_ITERS, DIMS, 2, TRAIN_MOD)))
+            KM_ITERS, DIMS, 2, tmod)))
         val iv16F = scala.concurrent.Future(
           ckptFresh(Similarity.ivfAssignRanked(e, id, v, 16, 2)))
         // nested-depth config PAIRS share one scored-pair table each
@@ -2405,10 +2444,10 @@ object NorthStarQueries {
           Similarity.ivfAssignFromCentroids(e, id, v, cents16, 4)))
         val slPqF = scala.concurrent.Future(ckptFresh(
           Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS,
-            DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD, Some(cents16))))
+            DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, tmod, Some(cents16))))
         val slResF = scala.concurrent.Future(ckptFresh(
           Similarity.ivfPqResidualShortlist(e, id, v, 16,
-            KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, TRAIN_MOD,
+            KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, tmod,
             Some(cents16))))
         val a16SlF = a16F.map(a16 => Similarity.topKFromAssignSlices(
           a16, id, v, 3, Seq(2, 4), materialize = ckptFresh))
@@ -2526,7 +2565,7 @@ object NorthStarQueries {
           s"SELECT CAST(sum(m*h) - (SELECT n FROM nn) AS BIGINT) AS n_cands " +
             s"FROM (SELECT cell, count(*) AS m FROM $probe GROUP BY cell) " +
             s"JOIN (SELECT cell, count(*) AS h FROM $home GROUP BY cell) USING (cell)"
-        s"WITH ${sqlProbeMod()}, " +
+        s"WITH ${sqlProbeMod()}, ${sqlTrainMod()}, " +
           "ex AS (SELECT a, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
           s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
           s"FROM embeddings l, embeddings r WHERE l.vec_id % $PMOD = 0 " +
@@ -2541,17 +2580,17 @@ object NorthStarQueries {
           s"${sqlIvfCtes(16, 2)}, " +
           s"lv1 AS (${top3("home", "home", "cell")}), " +
           s"lv2 AS (${top3("probe", "home", "cell")}), " +
-          s"${sqlKmeansCtes(16, 2, KM_ITERS, "k", TRAIN_MOD)}, " +
+          s"${sqlKmeansCtes(16, 2, KM_ITERS, "k", TMOD)}, " +
           s"lvk AS (${top3("kprobe", "khome", "cell")}), " +
-          s"${sqlKmeansCtes(8, 2, KM_ITERS, "t", TRAIN_MOD)}, " +
+          s"${sqlKmeansCtes(8, 2, KM_ITERS, "t", TMOD)}, " +
           s"lvt AS (${top3("tprobe", "thome", "cell")}), " +
-          s"${sqlKmeansCtes(16, 4, KM_ITERS, "u", TRAIN_MOD)}, " +
+          s"${sqlKmeansCtes(16, 4, KM_ITERS, "u", TMOD)}, " +
           s"lvu AS (${top3("uprobe", "uhome", "cell")}), " +
-          s"${sqlKmeansCtes(64, 20, KM_ITERS, "w", TRAIN_MOD)}, " +
+          s"${sqlKmeansCtes(64, 20, KM_ITERS, "w", TMOD)}, " +
           "wprobe16 AS (SELECT vec_id, embedding, cell FROM wranked WHERE cr <= 16), " +
           s"lvw AS (${top3("wprobe16", "whome", "cell")}), " +
           s"lvy AS (${top3("wprobe", "whome", "cell")}), " +
-          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "uqe", trainMod = TRAIN_MOD)}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "uqe", trainMod = TMOD)}, " +
           "ppair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, (" +
           (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
           ") / (la.vn * rb.vn) AS pqcos " +
@@ -2571,7 +2610,7 @@ object NorthStarQueries {
           // residual-PQ at the same (16, 4, rerank) point: residuals vs
           // the u-kmeans home cells, z-prefixed codebook instance
           s"${sqlResidualPreCtes("u")}, " +
-          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", pfx = "z", trainMod = TRAIN_MOD)}, " +
+          s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, qe = "rqe", pfx = "z", trainMod = TMOD)}, " +
           s"${sqlResidualTableCtes(PQ_M, DIMS / PQ_M, pfx = "z", kpfx = "u")}, " +
           "zpair AS MATERIALIZED (SELECT l.vec_id AS a, r.vec_id AS b, " +
           "CASE WHEN la.vn * rb.vn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
@@ -2674,7 +2713,7 @@ object NorthStarQueries {
           Similarity.kmeansCentroids(
             standing.select(col("vec_id"),
               Similarity.quantize(col("embedding")).as("q")),
-            "vec_id", 16, KM_ITERS, DIMS, TRAIN_MOD))
+            "vec_id", 16, KM_ITERS, DIMS, trainModOf(standing)))
         val mu = Similarity.ivfCellMeans(
           standing, "vec_id", "embedding", cents, DIMS)
         val base = Similarity.ivfBatchCellStats(standing, "vec_id",
@@ -2730,7 +2769,8 @@ object NorthStarQueries {
             s"ELSE (CAST($sqc AS DOUBLE) / CAST($nc AS DOUBLE)) / " +
             "(CAST(sq_base AS DOUBLE) / CAST(n_base AS DOUBLE)) END"
         "WITH stand AS (SELECT * FROM embeddings WHERE vec_id % 5 NOT IN (0, 4)), " +
-          s"${sqlKmeansCtes(16, 1, KM_ITERS, "k", TRAIN_MOD, "stand")}, " +
+          s"${sqlTrainMod("stand")}, " +
+          s"${sqlKmeansCtes(16, 1, KM_ITERS, "k", TMOD, "stand")}, " +
           s"musum AS MATERIALIZED (SELECT h.cell, $muSum AS s, " +
           "CAST(count(*) AS BIGINT) AS n " +
           "FROM khome h JOIN kqe e USING (vec_id) GROUP BY h.cell), " +
@@ -2772,21 +2812,24 @@ object NorthStarQueries {
       // pins the serve SEMANTICS against the DuckDB oracle.
       (s, d) => {
         val e = emb(s, d)
+        val n = e.count()
         val cents = graft.engine.StaticPlan.ckptFresh(
           Similarity.kmeansCentroids(
             e.select(col("vec_id"),
               Similarity.quantize(col("embedding")).as("q")),
-            "vec_id", 16, KM_ITERS, DIMS, TRAIN_MOD))
+            "vec_id", 16, KM_ITERS, DIMS,
+            Similarity.trainModFor(n, TRAIN_TGT)))
         val postings = Similarity.ivfAssignFromCentroids(
             e, "vec_id", "embedding", cents, 1)
           .filter(col("isHome"))
           .select(col("vec_id"), col("embedding"), col("cell"))
-        val queries = e.filter(col("vec_id") % probeModOf(e) === 0)
+        val queries = e.filter(
+          col("vec_id") % Similarity.probeModFor(n, PROBE_TGT) === 0)
         Similarity.serveTopK(queries, postings, "vec_id", "embedding",
             3, cents, 2)
           .orderBy("a", "rank")
       },
-      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+      s"WITH ${sqlTrainMod()}, ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TMOD)}, " +
         s"${sqlProbeMod()} " +
         "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
@@ -2807,23 +2850,26 @@ object NorthStarQueries {
       // per-SF so the gate's three fixtures never collide.
       (s, d) => {
         val e = emb(s, d)
+        val n = e.count()
         val path = s"/tmp/graft_idx/${new java.io.File(d).getName}_serve_cents"
         val cents = Similarity.kmeansCentroids(
           e.select(col("vec_id"),
             Similarity.quantize(col("embedding")).as("q")),
-          "vec_id", 16, KM_ITERS, DIMS, TRAIN_MOD)
+          "vec_id", 16, KM_ITERS, DIMS,
+          Similarity.trainModFor(n, TRAIN_TGT))
         graft.sources.IndexStore.saveCentroids(cents, path)
         val loaded = graft.sources.IndexStore.loadCentroids(s, path)
         val postings = Similarity.ivfAssignFromCentroids(
             e, "vec_id", "embedding", loaded, 1)
           .filter(col("isHome"))
           .select(col("vec_id"), col("embedding"), col("cell"))
-        val queries = e.filter(col("vec_id") % probeModOf(e) === 0)
+        val queries = e.filter(
+          col("vec_id") % Similarity.probeModFor(n, PROBE_TGT) === 0)
         Similarity.serveTopK(queries, postings, "vec_id", "embedding",
             3, loaded, 2)
           .orderBy("a", "rank")
       },
-      s"WITH ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TRAIN_MOD)}, " +
+      s"WITH ${sqlTrainMod()}, ${sqlKmeansCtes(16, 2, KM_ITERS, trainMod = TMOD)}, " +
         s"${sqlProbeMod()} " +
         "SELECT a, rank, b FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
         s"row_number() OVER (PARTITION BY l.vec_id ORDER BY ${sqlCos("l.embedding", "r.embedding")} DESC, r.vec_id) AS rank " +
@@ -2831,16 +2877,72 @@ object NorthStarQueries {
         s"WHERE l.vec_id % $PMOD = 0 AND l.vec_id <> r.vec_id) " +
         "WHERE rank <= 3 ORDER BY a, rank"),
 
+    Q("q_ann_pq_serve_persisted",
+      // The q_ann_serve_persisted lifecycle for the PQ family (r12
+      // verdict #2): BOTH constant-size artifacts — the coarse k-means
+      // centroids AND the m·pqK PQ codebooks — train once
+      // (derived-trainMod sample), persist as parquet
+      // (IndexStore.savePqCodebooks — integer sums + member counts, so
+      // the codeword means reconstruct exactly), and a restarted
+      // serving cluster loads them back with two tiny artifact reads.
+      // The serve plan carries ZERO Lloyd rounds (LayoutSpec pins the
+      // leaf set): cells and codes are ASSIGNED against the loaded
+      // tables, the probe-mod query batch PQ-scores its candidates via
+      // the broadcast ADC literals, and true cosine reranks the top-48
+      // — q_ann_pq's read path restricted to the query batch. The
+      // oracle retrains from the same counts because save → load is
+      // bit-identical (spec-proved round-trip).
+      (s, d) => {
+        val e = emb(s, d)
+        val n = e.count()
+        val cells = Similarity.ivfCellsFor(n, IVF_TGT_CELL, 16)
+        val base = s"/tmp/graft_idx/${new java.io.File(d).getName}"
+        val (cents, cbs) = Similarity.pqTrainArtifacts(e, "vec_id",
+          "embedding", cells, KM_ITERS, DIMS, PQ_M, PQ_K, PQ_ITERS,
+          Similarity.trainModFor(n, TRAIN_TGT))
+        graft.sources.IndexStore.saveCentroids(cents, s"${base}_pq_cents")
+        graft.sources.IndexStore.savePqCodebooks(cbs, s"${base}_pq_cbs")
+        val lc = graft.sources.IndexStore.loadCentroids(s, s"${base}_pq_cents")
+        val lb = graft.sources.IndexStore.loadPqCodebooks(s, s"${base}_pq_cbs")
+        Similarity.topKIvfPqServe(e, "vec_id", "embedding", 3, DIMS, 4,
+            PQ_M, PQ_K, lc, lb, PQ_RERANK,
+            queryPred = col("vec_id") % Similarity.probeModFor(n, PROBE_TGT) === 0)
+          .orderBy("a", "rank")
+      },
+      s"WITH ${sqlTrainMod()}, " +
+        s"${sqlKmeansCtes(16, 4, KM_ITERS, trainMod = TMOD, derivedTarget = IVF_TGT_CELL)}, " +
+        s"${sqlPqCtes(PQ_M, DIMS / PQ_M, PQ_K, PQ_ITERS, trainMod = TMOD)}, " +
+        s"${sqlProbeMod()}, " +
+        "ppair AS (SELECT l.vec_id AS a, r.vec_id AS b, (" +
+        (0 until PQ_M).map(mi => s"t$mi.t").mkString(" + ") +
+        ") / (la.vn * rb.vn) AS pqcos " +
+        "FROM kprobe l JOIN khome r USING (cell) " +
+        "JOIN pcod ca ON ca.vec_id = l.vec_id JOIN pcod cb ON cb.vec_id = r.vec_id " +
+        "JOIN pvn la ON la.vec_id = l.vec_id JOIN pvn rb ON rb.vec_id = r.vec_id " +
+        (0 until PQ_M).map(mi =>
+          s"JOIN pt$mi t$mi ON t$mi.i = ca.c$mi AND t$mi.j = cb.c$mi").mkString(" ") +
+        s" WHERE l.vec_id % $PMOD = 0 AND l.vec_id <> r.vec_id), " +
+        s"pshort AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (" +
+        s"PARTITION BY a ORDER BY pqcos DESC, b) AS r FROM ppair) WHERE r <= $PQ_RERANK) " +
+        "SELECT a, rank, b FROM (SELECT s.a, s.b, row_number() OVER (" +
+        s"PARTITION BY s.a ORDER BY ${sqlCos("ea.embedding", "eb.embedding")} DESC, s.b) AS rank " +
+        "FROM pshort s JOIN embeddings ea ON ea.vec_id = s.a " +
+        "JOIN embeddings eb ON eb.vec_id = s.b) WHERE rank <= 3 ORDER BY a, rank"),
+
     Q("q_bpe_train",
       // Tokenizer TRAINING on the cluster: 8 BPE merge rounds learned
-      // from a TRAIN_MOD doc sample (Sennrich et al. 2016; rules are
+      // from a derived-trainMod doc sample (Sennrich et al. 2016; rules are
       // distribution statistics, the k-means-codebook discipline) over
       // the distinct-word frequency table, output = the merge table a
       // tokenizer ships. All-integer counts, deterministic argmax,
       // unrolled rounds — see TextOps.bpeTrain.
-      (s, d) => TextOps.bpeTrain(docs(s, d), "doc_id", "text", BPE_MERGES,
-        TRAIN_MOD).orderBy("step"),
-      s"WITH ${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TRAIN_MOD = 0")} " +
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.bpeTrain(all, "doc_id", "text", BPE_MERGES,
+          trainModOf(all)).orderBy("step")
+      },
+      s"WITH ${sqlTrainMod("documents")}, " +
+        s"${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TMOD = 0")} " +
         "SELECT step, lhs, rhs, pair_count FROM (" +
         (0 until BPE_MERGES).map(t =>
           s"SELECT CAST(${t + 1} AS BIGINT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$t")
@@ -2849,8 +2951,8 @@ object NorthStarQueries {
 
     Q("q_bpe_apply",
       // The APPLY half of the tokenizer lifecycle, in its production
-      // shape: merge rules are TRAINED on a doc sample (doc_id %
-      // TRAIN_MOD = 0 — corpus-wide pair counts are distribution
+      // shape: merge rules are TRAINED on the derived doc sample
+      // (doc_id % trainMod = 0 — pair counts are distribution
       // statistics, like the k-means codebooks), then the FULL corpus
       // is re-segmented in ONE narrow codegen'd pass (the per-word
       // BpeSegment kernel — applying a fixed rule table needs no
@@ -2861,7 +2963,7 @@ object NorthStarQueries {
       (s, d) => {
         val all = docs(s, d)
         val (lhs, rhs) = TextOps.bpeLearnedRules(
-          all, "doc_id", "text", BPE_MERGES, TRAIN_MOD)
+          all, "doc_id", "text", BPE_MERGES, trainModOf(all))
         val seg = graft.functions.VectorFunctions.bpeSegment(col("word"), lhs, rhs)
         // single-split parquet at small SF: spread docs before the
         // word explode (the multimodal-codec discipline)
@@ -2891,7 +2993,8 @@ object NorthStarQueries {
       // training chain on the sample (b0..b{n-1}), then the apply
       // chain (sqlBpeApplyCtes) re-runs the identical per-round
       // rewrite over the FULL corpus VOCAB
-      s"WITH ${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TRAIN_MOD = 0")}, " +
+      s"WITH ${sqlTrainMod("documents")}, " +
+        s"${sqlBpeCtes(BPE_MERGES, s" WHERE doc_id % $TMOD = 0")}, " +
         s"atok AS (SELECT doc_id, source, $TOKS AS toks FROM documents), " +
         "avf AS (SELECT word FROM (SELECT unnest(toks) AS word FROM atok) " +
         "GROUP BY word), " +
@@ -2909,7 +3012,7 @@ object NorthStarQueries {
     Q("q_bpe_incremental",
       // The PERSISTED-RULES tokenizer lifecycle (the q_ann_incremental
       // shape for BPE): DAY 0 trains the merge table ONCE on the
-      // standing corpus (doc_id % 5 ∉ {0,4}, TRAIN_MOD-sampled) — a
+      // standing corpus (doc_id % 5 ∉ {0,4}, trainMod-sampled) — a
       // constant-size driver-resident artifact, like the checkpointed
       // centroids — then DAY 1 (doc_id % 5 = 4) and DAY 2 (% 5 = 0)
       // each re-segment in ONE narrow pass whose plan contains ZERO
@@ -2923,7 +3026,7 @@ object NorthStarQueries {
         val standing = all.filter(
           col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4)
         val (lhs, rhs) = TextOps.bpeLearnedRules(
-          standing, "doc_id", "text", BPE_MERGES, TRAIN_MOD)
+          standing, "doc_id", "text", BPE_MERGES, trainModOf(standing))
         val seg = graft.functions.VectorFunctions.bpeSegment(col("word"), lhs, rhs)
         val batches = all
           .filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 4)
@@ -2947,8 +3050,10 @@ object NorthStarQueries {
             col("n_char_syms").cast("double") / col("n_subwords").cast("double"))
           .orderBy("batch")
       },
-      s"WITH ${sqlBpeCtes(BPE_MERGES,
-          s" WHERE doc_id % 5 NOT IN (0, 4) AND doc_id % $TRAIN_MOD = 0")}, " +
+      s"WITH ${sqlTrainMod(
+          "(SELECT * FROM documents WHERE doc_id % 5 NOT IN (0, 4))")}, " +
+        s"${sqlBpeCtes(BPE_MERGES,
+          s" WHERE doc_id % 5 NOT IN (0, 4) AND doc_id % $TMOD = 0")}, " +
         "atok AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN 'd1' ELSE 'd2' END " +
         s"AS batch, $TOKS AS toks FROM documents WHERE doc_id % 5 IN (0, 4)), " +
         "avf AS (SELECT word FROM (SELECT unnest(toks) AS word FROM atok) " +
@@ -2967,17 +3072,21 @@ object NorthStarQueries {
     Q("q_unigram_train",
       // Unigram (SentencePiece-style) tokenizer trained by Viterbi-EM
       // (Kudo 2018, hard-EM variant; r10 verdict #8): substring
-      // candidates from a TRAIN_MOD doc sample -> Viterbi segmentation
+      // candidates from a derived-trainMod doc sample -> Viterbi segmentation
       // under an INTEGER-EXACT objective (fewest pieces, then max total
       // weight, then lexicographic path -- a float log-prob sum would
       // be IEEE-order- and libm-dependent across engines) -> usage
       // pruning -> re-estimation. The artifact is the final vocabulary
       // with its usage counts; the oracle unrolls the identical DP one
       // CTE per word position with the identical three-key tie-break.
-      (s, d) => TextOps.unigramTrain(docs(s, d), "doc_id", "text",
-        UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD, TRAIN_MOD)
-        .orderBy("piece"),
-      s"WITH ${sqlUniTrainCtes()} " +
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.unigramTrain(all, "doc_id", "text",
+          UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD,
+          trainModOf(all))
+          .orderBy("piece")
+      },
+      s"WITH ${sqlTrainMod("documents")}, ${sqlUniTrainCtes()} " +
         "SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
         "CAST(cnt AS BIGINT) AS usage FROM ufin ORDER BY piece"),
 
@@ -2992,11 +3101,14 @@ object NorthStarQueries {
       // leaves room for), so the artifact is a fixed-size vocabulary —
       // the shippable-tokenizer contract a 100 TB train wants: vocab
       // size is a model hyperparameter, not a corpus statistic.
-      (s, d) => TextOps.unigramTrain(docs(s, d), "doc_id", "text",
-        UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD, TRAIN_MOD,
-        UNI_TARGET)
-        .orderBy("piece"),
-      s"WITH ${sqlUniTrainCtes(UNI_TARGET)} " +
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.unigramTrain(all, "doc_id", "text",
+          UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD,
+          trainModOf(all), UNI_TARGET)
+          .orderBy("piece")
+      },
+      s"WITH ${sqlTrainMod("documents")}, ${sqlUniTrainCtes(UNI_TARGET)} " +
         "SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
         "CAST(cnt AS BIGINT) AS usage FROM ufin ORDER BY piece"),
 
@@ -3011,7 +3123,8 @@ object NorthStarQueries {
       (s, d) => {
         val all = docs(s, d)
         val (vp, vc) = TextOps.unigramLearnedVocab(all, "doc_id", "text",
-          UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD, TRAIN_MOD)
+          UNI_PLEN, UNI_MIN_CNT, UNI_MIN_USE, UNI_MAX_WORD,
+          trainModOf(all))
         val voc = new graft.functions.UnigramVocab(vp, vc)
         val seg = graft.functions.VectorFunctions.unigramSegment(col("word"), voc)
         val occ = all.repartition(s.sparkContext.defaultParallelism)
@@ -3029,7 +3142,7 @@ object NorthStarQueries {
             col("n_chars").cast("double") / col("n_pieces").cast("double"))
           .orderBy("source")
       },
-      s"WITH ${sqlUniTrainCtes()}, " +
+      s"WITH ${sqlTrainMod("documents")}, ${sqlUniTrainCtes()}, " +
         s"aw0 AS (SELECT source, word FROM (SELECT source, unnest($TOKS) AS word " +
         s"FROM documents) WHERE len(word) <= $UNI_MAX_WORD), " +
         "awords AS MATERIALIZED (SELECT word, CAST(1 AS BIGINT) AS freq " +

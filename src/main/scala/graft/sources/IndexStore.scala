@@ -34,6 +34,21 @@ object IndexStore {
   def loadCentroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist the jointly-trained PQ codebooks ((mi, cid, cq, cnt) — the
+    * [[graft.ml.Similarity.pqTrainArtifacts]] shape, m·pqK rows of
+    * integer sums + member counts; the codeword mean cq/cnt is exactly
+    * reconstructible, so save → load → serve is bit-identical). */
+  def savePqCodebooks(cb: DataFrame, path: String): Unit =
+    cb.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load persisted PQ codebooks for
+    * [[graft.ml.Similarity.topKIvfPqServe]]. */
+  def loadPqCodebooks(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("mi").cast("int").as("mi"), col("cid").cast("long").as("cid"),
+        col("cq").cast("array<long>").as("cq"),
+        col("cnt").cast("long").as("cnt"))
+
   /** Persist a BPE merge table (rank order = application order). */
   def saveBpeRules(spark: SparkSession, lhs: Array[String],
       rhs: Array[String], path: String): Unit = {

@@ -277,4 +277,61 @@ class LayoutSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(rows(loaded) == rows(cents))
   }
+
+  test("persisted PQ artifacts round-trip and the serve plan carries " +
+      "no training stages") {
+    import graft.ml.Similarity
+    import graft.sources.IndexStore
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // nightly train: BOTH constant-size artifacts in one call
+    val (cents, cbs) = Similarity.pqTrainArtifacts(emb, "vec_id",
+      "embedding", 8, 2, 64, 8, 16, 1, trainMod = 2)
+    IndexStore.saveCentroids(cents, "/tmp/idxstore_pq_cents")
+    IndexStore.savePqCodebooks(cbs, "/tmp/idxstore_pq_cbs")
+    val lc = IndexStore.loadCentroids(spark, "/tmp/idxstore_pq_cents")
+    val lb = IndexStore.loadPqCodebooks(spark, "/tmp/idxstore_pq_cbs")
+    // codebook round-trip is exact: integer sums + counts, row-set equal
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Long](2).mkString(","), r.getLong(3)))
+      .toSeq.sorted
+    assert(key(lb.select("mi", "cid", "cq", "cnt")) ==
+      key(cbs.select("mi", "cid", "cq", "cnt")),
+      "PQ codebooks changed across the parquet round-trip")
+    // restart-serve == training-session serve, bit-identical rows
+    val pred = col("vec_id") % 16 === 0
+    def serveRows(c: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Similarity.topKIvfPqServe(emb, "vec_id", "embedding", 3, 64, 2,
+          8, 16, c, b, rerank = 24, queryPred = pred)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(serveRows(lc, lb) == serveRows(cents, cbs),
+      "serving from persisted PQ artifacts differs from the training session")
+    // plan shape: the serve plan's distributed leaves are the corpus
+    // scans, the two artifact parquet scans, and local relations (the
+    // collected ADC literals / checkpointed member table) — ZERO Lloyd
+    // rounds to re-run on restart. A training stage would surface as a
+    // re-aggregation subtree over the corpus sample feeding a
+    // centroid-shaped join; with artifacts pre-trained there is none.
+    def scanPaths(leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+      leaf match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(",")
+            case other => other.toString
+          }
+        case other => other.toString
+      }
+    val serve = Similarity.topKIvfPqServe(emb, "vec_id", "embedding", 3,
+      64, 2, 8, 16, lc, lb, rerank = 24, queryPred = pred)
+    val leaves = serve.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(l =>
+      scanPaths(l).contains("embeddings.parquet") ||
+        scanPaths(l).contains("idxstore_pq_") ||
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] ||
+        l.nodeName.contains("LogicalRDD")),
+      s"serve plan must only scan corpus + artifacts, got:\n$leaves")
+  }
 }

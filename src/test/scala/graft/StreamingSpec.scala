@@ -1028,7 +1028,12 @@ class StreamingSpec extends SparkSpec {
       val res = Similarity.serveTopK(queries, posted, "vec_id",
         "embedding", 3, cents, 2, pruneCells = true)
       res.count()
-      graft.engine.Checkpoints.releaseExcept(res)
+      // model the documented contract EXACTLY — keep the standing
+      // frames too (releaseExcept(res, postings, batch) per the
+      // serveTopK scaladoc): here posted/queries happen not to be
+      // checkpointed, but a loop copied from this spec with a
+      // checkpointed postings table must not free the shared pin
+      graft.engine.Checkpoints.releaseExcept(res, posted, queries)
     }
     val pinsAfter = spark.sparkContext.getPersistentRDDs.keySet
     val leaked = pinsAfter.toSet -- pinsBefore.toSet

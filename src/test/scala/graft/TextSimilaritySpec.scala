@@ -1147,6 +1147,30 @@ class TextSimilaritySpec extends SparkSpec {
     assert(Similarity.probeModFor(Long.MaxValue, Long.MaxValue) == 16L)
   }
 
+  test("trainModFor: training modulus doubles with the corpus") {
+    // reproduces the historical pinned constant at the small fixtures:
+    // n = 500 (sf0.001/0.01 embeddings AND documents) derives the old 4
+    assert(Similarity.trainModFor(500L, 256L) == 4L)
+    // ... and the sf0.1 fixtures derive DIFFERENT values — the
+    // derivation BINDS at the driver gate (2000 embeddings -> 8,
+    // 5000 documents -> 32, 3000 standing docs -> 16)
+    assert(Similarity.trainModFor(2000L, 256L) == 8L)
+    assert(Similarity.trainModFor(5000L, 256L) == 32L)
+    assert(Similarity.trainModFor(3000L, 256L) == 16L)
+    for (n <- Seq(1L, 500L, 2000L, 20000L, 123456L, 1000000000L)) {
+      val m = Similarity.trainModFor(n, 256L)
+      // training rows stay ≤ target below the cap — the Lloyd/PQ
+      // training term is O(target·iters·cells), constant in the corpus
+      assert(m >= 4L && (n <= m * 256L || m == (4L << 24)))
+      assert(m == 4L || n > (m / 2) * 256L)
+      // seed coverage: any corpus ≥ 256 rows leaves ≥ 64 sampled
+      // vectors — the largest seed count in the registry (64 cells)
+      if (n >= 256L && m < (4L << 24)) assert(n / m >= 64L)
+    }
+    assert(Similarity.trainModFor(1L, 256L) == 4L)
+    assert(Similarity.trainModFor(Long.MaxValue, Long.MaxValue) == 4L)
+  }
+
   test("NearestCells matrix assignment matches the join/window encoding") {
     // the retired broadcast-crossJoin + row_number encoding, inlined
     // here as the independent semantics pin: every (vector, centroid)

@@ -86,6 +86,10 @@ object SfGen {
     // micros timestamp — Tables.events consumes either encoding and
     // the queries only ever see micros (`ts div 1000`) anyway.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the TIMESTAMP_NTZ fallback below casts through the SESSION
+    // timezone; pin it to UTC so a non-UTC host generates the same
+    // micros as the legacy nanos-as-long integer path (r12 advice)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val evRaw = spark.read.parquet(s"$srcDir/events.parquet")
     // the fixture's ts may resolve as nanos-long (legacy flag honored)
     // or as TIMESTAMP_NTZ (native nanos read) — Tables.events' dispatch
