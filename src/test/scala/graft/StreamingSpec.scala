@@ -1410,4 +1410,105 @@ class StreamingSpec extends SparkSpec {
         s"rate limit must span the outage, got $all")
     }
   }
+
+  test("restart durability: switchStream active-holder state survives a " +
+      "checkpointed restart (displaced source stays dead)") {
+    withRocksDb {
+      // Fourth restart leg (r12 verdict #4): switch's (active, seen)
+      // state is the most ORDER-sensitive of the processors — losing it
+      // resurrects a displaced source, whose next emission would then
+      // "steal" activity back as if never seen.
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sw_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Long, Double, Int)]]
+      val a = new Streaming.EventBus(spark) // src 0
+      val b = new Streaming.EventBus(spark) // src 1
+      def startQ() = Streaming.switchStream(Seq(a.eventsTyped, b.eventsTyped))
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = df.collect().toSeq
+            .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+        }
+        .outputMode("append").start()
+      // run 1: B emits first (unseen → passes, active = 1), then A's
+      // first emission steals activity (active = 0, both seen)
+      val q1 = startQ()
+      b.emit(Ev(1L, 1_000L, 100.0))
+      a.emit(Ev(1L, 2_000L, 1.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // while down: the DISPLACED source emits again, plus the active one
+      b.emit(Ev(1L, 3_000L, 101.0))
+      a.emit(Ev(1L, 4_000L, 2.0))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = batches.values.flatten.toList
+      assert(all.size === all.distinct.size,
+        s"duplicated emissions across restart: $all")
+      // with (active, seen) restored, B@3ms is seen-and-inactive →
+      // suppressed; a lost state would re-admit it (and steal activity
+      // back from A, suppressing A@4ms instead)
+      assert(all.toSet === Set((1_000L, 100.0, 1), (2_000L, 1.0, 0),
+        (4_000L, 2.0, 0)),
+        s"displaced source must stay dead across restart, got $all")
+    }
+  }
+
+  test("restart durability: debounceBursts open-burst state and its " +
+      "event-time timer survive a checkpointed restart") {
+    withRocksDb {
+      // Fifth restart leg — the TIMER-driven processor (r12 verdict
+      // #4): an open burst's buffered row AND its registered event-time
+      // timeout must both come back from the state store. Two
+      // discriminating users: u1's burst gets NO post-restart rows, so
+      // its emission can only come from the restored timer; u3's
+      // post-restart row lands OUTSIDE the gap, so the pre-crash burst
+      // must close from restored state (a lost burst emits nothing
+      // for it).
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_deb_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Long, Long, Double)]]
+      val bus = new Streaming.EventBus(spark)
+      def startQ() = Streaming.debounceBursts(bus.eventsTyped,
+          gapSec = 1.0, watermark = "0 seconds")
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = df.collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        .outputMode("append").start()
+      // run 1: open bursts u1 = (1.4s, 2.0), u3 = (1s, 5.0). Timestamps
+      // start at 1s, not 0: a ts-0 row equals the INITIAL watermark and
+      // is dropped as late by the stateful operator's pre-filter (found
+      // while writing this spec — ts-0 streaming fixtures silently
+      // vanish).
+      val q1 = startQ()
+      bus.emit(Ev(1L, 1_000_000L, 1.0), Ev(1L, 1_400_000L, 2.0),
+        Ev(3L, 1_000_000L, 5.0))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(batches.values.flatten.isEmpty,
+        "no burst may close before its quiet gap elapses")
+      // while down: u3 gets a row past its gap (new burst); u1 nothing;
+      // then a watermark advancer fires every surviving timer
+      bus.emit(Ev(3L, 2_500_000L, 6.0))
+      bus.emit(Ev(99L, 100_000_000L, 0.0))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = batches.values.flatten.toList.filter(_._1 < 99L)
+      assert(got.size === got.distinct.size,
+        s"duplicated burst emissions across restart: $got")
+      assert(got.toSet === Set(
+        (1L, 2_400_000L, 2.0),   // restored timer fires the u1 burst
+        (3L, 2_000_000L, 5.0),   // restored u3 burst closed by the gap
+        (3L, 3_500_000L, 6.0)),  // the post-restart burst
+        s"open bursts must survive the restart, got $got")
+    }
+  }
 }
