@@ -50,13 +50,35 @@ object SfGen {
         col("label"))
     }, "embeddings")
 
+    // "boiler" mode (r12 verdict #7): SfGen's word-prefix perturbation
+    // makes every copy's shingles UNIQUE, so the df-capped Jaccard's
+    // stop-shingle guard never binds on this family — the cap was
+    // insurance proven only at the gate SFs. This mode writes ONLY the
+    // documents table, with a FIXED boilerplate paragraph appended to
+    // every 20th doc AFTER the per-copy perturbation (so all copies
+    // share the template verbatim — the real templated-web shape): its
+    // shingles ride a constant 5% of the corpus, giving the uncapped
+    // baseline its Σ df² hot-shingle term (df grows with the corpus →
+    // pairs grow quadratically) while the capped variant drops them at
+    // df > 16 forever.
+    val boiler = args.length > 2 && args(2) == "boiler"
+    val TEMPLATE = " subscribe to our newsletter terms of service apply" +
+      " privacy policy all rights reserved click here to manage cookie" +
+      " preferences and unsubscribe from marketing email at any time"
+
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nD = docs.agg(max("doc_id")).head().getLong(0) + 1
-    write(copies(docs) { (b, k) =>
+    val docsOut = copies(docs) { (b, k) =>
       val t = regexp_replace(col("text"), "\\b(\\w)", s"c$k$$1")
       b.select((col("doc_id") + lit(k * nD)).as("doc_id"), t.as("text"),
         col("lang"), col("source"), length(t).cast("long").as("n_chars"))
-    }, "documents")
+    }
+    write(if (!boiler) docsOut else docsOut
+      .withColumn("text", when(col("doc_id") % 20 === 0,
+        concat(col("text"), lit(TEMPLATE))).otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents")
+    if (boiler) { spark.stop(); return }
 
     val ord = spark.read.parquet(s"$srcDir/orders.parquet")
     val nO = ord.agg(max("o_orderkey")).head().getLong(0) + 1
