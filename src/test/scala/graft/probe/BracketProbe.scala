@@ -12,8 +12,13 @@ object BracketProbe {
     val names = args(0).split(",").toSeq
     val passes = if (args.length > 1) args(1).toInt else 4
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_PARTS: width override for big-fixture rungs — a real
+    // cluster scales width with data (partitions track executors), so
+    // an sf10-on-one-box bracket at fixed 32 measures the spill cliff,
+    // not the plan; raising width restores constant per-partition volume
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
