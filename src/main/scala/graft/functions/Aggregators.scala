@@ -292,4 +292,97 @@ object Aggregators {
   /** `collectMinK(col, cap)` — the cap-smallest longs per group, sorted. */
   def collectMinK(c: Column, cap: Int): Column =
     udaf(new BoundedMinAgg(cap)).apply(c)
+
+  /** Bounded per-group top-k by (score DESC, id ASC) — the
+    * sort-shuffle-sort deletion for the "best n candidates per query"
+    * shape: `row_number() OVER (PARTITION BY a ORDER BY s DESC, b)`
+    * followed by `rank <= n` sorts the ENTIRE scored-pair table (the
+    * single biggest stage of the PQ serving plan at the sf10 rung, 78M
+    * rows), while this aggregator's state is ≤ n (score, id) pairs per
+    * group at every point — map-side combine caps what the shuffle
+    * carries and nothing ever globally sorts. Output = the ids in rank
+    * order, EXACTLY the rows and order the window encoding kept:
+    *  - scores compare like Spark's float sort after
+    *    NormalizeFloatingNumbers: -0.0 canonicalizes to 0.0 and NaN
+    *    sorts LARGEST (java.lang.Double.compare does both once -0.0 is
+    *    canonicalized);
+    *  - ties break by id ascending (ids are unique per group — a
+    *    candidate pair appears once — so the order is total and
+    *    merge-order-independent).
+    * Buffers are kept sorted; reduce is one binary-free insertion into
+    * ≤ n elements, merge is one linear merge of two sorted runs. */
+  case class TopKBuf(var m: Int, scores: Array[Double], ids: Array[Long])
+  class TopKByScoreAgg(n: Int)
+      extends Aggregator[(Double, Long), TopKBuf, Seq[Long]] {
+    require(n >= 1, s"topKByScore: n must be >= 1, got $n")
+    @inline private def canon(s: Double): Double =
+      if (s == 0.0d) 0.0d else s
+    // true if (sa, ia) ranks strictly before (sb, ib)
+    @inline private def before(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      if (c != 0) c > 0 else ia < ib
+    }
+    def zero: TopKBuf =
+      TopKBuf(0, Array.emptyDoubleArray, Array.emptyLongArray)
+    // Arrays grow GEOMETRICALLY toward n (never allocated at n up
+    // front): n may legitimately be huge — an "unbounded rerank"
+    // caller passes Int.MaxValue to mean "keep everything" — and the
+    // buffer must only ever be as large as what the group has actually
+    // kept.
+    private def grown(b: TopKBuf, want: Int): TopKBuf =
+      if (b.scores.length >= want) b
+      else {
+        val cap = math.max(8, math.max(want,
+          math.min(n, if (b.scores.length > n / 2) n else b.scores.length * 2)))
+        TopKBuf(b.m, java.util.Arrays.copyOf(b.scores, cap),
+          java.util.Arrays.copyOf(b.ids, cap))
+      }
+    // MUTATES the buffer in place (the ScalaAggregator/
+    // TypedImperativeAggregate contract keeps one live object per
+    // group; serialization happens only across shuffle/spill). The
+    // common case — a full buffer and a candidate no better than the
+    // current worst — costs ONE compare and no allocation, so the
+    // per-row cost over the quadratic pair table is a branch, not a
+    // Vector copy.
+    def reduce(b0: TopKBuf, x: (Double, Long)): TopKBuf = {
+      val s = canon(x._1)
+      if (b0.m >= n && !before(s, x._2, b0.scores(b0.m - 1), b0.ids(b0.m - 1))) b0
+      else {
+        val b = grown(b0, math.min(n, b0.m + 1))
+        var i = 0
+        while (i < b.m && !before(s, x._2, b.scores(i), b.ids(i))) i += 1
+        val last = math.min(b.m, n - 1)
+        System.arraycopy(b.scores, i, b.scores, i + 1, last - i)
+        System.arraycopy(b.ids, i, b.ids, i + 1, last - i)
+        b.scores(i) = s
+        b.ids(i) = x._2
+        if (b.m < n) b.m += 1
+        b
+      }
+    }
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      val cap = math.min(n.toLong, a.m.toLong + b.m.toLong).toInt
+      val os = new Array[Double](cap)
+      val oi = new Array[Long](cap)
+      var i = 0; var j = 0; var k = 0
+      while (k < cap) {
+        if (j >= b.m ||
+            (i < a.m && before(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))) {
+          os(k) = a.scores(i); oi(k) = a.ids(i); i += 1
+        } else {
+          os(k) = b.scores(j); oi(k) = b.ids(j); j += 1
+        }
+        k += 1
+      }
+      TopKBuf(cap, os, oi)
+    }
+    def finish(b: TopKBuf): Seq[Long] = b.ids.take(b.m).toSeq
+    def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** `topKByScore(score, id, n)` — ids of the group's n best
+    * (score DESC, id ASC) rows, in rank order. */
+  def topKByScore(score: Column, id: Column, n: Int): Column =
+    udaf(new TopKByScoreAgg(n)).apply(score, id)
 }

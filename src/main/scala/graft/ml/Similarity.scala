@@ -1123,16 +1123,14 @@ object Similarity {
       trainMod: Long = 1, cellCap: Int = Int.MaxValue): DataFrame = {
     val pqRanked = pqRankedPairs(emb, idCol, vecCol,
       nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod,
-      cellCap = cellCap)
-    if (rerank <= 0)
-      pqRanked.filter(col("rank") <= k).select("a", "rank", "b")
+      topN = if (rerank <= 0) k else rerank, cellCap = cellCap)
+    if (rerank <= 0) pqRanked
     else
       // PQ-shortlist-then-exact-rerank (the FAISS "refine" stage): codes
       // pick `rerank` candidates per query, true cosine re-ranks ONLY
       // those — the expensive float vectors touch rerank·n rows, not
       // the full candidate volume.
-      rerankShortlist(emb, idCol, vecCol,
-        pqRanked.filter(col("rank") <= rerank).select("a", "b"), k)
+      rerankShortlist(emb, idCol, vecCol, pqRanked.select("a", "b"), k)
   }
 
   /** Exact-cosine re-rank of a candidate shortlist (a, b) — the refine
@@ -1172,8 +1170,8 @@ object Similarity {
       m: Int, pqK: Int, pqIters: Int, shortK: Int,
       trainMod: Long = 1, centsPre: Option[DataFrame] = None): DataFrame =
     pqRankedPairs(emb, idCol, vecCol, nCells, kmIters, dims, nProbe, m, pqK,
-      pqIters, trainMod, centsPre)
-      .filter(col("rank") <= shortK).select("a", "b")
+      pqIters, trainMod, centsPre, topN = shortK)
+      .select("a", "b")
 
   /** Exactly-once in-cell (query × home-member) pair frame from a
     * member assignment carrying (idCol, cell, isHome, …): the shared
@@ -1208,7 +1206,7 @@ object Similarity {
   private def pqRankedPairs(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
       m: Int, pqK: Int, pqIters: Int, trainMod: Long = 1,
-      centsPre: Option[DataFrame] = None,
+      centsPre: Option[DataFrame] = None, topN: Int = 16,
       cellCap: Int = Int.MaxValue): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
@@ -1223,7 +1221,7 @@ object Similarity {
       embQ.select(col(idCol), col("qq").as("q")), idCol, nCells, kmIters,
       dims, trainMod))
     pqRankedPairsFrom(emb, idCol, vecCol, dims, nProbe, m, pqK,
-      coarse, cbAll, cellCap)
+      coarse, cbAll, topN, cellCap)
   }
 
   /** Train the two constant-size artifacts of an IVF-PQ index — the
@@ -1260,20 +1258,18 @@ object Similarity {
       cents: DataFrame, cbAll: DataFrame, rerank: Int = 0,
       cellCap: Int = Int.MaxValue, queryPred: Column = lit(true)): DataFrame = {
     val ranked = pqRankedPairsFrom(emb, idCol, vecCol, dims, nProbe, m, pqK,
-      cents, cbAll, cellCap, queryPred)
-    if (rerank <= 0)
-      ranked.filter(col("rank") <= k).select("a", "rank", "b")
+      cents, cbAll, if (rerank <= 0) k else rerank, cellCap, queryPred)
+    if (rerank <= 0) ranked
     else
-      rerankShortlist(emb, idCol, vecCol,
-        ranked.filter(col("rank") <= rerank).select("a", "b"), k)
+      rerankShortlist(emb, idCol, vecCol, ranked.select("a", "b"), k)
   }
 
-  /** The serving half of [[pqRankedPairs]]: rank all IVF candidates by
-    * the PQ table score against an ALREADY-TRAINED coarse quantizer +
-    * codebook pair. */
+  /** The serving half of [[pqRankedPairs]]: the `topN` best candidates
+    * per query by the PQ table score against an ALREADY-TRAINED coarse
+    * quantizer + codebook pair, as (a, rank, b). */
   private def pqRankedPairsFrom(emb: DataFrame, idCol: String,
       vecCol: String, dims: Int, nProbe: Int, m: Int, pqK: Int,
-      coarse: DataFrame, cbAll: DataFrame, cellCap: Int,
+      coarse: DataFrame, cbAll: DataFrame, topN: Int, cellCap: Int,
       queryPred: Column = lit(true)): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
@@ -1312,10 +1308,26 @@ object Similarity {
     val score = (0 until m)
       .map(mi => ccAt(mi, col(s"x.c$mi"), col(s"y.c$mi"))).reduce(_ + _) /
       (col("x.vn") * col("y.vn"))
-    pairs.select(col("x.id").as("a"), col("y.id").as("b"), score.as("pqcos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))
+    topNPerQuery(
+      pairs.select(col("x.id").as("a"), col("y.id").as("b"), score.as("pqcos")),
+      topN)
   }
+
+  /** Per-query top-n of a scored pair frame (a, b, pqcos) as
+    * (a, rank, b) — the bounded-heap aggregate replacement for
+    * `row_number() OVER (PARTITION BY a ORDER BY pqcos DESC, b)` +
+    * `rank <= n`: the window encoding SORTS the entire scored-pair
+    * table (measured as the single biggest stage of the PQ serve plan
+    * at the sf10 rung), while the aggregate's per-group state never
+    * exceeds n rows and map-side combine caps what the shuffle
+    * carries. Row-identical by the total order (score desc, b asc) —
+    * see [[graft.functions.Aggregators.TopKByScoreAgg]]. */
+  private def topNPerQuery(scored: DataFrame, n: Int): DataFrame =
+    scored.groupBy("a")
+      .agg(graft.functions.Aggregators.topKByScore(
+        col("pqcos"), col("b"), n).as("__top"))
+      .select(col("a"), posexplode(col("__top")).as(Seq("__pos", "b")))
+      .select(col("a"), (col("__pos") + 1).cast("long").as("rank"), col("b"))
 
   /**
    * Residual-encoded IVF-PQ top-k (the second half of Jégou et al. 2011
@@ -1344,12 +1356,10 @@ object Similarity {
       trainMod: Long = 1, cellCap: Int = Int.MaxValue): DataFrame = {
     val ranked = pqResidualRankedPairs(emb, idCol, vecCol,
       nCells, kmIters, dims, nProbe, m, pqK, pqIters, trainMod,
-      cellCap = cellCap)
-    if (rerank <= 0)
-      ranked.filter(col("rank") <= k).select("a", "rank", "b")
+      topN = if (rerank <= 0) k else rerank, cellCap = cellCap)
+    if (rerank <= 0) ranked
     else
-      rerankShortlist(emb, idCol, vecCol,
-        ranked.filter(col("rank") <= rerank).select("a", "b"), k)
+      rerankShortlist(emb, idCol, vecCol, ranked.select("a", "b"), k)
   }
 
   /** The residual-PQ shortlist (a, b) at `shortK` per query — the pairs
@@ -1360,8 +1370,8 @@ object Similarity {
       m: Int, pqK: Int, pqIters: Int, shortK: Int,
       trainMod: Long = 1, centsPre: Option[DataFrame] = None): DataFrame =
     pqResidualRankedPairs(emb, idCol, vecCol, nCells, kmIters, dims, nProbe,
-      m, pqK, pqIters, trainMod, centsPre)
-      .filter(col("rank") <= shortK).select("a", "b")
+      m, pqK, pqIters, trainMod, centsPre, topN = shortK)
+      .select("a", "b")
 
   /** All IVF candidates ranked by the residual-PQ table score.
     * Mirrors [[pqRankedPairs]]; differs in the training input
@@ -1371,7 +1381,7 @@ object Similarity {
   private def pqResidualRankedPairs(emb: DataFrame, idCol: String,
       vecCol: String, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
       m: Int, pqK: Int, pqIters: Int, trainMod: Long = 1,
-      centsPre: Option[DataFrame] = None,
+      centsPre: Option[DataFrame] = None, topN: Int = 16,
       cellCap: Int = Int.MaxValue): DataFrame = {
     val subDim = dims / m
     val embQ = emb.select(col(idCol), quantize(col(vecCol)).as("qq"))
@@ -1467,9 +1477,9 @@ object Similarity {
         ccAt(mi, col(s"x.c$mi"), col(s"y.c$mi"))))).reduce(_ + _)
     val score = when(col("x.vn") * col("y.vn") === lit(0.0), lit(0.0))
       .otherwise(snum / (col("x.vn") * col("y.vn")))
-    pairs.select(col("x.id").as("a"), col("y.id").as("b"), score.as("pqcos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("a")).orderBy(col("pqcos").desc, col("b"))).cast("long"))
+    topNPerQuery(
+      pairs.select(col("x.id").as("a"), col("y.id").as("b"), score.as("pqcos")),
+      topN)
   }
 
   /**

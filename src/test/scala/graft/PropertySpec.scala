@@ -795,4 +795,40 @@ class PropertySpec extends SparkSpec {
           s"thinner than $b (${srcTok(b)} tok, tgt ${rows(b)})")
     }
   }
+
+  test("TopKByScoreAgg ≡ the row_number window encoding (property)") {
+    import spark.implicits._
+    // the aggregate replaced row_number() OVER (PARTITION BY a ORDER BY
+    // s DESC, b) + rank <= n in the PQ serving plans; this pins
+    // row-identity on adversarial score sets — duplicate scores (tie →
+    // b asc), ±0.0 (window normalizes -0.0; the aggregate canonicalizes),
+    // NaN (sorts LARGEST in Spark), groups smaller than n, and n = 1.
+    val seed = Seed(20260816L)
+    val scores = Array(1.0, -1.0, 0.0, -0.0, 2.5, 2.5, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, 1.0)
+    val gen = Gen.listOfN(400, for {
+      a <- Gen.choose(0L, 19L)
+      b <- Gen.choose(0L, 999L)
+      s <- Gen.oneOf(scores.toSeq)
+    } yield (a, b, s))
+    val rows0 = gen.pureApply(Gen.Parameters.default, seed)
+    // (a, b) unique — the contract of the pair frames the PQ plan feeds
+    val rows = rows0.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("a", "b", "pqcos")
+    for (n <- Seq(1, 3, 48)) {
+      val win = df.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+            .orderBy(col("pqcos").desc, col("b"))).cast("long"))
+        .filter(col("rank") <= n).select("a", "rank", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val agg = df.groupBy("a")
+        .agg(graft.functions.Aggregators.topKByScore(
+          col("pqcos"), col("b"), n).as("t"))
+        .select(col("a"), posexplode(col("t")).as(Seq("p", "b")))
+        .select(col("a"), (col("p") + 1).cast("long").as("rank"), col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(agg == win, s"top-$n mismatch: " +
+        s"agg-only ${agg -- win}, win-only ${win -- agg}")
+    }
+  }
 }
