@@ -227,8 +227,15 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   private var owned = List.empty[Int]
   private var lastIds = List.empty[Int]
 
+  // assertOwner fires BEFORE localCheckpoint in ckpt/ckptLazy: the
+  // other order would pin the RDD first and then leave it untracked
+  // (and never freed) when the require threw — the exact storage leak
+  // this scope exists to prevent (r13 advice).
   /** Eagerly localCheckpoint `df`, recording the RDD ids it pinned. */
-  def ckpt(df: DataFrame): DataFrame = track(df.localCheckpoint(true))
+  def ckpt(df: DataFrame): DataFrame = {
+    assertOwner("ckpt")
+    track(df.localCheckpoint(true))
+  }
 
   /** LAZY localCheckpoint: the RDD is registered as persistent now but
     * materializes on the first action that computes it — letting a
@@ -236,10 +243,12 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
     * materializes the round's final table (one scheduled action per
     * round instead of two), while still being computed once and
     * lineage-cut for later rounds. */
-  def ckptLazy(df: DataFrame): DataFrame = track(df.localCheckpoint(false))
+  def ckptLazy(df: DataFrame): DataFrame = {
+    assertOwner("ckptLazy")
+    track(df.localCheckpoint(false))
+  }
 
   private def track(out: DataFrame): DataFrame = {
-    assertOwner("ckpt")
     // EXACT attribution: a checkpointed Dataset's plan is a LogicalRDD
     // leaf wrapping the very RDD that was persisted — read its id from
     // the plan instead of diffing the global persistent-RDD registry,

@@ -325,15 +325,21 @@ object Aggregators {
     def zero: TopKBuf =
       TopKBuf(0, Array.emptyDoubleArray, Array.emptyLongArray)
     // Arrays grow GEOMETRICALLY toward n (never allocated at n up
-    // front): n may legitimately be huge — an "unbounded rerank"
-    // caller passes Int.MaxValue to mean "keep everything" — and the
-    // buffer must only ever be as large as what the group has actually
-    // kept.
+    // front): n may legitimately be huge — an "unbounded" caller
+    // passes Int.MaxValue to mean "keep everything" — and the buffer
+    // must only ever be as large as what the group has actually kept.
+    // PRACTICAL BOUND on n: the sorted-insertion reduce is O(kept)
+    // per displacing row, so an effectively-unbounded n is only sane
+    // when groups are small (every production caller passes k ≤ a few
+    // hundred; the ranked-window form is the right encoding if you
+    // truly need all rows ranked). The doubling is computed in Long
+    // and clamped, so growth stays geometric at any n (r13 advice).
     private def grown(b: TopKBuf, want: Int): TopKBuf =
       if (b.scores.length >= want) b
       else {
-        val cap = math.max(8, math.max(want,
-          math.min(n, if (b.scores.length > n / 2) n else b.scores.length * 2)))
+        val doubled = math.min(n.toLong,
+          math.max(8L, b.scores.length.toLong * 2L)).toInt
+        val cap = math.max(want, doubled)
         TopKBuf(b.m, java.util.Arrays.copyOf(b.scores, cap),
           java.util.Arrays.copyOf(b.ids, cap))
       }

@@ -519,6 +519,73 @@ case class AdcLookup(table: Array[Double], child: Expression)
 }
 
 /**
+ * On-the-fly dot product of two rows of a DRIVER-RESIDENT flattened
+ * (rows × dims) matrix — the linear-state replacement for a
+ * precomputed row×row lookup table (an [[AdcLookup]] over a rows²
+ * array). The residual-PQ μμ term is the motivating case: the dense
+ * cell×cell table is O(cells²) plan state (33 MB at sf10's 2,048
+ * derived cells, ~3 GB one decade later — the plan dies of
+ * serialization size long before 100 TB, and no cluster width fixes
+ * driver-side state), while the mean matrix it derives from is
+ * O(cells·dims) and the dot is `dims` multiply-adds per pair over two
+ * already-resident rows.
+ *
+ * Fold order is the sequential `0.0 + m[i·dims]·m[j·dims] + …` — the
+ * IDENTICAL IEEE sequence the old table's driver-side precompute
+ * (Similarity.dotD) and the DuckDB oracle's
+ * `list_reduce(list_prepend(0, …))` evaluate, so scores are
+ * bit-identical to the table encoding and the oracle SQL is unchanged.
+ *
+ * The matrix is a constructor field shared BY REFERENCE across all
+ * lookup nodes (the [[AdcLookup]] discipline): case-class equality on
+ * `Array` is reference equality, so plan canonicalization stays O(1),
+ * and codegen installs the array once via `addReferenceObj`. Row
+ * indices are produced by the caller from dense cell ids; bounds are
+ * guaranteed by construction (index < rows).
+ */
+case class MatRowDot(mat: Array[Double], dims: Int,
+    left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mat_row_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mat_row_dot needs two int row indices, got $other")
+    }
+
+  protected override def nullSafeEval(i: Any, j: Any): Any =
+    MatRowDot.dot(mat, dims, i.asInstanceOf[Int], j.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matRowDotMat", mat, "double[]")
+    defineCodeGen(ctx, ev, (i, j) =>
+      s"graft.functions.MatRowDot.dot($m, $dims, $i, $j)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatRowDot {
+  /** Sequential multiply-add fold over rows i and j — shared by the
+    * interpreted and codegen paths so both evaluate one sequence. */
+  def dot(mat: Array[Double], dims: Int, i: Int, j: Int): Double = {
+    var acc = 0.0
+    var d = 0
+    val io = i * dims
+    val jo = j * dims
+    while (d < dims) { acc += mat(io + d) * mat(jo + d); d += 1 }
+    acc
+  }
+}
+
+/**
  * Top-p nearest-centroid assignment over a DRIVER-RESIDENT centroid
  * matrix — the serving-scale form of "score every cell, keep the best
  * p" that the IVF family (batch assigners, streaming assigner, Lloyd
@@ -990,6 +1057,12 @@ object VectorFunctions {
   /** O(1) ADC-table lookup as a `Column` (see [[AdcLookup]]). */
   def adcLookup(table: Array[Double], idx: Column): Column =
     ColumnBridge.column(AdcLookup(table, ColumnBridge.expression(idx)))
+
+  /** Dot of two rows of a flattened driver-resident matrix as a
+    * `Column` (see [[MatRowDot]]). */
+  def matRowDot(mat: Array[Double], dims: Int, i: Column, j: Column): Column =
+    ColumnBridge.column(MatRowDot(mat, dims,
+      ColumnBridge.expression(i), ColumnBridge.expression(j)))
 
   /** Greedy BPE application of a fixed merge table as a `Column`
     * (see [[BpeSegment]]). */

@@ -92,10 +92,7 @@ object Similarity {
     val pairs = if (probeMod == 1) l.crossJoin(r) else r.crossJoin(broadcast(l))
     val scored = pairs.filter(col("a") =!= col("b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
+    topNPerQuery(scored.select("a", "b", "cos"), k, "cos")
   }
 
   /** Integer-valued pseudo-random hyperplane component for (plane j, dim d). */
@@ -362,10 +359,7 @@ object Similarity {
     val pairs = if (probeMod == 1) l.crossJoin(r) else r.crossJoin(broadcast(l))
     val scored = pairs.filter(col("a") =!= col("b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
+    topNPerQuery(scored.select("a", "b", "cos"), k, "cos")
   }
 
   /**
@@ -609,11 +603,7 @@ object Similarity {
   def topKFromAssign(probed: DataFrame, idCol: String, vecCol: String,
       k: Int, cellCap: Int = Int.MaxValue): DataFrame = {
     val homeAll = probed.filter(col("isHome"))
-    val home = (if (cellCap == Int.MaxValue) homeAll
-      else homeAll
-        .withColumn("__hr", row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col(idCol))))
-        .filter(col("__hr") <= cellCap))
+    val home = capLowestPerCell(homeAll, idCol, cellCap)
       .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"),
         norm(col(vecCol)).as("bn"))
     val queries = probed
@@ -625,10 +615,7 @@ object Similarity {
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"),
         (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos"))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
+    topNPerQuery(scored.select("a", "b", "cos"), k, "cos")
   }
 
   /**
@@ -666,11 +653,7 @@ object Similarity {
     val ds = depths.distinct
     val maxP = ds.max
     val homeAll = ranked.filter(col("isHome"))
-    val home = (if (cellCap == Int.MaxValue) homeAll
-      else homeAll
-        .withColumn("__hr", row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col(idCol))))
-        .filter(col("__hr") <= cellCap))
+    val home = capLowestPerCell(homeAll, idCol, cellCap)
       .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"),
         norm(col(vecCol)).as("bn"))
     val queries = ranked.filter(col("rank") <= maxP)
@@ -826,21 +809,14 @@ object Similarity {
         else
           postings.join(broadcast(probedDf), Seq("cell"), "left_semi")
       }
-    val home = (if (cellCap == Int.MaxValue) homeAll
-      else homeAll
-        .withColumn("__hr", row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col(idCol))))
-        .filter(col("__hr") <= cellCap))
+    val home = capLowestPerCell(homeAll, idCol, cellCap)
       .select(col("cell"), col(idCol).as("b"), col(vecCol).as("bv"),
         norm(col(vecCol)).as("bn"))
     val scored = qs.join(home, "cell")
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"),
         (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos"))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
+    topNPerQuery(scored.select("a", "b", "cos"), k, "cos")
   }
 
   /**
@@ -887,11 +863,7 @@ object Similarity {
     // binding cap can only under-drop, never drop a keeper.
     val assign = ivfKmeansAssign(
       emb, idCol, vecCol, nCells, iters, dims, 1, trainMod)
-    val keepers = (if (cellCap == Int.MaxValue) assign
-      else assign
-        .withColumn("__kr", row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col(idCol))))
-        .filter(col("__kr") <= cellCap))
+    val keepers = capLowestPerCell(assign, idCol, cellCap)
       .select(col("cell"), col(idCol).as("a"), col(vecCol).as("av"),
         norm(col(vecCol)).as("an"))
     val pairs = keepers
@@ -1083,6 +1055,21 @@ object Similarity {
   private def collectPqIndex(cbAll: DataFrame, m: Int, pqK: Int): PqIndex = {
     val rows = cbAll.select(col("mi"), col("cid"), col("cq"), col("cnt")).collect()
     val byMi = rows.groupBy(_.getInt(0))
+    // Shape gate — every consumer (including a PERSISTED codebook
+    // loaded by IndexStore.loadPqCodebooks) funnels through here, and
+    // the flattened ADC layout ((mi·pqK + i)·pqK + j) silently
+    // misindexes on any mismatch: a stale artifact trained at a
+    // different (m, pqK) must fail loudly, not serve wrong neighbors
+    // (r13 advice).
+    require(byMi.keySet == (0 until m).toSet,
+      s"PQ codebook shape mismatch: expected subspaces 0..${m - 1}, " +
+        s"got ${byMi.keySet.toSeq.sorted.mkString(",")} — " +
+        "stale or foreign artifact?")
+    byMi.foreach { case (mi, rs) =>
+      require(rs.length == pqK,
+        s"PQ codebook shape mismatch: subspace $mi has ${rs.length} " +
+          s"codewords, expected pqK=$pqK — stale or foreign artifact?")
+    }
     val cids = (0 until m).map(mi => byMi(mi).map(_.getLong(1)).sorted)
     val means = (0 until m).map { mi =>
       val byCid = byMi(mi).map { r =>
@@ -1154,12 +1141,11 @@ object Similarity {
       norm(col(vecCol)).as("na")).hint("shuffle_hash")
     val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
       norm(col(vecCol)).as("nb")).hint("shuffle_hash")
-    short.join(va, "a").join(vb, "b")
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
+    topNPerQuery(
+      short.join(va, "a").join(vb, "b")
+        .select(col("a"), col("b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos")),
+      k, "cos")
   }
 
   /** The PQ shortlist itself (a, b) at `shortK` per query — the rows
@@ -1188,14 +1174,35 @@ object Similarity {
     * the full postings without generating corpus-wide pairs. Returns
     * (cell, x, y) struct pairs with x.id ≠ y.id, `member` evaluated on
     * both sides. */
+  /** The `cap` LOWEST-id rows per cell — FAISS's max-codes-per-cell
+    * bound, shared by every IVF serving path and SemDeDup's keeper
+    * side. Encoded as a SLIM (cell, id) bounded aggregate
+    * ([[graft.functions.Aggregators.collectMinK]]: map-side combine,
+    * ≤ cap longs of state per cell per mapper) + a LEFT SEMI join
+    * back, never a `row_number` window over the member table: the
+    * window form shuffles and then SORTS every heavy
+    * (vector/code-carrying) member row by cell, and a degenerate
+    * mega-cell lands whole on one task — here the heavy rows skip the
+    * capping pass entirely and the semi-join is an AQE skew-split
+    * candidate. Same set as the window (ids are unique per cell), so
+    * every downstream ranking is row-identical; no-op when the cap is
+    * unbounded (the overwhelming default). */
+  private def capLowestPerCell(df: DataFrame, idCol: String,
+      cap: Int): DataFrame =
+    if (cap == Int.MaxValue) df
+    else {
+      val keep = df.select(col("cell"), col(idCol))
+        .groupBy("cell")
+        .agg(graft.functions.Aggregators.collectMinK(
+          col(idCol).cast("long"), cap).as("__ids"))
+        .select(col("cell"), explode(col("__ids")).as(idCol))
+      df.join(keep, Seq("cell", idCol), "left_semi")
+    }
+
   private def inCellStructPairs(am: DataFrame, member: Column,
       idCol: String, cellCap: Int, xPred: Column = lit(true)): DataFrame = {
     val homeAll = am.filter(col("isHome"))
-    val home = (if (cellCap == Int.MaxValue) homeAll
-      else homeAll
-        .withColumn("__hr", row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col(idCol))))
-        .filter(col("__hr") <= cellCap))
+    val home = capLowestPerCell(homeAll, idCol, cellCap)
       .select(col("cell"), member.as("y"))
     am.filter(xPred).select(col("cell"), member.as("x"))
       .join(home, "cell")
@@ -1313,19 +1320,24 @@ object Similarity {
       topN)
   }
 
-  /** Per-query top-n of a scored pair frame (a, b, pqcos) as
+  /** Per-query top-n of a scored pair frame (a, b, scoreCol) as
     * (a, rank, b) — the bounded-heap aggregate replacement for
-    * `row_number() OVER (PARTITION BY a ORDER BY pqcos DESC, b)` +
+    * `row_number() OVER (PARTITION BY a ORDER BY scoreCol DESC, b)` +
     * `rank <= n`: the window encoding SORTS the entire scored-pair
     * table (measured as the single biggest stage of the PQ serve plan
     * at the sf10 rung), while the aggregate's per-group state never
     * exceeds n rows and map-side combine caps what the shuffle
     * carries. Row-identical by the total order (score desc, b asc) —
-    * see [[graft.functions.Aggregators.TopKByScoreAgg]]. */
-  private def topNPerQuery(scored: DataFrame, n: Int): DataFrame =
+    * see [[graft.functions.Aggregators.TopKByScoreAgg]]. Since round
+    * 14 it backs EVERY per-query ranking in this file (brute force,
+    * int8, IVF, serve, rerank, LSH) — the oracles keep the window
+    * form, and the green hashes are the row-identity proof at each
+    * gate SF. `b` must be LongType (every production id is). */
+  private def topNPerQuery(scored: DataFrame, n: Int,
+      scoreCol: String = "pqcos"): DataFrame =
     scored.groupBy("a")
       .agg(graft.functions.Aggregators.topKByScore(
-        col("pqcos"), col("b"), n).as("__top"))
+        col(scoreCol), col("b"), n).as("__top"))
       .select(col("a"), posexplode(col("__top")).as(Seq("__pos", "b")))
       .select(col("a"), (col("__pos") + 1).cast("long").as("rank"), col("b"))
 
@@ -1345,10 +1357,13 @@ object Similarity {
    * unchanged. Approximate dot uses the exact expansion
    *   x̂a·x̂b = μ'a·μ'b + Σ_m (μ'a⊥cw_bm + μ'b⊥cw_am + cw_am·cw_bm)
    * (cross-subspace codeword terms vanish: codewords live in disjoint
-   * subspaces), served from three broadcast table families: cell×cell
-   * (nCells²), cell×codeword (m·nCells·pqK), codeword×codeword
-   * (m·pqK²) — all tiny and training-time; pair scoring is 3m+1
-   * lookups, the float vector still never enters the cell shuffle.
+   * subspaces), served from LINEAR driver-resident state: the μμ term
+   * folds on the fly over the (nCells × dims) mean matrix
+   * ([[graft.functions.MatRowDot]] — a dense cell×cell table would be
+   * O(cells²) plan state and die of serialization size at scale),
+   * cell×codeword (m·nCells·pqK) and codeword×codeword (m·pqK²) stay
+   * precomputed lookups; pair scoring is 3m lookups + one dims-mult
+   * fold, the float vector still never enters the cell shuffle.
    */
   def topKIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, kmIters: Int, dims: Int, nProbe: Int,
@@ -1428,7 +1443,16 @@ object Similarity {
     val residQ = resid.select(col(idCol), col("hc"), col("rq").as("qq"))
     val cbAll = pqCodebooksAll(residQ, idCol, m, subDim, pqK, pqIters, trainMod)
     val idx = collectPqIndex(cbAll, m, pqK)
-    val tmmFlat = Array.tabulate(nC * nC)(i => dotD(muD(i / nC), muD(i % nC)))
+    // μμ term computed ON THE FLY from the flattened (cells × dims)
+    // mean matrix — LINEAR index state. The old dense cell×cell lookup
+    // table was O(cells²) plan state (33 MB at sf10's 2,048 derived
+    // cells, ~3 GB a decade later — plan death long before 100 TB);
+    // MatRowDot replays the identical sequential fold the precompute
+    // ran (dotD), so scores are bit-identical and the oracle's rmm CTE
+    // mirrors unchanged.
+    val muFlat = new Array[Double](nC * dims)
+    for (ci <- 0 until nC)
+      System.arraycopy(muD(ci), 0, muFlat, ci * dims, dims)
     val mcFlat = new Array[Double](m * nC * pqK)
     for (mi <- 0 until m; ci <- 0 until nC; k <- 0 until pqK)
       mcFlat((mi * nC + ci) * pqK + k) = dotD(
@@ -1442,8 +1466,8 @@ object Similarity {
       graft.functions.VectorFunctions.adcLookup(mcFlat,
         ((lit(mi) * nC + hi) * pqK + k).cast("int"))
     def tmmAt(hi: Column, hj: Column): Column =
-      graft.functions.VectorFunctions.adcLookup(tmmFlat,
-        (hi * nC + hj).cast("int"))
+      graft.functions.VectorFunctions.matRowDot(muFlat, dims,
+        hi.cast("int"), hj.cast("int"))
 
     // dense codes + home-cell index + inline approx norm
     // ‖x̂‖ = √(μμ + Σ_m (μcw + μcw + cwcw)), summed in the same
@@ -1553,10 +1577,7 @@ object Similarity {
     val scored = pairs.select(
       col("x.id").as("a"), col("y.id").as("b"),
       (dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv"))).as("cos"))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
+    topNPerQuery(scored.select("a", "b", "cos"), k, "cos")
   }
 
   /**
@@ -1643,9 +1664,6 @@ object Similarity {
     val scored = pairs.select(
       col("x.id").as("a"), col("y.id").as("b"),
       (dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv"))).as("cos"))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("a", "rank", "b")
+    topNPerQuery(scored.select("a", "b", "cos"), k, "cos")
   }
 }

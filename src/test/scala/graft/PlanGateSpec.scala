@@ -126,4 +126,41 @@ class PlanGateSpec extends SparkSpec {
         "Similarity.rerankShortlist) or localCheckpoint the frame " +
         "so the planner sees real stats")
   }
+
+  test("residual-PQ driver-resident plan state stays LINEAR in the cell count") {
+    // Regression gate for the round-13 weak item: the μμ term used to
+    // ride as a dense cells×cells lookup table inside the plan —
+    // O(cells²) driver/serialization state (33 MB at sf10's 2,048
+    // derived cells, ~3 GB a decade later; the plan dies of size long
+    // before 100 TB, and no cluster width fixes driver-side state).
+    // Since round 14 it folds on the fly over the (cells × dims) mean
+    // matrix (MatRowDot). The gate builds the residual plan at a cell
+    // count where quadratic ≫ linear (256 cells: cells² = 65,536 vs
+    // the largest legitimate linear artifact cells·dims = 16,384) and
+    // asserts EVERY driver-resident double[] riding the plan is at
+    // most linear — a reintroduced cells² table fails loudly.
+    import graft.functions.{AdcLookup, MatRowDot, NearestCells}
+    val nCells = 256
+    val dims = 64
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.ml.Similarity.topKIvfPqResidual(
+      emb, "vec_id", "embedding", k = 3, nCells = nCells, kmIters = 1,
+      dims = dims, nProbe = 2, m = 4, pqK = 8, pqIters = 1)
+    val arrays = df.queryExecution.analyzed.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case a: AdcLookup => ("adc_lookup", a.table.length)
+        case m: MatRowDot => ("mat_row_dot", m.mat.length)
+        case n: NearestCells => ("nearest_cells", n.flat.length)
+      })
+    assert(arrays.exists(_._1 == "mat_row_dot"),
+      "gate lost sight of the μμ scoring path — did the residual " +
+        "encoding change?")
+    val linearBound = nCells * dims
+    val offenders = arrays.filter(_._2 > linearBound).distinct
+    assert(offenders.isEmpty,
+      s"super-linear driver-resident plan state (> cells·dims = " +
+        s"$linearBound doubles) in the residual-PQ plan: " +
+        s"${offenders.mkString(", ")} — nothing may grow with cells²")
+    graft.engine.Checkpoints.release(df)
+  }
 }
