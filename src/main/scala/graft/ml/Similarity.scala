@@ -995,19 +995,23 @@ object Similarity {
   }
 
   /** Full-corpus code assignment against jointly-trained codebooks:
-    * one broadcast join + one window over (mi, vec) + one pivot-wide
-    * groupBy — ONE shuffle instead of m sequential joins. Returns
-    * (idCol, c0..c{m-1}). */
+    * one broadcast join + one bounded argmax aggregate over (mi, vec) +
+    * one pivot-wide groupBy — ONE shuffle instead of m sequential
+    * joins. The argmax is `topKByScore(n = 1)` (score desc, cid asc —
+    * the property-pinned window order), NOT a `row_number` window: the
+    * broadcast join fans every (mi, vec) row out to pqK scored rows,
+    * and the window form shuffles and SORTS that n·m·pqK table, while
+    * the aggregate's map-side combine collapses it back to one row per
+    * (mi, vec) before the exchange. Returns (idCol, c0..c{m-1}). */
   private def pqAssignCodes(embQ: DataFrame, idCol: String, cbAll: DataFrame,
       m: Int, subDim: Int): DataFrame = {
     val subs = subspaced(embQ, idCol, "qq", m, subDim)
     val codes = subs.join(
         broadcast(withCbNorms(cbAll.select("mi", "cid", "cq"))), "mi")
       .withColumn("s", cbScorePre(col("q")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("mi"), col(idCol)).orderBy(col("s").desc, col("cid"))))
-      .filter(col("__r") === 1)
-      .select(col(idCol), col("mi"), col("cid").as("code"))
+      .groupBy(col("mi"), col(idCol))
+      .agg(element_at(graft.functions.Aggregators.topKByScore(
+        col("s"), col("cid"), 1), 1).as("code"))
     codes.groupBy(col(idCol)).agg(
       max(when(col("mi") === 0, col("code"))).as("c0"),
       (1 until m).map(mi =>

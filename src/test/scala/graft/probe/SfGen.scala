@@ -42,6 +42,39 @@ object SfGen {
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val nV = emb.agg(max("vec_id")).head().getLong(0) + 1
+
+    // "clustered" mode (r13 verdict stretch): SfGen's jittered copies
+    // stay near-isotropic, so k-means cells come out roughly even and
+    // the cellCap / AQE-skew story was only provable as a no-op. This
+    // mode writes ONLY the embeddings table, with 30% of vectors
+    // COLLAPSED onto one fixed anchor vector (+ a tiny per-id jitter so
+    // they are near-dups, not exact dups): any data-derived IVF puts
+    // ~0.3·n members in one mega-cell at every scale — the Zipf-head
+    // shape real embedding corpora have (templated pages, dup images) —
+    // so the uncapped in-cell term is (0.3n)² while a binding cellCap
+    // holds it at 0.3n·cap. Deterministic: anchor = the base corpus's
+    // vec_id-0 embedding; membership = vec_id % 10 < 3.
+    val clustered = args.length > 2 && args(2) == "clustered"
+    if (clustered) {
+      val anchor = emb.filter(col("vec_id") === 0L)
+        .head().getSeq[Float](1).toArray
+      val anchorSql = anchor.map(f => s"cast($f as float)")
+        .mkString("array(", ", ", ")")
+      write(copies(emb) { (b, k) =>
+        b.select((col("vec_id") + lit(k * nV)).as("vec_id"),
+          expr(s"transform(embedding, (x, d) -> x + " +
+            s"cast(((vec_id * 31 + $k * 17 + d * 5) % 7 - 3) as float) * 0.05f)")
+            .as("embedding"),
+          col("label"))
+      }.select(col("vec_id"),
+        when(col("vec_id") % 10 < 3,
+          expr(s"transform($anchorSql, (a, d) -> a + " +
+            "cast((vec_id * 13 + d * 7) % 9 - 4 as float) * 0.01f)"))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label")), "embeddings")
+      spark.stop(); return
+    }
+
     write(copies(emb) { (b, k) =>
       b.select((col("vec_id") + lit(k * nV)).as("vec_id"),
         expr(s"transform(embedding, (x, d) -> x + " +
