@@ -50,6 +50,20 @@ import org.apache.spark.sql.DataFrame
  * the same session during the body (true of driver-sequential jobs).
  */
 private[graft] object StaticPlan {
+  /** Engine-wide localCheckpoint storage: SERIALIZED
+    * (MEMORY_AND_DISK_SER), not the MEMORY_AND_DISK default. A pinned
+    * round/member table stores one contiguous buffer per block instead
+    * of one UnsafeRow object per row — for the narrow long tables the
+    * engine pins (edges, members, codes) that is ~2× less heap and
+    * ~10⁸ fewer GC-scanned objects at the sf10 rung, where two
+    * coexisting deserialized edge-checkpoint generations OOM'd the
+    * default 16 g one-box heap (k-core, r13 watch #2). Each checkpoint
+    * is read back 1-3 times; UnsafeRow's Externalizable form is a raw
+    * byte copy, so the read tax is one buffer copy-out. */
+  def localCkpt(df: DataFrame, eager: Boolean): DataFrame =
+    df.localCheckpoint(eager,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   def scoped[T](ss: org.apache.spark.sql.SparkSession, parts: Int)(body: => T): T = {
     val conf = ss.conf
     val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
@@ -115,7 +129,7 @@ private[graft] object StaticPlan {
     * top hands every consumer fresh ids, while ProjectExec's
     * alias-aware partitioning still forwards the checkpoint layout. */
   def ckptFresh(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
+    val c = localCkpt(df, eager = true)
     c.select(c.columns.map(n =>
       org.apache.spark.sql.functions.col(n).as(n)).toIndexedSeq: _*)
   }
@@ -131,7 +145,7 @@ private[graft] object StaticPlan {
     * when the caller needs to control WHEN materialization happens
     * (e.g. overlapping driver-parallel training chains). */
   def ckptFreshLazy(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(false)
+    val c = localCkpt(df, eager = false)
     c.select(c.columns.map(n =>
       org.apache.spark.sql.functions.col(n).as(n)).toIndexedSeq: _*)
   }
@@ -234,7 +248,7 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   /** Eagerly localCheckpoint `df`, recording the RDD ids it pinned. */
   def ckpt(df: DataFrame): DataFrame = {
     assertOwner("ckpt")
-    track(df.localCheckpoint(true))
+    track(StaticPlan.localCkpt(df, eager = true))
   }
 
   /** LAZY localCheckpoint: the RDD is registered as persistent now but
@@ -245,7 +259,7 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
     * lineage-cut for later rounds. */
   def ckptLazy(df: DataFrame): DataFrame = {
     assertOwner("ckptLazy")
-    track(df.localCheckpoint(false))
+    track(StaticPlan.localCkpt(df, eager = false))
   }
 
   private def track(out: DataFrame): DataFrame = {

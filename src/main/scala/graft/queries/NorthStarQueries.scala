@@ -934,7 +934,7 @@ object NorthStarQueries {
         // tokenize+langid pass, not two
         val filtered = enriched
           .filter(col("guess") === "en" && col("n_tokens") >= 20)
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val keep = filtered
           .groupBy(md5(col("text").cast("binary")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
@@ -984,12 +984,12 @@ object NorthStarQueries {
         // each once or the quality+decontamination chain re-executes
         // per consumer (triangles lesson)
         val eligible = clean.join(repKeep, "doc_id").select("doc_id", "text")
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val keeper = eligible
           .groupBy(md5(col("text").cast("binary")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
         val surv = eligible.join(keeper.select("doc_id"), "doc_id")
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val bands = TextOps.lshBandsArr(
           TextOps.minhashSigArray(surv, "doc_id", "text", K, H), "doc_id", BANDS, R)
         val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
@@ -1276,12 +1276,12 @@ object NorthStarQueries {
         // feeds sizes + both self-join sides — materialize each once or
         // the minhash chain re-executes per consumer (triangles lesson)
         val cand = TextOps.lshCandidatesCapped(bands, "doc_id", LSH_BUCKET_CAP)
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
         val candDocs = cand
           .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
         val pruned = edges.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = pruned.select(col("doc_id").as("a"), col("sid"))
         val r = pruned.select(col("doc_id").as("b"), col("sid"))
@@ -1315,7 +1315,7 @@ object NorthStarQueries {
       (s, d) => {
         // edges feeds sizes + both self-join sides — materialize once
         val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = edges.select(col("doc_id").as("a"), col("sid"))
         val r = edges.select(col("doc_id").as("b"), col("sid"))
@@ -1352,11 +1352,11 @@ object NorthStarQueries {
         // edges0 feeds the df guard + the filtered edge set; edges
         // feeds sizes + both self-join sides — materialize each once
         val edges0 = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val keep = edges0.groupBy("sid").agg(count(lit(1)).as("df"))
           .filter(col("df") <= STOP_SHINGLE_DF).select("sid")
         val edges = edges0.join(keep, Seq("sid"), "left_semi")
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = edges.select(col("doc_id").as("a"), col("sid"))
         val r = edges.select(col("doc_id").as("b"), col("sid"))
@@ -1393,7 +1393,7 @@ object NorthStarQueries {
         // (triangles lesson: Spark re-executes the shingle build per
         // consumer otherwise)
         val edges = TextOps.shingleSidEdges(docs(s, d), "doc_id", "text", K, dedup = true)
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val sizes = edges.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val l = edges.select(col("doc_id").as("a"), col("sid"))
         val r = edges.select(col("doc_id").as("b"), col("sid"))
@@ -2165,7 +2165,7 @@ object NorthStarQueries {
         val e = emb(s, d)
         val pm = probeModOf(e)
         val exact = Similarity.topK(e, "vec_id", "embedding", 3, pm)
-          .select("a", "b").localCheckpoint()
+          .select("a", "b").transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val quant = Similarity.topKInt8(e, "vec_id", "embedding", 3, pm)
           .select("a", "b")
         val nE = exact.agg(count(lit(1)).as("n_exact"))
@@ -2223,13 +2223,13 @@ object NorthStarQueries {
         // so no extra blocking job at construction time.
         val (lsh0, mp0) = Similarity.topKLshMpSlices(emb(s, d), "vec_id",
           "embedding", 3, PLANES, DIMS, NPROBES,
-          materialize = _.localCheckpoint(false))
+          materialize = graft.engine.StaticPlan.localCkpt(_, eager = false))
         val lsh = lsh0.select("a", "b")
         val mp = mp0.select("a", "b")
         val ivSl = Similarity.topKFromAssignSlices(
           Similarity.ivfAssignRanked(emb(s, d), "vec_id", "embedding", 16, 2),
           "vec_id", "embedding", 3, Seq(1, 2),
-          materialize = _.localCheckpoint(false))
+          materialize = graft.engine.StaticPlan.localCkpt(_, eager = false))
         val ivf = ivSl(1).select("a", "b")
         val ivf2 = ivSl(2).select("a", "b")
         // nProbe 4 is the 16-cell frontier point: recall 0.596 at 62k
@@ -3396,7 +3396,7 @@ object NorthStarQueries {
       (s, d) => {
         val words = Multimodal
           .phashWords(Multimodal.fromDocumentsPngLead(s, d, 16))
-          .localCheckpoint() // consumed 3x: band buckets + hamming sides
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true)) // consumed 3x: band buckets + hamming sides
         // capped in-bucket pair generation (the q_dedup_minhash guard):
         // a mega-cluster of identical images (blank pages, logo spam)
         // yields at most cap² pairs on one task, never bucket²
@@ -3519,7 +3519,7 @@ object NorthStarQueries {
             explode(TextOps.shingleSidsFromFps(
               TextOps.tokenFingerprints(TextOps.tokens(col("text"))), K))
               .as("sid"))
-          .localCheckpoint()
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val reg = Sketches.hllRegisters(tf, Seq("source"), col("sid"))
         val sk = Sketches.hllEstimate(reg, Seq("source"))
         val ex = tf.groupBy("source")
@@ -3874,7 +3874,7 @@ object NorthStarQueries {
           .shingleSidEdges(docs(s, d), "doc_id", "text", K_DUP, dedup = true)
           .join(docs(s, d).select("doc_id", "source"), "doc_id")
           .select("source", "sid").distinct()
-          .localCheckpoint(true)
+          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         val totals = e.groupBy("source").agg(count(lit(1)).as("n"))
         e.alias("l").join(e.alias("r"),
             col("l.sid") === col("r.sid") && col("l.source") < col("r.source"))

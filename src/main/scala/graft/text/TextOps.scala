@@ -298,7 +298,7 @@ object TextOps {
       .select(expr("p div 63").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("word"))
-      .localCheckpoint(true)
+      .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
     val probe = shingleSidEdges(corpus, idCol, textCol, k, dedup = true)
       .select(col(idCol), p1(col("sid")).as("pa"), p2(col("sid")).as("pb"))
     val hit = probe
@@ -886,14 +886,14 @@ object TextOps {
         explode(sequence(lit(1L), length(col("word")).cast("long"))).as("pos"))
       .select(col("word"), col("freq"), col("pos"),
         col("word").substr(col("pos").cast("int"), lit(1)).as("sym"))
-      .localCheckpoint(true)
+      .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
     val nChars = s0.count()
     graft.engine.StaticPlan.scoped(spark,
       graft.engine.StaticPlan.roundPartitions(nChars, spark)) {
       val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
       // re-pin the layout under static planning (s0 itself was
       // materialized under the caller's adaptive planning)
-      var st = s0.repartition(col("word")).localCheckpoint(true)
+      var st = s0.repartition(col("word")).transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
       val rules = new scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]
       var round = 0L
       var exhausted = false
@@ -939,7 +939,7 @@ object TextOps {
             .select(col("word"), col("freq"), col("pos2").as("pos"),
               when(col("app"), concat(col("sym"), col("nxt")))
                 .otherwise(col("sym")).as("sym"))
-            .localCheckpoint(true)
+            .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
         }
       }
       rules.toSeq
@@ -1001,7 +1001,7 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) <= maxWord)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true)
+      .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
     val cand = words
       .select(col("word"), col("freq"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
