@@ -50,19 +50,32 @@ import org.apache.spark.sql.DataFrame
  * the same session during the body (true of driver-sequential jobs).
  */
 private[graft] object StaticPlan {
-  /** Engine-wide localCheckpoint storage: SERIALIZED
-    * (MEMORY_AND_DISK_SER), not the MEMORY_AND_DISK default. A pinned
-    * round/member table stores one contiguous buffer per block instead
-    * of one UnsafeRow object per row — for the narrow long tables the
-    * engine pins (edges, members, codes) that is ~2× less heap and
-    * ~10⁸ fewer GC-scanned objects at the sf10 rung, where two
-    * coexisting deserialized edge-checkpoint generations OOM'd the
-    * default 16 g one-box heap (k-core, r13 watch #2). Each checkpoint
-    * is read back 1-3 times; UnsafeRow's Externalizable form is a raw
-    * byte copy, so the read tax is one buffer copy-out. */
-  def localCkpt(df: DataFrame, eager: Boolean): DataFrame =
-    df.localCheckpoint(eager,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  /** Row-count threshold above which a pinned table stores SERIALIZED
+    * (MEMORY_AND_DISK_SER) instead of the MEMORY_AND_DISK default. A
+    * serialized block holds one contiguous buffer instead of one
+    * UnsafeRow object per row — ~2× less heap and ~10⁸ fewer
+    * GC-scanned objects for the ~10⁸-row edge generations that OOM'd
+    * the default 16 g one-box heap at the sf10 rung (k-core, r13 watch
+    * #2) — but costs a per-row deserialization on every read-back,
+    * measured at +40-50% on checkpoint-heavy queries at sf0.1
+    * (q_dedup_jaccard 1.3 → 1.8 s, q_hits 2.6 → 3.9 s when EVERYTHING
+    * serialized). So the level is sized like everything else in the
+    * engine: small pinned tables (every gate-SF run) stay deserialized
+    * and fast; tables past the threshold (~450 MB+ deserialized) pay
+    * the read tax to keep the executor alive. 8M rows ≈ where the
+    * object-form generation starts to matter against a 16 g heap with
+    * two generations + 32 tasks of execution memory live. */
+  val SER_CKPT_ROWS = 8_000_000L
+
+  /** Engine-wide localCheckpoint: `serialized = true` pins
+    * MEMORY_AND_DISK_SER (see [[SER_CKPT_ROWS]]); default is Spark's
+    * deserialized MEMORY_AND_DISK. */
+  def localCkpt(df: DataFrame, eager: Boolean,
+      serialized: Boolean = false): DataFrame =
+    if (serialized)
+      df.localCheckpoint(eager,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.localCheckpoint(eager)
 
   def scoped[T](ss: org.apache.spark.sql.SparkSession, parts: Int)(body: => T): T = {
     val conf = ss.conf
@@ -241,6 +254,16 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   private var owned = List.empty[Int]
   private var lastIds = List.empty[Int]
 
+  /** When true, subsequent [[ckpt]]/[[ckptLazy]] pin SERIALIZED blocks
+    * (StaticPlan.localCkpt's big-table level). Engines set it from
+    * their materialized edge count — `scope.serialized = nEdges >
+    * StaticPlan.SER_CKPT_ROWS` — right after the setup checkpoint's
+    * count: the repeated ROUND generations are what OOM a fixed heap
+    * at big-rung volume, while gate-SF rounds stay on the fast
+    * deserialized level (the serialized read-back measured +40-50% on
+    * checkpoint-heavy queries at sf0.1). */
+  var serialized: Boolean = false
+
   // assertOwner fires BEFORE localCheckpoint in ckpt/ckptLazy: the
   // other order would pin the RDD first and then leave it untracked
   // (and never freed) when the require threw — the exact storage leak
@@ -248,7 +271,7 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
   /** Eagerly localCheckpoint `df`, recording the RDD ids it pinned. */
   def ckpt(df: DataFrame): DataFrame = {
     assertOwner("ckpt")
-    track(StaticPlan.localCkpt(df, eager = true))
+    track(StaticPlan.localCkpt(df, eager = true, serialized))
   }
 
   /** LAZY localCheckpoint: the RDD is registered as persistent now but
@@ -259,7 +282,7 @@ private[graft] final class CheckpointScope(sc: SparkContext) {
     * lineage-cut for later rounds. */
   def ckptLazy(df: DataFrame): DataFrame = {
     assertOwner("ckptLazy")
-    track(StaticPlan.localCkpt(df, eager = false))
+    track(StaticPlan.localCkpt(df, eager = false, serialized))
   }
 
   private def track(out: DataFrame): DataFrame = {

@@ -62,6 +62,7 @@ object ConnectedComponents {
           struct(col("v").as("src"), col("u").as("dst"))))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nEdges = sym.count()
+    scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
         StaticPlan.roundPartitions(nEdges, spark)) {
       runWithRoundsStatic(scope, sym, maxIter)
@@ -158,8 +159,10 @@ object ConnectedComponents {
     // alternating rounds under static planning (see [[StaticPlan]]):
     // checkpointed round tables keep their partitioning, and the
     // partition count is sized from the oriented edge count
+    val nE = e.count()
+    scope.serialized = nE > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(edges.sparkSession,
-      StaticPlan.roundPartitions(e.count(), edges.sparkSession)) {
+      StaticPlan.roundPartitions(nE, edges.sparkSession)) {
     while (changed > 0 && iter < maxIter) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))

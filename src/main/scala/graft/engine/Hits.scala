@@ -66,6 +66,9 @@ object Hits {
       col(dstCol).cast("long").as("dst"))
       .dropDuplicates("src", "dst"))
     val nEdges = canon.count()
+    // big-rung heap survival: round generations past the threshold pin
+    // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
+    scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     // no edges: no nodes either — every score table is empty
     if (nEdges == 0) {
       val out = scope.ckpt(canon

@@ -65,20 +65,30 @@ object KCore {
           struct(col("u").as("src"), col("v").as("dst")),
           struct(col("v").as("src"), col("u").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val canonIds = scope.last
     val nEdges = canon.count()
+    // big-rung heap survival: round generations past the threshold pin
+    // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
+    scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
         StaticPlan.roundPartitions(nEdges, spark)) {
-      runStatic(scope, canon, k, rounds)
+      runStatic(scope, canon, canonIds, k, rounds)
     })
   }
 
   private def runStatic(scope: CheckpointScope, canon: DataFrame,
-      k: Int, rounds: Int): DataFrame = {
+      canonIds: List[Int], k: Int, rounds: Int): DataFrame = {
     // LAZY layout checkpoint (setup fusion): it materializes inside the
     // first eager round's job with its pinned layout intact
     var e = scope.ckptLazy(canon.repartition(col("src"))
       .sortWithinPartitions(col("src")))
-    var eIds = scope.last
+    // canon's only consumer is the layout table above — once that
+    // materializes, the full-size DESERIALIZED canon generation is
+    // dead; folding its ids into the first round's dead list frees it
+    // at the first eager materialization instead of scope end (at the
+    // sf10 rung that is ~5 GB of object-form edges not held across the
+    // whole peel)
+    var eIds = canonIds ::: scope.last
     // two peel rounds per scheduled job (see [[FusedRounds]]): the
     // per-round checkpoint job IS the engine's sf-scale cost
     val fused = new FusedRounds(scope, rounds)

@@ -56,6 +56,9 @@ object LabelPropagation {
           struct(col("v").as("src"), col("u").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nEdges = canon.count()
+    // big-rung heap survival: round generations past the threshold pin
+    // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
+    scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
         StaticPlan.roundPartitions(nEdges, spark)) {
       runStatic(scope, canon, seeds, iters)

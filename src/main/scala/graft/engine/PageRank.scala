@@ -102,6 +102,9 @@ object PageRank {
           .withColumn("w", lit(1L))
     })
     val nEdges = canon.count()
+    // big-rung heap survival: round generations past the threshold pin
+    // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
+    scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
         StaticPlan.roundPartitions(nEdges, spark)) {
       coreStatic(scope, canon, seedsOpt, iters, scale)

@@ -55,6 +55,9 @@ object Sssp {
         col(w).cast("long").as("w"))
         .groupBy("src", "dst").agg(min(col("w")).as("w")))
     val nEdges = canon.count()
+    // big-rung heap survival: round generations past the threshold pin
+    // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
+    scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
         StaticPlan.roundPartitions(nEdges, spark)) {
       runStatic(scope, canon, seeds, rounds)

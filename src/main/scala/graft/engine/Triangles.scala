@@ -56,6 +56,7 @@ object Triangles {
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .distinct())
     val m = canon.count()
+    scope.serialized = m > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
       StaticPlan.roundPartitions(m, spark, rowsPerPart = 8192L)) {
       perNodeStatic(scope, canon)
