@@ -388,7 +388,19 @@ object Aggregators {
   }
 
   /** `topKByScore(score, id, n)` — ids of the group's n best
-    * (score DESC, id ASC) rows, in rank order. */
+    * (score DESC, id ASC) rows, in rank order. Since round 14 this is
+    * the NATIVE [[TopKByScoreExpr]] (no per-row encoder boundary);
+    * [[topKByScoreUdaf]] keeps the typed-Aggregator encoding as the
+    * cross-check reference — PropertySpec pins both against the
+    * row_number window. */
   def topKByScore(score: Column, id: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TopKByScoreExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(score),
+        org.apache.spark.sql.graft.ColumnBridge.expression(id), n)
+        .toAggregateExpression())
+
+  /** The original typed-Aggregator encoding of [[topKByScore]]. */
+  def topKByScoreUdaf(score: Column, id: Column, n: Int): Column =
     udaf(new TopKByScoreAgg(n)).apply(score, id)
 }
