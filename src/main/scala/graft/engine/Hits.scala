@@ -21,11 +21,27 @@ import org.apache.spark.sql.functions._
  * over the integers; the fixed point only differs by per-round scaling,
  * which normalization absorbs.
  *
- * Overflow discipline: with the default scale 10^6, normalized scores
- * are ≤ scale, so a raw sum is ≤ max-degree·scale and the normalization
- * product is ≤ max-degree·scale² — safe in a signed 64-bit Long while
- * max-degree < 2^63/scale² ≈ 9.2·10^6. For graphs with hotter hubs,
- * lower `scale` (precision trades against headroom exactly).
+ * The scale is CORPUS-DERIVED by default ([[scaleFor]] — the
+ * [[graft.ml.Similarity.trainModFor]] doubling discipline applied to
+ * the L1 mass): the smallest 10^6·2^k ≥ the node count. A pinned 10^6
+ * fails its own `scale ≥ nodes` precondition two decades above the
+ * gate fixtures (the r14 sf10 rung: 1.6M trade-graph nodes), and at
+ * 100 TB any fixed constant loses to corpus growth; the ladder keeps
+ * every gate-SF result on the historical constant while growing with
+ * the graph. Floor 10^6 = the precision floor (scores are in units of
+ * 1/scale).
+ *
+ * Overflow discipline: the start mass is a UNIFORM 1 per node — floor
+ * division is invariant under a uniform rescaling of the start mass
+ * ((c·a) // (c·b) = a // b), so any uniform init yields bit-identical
+ * normalized rounds; starting at 1 rather than `scale` means round 1's
+ * raw sums are in-degrees (≤ nodes ≤ scale) instead of degree·scale.
+ * After every normalization the L1 total is ≤ scale, and a raw sum is
+ * bounded by the total mass crossing the (deduplicated) edges — also
+ * ≤ scale — so every normalization product is ≤ scale², which a signed
+ * Long holds for any scale ≤ [[MAX_SCALE]] (10^6·2^11 ≈ 2.05·10^9;
+ * (2.05e9)² ≈ 4.2e18 < 2^63). Graphs past ~2 billion nodes need a
+ * wider score type, and the require fails loudly there.
  *
  * Scale shape mirrors [[PageRank]], with two HITS-specific twists:
  *
@@ -51,11 +67,32 @@ import org.apache.spark.sql.functions._
  */
 object Hits {
 
+  /** Largest safe scale: normalization products are ≤ scale² (see the
+    * overflow note above), and (10^6·2^11)² is the last ladder rung
+    * under 2^63. */
+  val MAX_SCALE: Long = 1000000L << 11
+
+  /** Corpus-derived integer scale: the smallest 10^6·2^k ≥ `nNodes`,
+    * capped at [[MAX_SCALE]]. Gate-SF graphs (≤ 10^6 nodes) derive the
+    * historical 10^6 — existing results are unchanged; bigger corpora
+    * double until the `scale ≥ nodes` precondition holds. The oracle
+    * derives the identical value from its nodes CTE via the same
+    * VALUES ladder (see q_hits). */
+  def scaleFor(nNodes: Long, floor: Long = 1000000L): Long = {
+    require(floor >= 1 && floor <= MAX_SCALE, s"bad scaleFor floor $floor")
+    var m = floor
+    while (m < MAX_SCALE && nNodes > m) m *= 2
+    math.min(m, MAX_SCALE)
+  }
+
   /** Run `iters` HITS iterations over (srcCol → dstCol) edges.
     * Returns (node, hub, auth) — scores in units of 1/scale, L1 sums
-    * equal to ~scale each (floors shave ≤1 unit per node). */
+    * equal to ~scale each (floors shave ≤1 unit per node).
+    * `scale = 0` (the default) derives the scale from the node count
+    * on the [[scaleFor]] ladder; an explicit scale is honored and
+    * bounds-checked. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iters: Int, scale: Long = 1000000L): DataFrame = {
+          iters: Int, scale: Long = 0L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = edges.sparkSession
     val scope = new CheckpointScope(spark.sparkContext)
@@ -108,9 +145,13 @@ object Hits {
     // >= 1, so the per-round L1 sums can never floor to zero (which
     // would divide by zero next round); it is also the precision floor
     val nNodes = nodes.count()
-    require(scale >= nNodes,
-      s"scale ($scale) must be >= node count ($nNodes): L1-normalized " +
+    val sc = if (scale > 0L) scale else scaleFor(nNodes)
+    require(sc >= nNodes,
+      s"scale ($sc) must be >= node count ($nNodes): L1-normalized " +
         "integer scores need scale units of mass to spread over the nodes")
+    require(sc <= MAX_SCALE,
+      s"scale ($sc) must be <= $MAX_SCALE: normalization products reach " +
+        "scale^2, which a signed Long only holds up to that rung")
 
     // The recursion itself only ever consumes the HUB table (nodes
     // absent from it have hub 0 and contribute nothing to any sum, so
@@ -122,7 +163,12 @@ object Hits {
     // L1-sum broadcast subquery computes every authRaw partition first,
     // persisting it; the main path then reads the persisted blocks) —
     // computed once, lineage-cut, no extra barrier.
-    var hub = scope.ckptLazy(nodes.withColumn("hub", lit(scale)))
+    // uniform 1 per node, NOT `scale`: floor division is invariant
+    // under a uniform rescaling of the start mass, so the normalized
+    // rounds are bit-identical either way (the PropertySpec reference
+    // still inits at `scale` and matches) — and round 1's raw sums stay
+    // degree-sized, keeping every normalization product ≤ scale²
+    var hub = scope.ckptLazy(nodes.withColumn("hub", lit(1L)))
     var prevIds = scope.last
     var auth: DataFrame = null
     // two hub/auth rounds per scheduled job (see [[FusedRounds]]): the
@@ -151,7 +197,7 @@ object Hits {
       val aSumDf = authRaw.agg(coalesce(sum(col("araw")), lit(0L)).as("__asum"))
       val authN = authRaw.crossJoin(broadcast(aSumDf))
         .select(col("dst").as("anode"),
-          expr(s"(araw * $scale) div __asum").as("auth"))
+          expr(s"(araw * $sc) div __asum").as("auth"))
       val hubRaw = fused.ckptRound(
         authN.join(eByDst, col("anode") === col("dst"))
           .select(col("src"), col("auth"))
@@ -161,7 +207,7 @@ object Hits {
       val hSumDf = hubRaw.agg(coalesce(sum(col("hraw")), lit(0L)).as("__hsum"))
       val hubN = hubRaw.crossJoin(broadcast(hSumDf))
         .select(col("src").as("node"),
-          expr(s"(hraw * $scale) div __hsum").as("hub"))
+          expr(s"(hraw * $sc) div __hsum").as("hub"))
       // the previous round's tables die once this round's raw
       // aggregates are materialized — ckptRound frees them then
       // (deferred across lazy rounds; see [[FusedRounds]])

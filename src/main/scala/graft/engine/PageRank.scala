@@ -156,6 +156,16 @@ object PageRank {
       return out
     }
     require(nSeed > 0, "personalized PageRank needs at least one seed present in the graph")
+    // Loud scale precondition (the Hits.scaleFor lesson, r14 sf10 rung):
+    // below this the integer start mass floors to zero per seed and the
+    // recursion silently degenerates. Unlike HITS the default 10^12 is
+    // NOT ladder-derived: raising scale shrinks the weighted variant's
+    // safe weight range (w < 2^63/scale — see runWeighted), so the
+    // constant trades three decades of node headroom above any
+    // realistic 100 TB graph against weights up to ~9.2·10^6.
+    require(scale >= nSeed,
+      s"scale ($scale) must be >= seed/node count ($nSeed): integer " +
+        "teleport mass needs at least one unit per seed")
 
     var ranks = scope.ckptLazy(base.withColumn("pr",
       when(col("is_seed"), lit(scale / nSeed)).otherwise(lit(0L))))

@@ -43,21 +43,36 @@ object RelationalQueries {
       s"FROM nodes CROSS JOIN nn CROSS JOIN g$k LEFT JOIN i$k ON node = dst)"
   }
 
+  /** Corpus-derived HITS scale CTEs (engine `Hits.scaleFor` mirror):
+    * the smallest 10^6·2^k ≥ the node count, from the same VALUES
+    * doubling ladder the trainMod oracle uses. Gate-SF graphs derive
+    * the historical 10^6. */
+  private def sqlHitsScale: String = {
+    val cap = 1000000L << 11 // Hits.MAX_SCALE
+    val ladder = (0 to 11).map(k => s"(CAST(${1000000L << k} AS BIGINT))")
+      .mkString(",")
+    s"hn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+      s"hsc AS MATERIALIZED (SELECT coalesce(min(t.m), CAST($cap AS BIGINT)) " +
+      s"AS m FROM (VALUES $ladder) t(m), hn WHERE hn.n <= t.m)"
+  }
+  private val HSCALE = "(SELECT m FROM hsc)"
+
   /** One unrolled L1-normalized integer HITS iteration k (engine
     * `Hits.run` mirror): auth from hub over in-edges, normalize, hub
-    * from the NEW auth over out-edges, normalize — floors throughout. */
+    * from the NEW auth over out-edges, normalize — floors throughout.
+    * The scale is the derived [[sqlHitsScale]] value. */
   private def hitsIter(k: Int): String = {
     val p = s"r${k - 1}"
     s"a${k}r AS MATERIALIZED (SELECT dst, CAST(sum(hub) AS BIGINT) AS araw " +
       s"FROM $p JOIN e ON node = src GROUP BY dst), " +
       s"as$k AS MATERIALIZED (SELECT CAST(sum(araw) AS BIGINT) AS s FROM a${k}r), " +
       s"a$k AS MATERIALIZED (SELECT dst, " +
-      s"CAST((araw * 1000000) // s AS BIGINT) AS auth FROM a${k}r CROSS JOIN as$k), " +
+      s"CAST((araw * $HSCALE) // s AS BIGINT) AS auth FROM a${k}r CROSS JOIN as$k), " +
       s"h${k}r AS MATERIALIZED (SELECT src, CAST(sum(auth) AS BIGINT) AS hraw " +
       s"FROM a$k JOIN e USING (dst) GROUP BY src), " +
       s"hs$k AS MATERIALIZED (SELECT CAST(sum(hraw) AS BIGINT) AS s FROM h${k}r), " +
       s"r$k AS MATERIALIZED (SELECT node, " +
-      s"coalesce(CAST((hraw * 1000000) // hs$k.s AS BIGINT), 0) AS hub, " +
+      s"coalesce(CAST((hraw * $HSCALE) // hs$k.s AS BIGINT), 0) AS hub, " +
       s"coalesce(auth, 0) AS auth " +
       s"FROM nodes CROSS JOIN hs$k LEFT JOIN a$k ON node = dst " +
       s"LEFT JOIN h${k}r ON node = src)"
@@ -1447,7 +1462,10 @@ object RelationalQueries {
       // trade graph, where PageRank's single score conflates roles:
       // customers are hubs (good because they buy from good suppliers),
       // suppliers are authorities. 3 mutual-recursion rounds, every
-      // division a floor over Longs — bit-exact across engines.
+      // division a floor over Longs — bit-exact across engines. The
+      // scale is CORPUS-DERIVED (Hits.scaleFor / sqlHitsScale — same
+      // doubling ladder both sides): a pinned 10^6 died at the sf10
+      // rung's 1.6M nodes.
       (s, d) => {
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
@@ -1461,7 +1479,10 @@ object RelationalQueries {
         "ON o_orderkey = l_orderkey), " +
         "nodes AS MATERIALIZED (SELECT src AS node FROM e " +
         "UNION SELECT dst FROM e), " +
-        "r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS hub, " +
+        s"$sqlHitsScale, " +
+        // uniform UNIT start mass (floor division is invariant under a
+        // uniform rescaling of the start mass — same rows as hub=scale)
+        "r0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS hub, " +
         "CAST(0 AS BIGINT) AS auth FROM nodes), " +
         (1 to 3).map(hitsIter).mkString(", ") + " " +
         "SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth " +

@@ -459,6 +459,39 @@ class PropertySpec extends SparkSpec {
     assert(graft.engine.Bfs.run(empty, Seq(1L).toDF("node"), 1).count() == 0)
   }
 
+  test("hits: scaleFor ladder — floor at gate SFs, doubles with the graph, caps at MAX_SCALE") {
+    import graft.engine.Hits
+    assert(Hits.scaleFor(1L) == 1000000L)
+    assert(Hits.scaleFor(1000000L) == 1000000L) // boundary: exactly the floor
+    assert(Hits.scaleFor(1000001L) == 2000000L)
+    assert(Hits.scaleFor(1599900L) == 2000000L) // the sf10 rung's node count
+    assert(Hits.scaleFor(4000001L) == 8000000L)
+    assert(Hits.scaleFor(Long.MaxValue) == Hits.MAX_SCALE)
+    assert(Hits.MAX_SCALE == 2048000000L &&
+      Hits.MAX_SCALE <= math.sqrt(Long.MaxValue.toDouble).toLong,
+      "normalization products reach scale^2 — the cap must keep that in a Long")
+    // monotone and always on the 10^6 * 2^k ladder
+    val pts = Seq(1L, 999999L, 1000000L, 1000001L, 3000000L, 1L << 33)
+    val vs = pts.map(Hits.scaleFor(_))
+    assert(vs == vs.sorted && vs.forall(v => {
+      var m = 1000000L; while (m < v) m *= 2; m == v
+    }))
+  }
+
+  test("hits: derived scale equals the explicit historical 10^6 below the floor") {
+    import spark.implicits._
+    val es = (0L until 30L).map(i => (i, (i * 7 + 1) % 30)).toDF("a", "b")
+    val derived = graft.engine.Hits.run(es, "a", "b", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicit = graft.engine.Hits.run(es, "a", "b", 2, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(derived == explicit)
+  }
+
+  // NOTE this reference initializes hub = scale while the engine now
+  // initializes hub = 1: floor division is invariant under a uniform
+  // rescaling of the start mass ((c*a) // (c*b) = a // b), so the match
+  // below IS the pin for that invariance.
   test("hits: integer hub/auth match a single-threaded reference") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))) {
       (es0: List[(Long, Long)]) =>
