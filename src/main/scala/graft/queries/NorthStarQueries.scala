@@ -3504,26 +3504,40 @@ object NorthStarQueries {
       // Exact count rides along as the yardstick; raw HLL estimate only
       // (the paper's small/large-range corrections need ln, which is
       // not bit-reproducible across engines — documented, not hidden).
-      // Shape: one (source, register) groupBy then a ~64-row-per-source
-      // rollup; no distinct pass is needed because max() absorbs
-      // duplicate sids for free.
+      // Shape: ONE wide exchange total — the raw explosion goes
+      // straight into a (source, sid) distinct (max() absorbs
+      // duplicates, so registers off the deduped table are identical,
+      // and the exact yardstick needs the dedup anyway); everything
+      // downstream is map-side partial aggregation.
       (s, d) => {
+        val all = docs(s, d)
+        // size-gate the corpus-scale pin like the graph engines
+        // (StaticPlan.SER_CKPT_ROWS): shingle rows ≈ chars/6, from one
+        // cheap column-stats agg — not a second explosion. The r14 sf10
+        // rung measured the pre-rework shape (raw 100M-row deserialized
+        // pin + a second full countDistinct exchange) hovering at the
+        // one-box storage cliff: 70 s and 320 s on ADJACENT passes.
+        val estRows =
+          all.agg(sum(col("n_chars"))).head().getLong(0) / 6
         // materialized: consumed by BOTH the register pass and the
         // exact-count yardstick — lazily each would re-run the full
         // tokenize/fingerprint/shingle explosion. Repartition FIRST:
         // the documents table is one parquet split at small SF, and the
         // explosion ran 12s single-threaded on that one partition.
-        val tf = docs(s, d)
+        val tf = all
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("source"),
             explode(TextOps.shingleSidsFromFps(
               TextOps.tokenFingerprints(TextOps.tokens(col("text"))), K))
               .as("sid"))
-          .transform(df => graft.engine.StaticPlan.localCkpt(df, eager = true))
+          .dropDuplicates("source", "sid")
+          .transform(df => graft.engine.StaticPlan.localCkpt(df,
+            eager = true,
+            serialized = estRows > graft.engine.StaticPlan.SER_CKPT_ROWS))
         val reg = Sketches.hllRegisters(tf, Seq("source"), col("sid"))
         val sk = Sketches.hllEstimate(reg, Seq("source"))
         val ex = tf.groupBy("source")
-          .agg(countDistinct("sid").as("n_exact"))
+          .agg(count(lit(1)).as("n_exact"))
         ex.join(broadcast(sk), "source")
           .select(col("source"), col("n_exact"), col("hll_est"),
             col("registers_hit"))
