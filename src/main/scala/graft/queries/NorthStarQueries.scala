@@ -3517,8 +3517,15 @@ object NorthStarQueries {
         // rung measured the pre-rework shape (raw 100M-row deserialized
         // pin + a second full countDistinct exchange) hovering at the
         // one-box storage cliff: 70 s and 320 s on ADJACENT passes.
+        // coalesce: sum over an empty documents table is NULL, and the
+        // gate must degrade to "small" (fast checkpoint level), not NPE.
+        // The estimate is PRE-dedup (chars/6 shingle rows) while the
+        // pinned table is post-(source,sid)-dedup — deliberately
+        // conservative: a heavy-duplication corpus pays the serialized
+        // read tax early rather than hitting the storage cliff late.
         val estRows =
-          all.agg(sum(col("n_chars"))).head().getLong(0) / 6
+          all.agg(coalesce(sum(col("n_chars")), lit(0L)))
+            .head().getLong(0) / 6
         // materialized: consumed by BOTH the register pass and the
         // exact-count yardstick — lazily each would re-run the full
         // tokenize/fingerprint/shingle explosion. Repartition FIRST:

@@ -1650,4 +1650,172 @@ class StreamingSpec extends SparkSpec {
         s"open-window sample state must survive the restart, got $got")
     }
   }
+
+  test("restart durability: hllRegisterStream max-rho register state " +
+      "survives a checkpointed restart (no phantom re-emission)") {
+    withRocksDb {
+      // Ninth restart leg — the MERGE-MONOTONE REGISTER state class
+      // (r14 verdict #1): a register file that silently resets on
+      // restart under-counts FOREVER, because registers only grow and
+      // a downstream consumer folds update-mode rows with max() — a
+      // phantom low-rho re-emission is absorbed, so the failure is
+      // invisible in output shape and only catchable by asserting the
+      // SUPPRESSION: a post-restart observation with rho BELOW the
+      // pre-crash register max must emit NOTHING.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      // mirror of the stream's mix-hash (parity-tested vs batch)
+      def reg(sid: Long): (Long, Int) = {
+        val h = (sid * 2654435761L + 104729L) & 0xFFFFFFFFL
+        val sfx = h >> 6
+        val rho = if (sfx == 0L) 27
+          else 27 - java.lang.Long.toBinaryString(sfx).length
+        (h % 64, rho)
+      }
+      // search a discriminating triple: sHigh lands rho ≥ 4 in some
+      // register; sLow lands the SAME register with a strictly lower
+      // rho; sOther lands a DIFFERENT register (proves the restarted
+      // query is live, not just silent)
+      val sHigh = (0L to 4096L).find { s => reg(s)._2 >= 4 }.get
+      val (idxH, rhoH) = reg(sHigh)
+      val sLow = (0L to 65536L).find { s =>
+        val (i, r) = reg(s); i == idxH && r < rhoH }.get
+      val sOther = (0L to 4096L).find { s => reg(s)._1 != idxH }.get
+      val (idxO, rhoO) = reg(sOther)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_hll_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(String, Long, Int)]]
+      val mem = MemoryStream[Streaming.SketchIn](spark, 1)
+      def startQ() = Streaming.hllRegisterStream(mem.toDS())
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = df.collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        }
+        .outputMode("update").start()
+      // run 1: the register climbs to rhoH and the query dies
+      val q1 = startQ()
+      mem.addData(Streaming.SketchIn("g", sHigh))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(batches.values.flatten.toSet === Set(("g", idxH, rhoH)),
+        "run 1 must emit the initial register value")
+      // while down: a LOWER observation of the same register (must be
+      // suppressed iff state survived) plus a fresh register (must emit)
+      mem.addData(Streaming.SketchIn("g", sLow), Streaming.SketchIn("g", sOther))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = batches.values.flatten.toList
+      assert(all.size === all.distinct.size,
+        s"duplicated register emissions across restart: $all")
+      // lost state re-emits (idxH, rho(sLow)) — the under-count signature
+      assert(all.toSet === Set(("g", idxH, rhoH), ("g", idxO, rhoO)),
+        s"register max must survive the restart (no low re-emission), got $all")
+    }
+  }
+
+  test("restart durability: cmsCellStream counters accumulate across a " +
+      "checkpointed restart (post-restart totals include pre-crash mass)") {
+    withRocksDb {
+      // Tenth restart leg — the ADDITIVE-COUNTER register class: unlike
+      // HLL's max (where a reset is only visible via suppression), a
+      // reset CMS cell is directly visible — the post-restart emission
+      // carries only the new batch's weight instead of the running
+      // total, and every point-estimate served afterwards is low by
+      // the pre-crash mass.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val (w, ha, hb) = (16, Seq(31L, 131L), Seq(7L, 101L))
+      val fp = 5L
+      val cells = ha.indices.map(j =>
+        (j, (fp * ha(j) + hb(j)) % 1000003L % w))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cms_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Int, Long, Long)]]
+      val mem = MemoryStream[(Long, Long)](spark, 1)
+      def startQ() = Streaming.cmsCellStream(mem.toDS(), w, ha, hb)
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = df.collect().toSeq
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        }
+        .outputMode("update").start()
+      // run 1: weight 3 lands in the fingerprint's D cells
+      val q1 = startQ()
+      mem.addData((fp, 3L))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(batches.values.flatten.toSet ===
+        cells.map { case (r, b) => (r, b, 3L) }.toSet,
+        "run 1 must emit the initial cell totals")
+      // while down: weight 2 more of the same fingerprint
+      mem.addData((fp, 2L))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = batches.values.flatten.toList
+      assert(all.size === all.distinct.size,
+        s"duplicated cell emissions across restart: $all")
+      // lost state emits (…, 2) — the silent under-count signature
+      assert(all.toSet === (cells.map { case (r, b) => (r, b, 3L) } ++
+        cells.map { case (r, b) => (r, b, 5L) }).toSet,
+        s"cell totals must accumulate across the restart, got $all")
+    }
+  }
+
+  test("restart durability: minhashCandStream bucket membership survives " +
+      "a checkpointed restart (pre-crash doc still pairs)") {
+    withRocksDb {
+      // Eleventh restart leg — the CANDIDATE-GENERATION state class
+      // (r14 verdict #1's join-state family): LSH bucket membership
+      // lost on restart means every post-restart near-duplicate of a
+      // pre-crash document lands in an "empty" bucket and NO candidate
+      // pair ever emits — the dedup silently stops deduping against
+      // history, the worst failure mode for a crawl pipeline.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mh_ckpt").toString
+      val batches = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Long, Long)]]
+      val mem = MemoryStream[Streaming.DocEv](spark, 1)
+      // one band of all 4 hashes → identical docs share exactly one
+      // bucket, so exactly-once is assertable as a plain set equality
+      def startQ() = Streaming.minhashCandStream(mem.toDS(),
+          k = 3, numHashes = 4, numBands = 1, rowsPerBand = 4)
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = df.collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        .outputMode("append").start()
+      val text = "the quick brown fox jumps over the lazy dog"
+      // run 1: the first copy registers in its bucket — no pair yet
+      val q1 = startQ()
+      mem.addData(Streaming.DocEv(10L, text))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(batches.values.flatten.isEmpty,
+        "a single bucket member must not emit a pair")
+      // while down: an exact near-dup (same signature → same bucket)
+      // plus an unrelated doc (proves the restarted query is live)
+      mem.addData(Streaming.DocEv(20L, text),
+        Streaming.DocEv(30L, "completely different words in this one here"))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = batches.values.flatten.toList
+      assert(all.size === all.distinct.size,
+        s"duplicated candidate pairs across restart: $all")
+      // lost bucket state: doc 20 sees an empty bucket → emits nothing
+      assert(all.toSet === Set((10L, 20L)),
+        s"pre-crash bucket member must pair post-restart, got $all")
+    }
+  }
 }

@@ -44,9 +44,12 @@ object TriHubProbe {
         .unionByName(spokes.select(col("id").as("u"),
           (col("id") % d + 1L).as("v")))
     }
+    // `div`, not `/`: SQL `/` on bigints yields DoubleType and the
+    // getLong below would CCE (same integer-div discipline as
+    // PageRank.scala's fixed-point arithmetic).
     def wedgeMass(out: DataFrame): Long = out
       .groupBy("src").agg(count(lit(1)).as("od"))
-      .agg(coalesce(sum(expr("od * (od - 1) / 2")), lit(0L)))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)))
       .head().getLong(0)
 
     degs.foreach { d =>
@@ -57,7 +60,7 @@ object TriHubProbe {
         .union(canon.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val naive = deg
-        .agg(coalesce(sum(expr("dg * (dg - 1) / 2")), lit(0L)))
+        .agg(coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L)))
         .head().getLong(0)
       val idOr = wedgeMass(canon.select(col("u").as("src")))
       val j = canon
