@@ -163,6 +163,9 @@ object PageRank {
     // safe weight range (w < 2^63/scale — see runWeighted), so the
     // constant trades three decades of node headroom above any
     // realistic 100 TB graph against weights up to ~9.2·10^6.
+    // Deploy guidance (when to raise it, what shrinks, why no
+    // auto-ladder): SCALE.md §"Operator guidance — the PageRank
+    // `scale` knob".
     require(scale >= nSeed,
       s"scale ($scale) must be >= seed/node count ($nSeed): integer " +
         "teleport mass needs at least one unit per seed")

@@ -973,11 +973,20 @@ object Similarity {
       val scored = train.join(
           broadcast(withCbNorms(centsDf.select("mi", "cid", "cq"))), "mi")
         .withColumn("s", cbScorePre(col("q")))
-      val wV = Window.partitionBy(col("mi"), col(idCol))
-        .orderBy(col("s").desc, col("cid"))
-      val assigned = scored.withColumn("__r", row_number().over(wV))
-        .filter(col("__r") === 1)
-        .select(col("mi"), col(idCol), col("q"), col("cid").as("cell"))
+      // same bounded argmax as the serving path (pqAssignCodes):
+      // topKByScore(n=1) with the property-pinned (s DESC, cid ASC)
+      // order — the engine's ONE ranking shape everywhere. `first(q)`
+      // is deterministic here: the broadcast join fanned a single
+      // (mi, id, q) row out to pqK scored rows, so q is constant
+      // within each group. Input is the trainMod-bounded sample, so
+      // this is consistency, not scale: a 2×2 BracketProbe A/B at
+      // sf0.1 measured PARITY inside host noise (window 3.3/5.5
+      // canary units vs aggregate 4.5/3.7 across two passes each).
+      val assigned = scored
+        .groupBy(col("mi"), col(idCol))
+        .agg(element_at(graft.functions.Aggregators.topKByScore(
+            col("s"), col("cid"), 1), 1).as("cell"),
+          first(col("q")).as("q"))
       val sumCols = (0 until subDim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
       val sums = assigned.groupBy(col("mi"), col("cell"))
         .agg(count(lit(1)).as("n"), sumCols: _*)
