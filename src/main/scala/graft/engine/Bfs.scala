@@ -54,7 +54,9 @@ object Bfs {
     // Canonical-orient then explode both orientations — one pass over
     // the input (a two-projection union executes its upstream twice)
     // and dedup at half the symmetric size.
-    val canon = scope.ckpt(
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — no separate persist job.
+    val canon = scope.ckptLazy(
       edges.filter(col(a) =!= col(b))
         .select(least(col(a).cast("long"), col(b).cast("long")).as("u"),
           greatest(col(a).cast("long"), col(b).cast("long")).as("v"))
@@ -68,7 +70,8 @@ object Bfs {
     // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
     scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
-        StaticPlan.roundPartitions(nEdges, spark)) {
+        StaticPlan.roundPartitions(nEdges, spark,
+        StaticPlan.GRAPH_ROUND_ROWS)) {
       runStatic(scope, canon, seeds, maxHops)
     })
   }
@@ -87,8 +90,9 @@ object Bfs {
       .select(col("node"),
         when(col("__seed"), lit(0L)).otherwise(lit(null).cast("long")).as("dist")))
     distIds = scope.last
-    // two hop rounds per scheduled job (see [[FusedRounds]])
-    val fused = new FusedRounds(scope, maxHops)
+    // fused hop rounds (see [[FusedRounds]] / [[StaticPlan.fuseDepth]])
+    val fused = new FusedRounds(scope, maxHops,
+      StaticPlan.fuseDepth(scope.serialized, maxHops))
     for (k <- 1 to maxHops) {
       // frontier: nodes first reached in round k-1 — a narrow filter
       // over the checkpointed table, already node-partitioned

@@ -171,6 +171,36 @@ private[graft] object StaticPlan {
     val cap = ss.conf.get("spark.sql.shuffle.partitions").toInt
     math.max(1L, math.min(cap.toLong, (nRows + rowsPerPart - 1) / rowsPerPart)).toInt
   }
+
+  /** Per-task row target for the GRAPH engines' round tables (narrow
+    * 2-3 long columns, ~16-24 B/row → ~2-3 MB/task): the round stages
+    * are a chain of co-partitioned joins/aggs whose per-task compute at
+    * 32 k rows is far below the task dispatch+fetch floor, so the wider
+    * layout just multiplies scheduling latency (r15 A/B at sf0.1:
+    * q_sssp 4.15 → 1.89 s, q_kcore 4.36 → 3.17 s, q_hits 3.63 → 2.49 s
+    * when round width drops 32 → 8; q_triangles' wedge phase is REAL
+    * O(m^1.5) compute and keeps its own smaller 8192-row target).
+    * Still capped at the session's shuffle-partition setting, so
+    * cluster-scale graphs keep the caller's full width. */
+  val GRAPH_ROUND_ROWS = 131072L
+
+  /** Round-fusion depth for [[FusedRounds]], sized from the engine's
+    * materialized row count like everything else: BELOW the serialized-
+    * checkpoint threshold every round stays lazy until the last, so the
+    * whole loop materializes in ONE scheduled job (JobProbe r15: the
+    * graph engines' sf-scale cost is per-job latency — job-time sum ≈
+    * wall over 12-20 jobs of 0.1-0.5 s); ABOVE it, keep the measured
+    * 2-round pairing — fusion defers the freeing of dead generations
+    * until the next EAGER round, so deep fusion of ~10⁸-row generations
+    * would pin `rounds` edge-sized tables at once against the heap the
+    * serialized level exists to protect (the k-core 16 g survival,
+    * r14). The depth only changes WHEN checkpoints materialize and
+    * dead rounds free, never what any round computes. `big` is the
+    * engine's existing size gate (`nRows > SER_CKPT_ROWS`, i.e.
+    * `scope.serialized`) — the same predicate that already decides the
+    * checkpoint storage level. */
+  def fuseDepth(big: Boolean, rounds: Int): Int =
+    if (big) 2 else math.max(2, rounds)
 }
 
 /**
@@ -194,16 +224,20 @@ private[graft] object StaticPlan {
  * the engine's thread, so every marked lazy ancestor's checkpoint is
  * finalized inside the job that materializes the eager round.
  */
-private[graft] final class FusedRounds(scope: CheckpointScope, rounds: Int) {
+private[graft] final class FusedRounds(scope: CheckpointScope, rounds: Int,
+    fuse: Int = 2) {
   private var r = 0
   private var deferred: List[Int] = Nil
 
-  /** Checkpoint round state (lazy on odd rounds except the last);
+  /** Checkpoint round state (lazy except every `fuse`-th round and the
+    * last — [[StaticPlan.fuseDepth]] sizes `fuse` from the engine's row
+    * count: whole loop in one job when small, pairs when generation
+    * size is what matters);
     * `dead` = the ids this round's input frame pins, freed as soon as
     * this round (and any deferred lazy predecessor) has materialized. */
   def ckptRound(df: DataFrame, dead: List[Int]): DataFrame = {
     r += 1
-    if (r % 2 == 1 && r < rounds) {
+    if (r % fuse != 0 && r < rounds) {
       val out = scope.ckptLazy(df)
       deferred = dead ::: deferred
       out

@@ -52,7 +52,9 @@ object ConnectedComponents {
     // Canonical-orient then explode both orientations — one pass over
     // the input and dedup at half size; a self-loop (its node must
     // still appear in the label table) explodes to one row, not two.
-    val sym = scope.ckpt(edges
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — no separate persist job.
+    val sym = scope.ckptLazy(edges
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .distinct()
       .select(explode(when(col("u") === col("v"),
@@ -64,7 +66,8 @@ object ConnectedComponents {
     val nEdges = sym.count()
     scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
-        StaticPlan.roundPartitions(nEdges, spark)) {
+        StaticPlan.roundPartitions(nEdges, spark,
+        StaticPlan.GRAPH_ROUND_ROWS)) {
       runWithRoundsStatic(scope, sym, maxIter)
     })
   }
@@ -162,7 +165,8 @@ object ConnectedComponents {
     val nE = e.count()
     scope.serialized = nE > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(edges.sparkSession,
-      StaticPlan.roundPartitions(nE, edges.sparkSession)) {
+      StaticPlan.roundPartitions(nE, edges.sparkSession,
+      StaticPlan.GRAPH_ROUND_ROWS)) {
     while (changed > 0 && iter < maxIter) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))

@@ -99,7 +99,9 @@ object Hits {
     // Canonicalize ONCE under the caller's (adaptive) planning — the
     // only pass over the raw input; its row count sizes the static
     // round partitioning (see [[StaticPlan]]).
-    val canon = scope.ckpt(edges.select(col(srcCol).cast("long").as("src"),
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — no separate persist job.
+    val canon = scope.ckptLazy(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .dropDuplicates("src", "dst"))
     val nEdges = canon.count()
@@ -114,7 +116,8 @@ object Hits {
       return out
     }
     scope.guarded(StaticPlan.scoped(spark,
-        StaticPlan.roundPartitions(nEdges, spark)) {
+        StaticPlan.roundPartitions(nEdges, spark,
+        StaticPlan.GRAPH_ROUND_ROWS)) {
       runStatic(scope, canon, iters, scale)
     })
   }
@@ -137,7 +140,10 @@ object Hits {
       .sortWithinPartitions(col("src")))
     val eByDst = scope.ckptLazy(e.repartition(col("dst"))
       .sortWithinPartitions(col("dst")))
-    val nodes = scope.ckpt(
+    // LAZY like the edge layouts: the nNodes count() below is the job
+    // that materializes nodes (and, upstream, the pinned src layout) —
+    // the eager form scheduled a separate persist job first (r15)
+    val nodes = scope.ckptLazy(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
 
@@ -171,10 +177,12 @@ object Hits {
     var hub = scope.ckptLazy(nodes.withColumn("hub", lit(1L)))
     var prevIds = scope.last
     var auth: DataFrame = null
-    // two hub/auth rounds per scheduled job (see [[FusedRounds]]): the
-    // hub-side checkpoint is the round's one action; on odd rounds it
-    // goes lazy and the next eager round's job materializes both
-    val fused = new FusedRounds(scope, iters)
+    // fused hub/auth rounds (see [[FusedRounds]] /
+    // [[StaticPlan.fuseDepth]]): the hub-side checkpoint is the round's
+    // one action; lazy rounds materialize inside the next eager round's
+    // job — the whole loop in ONE job below the big-table gate
+    val fused = new FusedRounds(scope, iters,
+      StaticPlan.fuseDepth(scope.serialized, iters))
     for (_ <- 1 to iters) {
       // with ≥1 edge, hub mass crosses it, so aSum/hSum are ≥ 1 and the
       // floor divisions below are safe. Raw aggregates are node-sized,

@@ -56,7 +56,10 @@ object KCore {
     // projections would execute whatever join built `edges` TWICE and
     // dedup at full symmetric size — this reads the input once and
     // dedups at half size, then the explode is free.
-    val canon = scope.ckpt(
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — the eager form scheduled a
+    // separate persist job before an identically-shaped count.
+    val canon = scope.ckptLazy(
       edges.filter(col(a) =!= col(b))
         .select(least(col(a).cast("long"), col(b).cast("long")).as("u"),
           greatest(col(a).cast("long"), col(b).cast("long")).as("v"))
@@ -71,7 +74,8 @@ object KCore {
     // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
     scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
-        StaticPlan.roundPartitions(nEdges, spark)) {
+        StaticPlan.roundPartitions(nEdges, spark,
+        StaticPlan.GRAPH_ROUND_ROWS)) {
       runStatic(scope, canon, canonIds, k, rounds)
     })
   }
@@ -89,9 +93,11 @@ object KCore {
     // sf10 rung that is ~5 GB of object-form edges not held across the
     // whole peel)
     var eIds = canonIds ::: scope.last
-    // two peel rounds per scheduled job (see [[FusedRounds]]): the
-    // per-round checkpoint job IS the engine's sf-scale cost
-    val fused = new FusedRounds(scope, rounds)
+    // fused peel rounds (see [[FusedRounds]]): the per-round checkpoint
+    // job IS the engine's sf-scale cost — below the big-table gate the
+    // whole peel materializes in ONE job, above it rounds pair up
+    val fused = new FusedRounds(scope, rounds,
+      StaticPlan.fuseDepth(scope.serialized, rounds))
     for (_ <- 1 to rounds) {
       // degree in the CURRENT surviving subgraph (symmetrized edges:
       // count per src IS the undirected degree)

@@ -47,7 +47,9 @@ object LabelPropagation {
     // Canonical-orient then explode both orientations — one pass over
     // the input (a two-projection union executes its upstream twice)
     // and dedup at half the symmetric size.
-    val canon = scope.ckpt(
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — no separate persist job.
+    val canon = scope.ckptLazy(
       edges.filter(col(a) =!= col(b))
         .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
         .distinct()
@@ -60,7 +62,8 @@ object LabelPropagation {
     // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
     scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
-        StaticPlan.roundPartitions(nEdges, spark)) {
+        StaticPlan.roundPartitions(nEdges, spark,
+        StaticPlan.GRAPH_ROUND_ROWS)) {
       runStatic(scope, canon, seeds, iters)
     })
   }
@@ -82,8 +85,9 @@ object LabelPropagation {
     var lab = scope.ckptLazy(base.withColumn("label", col("__seed"))
       .select("node", "label"))
     labIds = scope.last
-    // two vote rounds per scheduled job (see [[FusedRounds]])
-    val fused = new FusedRounds(scope, iters)
+    // fused vote rounds (see [[FusedRounds]] / [[StaticPlan.fuseDepth]])
+    val fused = new FusedRounds(scope, iters,
+      StaticPlan.fuseDepth(scope.serialized, iters))
     for (_ <- 1 to iters) {
       // one explicit shuffle by the adopting node: the (node, label)
       // count AND the per-node rank window are then both satisfied by

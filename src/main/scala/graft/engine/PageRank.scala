@@ -90,7 +90,9 @@ object PageRank {
     // would re-shuffle both contribution-join sides — static plans keep
     // the pinned layouts' partitioning, leaving the inflow groupBy(dst)
     // as the round's only exchange, as designed.
-    val canon = scope.ckpt(weightOpt match {
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — no separate persist job.
+    val canon = scope.ckptLazy(weightOpt match {
       case Some(w) =>
         edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"), col(w).cast("long").as("w"))
@@ -106,7 +108,8 @@ object PageRank {
     // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
     scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
-        StaticPlan.roundPartitions(nEdges, spark)) {
+        StaticPlan.roundPartitions(nEdges, spark,
+        StaticPlan.GRAPH_ROUND_ROWS)) {
       coreStatic(scope, canon, seedsOpt, iters, scale)
     })
   }
@@ -173,11 +176,13 @@ object PageRank {
     var ranks = scope.ckptLazy(base.withColumn("pr",
       when(col("is_seed"), lit(scale / nSeed)).otherwise(lit(0L))))
     var rankIds = scope.last
-    // every 2nd round checkpoints LAZILY so two one-shuffle rounds
-    // materialize in ONE scheduled job — the per-round job latency IS
-    // the engine's sf-scale cost (JobProbe r10: job-sum ≈ wall); see
-    // [[FusedRounds]] for the deferred-freeing discipline
-    val fused = new FusedRounds(scope, iters)
+    // fused rounds checkpoint LAZILY so one-shuffle rounds materialize
+    // in ONE scheduled job — the per-round job latency IS the engine's
+    // sf-scale cost (JobProbe r10: job-sum ≈ wall); see [[FusedRounds]]
+    // for the deferred-freeing discipline and [[StaticPlan.fuseDepth]]
+    // for the size gate (whole loop per job when small, pairs when big)
+    val fused = new FusedRounds(scope, iters,
+      StaticPlan.fuseDepth(scope.serialized, iters))
     for (_ <- 1 to iters) {
       // dangling mass: 1-row agg over the materialized ranks table,
       // kept IN-PLAN as a broadcast scalar — the iteration schedules

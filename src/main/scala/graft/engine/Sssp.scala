@@ -50,7 +50,9 @@ object Sssp {
     // edges keep their minimum weight; the count sizes the static round
     // partitioning (see [[StaticPlan]]: AQE-era checkpoints lose their
     // partitioning, re-shuffling every relaxation join otherwise)
-    val canon = scope.ckpt(
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — no separate persist job.
+    val canon = scope.ckptLazy(
       edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"),
         col(w).cast("long").as("w"))
         .groupBy("src", "dst").agg(min(col("w")).as("w")))
@@ -59,7 +61,8 @@ object Sssp {
     // serialized blocks (see StaticPlan.SER_CKPT_ROWS)
     scope.serialized = nEdges > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(spark,
-        StaticPlan.roundPartitions(nEdges, spark)) {
+        StaticPlan.roundPartitions(nEdges, spark,
+        StaticPlan.GRAPH_ROUND_ROWS)) {
       runStatic(scope, canon, seeds, rounds)
     })
   }
@@ -80,8 +83,10 @@ object Sssp {
       .select(col("node"),
         when(col("__seed"), lit(0L)).otherwise(lit(null).cast("long")).as("dist")))
     distIds = scope.last
-    // two relaxation rounds per scheduled job (see [[FusedRounds]])
-    val fused = new FusedRounds(scope, rounds)
+    // fused relaxation rounds (see [[FusedRounds]] /
+    // [[StaticPlan.fuseDepth]]): one job for the whole loop when small
+    val fused = new FusedRounds(scope, rounds,
+      StaticPlan.fuseDepth(scope.serialized, rounds))
     for (_ <- 1 to rounds) {
       val relaxed = dist.filter(col("dist").isNotNull)
         .join(e, col("node") === col("src"))

@@ -51,8 +51,10 @@ object Triangles {
     val scope = new CheckpointScope(spark.sparkContext)
     // canonicalize under the caller's adaptive planning; the edge count
     // sizes the static partitioning for the wedge phase (wedge rows are
-    // O(m^1.5), so size by edges with a smaller per-task target)
-    val canon = scope.ckpt(edges.filter(col(a) =!= col(b))
+    // O(m^1.5), so size by edges with a smaller per-task target).
+    // LAZY + count (setup fusion, r15): the sizing count() is the job
+    // that materializes the checkpoint — no separate persist job.
+    val canon = scope.ckptLazy(edges.filter(col(a) =!= col(b))
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .distinct())
     val m = canon.count()
@@ -68,7 +70,10 @@ object Triangles {
     * wedge self-join is exchange-free — the one irreducible big shuffle
     * left is the closure equi-join keyed by the wedge endpoint pair. */
   private def perNodeStatic(scope: CheckpointScope, ed: DataFrame): DataFrame = {
-    val deg = scope.ckpt(
+    // LAZY (r15): deg materializes inside the oriented-layout ckpt's
+    // eager job (its first consumer) — one fewer scheduled job; the
+    // final rebase then reads the persisted blocks
+    val deg = scope.ckptLazy(
       ed.select(col("u").as("node")).union(ed.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d")))
     // orient by the (degree, id) total order; carry the head's degree so
