@@ -1633,8 +1633,11 @@ object RelationalQueries {
         // canonicalize their input, and the PageRank stage's coreE
         // additionally references e under two semi-joins — without the
         // pin the orders⋈lineitem join executes once per consumer
-        // (Spark has no cross-reference CSE; the q_triangles lesson)
-        val e = graft.engine.StaticPlan.ckptFresh(
+        // (Spark has no cross-reference CSE; the q_triangles lesson).
+        // LAZY (r15 setup fusion): the first consumer — k-core's sizing
+        // count — materializes it; no separate persist job, no
+        // broadcast fan-out over it (the ckptFreshLazy caveat)
+        val e = graft.engine.StaticPlan.ckptFreshLazy(
           l.join(o, col("l_orderkey") === col("o_orderkey"))
             .select((col("o_custkey") * 2).as("src"),
               (col("l_suppkey") * 2 + 1).as("dst")))

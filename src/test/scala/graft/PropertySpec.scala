@@ -788,6 +788,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangles: broadcast and sort-merge closure joins are row-identical") {
+    import spark.implicits._
+    // the closure join's strategy is size-gated (BCAST_CLOSURE_EDGES);
+    // both sides of the gate must produce the same per-node rows —
+    // force each by moving the gate to 0 / +inf on the same graph
+    val es = (for (i <- 0L to 5L; j <- i + 1 to 5L if (i + j) % 3 != 0)
+      yield (i, j)) ++ Seq((0L, 1L), (2L, 3L), (6L, 7L))
+    def rows(gate: Long) =
+      graft.engine.Triangles.perNode(es.toDF("a", "b"), gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(0L) == rows(Long.MaxValue))
+    assert(rows(Long.MaxValue).nonEmpty)
+  }
+
   test("temperature mix upsamples small sources (share ∝ size^0.5)") {
     // Two exact consequences of tgt_s = (tt · isqrt(size_s)) div (2Σw):
     //  (1) targets are weakly INCREASING in source size (isqrt is
