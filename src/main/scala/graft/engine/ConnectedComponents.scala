@@ -144,17 +144,27 @@ object ConnectedComponents {
     val a = edges.columns(0)
     val b = edges.columns(1)
     val scope = new CheckpointScope(edges.sparkSession.sparkContext)
+    // Pin the RAW pair table ONCE (r15): `nodes` and the oriented edge
+    // set below both read `edges`, and two eager checkpoints over it
+    // re-executed the whole upstream chain (the minhash-LSH candidate
+    // generation of q_dedup_clusters_star) once per consumer — the
+    // q_triangles no-cross-reference-CSE lesson. LAZY: it materializes
+    // inside the nodes checkpoint's job and is freed once the oriented
+    // edge set is materialized too.
+    val raw = scope.ckptLazy(edges.select(col(a).as("x"), col(b).as("y")))
+    val rawIds = scope.last
     // `nodes` must OUTLIVE this call: the returned label plan joins it
     // lazily, and a localCheckpoint is unrecomputable once freed — so
     // its ids (and the final edge set's) are excluded from the cleanup
-    val nodes = scope.ckpt(edges.select(col(a).as("node"))
-      .union(edges.select(col(b).as("node")))
+    val nodes = scope.ckpt(raw.select(col("x").as("node"))
+      .union(raw.select(col("y").as("node")))
       .distinct())
     // Orient big→small; drop self-loops and duplicates. The orientation
     // is an invariant both phases preserve (each emitted edge (x, m)
-    // has m strictly below x).
-    var e = scope.ckpt(edges.filter(col(a) =!= col(b))
-      .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+    // has m strictly below x). LAZY + count (setup fusion, r15): the
+    // sizing count() materializes it from the pinned raw table.
+    var e = scope.ckptLazy(raw.filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct())
     var eIds = scope.last
     var iter = 0
@@ -163,6 +173,8 @@ object ConnectedComponents {
     // checkpointed round tables keep their partitioning, and the
     // partition count is sized from the oriented edge count
     val nE = e.count()
+    // both consumers of the raw pin are materialized now
+    scope.free(rawIds)
     scope.serialized = nE > StaticPlan.SER_CKPT_ROWS
     scope.guarded(StaticPlan.scoped(edges.sparkSession,
       StaticPlan.roundPartitions(nE, edges.sparkSession,
