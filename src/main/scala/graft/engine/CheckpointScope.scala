@@ -172,6 +172,26 @@ private[graft] object StaticPlan {
     math.max(1L, math.min(cap.toLong, (nRows + rowsPerPart - 1) / rowsPerPart)).toInt
   }
 
+  /** Partition count for CORPUS-COMPUTE tables — the ANN pipelines'
+    * full-corpus passes (cell assignment, PQ code encoding, residuals,
+    * exact ground-truth scoring). These stages are per-row vector
+    * compute (~40-70 µs/row measured on the 64-dim kernels at sf0.1),
+    * NOT tiny checkpoint materializations, so they want width even
+    * when the construction scope prices its shuffles narrow: a chain
+    * scan → project → checkpoint has no exchange and inherits the
+    * parquet split count (1 task on the single-row-group bench
+    * fixtures — JobProbe r16: the 0.6-1.0 s jobs of q_ann_pq{,_residual}
+    * and q_ann_tuning's 3.9 s exact pass all ran 1-2 tasks on 32
+    * cores). ~2048 rows/task keeps each task well above the dispatch
+    * floor at that per-row cost; the cap is the session's parallelism
+    * (the scale intent — on a cluster the scan is already wide and the
+    * cap keeps the extra exchange from fragmenting it). */
+  def computePartitions(nRows: Long,
+      ss: org.apache.spark.sql.SparkSession,
+      rowsPerPart: Long = 2048L): Int =
+    math.max(1L, math.min(ss.sparkContext.defaultParallelism.toLong,
+      (nRows + rowsPerPart - 1) / rowsPerPart)).toInt
+
   /** Per-task row target for the GRAPH engines' round tables (narrow
     * 2-3 long columns, ~16-24 B/row → ~2-3 MB/task): the round stages
     * are a chain of co-partitioned joins/aggs whose per-task compute at

@@ -314,6 +314,7 @@ object Similarity {
   private def ckptFresh(df: DataFrame): DataFrame =
     graft.engine.StaticPlan.ckptFreshLazy(df)
 
+
   /** Integer quantization of an embedding: floor(x · QUANT) per
     * component. Both engines compute the identical float→double→
     * multiply→floor sequence, and everything downstream of it is

@@ -1930,8 +1930,8 @@ object NorthStarQueries {
       // discipline, see q_semdedup) — FAISS sizes the IVF of an IVF-PQ
       // the same way; codebook training stays trainMod-sampled.
       (s, d) => {
-        val e = emb(s, d)
-        val n = e.count()
+        val e0 = emb(s, d)
+        val n = e0.count()
         val cells = Similarity.ivfCellsFor(n, IVF_TGT_CELL, 16)
         // corpus-sized construction scope (see q_ann_tuning): the slim
         // member checkpoint is n×(nProbe+1) rows — price it (and the
@@ -1939,6 +1939,16 @@ object NorthStarQueries {
         // (A-B-A'd against n×20: the 1-part scope measured faster here,
         // the shortlist/ADC tail is light for raw PQ)
         graft.engine.StaticPlan.scopedSized(s, n * 5) {
+          // corpus pinned ONCE at COMPUTE width (r16, guide §2.2/§2.4):
+          // the full-corpus passes (quantize+assign, PQ encode, rerank
+          // sides) are per-row vector compute chained scan→project→
+          // checkpoint with no exchange, so they inherited the 1-task
+          // parquet split; one narrow keyed exchange re-widths them all
+          // and every consumer reads pinned blocks instead of
+          // re-scanning parquet per job. LAZY pin: the chain is
+          // driver-sequential, the first consumer materializes it.
+          val e = graft.engine.StaticPlan.ckptFreshLazy(e0.repartition(
+            graft.engine.StaticPlan.computePartitions(n, s), col("vec_id")))
           Similarity.topKIvfPq(e, "vec_id", "embedding", 3,
               cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK,
               Similarity.trainModFor(n, TRAIN_TGT))
@@ -1977,12 +1987,15 @@ object NorthStarQueries {
       // on real clustered corpora residual encoding is the standard win.
       // Coarse cells corpus-derived (see q_semdedup / q_ann_pq).
       (s, d) => {
-        val e = emb(s, d)
-        val n = e.count()
+        val e0 = emb(s, d)
+        val n = e0.count()
         val cells = Similarity.ivfCellsFor(n, IVF_TGT_CELL, 16)
         // corpus-sized construction scope — see q_ann_pq (n×20: the
         // 1-part variant measured 7.3-7.5 s vs 6.9-7.2 s here)
         graft.engine.StaticPlan.scopedSized(s, n * 20) {
+          // corpus pinned once at compute width — see q_ann_pq (r16)
+          val e = graft.engine.StaticPlan.ckptFreshLazy(e0.repartition(
+            graft.engine.StaticPlan.computePartitions(n, s), col("vec_id")))
           Similarity.topKIvfPqResidual(e, "vec_id", "embedding", 3,
               cells, KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK,
               Similarity.trainModFor(n, TRAIN_TGT))
@@ -2337,15 +2350,28 @@ object NorthStarQueries {
       // report runs on a sample. Counts are integers, recall is one
       // final division — hash-exact across engines.
       (s, d) => {
-        val e = emb(s, d)
+        val e0 = emb(s, d)
         // size the scope from the corpus: the largest materialized frame
         // is the 64-cell assignment probed 20-deep (n×20 rows). At sf0.1
         // this prices the ~80 construction jobs at 4 tasks instead of 32
         // (A/B-measured 11.3 → 7.5 s wall, hash-identical); at scale
         // roundPartitions caps at the session width (the scale intent).
-        val nCorpus = e.count()
+        val nCorpus = e0.count()
         val tmod = Similarity.trainModFor(nCorpus, TRAIN_TGT)
         graft.engine.StaticPlan.scopedSized(s, nCorpus * 20) {
+        // corpus pinned ONCE at COMPUTE width (r16, guide §2.2/§2.4):
+        // every full-corpus pass below (the exact ground-truth scoring,
+        // LSH bucketing, IVF/k-means assignments, PQ encodes) chained
+        // scan→project with no exchange and so inherited the 1-task
+        // parquet split width — JobProbe measured the quadratic exact
+        // job at 3.9 s on 1-2 tasks. One narrow keyed exchange re-widths
+        // them all, and the ~10 consumer chains read the pinned blocks
+        // instead of re-scanning parquet per checkpoint job. EAGER: the
+        // consumers are concurrent futures (the lazy-pin persist race
+        // below duplicates upstream compute).
+        val e = graft.engine.StaticPlan.ckptFresh(e0.repartition(
+          graft.engine.StaticPlan.computePartitions(nCorpus, s),
+          col("vec_id")))
         // EAGER fresh checkpoints here — measured, not assumed: the
         // lazy variant (ckptFreshLazy) was tried in r11 and REVERTED
         // for this query: its 12 config rows consume the shared tables
@@ -2384,14 +2410,21 @@ object NorthStarQueries {
         def await[T](fs: scala.concurrent.Future[T]*): Seq[T] =
           fs.map(f => scala.concurrent.Await.result(f,
             scala.concurrent.duration.Duration.Inf))
-        val exactF = scala.concurrent.Future(ckptFresh(
+        // per-chain job labels (guide §1.5): descriptions are
+        // thread-local, each future body runs whole on one pool thread,
+        // and the pool dies with the query — labels cannot leak to the
+        // caller's thread. Zero-cost observability for the probes.
+        def labeled[T](name: String)(body: => T): T = {
+          s.sparkContext.setJobDescription(name); body
+        }
+        val exactF = scala.concurrent.Future(labeled("tuning:exact")(ckptFresh(
           Similarity.topK(e, "vec_id", "embedding", 3,
               Similarity.probeModFor(nCorpus, PROBE_TGT))
-            .select("a", "b")))
+            .select("a", "b"))))
         val nTot = e.agg(count(lit(1)).as("n"))
         // ordered scored-pair counts per config (x≠y meetings)
-        val bkF = scala.concurrent.Future(ckptFresh(e.select(col("vec_id"),
-          Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))))
+        val bkF = scala.concurrent.Future(labeled("tuning:bk")(ckptFresh(e.select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket")))))
         def ivfCands(assign: DataFrame): DataFrame =
           assign.groupBy("cell").agg(count(lit(1)).as("m"))
             .join(assign.filter(col("isHome")).groupBy("cell")
@@ -2399,24 +2432,25 @@ object NorthStarQueries {
             .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
             .select((col("mh") - col("n")).as("n_cands"))
         val id = "vec_id"; val v = "embedding"
-        val wideAssignF = scala.concurrent.Future(
+        val wideAssignF = scala.concurrent.Future(labeled("tuning:wideAssign")(
           ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 64,
-            KM_ITERS, DIMS, 20, tmod)))
+            KM_ITERS, DIMS, 20, tmod))))
         // ALL 16-cell configs (ivf_kmeans 16/2, 16/4, ivf_pq, ivf_pq_res)
         // share ONE coarse k-means training: the assignment table is a
         // rank slice and the PQ pipelines take the centroids pre-trained
-        val cents16F = scala.concurrent.Future(Similarity.kmeansCentroids(
+        val cents16F = scala.concurrent.Future(labeled("tuning:cents16")(
+          Similarity.kmeansCentroids(
           e.select(col(id), Similarity.quantize(col(v)).as("q")),
-          id, 16, KM_ITERS, DIMS, tmod))
+          id, 16, KM_ITERS, DIMS, tmod)))
         // 8-cell k-means and seed-IVF assignments share ONE materialized
         // ranked table each, like a16/wideAssign — per-config re-derivation
         // retrained k-means and re-scored every (vector, centroid) pair
         // TWICE per row (top-k side + candidate-count side)
-        val a8F = scala.concurrent.Future(
+        val a8F = scala.concurrent.Future(labeled("tuning:a8")(
           ckptFresh(Similarity.ivfKmeansAssignRanked(e, id, v, 8,
-            KM_ITERS, DIMS, 2, tmod)))
-        val iv16F = scala.concurrent.Future(
-          ckptFresh(Similarity.ivfAssignRanked(e, id, v, 16, 2)))
+            KM_ITERS, DIMS, 2, tmod))))
+        val iv16F = scala.concurrent.Future(labeled("tuning:iv16")(
+          ckptFresh(Similarity.ivfAssignRanked(e, id, v, 16, 2))))
         // nested-depth config PAIRS share one scored-pair table each
         // (probe depth rides every pair as lrank; per-depth top-k ranks
         // fall out of one sorted pass — topKFromAssignSlices): the
@@ -2428,96 +2462,109 @@ object NorthStarQueries {
         // subtrees of the one report job, so lazy slices get their
         // quadratic scoring computed concurrently by both consumers
         // (persist race — JobProbe: job-sum 20 -> 22 s, wall +1.5)
-        val lshSlF = scala.concurrent.Future(Similarity.topKLshMpSlices(
-          e, id, v, 3, PLANES, DIMS, NPROBES, ckptFresh))
-        val mcandF = scala.concurrent.Future(ckptFresh(
+        val lshSlF = scala.concurrent.Future(labeled("tuning:lshSl")(
+          Similarity.topKLshMpSlices(
+          e, id, v, 3, PLANES, DIMS, NPROBES, ckptFresh)))
+        val mcandF = scala.concurrent.Future(labeled("tuning:mcand")(ckptFresh(
           Similarity.lshMultiCandidates(e, id, v, LSHM_PLANES, DIMS,
-            LSHM_TABLES)))
-        val ivSlF = iv16F.map(iv16 => Similarity.topKFromAssignSlices(
-          iv16, id, v, 3, Seq(1, 2), materialize = ckptFresh))
-        val wideSlF = wideAssignF.map(wa => Similarity.topKFromAssignSlices(
-          wa, id, v, 3, Seq(16, 20), materialize = ckptFresh))
+            LSHM_TABLES))))
+        val ivSlF = iv16F.map(iv16 => labeled("tuning:ivSl")(
+          Similarity.topKFromAssignSlices(
+          iv16, id, v, 3, Seq(1, 2), materialize = ckptFresh)))
+        val wideSlF = wideAssignF.map(wa => labeled("tuning:wideSl")(
+          Similarity.topKFromAssignSlices(
+          wa, id, v, 3, Seq(16, 20), materialize = ckptFresh)))
         // wave 2 (needs cents16): the shared-coarse assignment + both
         // PQ shortlists
         val cents16 = await(cents16F).head
-        val a16F = scala.concurrent.Future(ckptFresh(
-          Similarity.ivfAssignFromCentroids(e, id, v, cents16, 4)))
-        val slPqF = scala.concurrent.Future(ckptFresh(
+        val a16F = scala.concurrent.Future(labeled("tuning:a16")(ckptFresh(
+          Similarity.ivfAssignFromCentroids(e, id, v, cents16, 4))))
+        val slPqF = scala.concurrent.Future(labeled("tuning:slPq")(ckptFresh(
           Similarity.ivfPqShortlist(e, id, v, 16, KM_ITERS,
-            DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, tmod, Some(cents16))))
-        val slResF = scala.concurrent.Future(ckptFresh(
+            DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, tmod, Some(cents16)))))
+        val slResF = scala.concurrent.Future(labeled("tuning:slRes")(ckptFresh(
           Similarity.ivfPqResidualShortlist(e, id, v, 16,
             KM_ITERS, DIMS, 4, PQ_M, PQ_K, PQ_ITERS, PQ_RERANK, tmod,
-            Some(cents16))))
-        val a16SlF = a16F.map(a16 => Similarity.topKFromAssignSlices(
-          a16, id, v, 3, Seq(2, 4), materialize = ckptFresh))
-        val Seq(exact, bk, wideAssign, a8, iv16) =
-          await(exactF, bkF, wideAssignF, a8F, iv16F)
-        val Seq(a16, slPq, slRes, mcand) = await(a16F, slPqF, slResF, mcandF)
-        val Seq(ivSl, wideSl, a16Sl) = await(ivSlF, wideSlF, a16SlF)
-        val lshSl = await(lshSlF).head
-        def wide(p: Int): DataFrame =
-          wideAssign.filter(col("rank") <= p).drop("rank")
-        def a16p(p: Int): DataFrame =
-          a16.filter(col("rank") <= p).drop("rank")
-        def a8p(p: Int): DataFrame =
-          a8.filter(col("rank") <= p).drop("rank")
-        def iv16p(p: Int): DataFrame =
-          iv16.filter(col("rank") <= p).drop("rank")
-        val nE = exact.agg(count(lit(1)).as("n_exact"))
-        // hit counting flipped to approx SEMI broadcast(exact): the
+            Some(cents16)))))
+        val a16SlF = a16F.map(a16 => labeled("tuning:a16Sl")(
+          Similarity.topKFromAssignSlices(
+          a16, id, v, 3, Seq(2, 4), materialize = ckptFresh)))
+        // ---- frontier rows as their own driver-thread jobs (r16,
+        // guide §2.6). The 12 rows are independent given their index
+        // tables, but the old single union job ran every row's
+        // semi-join + cost count strictly AFTER the last training
+        // chain finished — JobProbe r16 measured it as the query's
+        // largest job (3.5 s, scheduled last). Each row now chains off
+        // exactly its input futures (map/flatMap composition — an
+        // Await inside a fixed-pool task could deadlock the pool) and
+        // checkpoints its 1-row result as its own job, so early-ready
+        // configs' report work overlaps later training chains. The
+        // final returned plan is a 12-leaf union of pinned rows.
+        //
+        // hit counting stays approx SEMI broadcast(exact): the
         // probe-sample ground truth is the SMALL side by design (the
         // 100 TB direction), top-k tables are unique by (a, b) so the
         // intersection count is identical — and the explicit hint keeps
         // the join a broadcast hash join under the static scope, where
         // stat-less checkpoint inputs would otherwise sort-merge
-        def cfgRow(method: String, p1: Int, p2: Int, approx: DataFrame,
-            cands: DataFrame): DataFrame = {
-          val hits = approx.join(broadcast(exact), Seq("a", "b"), "left_semi")
+        def cfgRow(method: String, p1: Int, p2: Int, ex: DataFrame,
+            approx: DataFrame, cands: DataFrame): DataFrame = {
+          s.sparkContext.setJobDescription(s"tuning:row:$method:$p1:$p2")
+          val hits = approx.join(broadcast(ex), Seq("a", "b"), "left_semi")
             .agg(count(lit(1)).as("n_hits"))
-          hits.crossJoin(broadcast(cands)).select(
+          ckptFresh(hits.crossJoin(broadcast(cands)).select(
             lit(method).as("method"), lit(p1.toLong).as("param"),
-            lit(p2.toLong).as("probes"), col("n_hits"), col("n_cands"))
+            lit(p2.toLong).as("probes"), col("n_hits"), col("n_cands")))
         }
-        val lshCands = bk.groupBy("bucket").agg(count(lit(1)).as("c"))
-          .agg(sum(col("c") * (col("c") - 1)).as("n_cands"))
-        val copies = bk.select(col("vec_id"),
-          explode(array(col("bucket") +:
-            (0 until NPROBES).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
-            .as("bucket"))
-        val mpCands = copies.groupBy("bucket").agg(count(lit(1)).as("m"))
-          .join(bk.groupBy("bucket").agg(count(lit(1)).as("h")), "bucket")
-          .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
-          .select((col("mh") - col("n")).as("n_cands"))
-        val rowDfs = Seq(
-          cfgRow("lsh", PLANES, 0, lshSl._1.select("a", "b"), lshCands),
-          cfgRow("lsh_mp", PLANES, NPROBES,
-            lshSl._2.select("a", "b"), mpCands),
-          cfgRow("ivf", 16, 1,
-            ivSl(1).select("a", "b"),
-            ivfCands(iv16p(1))),
-          cfgRow("ivf", 16, 2,
-            ivSl(2).select("a", "b"),
-            ivfCands(iv16p(2))),
-          cfgRow("ivf_kmeans", 16, 2,
-            a16Sl(2).select("a", "b"),
-            ivfCands(a16p(2))),
-          cfgRow("ivf_kmeans", 8, 2,
-            Similarity.topKFromAssign(a8p(2), id, v, 3).select("a", "b"),
-            ivfCands(a8p(2))),
-          cfgRow("ivf_kmeans", 16, 4,
-            a16Sl(4).select("a", "b"),
-            ivfCands(a16p(4))),
+        def rankLe(ranked: DataFrame, p: Int): DataFrame =
+          ranked.filter(col("rank") <= p).drop("rank")
+        def lshCandsOf(bkT: DataFrame): DataFrame =
+          bkT.groupBy("bucket").agg(count(lit(1)).as("c"))
+            .agg(sum(col("c") * (col("c") - 1)).as("n_cands"))
+        def mpCandsOf(bkT: DataFrame): DataFrame = {
+          val copies = bkT.select(col("vec_id"),
+            explode(array(col("bucket") +:
+              (0 until NPROBES).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+              .as("bucket"))
+          copies.groupBy("bucket").agg(count(lit(1)).as("m"))
+            .join(bkT.groupBy("bucket").agg(count(lit(1)).as("h")), "bucket")
+            .agg(sum(col("m") * col("h")).as("mh")).crossJoin(nTot)
+            .select((col("mh") - col("n")).as("n_cands"))
+        }
+        val rowFs = Seq(
+          for { ex <- exactF; bkT <- bkF; lshSl <- lshSlF } yield
+            cfgRow("lsh", PLANES, 0, ex,
+              lshSl._1.select("a", "b"), lshCandsOf(bkT)),
+          for { ex <- exactF; bkT <- bkF; lshSl <- lshSlF } yield
+            cfgRow("lsh_mp", PLANES, NPROBES, ex,
+              lshSl._2.select("a", "b"), mpCandsOf(bkT)),
+          for { ex <- exactF; iv16 <- iv16F; ivSl <- ivSlF } yield
+            cfgRow("ivf", 16, 1, ex,
+              ivSl(1).select("a", "b"), ivfCands(rankLe(iv16, 1))),
+          for { ex <- exactF; iv16 <- iv16F; ivSl <- ivSlF } yield
+            cfgRow("ivf", 16, 2, ex,
+              ivSl(2).select("a", "b"), ivfCands(rankLe(iv16, 2))),
+          for { ex <- exactF; a16 <- a16F; a16Sl <- a16SlF } yield
+            cfgRow("ivf_kmeans", 16, 2, ex,
+              a16Sl(2).select("a", "b"), ivfCands(rankLe(a16, 2))),
+          for { ex <- exactF; a8 <- a8F } yield
+            cfgRow("ivf_kmeans", 8, 2, ex,
+              Similarity.topKFromAssign(rankLe(a8, 2), id, v, 3)
+                .select("a", "b"),
+              ivfCands(rankLe(a8, 2))),
+          for { ex <- exactF; a16 <- a16F; a16Sl <- a16SlF } yield
+            cfgRow("ivf_kmeans", 16, 4, ex,
+              a16Sl(4).select("a", "b"), ivfCands(rankLe(a16, 4))),
           // 64-cell wide frontier: ONE training (checkpointed centroids)
           // probed 20-deep; the 16-probe row is a rank slice of it.
           // These are the ≥0.84-recall-under-half-cost operating points
           // (probe-measured 0.84 @ 25% and 0.875 @ 31%, sampled training).
-          cfgRow("ivf_kmeans", 64, 16,
-            wideSl(16).select("a", "b"),
-            ivfCands(wide(16))),
-          cfgRow("ivf_kmeans", 64, 20,
-            wideSl(20).select("a", "b"),
-            ivfCands(wide(20))),
+          for { ex <- exactF; wa <- wideAssignF; wideSl <- wideSlF } yield
+            cfgRow("ivf_kmeans", 64, 16, ex,
+              wideSl(16).select("a", "b"), ivfCands(rankLe(wa, 16))),
+          for { ex <- exactF; wa <- wideAssignF; wideSl <- wideSlF } yield
+            cfgRow("ivf_kmeans", 64, 20, ex,
+              wideSl(20).select("a", "b"), ivfCands(rankLe(wa, 20))),
           // IVF-PQ + rerank: same candidates as ivf_kmeans(16,4), but
           // n_cands here = the PQ shortlist size — the pairs whose
           // float vectors are ACTUALLY exact-scored (the config's real
@@ -2525,29 +2572,31 @@ object NorthStarQueries {
           // shortlist is materialized ONCE and feeds both the top-k
           // (via rerankShortlist) and the cost count — re-deriving it
           // re-trains the PQ codebooks per side.
-          cfgRow("ivf_pq", PQ_RERANK, 4,
-            Similarity.rerankShortlist(e, id, v, slPq, 3).select("a", "b"),
-            slPq.agg(count(lit(1)).as("n_cands"))),
+          for { ex <- exactF; slPq <- slPqF } yield
+            cfgRow("ivf_pq", PQ_RERANK, 4, ex,
+              Similarity.rerankShortlist(e, id, v, slPq, 3).select("a", "b"),
+              slPq.agg(count(lit(1)).as("n_cands"))),
           // residual-encoded PQ at the same (cells, probes, rerank)
           // operating point — n_cands is its own exact-scored shortlist
-          cfgRow("ivf_pq_res", PQ_RERANK, 4,
-            Similarity.rerankShortlist(e, id, v, slRes, 3).select("a", "b"),
-            slRes.agg(count(lit(1)).as("n_cands"))),
+          for { ex <- exactF; slRes <- slResF } yield
+            cfgRow("ivf_pq_res", PQ_RERANK, 4, ex,
+              Similarity.rerankShortlist(e, id, v, slRes, 3).select("a", "b"),
+              slRes.agg(count(lit(1)).as("n_cands"))),
           // multi-table LSH: training-free recall lever — ONE bare-id
           // candidate materialization (wave-1 future) feeds both the
           // exact-rerank top-k and the scored-pair count (the same
           // frame the oracle's mcand CTE builds)
-          cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES,
-            Similarity.rerankShortlist(e, id, v, mcand, 3).select("a", "b"),
-            mcand.agg(count(lit(1)).as("n_cands"))))
-        // each config row (scoring pipeline + hit/cost counts) is a
-        // 1-row aggregate over checkpointed inputs; UNIONING all 12 and
-        // checkpointing the union runs every pipeline inside ONE job —
-        // their independent stages schedule concurrently in the DAG
-        // (no driver pool needed) and the caller's action on the
-        // returned report is a 12-row read instead of ~150 adaptive
-        // exchange materializations (measured 5.5 s of the query)
-        val report = ckptFresh(rowDfs.reduce(_.unionByName(_)))
+          for { ex <- exactF; mcand <- mcandF } yield
+            cfgRow("lsh_multi", LSHM_PLANES, LSHM_TABLES, ex,
+              Similarity.rerankShortlist(e, id, v, mcand, 3).select("a", "b"),
+              mcand.agg(count(lit(1)).as("n_cands"))))
+        val rows = await(rowFs: _*)
+        val exact = await(exactF).head
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        // rows are pinned 1-row checkpoints — the caller's action on
+        // the returned report reads 12 pinned rows + the broadcast
+        // ground-truth count, no adaptive materialization cascade
+        val report = rows.reduce(_.unionByName(_))
         report.crossJoin(broadcast(nE))
           .withColumn("recall",
             col("n_hits").cast("double") / col("n_exact").cast("double"))

@@ -26,7 +26,10 @@ object JobProbe {
         jobs.incrementAndGet()
         val stages = j.stageInfos.map(si =>
           s"${si.name.takeWhile(_ != '\n')}[${si.numTasks}]").mkString(" <- ")
-        starts.put(j.jobId, (System.nanoTime(), stages.take(150)))
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .map(d => s"{$d} ").getOrElse("")
+        starts.put(j.jobId, (System.nanoTime(), (desc + stages).take(150)))
       }
       override def onJobEnd(
           j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
